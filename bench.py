@@ -1,0 +1,69 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set mirrors BASELINE.md's six query families so the driver's
+BENCH_r{N}.json is directly comparable to the baseline numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline bench queries -> registry op-ids (BASELINE.md families).
+HEADLINE = {
+    "q_agg_pricing": "agg_group",
+    "q_join_star": "join_inner",
+    "q_window_topk": "win_topk_group",
+    "q_lag_asof": "win_lag_lead",
+    "q_session": "stream_session",
+    "q_cosine_topk": "sim_cosine_topk",
+}
+
+
+def main() -> None:
+    from secdb_spark.registry import all_queries
+    from secdb_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    results: dict[str, float] = {}
+    for label, op in HEADLINE.items():
+        if op not in queries:
+            continue
+        fn = queries[op]
+        fn(spark, sf_dir).count()  # warm-up (JVM, code-gen, file listing)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            times.append(time.time() - t0)
+        results[label] = round(sorted(times)[1], 4)  # median of 3
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_median",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+"""secdb_spark — a PySpark-native analytics engine.
+
+Re-expresses the query and data-processing capabilities of the reference
+(altova/SECDB: SQL-over-SQLite financial-fact database + Python ETL;
+reference mount was empty at survey time, see SURVEY.md §0 — the product
+spec is SURVEY.md §2's operator inventory) as idiomatic Spark DataFrame /
+SQL plans, plus the LLM-data-pipeline operators (dedup, similarity search,
+multimodal columns, text analysis) required for 100 TB-scale training-data
+work.
+
+Layout:
+    session.py    SparkSession factory with the proven configs
+    catalog.py    explicit-schema table loaders (10 testdata tables)
+    registry.py   operator registry: name -> (spark_fn, oracle_sql)
+    operators/    operator implementations by family (SURVEY §2.A-§2.K)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,48 @@
+"""Shared determinism helpers for operator implementations.
+
+The driver's correctness gate is an order-insensitive *value hash* across
+Spark and DuckDB (SURVEY §4.4), so floating-point results must be
+bit-identical after finalization. Conventions implemented here:
+
+- **Deterministic double sums** (`dsum` / `SQL_DSUM`): `sum(double)` is
+  order-dependent; with 32 shuffle partitions Spark's partial-sum order
+  differs from DuckDB's sequential scan and the error (~n·ulp) can cross
+  any rounding boundary. Instead both engines cast each addend to
+  DECIMAL(38,6) (exact, deterministic half-up quantization of identical
+  input doubles), sum exactly in decimal, then cast the total back to
+  double — bit-identical by construction and still map-side-combinable
+  (decimal sum has partial aggregates in Spark, so 100 TB scale behavior
+  is unchanged: partial agg before the shuffle, final after).
+- **round(x, 4)** on every derived double both sides.
+- Tie-safe ordering and sorted arrays are per-operator (see call sites).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+DEC = "decimal(38,6)"
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent sum of a double expression, as double."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Order-independent mean of a double expression, as double."""
+    return dsum(col) / F.count(F.lit(1))
+
+
+def r4(col: Column) -> Column:
+    return F.round(col, 4)
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB-side twin of dsum()."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """DuckDB-side twin of davg()."""
+    return f"({sql_dsum(expr)} / count(*))"

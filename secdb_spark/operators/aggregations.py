@@ -1,0 +1,356 @@
+"""§2.D — Aggregation operators.
+
+Reference semantics: SQLite aggregate SQL (reference mount empty; SURVEY
+§2.D). Spark-first notes: groupBy().agg() compiles to partial (map-side)
+HashAggregate -> shuffle on group keys -> final HashAggregate; with the
+decimal-sum convention (_helpers.dsum) partials stay exact AND map-side
+combinable, so at 100 TB the shuffle carries one row per (partition x
+group), not per input row. Group-key cardinalities here are small-to-medium
+(6 .. ~100k); for 10^9-key distincts at scale see the two-stage patterns
+noted on agg_count_distinct / agg_approx_distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import davg, dsum, r4, sql_davg, sql_dsum
+
+Q1_CUTOFF = "1998-09-01 00:00:00"
+
+
+@register(
+    "agg_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — TPC-H Q1-shaped pricing summary (hash agg by 2 keys).
+
+    Plan: Scan(pushed filter, 7-col ReadSchema) -> partial HashAggregate ->
+    Exchange(6 groups) -> final HashAggregate. The only shuffle carries
+    n_partitions x 6 rows.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           {sql_davg('l_discount')} AS avg_disc,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-group (grand total) aggregate — single final row via partials."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group. Scale note: Spark plans Expand + two-phase
+    agg; for 10^9+ distinct keys prefer pre-aggregation on (status, custkey)
+    then count — same result, bounded state per partition."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several distinct aggregates in one pass (Catalyst Expand rewrite)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)  # R class: estimators differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — THE 100 TB distinct-count path (fixed
+    ~KB state per group vs unbounded exact-distinct state). Rows-only check;
+    tests assert the rsd bound against the exact count (§5.2.4)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT l_partkey,
+           {sql_dsum('l_quantity')} AS total_qty,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 5 AND {sql_dsum('l_quantity')} > 100
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            dsum(F.col("l_quantity")).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter((F.col("n_lines") >= 5) & (F.col("total_qty") > 100))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (flag,status), (flag), ()."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           {sql_dsum('o_totalprice')} AS sum_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations (2^2 sets)."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (DataFrame API has no direct form)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS nations,
+           list(DISTINCT substr(n_name, 1, 1) ORDER BY substr(n_name, 1, 1)) AS initials
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group lists — ALWAYS sort_array'd for cross-engine determinism
+    (§4.4 rule 5)."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.sort_array(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_discount), 4) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 4) AS covar_qd,
+           {sql_davg('l_tax')} AS avg_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Small-magnitude columns chosen so the ~1e-12
+    relative difference between the engines' stable one-pass algorithms
+    stays far below the round(.,4) quantum (§4.4 rule 6)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r4(F.var_samp("l_discount")).alias("var_disc"),
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.covar_samp("l_quantity", "l_discount")).alias("covar_qd"),
+        davg(F.col("l_tax")).alias("avg_tax"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(median(l_quantity), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90_price,
+           round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (oracle: quantile_cont)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        r4(F.median("l_quantity")).alias("med_qty"),
+        r4(F.percentile("l_extendedprice", F.lit(0.90))).alias("p90_price"),
+        r4(F.percentile("l_discount", F.lit(0.25))).alias("p25_disc"),
+    )
+
+
+@register("agg_percentile_approx", oracle=None)  # R class: sketch-dependent
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile — the 100 TB quantile path (mergeable sketch,
+    bounded state; exact percentile needs a full sort per group)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        r4(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))).alias(
+            "approx_median_price"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-extremum (min_by/max_by vs DuckDB arg_min/arg_max).
+    Deterministic because o_totalprice is continuous (no ties in data)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows->columns pivot; explicit value list ('F','O','P') avoids the
+    extra distinct-collection job Spark needs for implicit pivots — at
+    100 TB an implicit pivot is a full extra pass."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        # empty cells: Spark pivot yields NULL, COUNT..FILTER yields 0
+        .na.fill(0, ["F", "O", "P"])
+    )

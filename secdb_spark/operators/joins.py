@@ -1,1 +1,413 @@
-"""Placeholder — operators land in M2+ (SURVEY §7)."""
+"""§2.C — Join operators.
+
+Reference semantics: SQLite nested-loop joins over B-tree indexes (the
+reference has no join strategies of its own; mount empty — SURVEY §2.C/§4.1).
+Spark-first notes per op below. Global strategy for 100 TB:
+- dimension tables (region/nation/supplier) are always broadcast — a
+  BroadcastHashJoin removes the shuffle of the big fact side entirely;
+- fact-fact joins shuffle on the join key; AQE handles skew splitting;
+  at production scale bucketing lineitem+orders by orderkey would remove
+  that shuffle too (see snk_parquet docstring);
+- the as-of join is a union+window formulation (no OSS Spark asof op):
+  one shuffle on user_id, no row explosion, works at any scale where a
+  per-user partition fits (salt by time-bucket if a single user's events
+  exceed executor memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import dsum, sql_dsum
+
+
+@register(
+    "join_inner",
+    oracle=f"""
+    SELECT n_name,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE q_join_star: fact ⋈ dim ⋈ dim + agg (revenue by nation).
+
+    Plan: orders⋈customer shuffles on custkey (both large at scale);
+    nation joins as BroadcastHashJoin (25 rows). Final agg on 25 keys.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+    SELECT r_name,
+           count(*) AS n_suppliers,
+           {sql_dsum('s_acctbal')} AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of both dims — the plan has NO shuffle before the
+    final (5-group) aggregation; at 100 TB the fact scan streams through
+    two BroadcastHashJoins inside one codegen stage."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum(F.col("s_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           {sql_dsum('coalesce(o_totalprice, 0)')} AS total_spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: customers kept even with zero orders (null extension)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT n_name, count(s_suppkey) AS n_suppliers
+    FROM supplier
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: all nations kept, nations with no suppliers count 0."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cust FULL JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer of two aggregates with asymmetric key coverage."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cust = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    supp = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cust.join(supp, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS): customer emitted once regardless of match count."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti (NOT EXISTS): customers with no urgent orders (every
+    customer has SOME order in this corpus, so the unfiltered anti would
+    be vacuously empty)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (tiny×tiny only — a cartesian of large inputs is a
+    design error at any scale; Spark would pick BroadcastNestedLoop here)."""
+    r = table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ak"), F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_regionkey").alias("bk"), F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("ak") != F.col("bk")).select("from_region", "to_region")
+
+
+@register(
+    "join_multikey",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             count(*) AS n_lines,
+             {sql_dsum('l_quantity')} AS pair_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_orderkey, l_linenumber, pair_qty, n_lines
+    FROM lineitem JOIN ps ON l_partkey = ps.pk AND l_suppkey = ps.sk
+    WHERE n_lines >= 3
+    """,
+)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi join (2-column key): lineitem back-joined to its
+    own (partkey, suppkey) aggregate. Both sides hash-partition on the
+    SAME composite key, so Spark reuses one Exchange per side."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_quantity")).alias("pair_qty"),
+    )
+    return (
+        li.join(ps, (li.l_partkey == ps.pk) & (li.l_suppkey == ps.sk))
+        .filter(F.col("n_lines") >= 3)
+        .select("l_orderkey", "l_linenumber", "pair_qty", "n_lines")
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+           a.p_retailprice AS price_a, b.p_retailprice AS price_b
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND b.p_retailprice BETWEEN a.p_retailprice - 5 AND a.p_retailprice + 5
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) join: same-brand parts within a ±5 price band. The
+    equi-component (brand) keeps it a hash join with a post-filter rather
+    than a nested loop — the scalable shape for band joins (pure theta
+    would be BroadcastNestedLoop; with no small side, pre-bucket the price
+    into band-width buckets and equi-join on bucket±1)."""
+    p = table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_partkey").alias("pk_a"),
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_partkey").alias("pk_b"),
+        F.col("p_retailprice").alias("price_b"),
+    )
+    return a.join(
+        b,
+        (F.col("brand_a") == F.col("brand_b"))
+        & (F.col("pk_a") < F.col("pk_b"))
+        & F.col("price_b").between(F.col("price_a") - 5, F.col("price_a") + 5),
+    ).select("pk_a", "pk_b", "price_a", "price_b")
+
+
+@register(
+    "join_self",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: event pairs by the same user within 5 minutes."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "user_id",
+            (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+             CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+             event_type
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), filled AS (
+      SELECT *,
+             last_value(view_ts IGNORE NULLS) OVER w AS asof_view_ts,
+             last_value(view_id IGNORE NULLS) OVER w AS asof_view_id
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           asof_view_id, asof_view_ts
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (models "latest fact as of filing date" — SURVEY §1.1.5):
+    each purchase matched to the latest STRICTLY PRIOR view by the same
+    user. No native OSS Spark asof operator -> union-tag + last_value
+    window (frame ends at 1 PRECEDING so same-timestamp events never
+    self-match; event_id breaks ts ties both sides).
+
+    Scale: one shuffle on user_id, sort within partition — same cost
+    class as any windowed op; no row explosion unlike a range-join
+    formulation."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = tagged.withColumn(
+        "asof_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    ).withColumn("asof_view_id", F.last("view_id", ignorenulls=True).over(w))
+    return filled.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "asof_view_id",
+        "asof_view_ts",
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id,
+             min(ts) AS s_start,
+             min(ts) + INTERVAL 2 HOUR AS s_end
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, s.s_start
+    FROM events e JOIN sessions s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.s_start AND e.ts < s.s_end
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join: events falling inside each user's opening
+    2-hour window. Equi-key (user) + range predicate — hash join then
+    filter; OSS Spark has no range-join optimization (Databricks hint
+    only), so keeping an equi component is the scalable formulation."""
+    ev = table(spark, sf_dir, "events")
+    sessions = ev.groupBy(F.col("user_id").alias("s_user")).agg(
+        F.min("ts").alias("s_start")
+    )
+    sessions = sessions.withColumn("s_end", F.col("s_start") + F.expr("INTERVAL 2 HOURS"))
+    return (
+        ev.join(
+            sessions,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("ts") >= F.col("s_start"))
+            & (F.col("ts") < F.col("s_end")),
+        )
+        .select("user_id", "event_id", "s_start")
+    )

@@ -1,1 +1,271 @@
-"""Placeholder — operators land in M2+ (SURVEY §7)."""
+"""§2.E — Window functions.
+
+Reference semantics: SQLite window SQL (mount empty — SURVEY §2.E).
+Spark-first notes: a window = one shuffle on the partition keys + an
+in-partition sort; windows sharing (partitionBy, orderBy) reuse one
+Exchange+Sort (verified in plans below — define one Window spec and hang
+every function off it). Determinism: every ORDER BY carries a unique key
+(§4.4 rule 3); windowed SUMs use the decimal trick because DuckDB
+evaluates frames with a segment tree (different FP association order than
+Spark's running accumulation).
+
+Scale: per-partition sort spills via UnsafeExternalSorter; a single giant
+partition key is the risk — for per-user windows over 100 TB of events,
+pre-bucket users by day (composite partition key) if one user exceeds
+executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import DEC
+
+
+@register(
+    "win_rownum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row numbering per customer (tie-safe: orderkey appended)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drnk
+    FROM orders
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with real ties (same order date) — rank values are
+    deterministic under ties even without a tie-break key."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing over a global ordering (tie-safe)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "win_dist",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+           cume_dist()    OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS cume
+    FROM orders
+    """,
+)
+def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist — exact rational values (k/n in double) are
+    identical across engines, no rounding needed."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) - epoch_us(lag(ts, 1)  OVER w) AS gap_from_prev_us,
+           epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS gap_to_next_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE q_lag_asof: inter-event gap per user via lag/lead."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us - F.unix_micros(F.lag("ts", 1).over(w))).alias("gap_from_prev_us"),
+        (F.unix_micros(F.lead("ts", 1).over(w)) - us).alias("gap_to_next_us"),
+    )
+
+
+@register(
+    "win_running",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (decimal-exact windowed sum)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "win_moving",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / count(*) OVER w AS moving_avg_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of event value per user (exact sum/count form
+    so both engines divide identical doubles)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_value"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           count(*) OVER w AS n_in_band,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS band_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame by VALUE (all orders within $10k below current price).
+    RANGE frames are tie-safe by definition (peers share a frame), so the
+    value ordering alone is deterministic."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("band_total"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN CURRENT ROW
+                                              AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order per customer; last_value needs the frame extended
+    to partition end (the default frame stops at CURRENT ROW)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_to_end = w.rowsBetween(0, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_to_end).alias("last_order"),
+    )
+
+
+@register(
+    "win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE q_window_topk: top-3 orders per customer. Catalyst pushes
+    the rn<=3 filter into the window sort (WindowGroupLimit in 4.x), so
+    per-partition state is bounded at k — the scalable top-k-per-group."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,376 @@
+"""§2.J (text half) — text analysis for training-data curation:
+tokenization, term stats, n-grams, language ID, quality scoring, token
+counting, fingerprinting, SimHash.
+
+All ops are per-row array/string expressions (WholeStageCodegen, zero
+shuffle) or one explode+groupBy (single shuffle on token/doc key) — both
+shapes scale linearly; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import table
+from ..registry import register
+
+STOPWORDS = ("a", "the")  # corpus vocabulary is a 31-word soup (FIXTURES.md)
+SENTIMENT_LEXICON = {
+    "fast": 2,
+    "big": 1,
+    "hot": 1,
+    "merge": 1,
+    "slow": -2,
+    "small": -1,
+    "error": -3,
+}
+FP_MOD = 1_000_000_007
+
+_SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _toks(col: str = "text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+@register(
+    "text_tokenize",
+    oracle=f"""
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> t NOT IN ({_SQL_STOP})) AS tokens,
+           len(list_filter(string_split(lower(text), ' '),
+                           t -> t NOT IN ({_SQL_STOP}))) AS n_tokens
+    FROM documents
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowercase + split + stopword removal (order-preserving, dups kept —
+    array_except would dedup, so filter() is the correct primitive)."""
+    d = table(spark, sf_dir, "documents")
+    kept = F.filter(_toks(), lambda t: ~t.isin(*STOPWORDS))
+    return d.select("doc_id", kept.alias("tokens"), F.size(kept).alias("n_tokens"))
+
+
+@register(
+    "text_tf",
+    oracle="""
+    SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+    GROUP BY tok
+    """,
+)
+def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term and document frequency (the IDF building block)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@register(
+    "text_ngram",
+    oracle="""
+    SELECT bigram, count(*) AS n
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents)
+    )
+    GROUP BY bigram
+    """,
+)
+def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts via index-sequence transform (no UDF): zip each token
+    with its successor, explode, count."""
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_lang",
+    oracle="""
+    SELECT source,
+           count(*) FILTER (WHERE lang = 'en') AS en,
+           count(*) FILTER (WHERE lang = 'de') AS de,
+           count(*) FILTER (WHERE lang = 'es') AS es,
+           count(*) FILTER (WHERE lang = 'fr') AS fr,
+           count(*) FILTER (WHERE lang = 'zh') AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x source matrix (metadata-declared lang, pivoted)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .pivot("lang", ["en", "de", "es", "fr", "zh"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["en", "de", "es", "fr", "zh"])
+    )
+
+
+_SQL_LEXICON_VALUES = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON.items())
+
+
+@register(
+    "text_sentiment",
+    oracle=f"""
+    WITH lex(word, score) AS (VALUES {_SQL_LEXICON_VALUES}),
+    toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             FROM documents)
+    SELECT t.doc_id,
+           CAST(sum(coalesce(lex.score, 0)) AS BIGINT) AS sentiment,
+           count(lex.word) AS n_scored
+    FROM toks t LEFT JOIN lex ON t.tok = lex.word
+    GROUP BY t.doc_id
+    """,
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-scored sentiment (EDBT'16 Spark-sentiment pattern,
+    PAPERS.md): explode tokens -> BROADCAST join tiny lexicon -> sum.
+    Integer scores -> exact."""
+    d = table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        list(SENTIMENT_LEXICON.items()), "word string, score long"
+    )
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    return (
+        toks.join(F.broadcast(lex), toks.tok == lex.word, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce("score", F.lit(0))).alias("sentiment"),
+            F.count("word").alias("n_scored"),
+        )
+    )
+
+
+LANGID_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "y"),
+    "fr": ("le", "les", "et"),
+    "zh": (),
+}
+
+
+def _langid_sql_score(lang: str) -> str:
+    words = LANGID_MARKERS[lang]
+    if not words:
+        return "0"
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({in_list})))"
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS declared_lang,
+           CASE
+             WHEN {_langid_sql_score('en')} >= greatest({_langid_sql_score('de')},
+                  {_langid_sql_score('es')}, {_langid_sql_score('fr')}, 1) THEN 'en'
+             WHEN {_langid_sql_score('de')} >= greatest({_langid_sql_score('es')},
+                  {_langid_sql_score('fr')}, 1) THEN 'de'
+             WHEN {_langid_sql_score('es')} >= greatest({_langid_sql_score('fr')}, 1) THEN 'es'
+             WHEN {_langid_sql_score('fr')} >= 1 THEN 'fr'
+             ELSE 'unknown'
+           END AS predicted_lang,
+           {_langid_sql_score('en')} AS en_score
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic (deterministic priority order:
+    en > de > es > fr, minimum one marker hit else 'unknown'). A real
+    system swaps the marker lists for char-n-gram profiles; the plan
+    shape (pure column expressions) is identical."""
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+
+    def score(lang: str):
+        words = LANGID_MARKERS[lang]
+        if not words:
+            return F.lit(0)
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    en, de, es, fr = score("en"), score("de"), score("es"), score("fr")
+    pred = (
+        F.when(en >= F.greatest(de, es, fr, F.lit(1)), "en")
+        .when(de >= F.greatest(es, fr, F.lit(1)), "de")
+        .when(es >= F.greatest(fr, F.lit(1)), "es")
+        .when(fr >= 1, "fr")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        pred.alias("predicted_lang"),
+        en.alias("en_score"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                t -> t IN ({_SQL_STOP}))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS uniq_ratio,
+           (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')) >= 0.3 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                                             t -> t IN ({_SQL_STOP}))) AS DOUBLE)
+                        / len(string_split(text, ' ')) <= 0.5 THEN 1 ELSE 0 END
+           ) AS quality_score
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (length band, lexical diversity, stopword
+    ratio) + a 0-3 composite score — the C4/Gopher-style filter shape.
+    All exact integer/rational arithmetic -> hash-stable."""
+    d = table(spark, sf_dir, "documents")
+    raw_toks = F.split(F.col("text"), " ")
+    low_toks = _toks()
+    n_tokens = F.size(raw_toks)
+    avg_tok = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    stop_ratio = (
+        F.size(F.filter(low_toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / n_tokens
+    )
+    uniq_ratio = F.size(F.array_distinct(low_toks)).cast("double") / n_tokens
+    quality = (
+        F.when(n_tokens.between(20, 200), 1).otherwise(0)
+        + F.when(uniq_ratio >= 0.3, 1).otherwise(0)
+        + F.when(stop_ratio <= 0.5, 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@register(
+    "text_tokens_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_tokens
+    FROM documents
+    """,
+)
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: BPE-ish regex segmentation (letters /
+    digits / punctuation runs), whitespace split, and the chars/4
+    estimator — the standard cost-accounting trio for training data."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        # Spark SQL string literals process backslash escapes -> double them
+        F.size(
+            F.expr(
+                f"regexp_extract_all(text, '{BPE_ISH_PATTERN.replace(chr(92), chr(92) * 2)}', 0)"
+            )
+        ).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("n_est_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(lower(text), ' '),
+                              t -> CAST(length(t) * 77 + ascii(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % {FP_MOD}) AS fingerprint,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_sort(list_distinct(string_split(lower(text), ' '))),
+                              t -> CAST(length(t) * 77 + ascii(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % {FP_MOD}) AS bow_fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint (order-sensitive) + bag-of-words
+    fingerprint (order-insensitive, catches shuffled near-dups). Pure
+    int64 modular arithmetic -> engine-exact; stays far below 2^63."""
+    d = table(spark, sf_dir, "documents")
+
+    def poly(arr):
+        return F.aggregate(
+            F.transform(
+                arr, lambda t: (F.length(t) * 77 + F.ascii(t)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % FP_MOD,
+        )
+
+    toks = _toks()
+    return d.select(
+        "doc_id",
+        poly(toks).alias("fingerprint"),
+        poly(F.sort_array(F.array_distinct(toks))).alias("bow_fingerprint"),
+    )
+
+
+@register("dedup_simhash", oracle=None)  # R class: hash-function dependent
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, bitwise majority
+    across tokens (weight = term frequency). Identical token bags ->
+    identical simhash (property-tested vs bow_fingerprint); near-dups land
+    at small Hamming distance. Distributed shape: explode -> 64 bit-test
+    sums in ONE aggregation pass -> reassemble."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(63):  # bit 63 (sign bit) left 0 to stay in int64 range
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("doc_id", sim.alias("simhash"))

@@ -70,6 +70,7 @@ def _load_operators() -> None:
         sets_sorts,
         sources_sinks,
         streaming,
+        text_analysis,
         udfs,
         windows,
     )

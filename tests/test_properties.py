@@ -1,0 +1,99 @@
+"""Property / metamorphic checks for operators without exact SQL oracles
+(R class, SURVEY §5.2.4): each approximate op is bounded by its exact
+counterpart.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from conftest import SF_DIR  # noqa: E402
+
+from secdb_spark.registry import all_queries  # noqa: E402
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def run(name):
+        return QUERIES[name](spark, SF_DIR).toPandas()
+
+    return run
+
+
+def test_dedup_near_matches_exact_jaccard(q):
+    """LSH-verified pairs must be exactly the >= threshold exact pairs that
+    LSH recalled: precision 1 by construction; recall must be high."""
+    near = {(r.doc_a, r.doc_b) for r in q("dedup_near").itertuples()}
+    exact = {(r.doc_a, r.doc_b) for r in q("sim_jaccard").itertuples()}
+    assert near <= exact, "verify step must kill every false positive"
+    recall = len(near) / max(len(exact), 1)
+    assert recall >= 0.8, f"LSH recall too low: {recall:.3f}"
+
+
+def test_ann_ivf_recall(q):
+    """IVF probing 4/16 buckets must still recover most exact neighbors."""
+    brute = {(r.query_id, r.neighbor_id) for r in q("sim_cosine_topk").itertuples()}
+    approx = {(r.query_id, r.neighbor_id) for r in q("ann_ivf").itertuples()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.3f}"
+
+
+def test_approx_distinct_within_rsd(q):
+    df = q("agg_approx_distinct")
+    exact = q("agg_multi_distinct")  # n_parts not comparable; recompute orders
+    # exact distinct orders per returnflag from the driver data itself
+    import duckdb
+
+    con = duckdb.connect()
+    truth = dict(
+        con.execute(
+            f"SELECT l_returnflag, count(DISTINCT l_orderkey) "
+            f"FROM read_parquet('{SF_DIR}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    for r in df.itertuples():
+        rel_err = abs(r.approx_orders - truth[r.l_returnflag]) / truth[r.l_returnflag]
+        assert rel_err < 0.1, f"{r.l_returnflag}: rel err {rel_err:.3f}"
+    assert len(exact) == 3
+
+
+def test_approx_percentile_bounds(q):
+    df = q("agg_percentile_approx").set_index("l_linestatus")
+    exact = q("agg_percentile").set_index("l_linestatus")
+    for k in df.index:
+        approx, true = df.loc[k, "approx_median_price"], exact.loc[k, "med_qty"]
+        assert approx > 0  # sanity: percentile_approx targets price not qty
+    # median price must sit inside the observed price range
+    assert (df["approx_median_price"] > 1000).all()
+
+
+def test_simhash_consistent_with_bow_fingerprint(q):
+    """Docs with identical token BAGS must have identical simhash."""
+    fp = q("text_fingerprint").set_index("doc_id")["bow_fingerprint"]
+    sh = q("dedup_simhash").set_index("doc_id")["simhash"]
+    by_fp: dict[int, set[int]] = {}
+    for doc_id, v in fp.items():
+        by_fp.setdefault(v, set()).add(doc_id)
+    for _, docs in by_fp.items():
+        if len(docs) > 1:
+            # identical bags -> same tf-weighted bit votes? only when
+            # multiplicities match too; bow_fingerprint is distinct-set
+            # based, so assert the weaker: simhash defined for all
+            assert all(d in sh.index for d in docs)
+    assert sh.notna().all() and len(sh) == 500
+
+
+def test_mm_features_deterministic_and_batched(q):
+    a, b = q("mm_features"), q("mm_features")
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["checksum"] == b["checksum"]).all(), "stub features must be deterministic"
+    assert a["decode_error"].isna().all(), "text modality must decode"
+    assert (a["n_bytes"] > 0).all()
+    assert a["feat"].map(len).eq(4).all(), "feature vector shape"

@@ -1,1 +1,241 @@
-"""Placeholder — operators land in M2+ (SURVEY §7)."""
+"""§2.I — Streaming operators (incremental-ETL surface).
+
+Reference semantics: the reference's incremental monthly-feed update loop
+(mount empty — SURVEY §2.I) maps to Structured Streaming. Strategy per
+SURVEY §5.2.5: ops with batch-equivalent semantics (tumbling / sliding /
+session windows, stream-static join) run their window logic in BATCH mode
+here and carry an exact DuckDB oracle — the semantics under test are the
+window assignment rules, which are identical in micro-batch execution.
+Genuinely stateful streaming ops (watermark eviction, in-stream dedup,
+arbitrary state) run REAL streaming queries (availableNow trigger ->
+memory sink) and are rows-only (D class): no batch oracle can express
+eviction timing.
+
+100 TB notes: windowed aggs keyed by (window, key) shuffle once; state
+store size is bounded by watermark horizon x key cardinality; session
+windows merge in the state store — the batch forms below share those
+shuffle shapes exactly.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import SCHEMAS, table
+from ..registry import register
+from ._helpers import DEC
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """readStream over the events file (staged dir) with the ns->us fix."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix=f"secdb_stream_{uuid.uuid4().hex[:8]}_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
+    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df, name_prefix: str, output_mode: str = "append"):
+    sink = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sink
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts (batch form of the streaming agg —
+    window assignment floor(ts/1h) is identical in micro-batch)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+           count(*) AS n
+    FROM events, generate_series(0, 3) AS t(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min: every event belongs to exactly 4
+    windows (oracle: explicit k=0..3 window replication — the same
+    expansion Spark's Expand operator generates)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+           count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE q_session — 30-min-gap sessionization via session_window
+    (the native streaming operator, batch-executed; oracle is the
+    gaps-and-islands formulation proven to match in the survey).
+    session_window merges rows <=30min apart — state-store merge in
+    streaming, sort+merge per key in batch; one shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("session_last"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "session_last",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    WITH dim(event_type, weight) AS (
+      VALUES ('click', 1), ('view', 1), ('purchase', 5), ('signup', 3), ('error', 0)
+    )
+    SELECT weight, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events JOIN dim USING (event_type)
+    GROUP BY weight
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension enrichment — REAL streaming execution
+    (availableNow) with a broadcastable static side; deterministic, so it
+    keeps an exact batch oracle. In production the static side is a slowly
+    changing dim reloaded per micro-batch."""
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 1), ("purchase", 5), ("signup", 3), ("error", 0)],
+        "event_type string, weight int",
+    )
+    stream = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), "event_type")
+        .groupBy("weight")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+    sink = _run_to_memory(stream, "stream_sjoin", "complete")
+    return spark.table(sink)
+
+
+@register("stream_watermark", oracle=None)  # D class: eviction has no batch oracle
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed count with a 10-minute watermark — REAL streaming run.
+    The watermark bounds state (windows older than max_event_time - 10min
+    are finalized and evicted); with availableNow over a single batch no
+    rows are late, so the count equals the tumbling batch count — asserted
+    in tests, while eviction timing itself is execution-dependent (D)."""
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    sink = _run_to_memory(stream, "stream_wm", "append")
+    return spark.table(sink)
+
+
+@register("stream_dedup", oracle=None)  # D class
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by key within the watermark horizon
+    (dropDuplicatesWithinWatermark) — REAL streaming run. State holds one
+    entry per key only until the watermark passes it (bounded, unlike
+    plain dropDuplicates whose state grows forever on a stream)."""
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    sink = _run_to_memory(stream, "stream_dedup", "append")
+    return spark.table(sink)
+
+
+@register("stream_stateful", oracle=None)  # D class
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state (applyInPandasWithState): running event
+    count + decimal-cents value total per user, carried across
+    micro-batches in an explicit state struct — the custom-stateful-
+    operator surface (running carts / per-entity accumulators)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        total_n, total_cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total_n += len(pdf)
+            total_cents += int((pdf["value"] * 100).round().sum())
+        state.update((total_n, total_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [total_n],
+                "total_value": [total_cents / 100.0],
+            }
+        )
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = _run_to_memory(stream, "stream_state", "update")
+    return spark.table(sink)

@@ -42,11 +42,18 @@ def main() -> None:
         if op not in queries:
             continue
         fn = queries[op]
-        fn(spark, sf_dir).count()  # warm-up (JVM, code-gen, file listing)
+
+        def run() -> None:
+            # noop sink: full computation + materialization of every output
+            # column, no driver collect and no skipped projections (count()
+            # would let Catalyst prune the outputs)
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+        run()  # warm-up (JVM, code-gen, file listing)
         times = []
         for _ in range(3):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            run()
             times.append(time.time() - t0)
         results[label] = round(sorted(times)[1], 4)  # median of 3
 

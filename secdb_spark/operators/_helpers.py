@@ -38,6 +38,22 @@ def r4(col: Column) -> Column:
     return F.round(col, 4)
 
 
+def dsum_scaled(col: Column, scale: int) -> Column:
+    """Order-independent sum via int64 fixed-point (decimal digits known
+    a priori): floor(x * 10^scale + 0.5) summed as BIGINT. ~2x faster than
+    the decimal path (stays in long codegen; floor is a JVM intrinsic
+    where round(double) pays a per-row BigDecimal) — used on benched hot
+    paths. Nonnegative inputs only (floor+0.5 = half-up there). Caller
+    divides by 10^scale to present. Overflow bound: |sum| * 10^scale must
+    stay < 2^63 (~9.2e18) — fine up to ~1e12 at scale 6."""
+    return F.sum(F.floor(col * (10**scale) + 0.5).cast("bigint"))
+
+
+def sql_dsum_scaled(expr: str, scale: int) -> str:
+    """DuckDB twin of dsum_scaled (identical floor+0.5 fixed-point)."""
+    return f"CAST(sum(CAST(floor(({expr}) * {10 ** scale} + 0.5) AS BIGINT)) AS BIGINT)"
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB-side twin of dsum()."""
     return f"CAST(sum(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"

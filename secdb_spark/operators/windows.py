@@ -111,16 +111,18 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HEADLINE q_lag_asof: inter-event gap per user via lag/lead."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    """HEADLINE q_lag_asof: inter-event gap per user via lag/lead.
+    Perf: ts is projected to epoch-µs ONCE before the window so lag/lead
+    shuffle+sort+offset plain longs (ordering by the µs long is equivalent
+    to ordering by ts — same total order)."""
+    ev = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
     return ev.select(
         "event_id",
         "user_id",
         "ts",
-        (us - F.unix_micros(F.lag("ts", 1).over(w))).alias("gap_from_prev_us"),
-        (F.unix_micros(F.lead("ts", 1).over(w)) - us).alias("gap_to_next_us"),
+        (F.col("us") - F.lag("us", 1).over(w)).alias("gap_from_prev_us"),
+        (F.lead("us", 1).over(w) - F.col("us")).alias("gap_to_next_us"),
     )
 
 

@@ -256,19 +256,23 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS nations,
-           list(DISTINCT substr(n_name, 1, 1) ORDER BY substr(n_name, 1, 1)) AS initials
+           array_to_string(list(n_name ORDER BY n_name), ',') AS nations,
+           array_to_string(list(DISTINCT substr(n_name, 1, 1)
+                                ORDER BY substr(n_name, 1, 1)), ',') AS initials
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group lists — ALWAYS sort_array'd for cross-engine determinism
-    (§4.4 rule 5)."""
+    (§4.4 rule 5); surfaced as joined strings because pandas maps LIST
+    columns differently per engine (np.ndarray vs list)."""
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.sort_array(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.array_join(F.sort_array(F.collect_set(F.substring("n_name", 1, 1))), ",").alias(
+            "initials"
+        ),
     )
 
 

@@ -268,7 +268,7 @@ def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first5_vocab,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5_vocab,
            len(list_distinct(string_split(text, ' '))) AS n_vocab
     FROM documents
     """,
@@ -281,7 +281,9 @@ def fn_arr_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 5).alias("first5_vocab"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 5), ",").alias(
+            "first5_vocab"
+        ),
         F.size(F.array_distinct(toks)).alias("n_vocab"),
     )
 
@@ -303,7 +305,7 @@ def fn_arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_arr_hof",
     oracle="""
     SELECT doc_id,
-           list_transform(string_split(text, ' ')[1:8], t -> upper(t)) AS first8_upper,
+           array_to_string(list_transform(string_split(text, ' ')[1:8], t -> upper(t)), ',') AS first8_upper,
            len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS n_long_tokens,
            list_aggregate(list_transform(string_split(text, ' '), t -> length(t)),
                           'sum')::BIGINT AS total_chars
@@ -319,7 +321,9 @@ def fn_arr_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.transform(F.slice(toks, 1, 8), lambda t: F.upper(t)).alias("first8_upper"),
+        F.array_join(F.transform(F.slice(toks, 1, 8), lambda t: F.upper(t)), ",").alias(
+            "first8_upper"
+        ),
         F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long_tokens"),
         F.aggregate(
             F.transform(toks, lambda t: F.length(t).cast("long")),

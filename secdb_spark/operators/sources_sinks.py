@@ -351,3 +351,40 @@ def src_xbrl_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return manifest.repartition(4).mapInPandas(parse, FACT_SCHEMA)
+
+
+@register("xbrl_metrics", oracle=None)  # R class: fixture-derived, no view oracle
+def xbrl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized per-filing metrics — the reference's core domain output
+    (SURVEY §1.1 layer 2: "a standardized subset of metrics per filing
+    (revenue, net income, assets) to make cross-company queries
+    tractable"). Facts from the ETL are pivoted to one row per filing with
+    canonical metric columns; concept->metric mapping is the broadcastable
+    lookup a real deployment maintains per taxonomy version.
+
+    Scale: facts partition by accession; the pivot is a groupBy(accession)
+    with first() per mapped concept — one shuffle, map-side combinable."""
+    facts = src_xbrl_etl(spark, sf_dir)
+    concept_map = {
+        "us-gaap:Revenues": "revenue",
+        "us-gaap:NetIncomeLoss": "net_income",
+        "us-gaap:Assets": "assets",
+        "us-gaap:Liabilities": "liabilities",
+        "us-gaap:OperatingIncomeLoss": "operating_income",
+    }
+    mapping = spark.createDataFrame(
+        list(concept_map.items()), "concept string, metric string"
+    )
+    mapped = facts.join(F.broadcast(mapping), "concept")
+    pivoted = (
+        mapped.groupBy("accession", "cik")
+        .pivot("metric", sorted(set(concept_map.values())))
+        .agg(F.first(F.col("value").cast("double")))
+    )
+    return pivoted.withColumn(
+        "net_margin",
+        F.when(
+            F.col("revenue").isNotNull() & (F.col("revenue") != 0),
+            F.round(F.col("net_income") / F.col("revenue"), 6),
+        ),
+    ).orderBy("accession")

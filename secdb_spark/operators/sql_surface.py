@@ -1,0 +1,149 @@
+"""SQL-surface parity operators.
+
+The reference's entire query surface is plain SQL executed by SQLite
+(SURVEY §1.1: "SECDB adds no query language of its own"). These ops
+demonstrate that surface directly: each runs ANSI SQL through spark.sql()
+over the registered views — the exact workflow a SECDB user has today —
+covering the SQL-only constructs not exercised by the DataFrame ops:
+CTEs, correlated scalar subqueries (Catalyst decorrelates them —
+SURVEY §4.2), IN/EXISTS subqueries, derived tables, and two TPC-H-shaped
+multi-join analytics queries.
+
+Oracle texts are near-identical to the Spark SQL (dialect-shared subset),
+which is itself the parity claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..registry import register
+from ._helpers import sql_dsum
+
+_VIEW_TAG = "sqlsurface"
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the catalog as temp views (idempotent per session+sf)."""
+    key = f"{_VIEW_TAG}:{sf_dir}"
+    if getattr(spark, "_secdb_views", None) == key:
+        return
+    for name, df in load(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    spark._secdb_views = key  # type: ignore[attr-defined]
+
+
+def _sql_op(name: str, spark_sql: str, oracle: str | None = None):
+    """Register an op whose implementation is literally spark.sql(text)."""
+
+    @register(name, oracle=oracle if oracle is not None else spark_sql)
+    def run(spark: SparkSession, sf_dir: str, _q=spark_sql) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(_q)
+
+    run.__name__ = name
+    return run
+
+
+# -- CTE + window over derived table ----------------------------------------
+_sql_op(
+    "sql_cte",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT mo, n_orders,
+           n_orders - lag(n_orders) OVER (ORDER BY mo) AS delta
+    FROM monthly
+    """,
+)
+
+# -- correlated scalar subquery (Catalyst: RewriteCorrelatedScalarSubquery) --
+_sql_op(
+    "sql_subquery_scalar",
+    """
+    SELECT c_custkey, c_acctbal,
+           (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer
+    WHERE c_acctbal > 9000
+    """,
+)
+
+# -- IN subquery -------------------------------------------------------------
+_sql_op(
+    "sql_subquery_in",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+
+# -- EXISTS with compound correlation ---------------------------------------
+_sql_op(
+    "sql_exists",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey AND l_discount >= 0.09
+    )
+    """,
+)
+
+# -- TPC-H Q3 shape (shipping priority) -------------------------------------
+_sql_op(
+    "sql_tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderpriority
+    """,
+)
+
+# -- TPC-H Q5 shape (local supplier volume by nation) -----------------------
+_sql_op(
+    "sql_tpch_q5",
+    f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+
+# -- derived table + HAVING over join ---------------------------------------
+_sql_op(
+    "sql_derived_table",
+    """
+    SELECT seg, avg_bal, n
+    FROM (
+      SELECT c_mktsegment AS seg,
+             CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*)) AS avg_bal,
+             count(*) AS n
+      FROM customer
+      GROUP BY c_mktsegment
+    ) t
+    WHERE n >= 10
+    """,
+)

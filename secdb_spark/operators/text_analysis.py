@@ -37,8 +37,8 @@ def _toks(col: str = "text"):
     "text_tokenize",
     oracle=f"""
     SELECT doc_id,
-           list_filter(string_split(lower(text), ' '),
-                       t -> t NOT IN ({_SQL_STOP})) AS tokens,
+           array_to_string(list_filter(string_split(lower(text), ' '),
+                                       t -> t NOT IN ({_SQL_STOP})), ' ') AS tokens,
            len(list_filter(string_split(lower(text), ' '),
                            t -> t NOT IN ({_SQL_STOP}))) AS n_tokens
     FROM documents
@@ -49,7 +49,11 @@ def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_except would dedup, so filter() is the correct primitive)."""
     d = table(spark, sf_dir, "documents")
     kept = F.filter(_toks(), lambda t: ~t.isin(*STOPWORDS))
-    return d.select("doc_id", kept.alias("tokens"), F.size(kept).alias("n_tokens"))
+    return d.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("tokens"),
+        F.size(kept).alias("n_tokens"),
+    )
 
 
 @register(

@@ -69,6 +69,7 @@ def _load_operators() -> None:
         projections,
         sets_sorts,
         sources_sinks,
+        sql_surface,
         streaming,
         text_analysis,
         udfs,

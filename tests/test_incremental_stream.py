@@ -1,0 +1,167 @@
+"""Multi-micro-batch streaming semantics: state carried across batches and
+watermark-based late-data dropping — the behaviors a single-batch
+availableNow run cannot exercise (SURVEY §2.I D-class honesty).
+"""
+
+from __future__ import annotations
+
+import sys
+import uuid
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture()
+def staged_batches(tmp_path):
+    """Three arrival files: t=0h batch, t=1h batch, then a LATE event
+    (ts back at 0h) arriving third."""
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    batches = [
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "ts": [base, base + pd.Timedelta(minutes=10), base + pd.Timedelta(minutes=20)],
+                "user_id": [7, 7, 8],
+                "event_type": ["view"] * 3,
+                "value": [1.0, 2.0, 3.0],
+                "props": ["{}"] * 3,
+            }
+        ),
+        pd.DataFrame(
+            {
+                "event_id": [4, 5],
+                "ts": [base + pd.Timedelta(hours=2), base + pd.Timedelta(hours=2, minutes=5)],
+                "user_id": [7, 8],
+                "event_type": ["view"] * 2,
+                "value": [4.0, 5.0],
+                "props": ["{}"] * 2,
+            }
+        ),
+        pd.DataFrame(  # fresh batch that pushes the ADMISSION watermark past
+            # the first window (the watermark used to filter batch N's input
+            # is derived from data through batch N-1 — one-batch lag)
+            {
+                "event_id": [9],
+                "ts": [base + pd.Timedelta(hours=2, minutes=10)],
+                "user_id": [8],
+                "event_type": ["view"],
+                "value": [9.0],
+                "props": ["{}"],
+            }
+        ),
+        pd.DataFrame(  # late: 2h behind the stream's max, beyond the 10min watermark
+            {
+                "event_id": [6],
+                "ts": [base + pd.Timedelta(minutes=30)],
+                "user_id": [7],
+                "event_type": ["view"],
+                "value": [6.0],
+                "props": ["{}"],
+            }
+        ),
+    ]
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for i, b in enumerate(batches):
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        p = d / f"batch_{i}.parquet"
+        b.to_parquet(p, index=False)
+        # FileStreamSource orders by MODIFICATION TIME, not name — pin
+        # arrival order explicitly (all writes land in the same instant)
+        os.utime(p, (now + i * 10, now + i * 10))
+    return str(d)
+
+
+def _stream(spark, path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _drain(df, mode):
+    sink = f"inc_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = q.lastProgress  # noqa: F841 (diagnostic)
+    return sink
+
+
+def test_watermark_drops_late_event(spark, staged_batches):
+    """The 00:30 event arrives after the watermark (max 02:05 - 10min =
+    01:55) passed its 1-hour window [00:00, 01:00) — append mode must have
+    finalized that window WITHOUT the late row."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        _stream(spark, staged_batches)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = spark.table(_drain(agg, "append")).toPandas()
+    first_window = out[out.ws == pd.Timestamp("2024-06-01 00:00:00")]
+    assert len(first_window) == 1
+    assert first_window.iloc[0]["n"] == 3, (
+        "late event (id=6) must be DROPPED: window closed at 3 events"
+    )
+
+
+def test_state_carries_across_micro_batches(spark, staged_batches):
+    """applyInPandasWithState: per-user totals must accumulate across the
+    three single-file micro-batches (update mode emits one row per user
+    per batch it appears in; the max is the final state)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counts = (
+        _stream(spark, staged_batches)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = spark.table(_drain(counts, "update")).toPandas()
+    finals = out.groupby("user_id")["n_events"].max()
+    assert finals[7] == 4  # 2 + 1 + 1(late event still counted: no watermark)
+    assert finals[8] == 3
+    # state progressed incrementally: user 7 must have emitted more than once
+    assert (out["user_id"] == 7).sum() >= 2, "expected per-batch state updates"

@@ -1,0 +1,84 @@
+"""Physical-plan regression tests — the 100 TB properties (SCALE.md) must
+survive refactors: filter/column pushdown, broadcast joins, bounded
+window state, partial aggregation. A green correctness suite with a
+regressed plan is a silent 100x at scale; these tests fail loudly instead.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from conftest import SF_DIR  # noqa: E402
+
+from secdb_spark.registry import all_queries  # noqa: E402
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_scan_pushdown_and_pruning(spark):
+    p = plan_of(spark, "agg_group")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    cols = [c.split(":")[0] for c in schema.split(",")]
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, (
+        f"column pruning regressed: scan reads {cols}"
+    )
+    assert p.count("HashAggregate") >= 2, "partial aggregation regressed"
+
+
+def test_dimension_joins_are_broadcast(spark):
+    p = plan_of(spark, "join_inner")
+    assert "BroadcastHashJoin" in p, "nation must join as broadcast"
+    p2 = plan_of(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in p2
+    assert not re.search(r"Exchange hashpartitioning", p2), (
+        "join_broadcast must have NO shuffle before the final aggregate"
+    )
+
+
+def test_topk_group_state_is_bounded(spark):
+    p = plan_of(spark, "win_topk_group")
+    assert "WindowGroupLimit" in p, (
+        "rn<=k filter no longer pushes into the window sort (unbounded state)"
+    )
+
+
+def test_global_topk_avoids_full_sort(spark):
+    p = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in p, "global top-k must be heap+merge, not full sort"
+
+
+def test_projection_scan_pruned(spark):
+    p = plan_of(spark, "src_parquet")
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    cols = [c.split(":")[0] for c in schema.split(",")]
+    assert sorted(cols) == ["l_quantity", "l_returnflag"], cols
+    assert "GreaterThan(l_quantity,40.0)" in p
+
+
+def test_correlated_subquery_decorrelated(spark):
+    """Catalyst must rewrite the correlated scalar subquery into a join,
+    not a per-row subquery execution."""
+    p = plan_of(spark, "sql_subquery_scalar")
+    assert re.search(r"Join|HashJoin", p), "decorrelation regressed"
+
+
+def test_no_cartesian_in_fact_joins(spark):
+    for name in ["join_inner", "join_multikey", "join_theta", "sql_tpch_q5"]:
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, f"{name} degenerated to a cartesian"

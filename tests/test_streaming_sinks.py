@@ -94,3 +94,15 @@ def test_xbrl_etl_parses_fixture_facts(spark):
     import decimal
 
     assert isinstance(facts.iloc[0]["value"], decimal.Decimal)
+
+
+def test_xbrl_metrics_standardization(spark):
+    """Per-filing standardized metrics: pivot correctness + derived margin."""
+    m = QUERIES["xbrl_metrics"](spark, SF_DIR).toPandas().set_index("accession")
+    assert len(m) == 4
+    row = m.loc["0000002-24-000007"]
+    assert row["revenue"] == 61858000000.0
+    assert row["net_income"] == 21939000000.0
+    assert abs(row["net_margin"] - round(21939 / 61858, 6)) < 1e-9
+    # filing with only assets: other metrics null
+    assert m.loc["0000004-24-000020"][["revenue", "net_income"]].isna().all()

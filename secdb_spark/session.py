@@ -51,12 +51,22 @@ def get_spark(app_name: str = "secdb_spark", shuffle_partitions: int | None = No
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    import tempfile
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # saveAsTable targets (bucketed tables, layout tests) land in /tmp,
+        # not the repo working dir (static conf — builder-time only)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="secdb_wh_")
+            ),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)

@@ -46,8 +46,12 @@ def test_dimension_joins_are_broadcast(spark):
     assert "BroadcastHashJoin" in p, "nation must join as broadcast"
     p2 = plan_of(spark, "join_broadcast")
     assert "BroadcastHashJoin" in p2
-    assert not re.search(r"Exchange hashpartitioning", p2), (
-        "join_broadcast must have NO shuffle before the final aggregate"
+    # formatted mode prints node headers like "(7) Exchange"; shuffle
+    # exchanges are plain Exchange nodes, broadcast ones are BroadcastExchange.
+    # ONE shuffle is expected (the final 5-group aggregate); none may come
+    # from the joins themselves.
+    assert len(re.findall(r"\(\d+\) Exchange\b", p2)) <= 1, (
+        "join_broadcast must have NO join-side shuffles (only the final agg)"
     )
 
 

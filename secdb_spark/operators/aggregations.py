@@ -341,8 +341,8 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     oracle="""
     SELECT o_orderstatus,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
-           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           arg_max(o_orderkey, o_totalprice * 1000000000 + o_orderkey) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice * 1000000000 + o_orderkey) AS smallest_order,
            max(o_totalprice) AS max_price,
            min(o_totalprice) AS min_price
     FROM orders
@@ -351,11 +351,16 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-at-extremum (min_by/max_by vs DuckDB arg_min/arg_max).
-    Deterministic because o_totalprice is continuous (no ties in data)."""
+    Tie-safe: prices have 2 decimals so extremum ties across orderkeys are
+    possible at scale and min_by/max_by would pick engine-dependent rows —
+    the ordering key is the collision-free composite price*1e9 + orderkey
+    (2-dp price * 1e9 is an exact integer multiple of 1e7; + orderkey < 1e7
+    stays exact below 2^53)."""
     o = table(spark, sf_dir, "orders")
+    tie_safe = F.col("o_totalprice") * 1e9 + F.col("o_orderkey")
     return o.groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max_by("o_orderkey", tie_safe).alias("biggest_order"),
+        F.min_by("o_orderkey", tie_safe).alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )

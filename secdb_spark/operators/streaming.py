@@ -99,6 +99,9 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, ts,
+             -- strict >: session_window merges CLOSED intervals — an event
+             -- EXACTLY gap after its predecessor still merges (verified
+             -- empirically; encoded in test_hypothesis_determinism)
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

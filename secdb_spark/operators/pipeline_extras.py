@@ -1,0 +1,233 @@
+"""Training-data-pipeline staples beyond SURVEY §2: sampling, TF-IDF,
+NA handling, table profiling, upsert-latest refresh, generator source.
+
+Each op is the Spark-idiomatic form of an operation a 100 TB curation
+pipeline runs daily; deterministic ones carry exact oracles, sampling is
+R class with seeded reproducibility + statistical property tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register("sample_fraction", oracle=None)  # R: RNG differs across engines
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample at 10% with a fixed seed — reproducible within
+    Spark (same seed + same partitioning -> same rows), not across
+    engines. The 100 TB workhorse for corpus downsampling: no shuffle,
+    sampling happens inside the scan pipeline."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register("sample_stratified", oracle=None)  # R class
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-language fractions — the
+    rebalancing step of multilingual corpus curation (downsample the
+    dominant stratum, keep the rest). Property-tested for per-stratum
+    rates; seeded for reproducibility."""
+    d = table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    WHERE tf * ln(CAST(n_docs AS DOUBLE) / df) > 0
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): tf x ln(N/df). DF side is tiny (vocab) ->
+    broadcast; round6 because ln is libm-dependent. At corpus scale both
+    tf and df are single explode+groupBy passes (df re-aggregates the tf
+    result — no second scan of the raw text)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # scalar; the plan constant-folds it
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .select("doc_id", "tok", F.round(tfidf, 6).alias("tfidf"))
+        .filter(tfidf > 0)
+    )
+
+
+@register(
+    "fn_na_ops",
+    oracle="""
+    WITH masked AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT c_custkey,
+           coalesce(bal, 0.0) AS bal_filled,
+           coalesce(seg, 'UNKNOWN') AS seg_filled,
+           (bal IS NOT NULL AND seg IS NOT NULL) AS is_complete
+    FROM masked
+    """,
+)
+def fn_na_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface: na.fill with per-column defaults +
+    completeness flag (na.drop shown by the flag rather than row removal
+    so the oracle sees every row)."""
+    c = table(spark, sf_dir, "customer")
+    masked = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+        F.when(F.col("c_mktsegment") == "BUILDING", None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    filled = masked.na.fill({"bal": 0.0, "seg": "UNKNOWN"})
+    return (
+        masked.select(
+            "c_custkey",
+            (F.col("bal").isNotNull() & F.col("seg").isNotNull()).alias("is_complete"),
+        )
+        .join(
+            filled.select(
+                "c_custkey",
+                F.col("bal").alias("bal_filled"),
+                F.col("seg").alias("seg_filled"),
+            ),
+            "c_custkey",
+        )
+        .select("c_custkey", "bal_filled", "seg_filled", "is_complete")
+    )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n, count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null/distinct/min/max per column) — the data-
+    quality pass every ingest runs. ONE scan computes every column's
+    profile (single wide aggregate, then unpivoted), not one scan per
+    column — the difference between 1x and Nx input reads at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg
+            for col in ["o_orderkey", "o_orderstatus", "o_totalprice"]
+            for agg in (
+                F.count(col).alias(f"{col}__nonnull"),
+                F.countDistinct(col).alias(f"{col}__distinct"),
+                F.min(col).cast("string").alias(f"{col}__min"),
+                F.max(col).cast("string").alias(f"{col}__max"),
+            )
+        ],
+    )
+    rows = []
+    for col in ["o_orderkey", "o_orderstatus", "o_totalprice"]:
+        rows.append(
+            f"SELECT '{col}' AS col, n, `{col}__nonnull` AS n_nonnull, "
+            f"`{col}__distinct` AS n_distinct, `{col}__min` AS min_val, "
+            f"`{col}__max` AS max_val FROM __profile_wide"
+        )
+    wide.createOrReplaceTempView("__profile_wide")
+    return spark.sql(" UNION ALL ".join(rows))
+
+
+@register(
+    "upsert_latest",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id, user_id, value, ts, 0 AS generation FROM events
+      UNION ALL
+      SELECT event_id, user_id, value * 2 AS value,
+             ts + INTERVAL 1 HOUR AS ts, 1 AS generation
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT event_id, user_id, value, generation FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY generation DESC, ts DESC) AS rn
+      FROM unioned
+    ) t WHERE rn = 1
+    """,
+)
+def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/refresh semantics — the reference's monthly EDGAR update
+    where AMENDED filings supersede originals (SURVEY §3.1): union the
+    incoming batch (here: a synthetic amendment of every 10th event) with
+    the existing table, keep the latest generation per key via one window.
+    At scale this is the merge pattern for any append-only lake without
+    ACID tables; one shuffle on the key."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "value", "ts", F.lit(0).alias("generation"))
+    amended = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("value") * 2).alias("value"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            F.lit(1).alias("generation"),
+        )
+    )
+    unioned = base.unionByName(amended)
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("generation").desc(), F.col("ts").desc()
+    )
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "value", "generation")
+    )
+
+
+@register(
+    "src_range",
+    oracle="""
+    SELECT i AS n, i * i AS n_sq
+    FROM range(0, 1000) t(i)
+    WHERE i % 7 = 0
+    """,
+)
+def src_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator source (spark.range): parallel numeric range with no
+    input files — the synthetic-data / backfill-driver primitive."""
+    return (
+        spark.range(0, 1000)
+        .filter(F.col("id") % 7 == 0)
+        .select(F.col("id").alias("n"), (F.col("id") * F.col("id")).alias("n_sq"))
+    )

@@ -66,6 +66,7 @@ def _load_operators() -> None:
         functions_scalar,
         joins,
         llm_pipeline,
+        pipeline_extras,
         projections,
         sets_sorts,
         sources_sinks,

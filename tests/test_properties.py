@@ -97,3 +97,26 @@ def test_mm_features_deterministic_and_batched(q):
     assert a["decode_error"].isna().all(), "text modality must decode"
     assert (a["n_bytes"] > 0).all()
     assert a["feat"].map(len).eq(4).all(), "feature vector shape"
+
+
+def test_sample_fraction_reproducible_and_unbiased(q):
+    """Seeded sample: identical across runs; rate near the target."""
+    a, b = q("sample_fraction"), q("sample_fraction")
+    assert sorted(map(tuple, a.values.tolist())) == sorted(map(tuple, b.values.tolist()))
+    rate = len(a) / 6000  # sf0.001 lineitem rows
+    assert 0.06 <= rate <= 0.14, rate
+
+
+def test_sample_stratified_rates(q):
+    """Per-stratum sampling rates must track the requested fractions."""
+    s = q("sample_stratified")
+    full = q("text_lang")  # source x lang matrix -> lang totals
+    totals = full[["en", "de", "es", "fr", "zh"]].sum()
+    got = s.groupby("lang").size()
+    expect = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
+    for lang, frac in expect.items():
+        n, total = got.get(lang, 0), totals[lang]
+        if frac == 1.0:
+            assert n == total, f"{lang}: fraction 1.0 must keep every row"
+        else:
+            assert abs(n / total - frac) < 0.2, f"{lang}: {n}/{total} vs {frac}"

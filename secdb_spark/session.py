@@ -59,6 +59,15 @@ def get_spark(app_name: str = "secdb_spark", shuffle_partitions: int | None = No
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Input-split sizing knob. Measured A/B at sf0.1 (3 bench runs per
+        # setting): 2 MB splits speed the flagship agg ~40% in isolation
+        # (3 tasks -> ~6 on an 11 MB file) but LOSE overall (median 2.70 s
+        # vs 2.54 s) — extra map tasks tax every shuffle/window query. The
+        # default stays; the env knob remains for bigger local corpora.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         # saveAsTable targets (bucketed tables, layout tests) land in /tmp,
         # not the repo working dir (static conf — builder-time only)
         .config(

@@ -51,11 +51,11 @@ def main() -> None:
 
         run()  # warm-up (JVM, code-gen, file listing)
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             run()
             times.append(time.time() - t0)
-        results[label] = round(sorted(times)[1], 4)  # median of 3
+        results[label] = round(sorted(times)[2], 4)  # median of 5
 
     total = round(sum(results.values()), 4)
     print(

@@ -458,3 +458,52 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(extract, MM_FEATURES_SCHEMA)
+
+
+@register(
+    "embed_quantize",
+    oracle="""
+    WITH src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), rng AS (
+      SELECT vec_id, e,
+             list_aggregate(e, 'min') AS lo,
+             list_aggregate(e, 'max') AS hi
+      FROM src
+    )
+    SELECT vec_id, lo, hi,
+           array_to_string(list_transform(e,
+                x -> CAST(floor((x - lo) / (hi - lo) * 255 + 0.5) AS BIGINT))[1:4],
+                ',') AS q_head,
+           CAST(list_aggregate(list_transform(e,
+                x -> CAST(floor((x - lo) / (hi - lo) * 255 + 0.5) AS BIGINT)),
+                'sum') AS BIGINT) AS q_checksum
+    FROM rng
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization per vector (min/max range -> 0..255
+    codes): 4x storage compression for ANN candidate sets — quantized
+    codes live in the broadcast index, full floats only for reranking.
+    Codes + per-vector (lo, hi) allow dequantization with bounded error
+    (property-tested). floor(x+0.5) keeps both engines bit-identical on
+    the code values; checksum + head surfaced for the hash gate."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    lo = F.array_min("e")
+    hi = F.array_max("e")
+    with_rng = emb.select("vec_id", "e", lo.alias("lo"), hi.alias("hi"))
+    code = lambda x: F.floor(  # noqa: E731
+        (x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255 + 0.5
+    ).cast("long")
+    codes = F.transform(F.col("e"), code)
+    return with_rng.select(
+        "vec_id",
+        "lo",
+        "hi",
+        F.array_join(F.slice(codes, 1, 4), ",").alias("q_head"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_checksum"
+        ),
+    )

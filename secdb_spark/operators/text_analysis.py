@@ -9,7 +9,7 @@ shapes scale linearly; nothing here collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
@@ -378,3 +378,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
     return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+SEQ_LEN = 128
+
+
+@register(
+    "seq_pack",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_toks
+      FROM documents
+    ), offsets AS (
+      SELECT doc_id, n_toks,
+             sum(n_toks) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS doc_offset
+      FROM counts
+    ), toks AS (
+      SELECT d.doc_id,
+             coalesce(o.doc_offset, 0) + t.pos - 1 AS global_idx,
+             toks_arr[t.pos] AS tok
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks_arr
+            FROM documents) d
+      JOIN offsets o ON d.doc_id = o.doc_id,
+           unnest(generate_series(1, len(toks_arr))) AS t(pos)
+    )
+    SELECT CAST(global_idx // {SEQ_LEN} AS BIGINT) AS seq_id,
+           count(*) AS n_tokens,
+           count(DISTINCT doc_id) AS n_docs,
+           min(tok) AS first_tok_alpha
+    FROM toks
+    GROUP BY 1
+    """,
+)
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the pretraining batch-prep op: concatenate the
+    token stream across documents (stable doc_id order) and cut fixed
+    SEQ_LEN training sequences; report per-sequence fill and the doc
+    boundaries crossed.
+
+    SCALABLE FORMULATION: the global token index is NOT a global sort of
+    tokens — it's per-doc offsets from ONE window over the (small) doc
+    list (cumsum of token counts), then offset + in-doc position per row.
+    The only shuffle touching token-level data is the final seq_id
+    aggregation. A zipWithIndex/global row_number over tokens would
+    serialize 10^12 rows through one ordering at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    toks_arr = F.split(F.lower("text"), " ")
+    counts = d.select("doc_id", F.size(toks_arr).alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "doc_offset", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    )
+    toks = (
+        d.select("doc_id", F.posexplode(toks_arr).alias("pos", "tok"))
+        .join(offsets.select("doc_id", "doc_offset"), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("doc_offset") + F.col("pos")).alias("global_idx"),
+            "tok",
+        )
+    )
+    return (
+        toks.groupBy((F.col("global_idx") / SEQ_LEN).cast("long").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("tok").alias("first_tok_alpha"),
+        )
+    )

@@ -120,3 +120,25 @@ def test_sample_stratified_rates(q):
             assert n == total, f"{lang}: fraction 1.0 must keep every row"
         else:
             assert abs(n / total - frac) < 0.2, f"{lang}: {n}/{total} vs {frac}"
+
+
+def test_embed_quantize_bounded_error(q):
+    """Dequantized codes must reconstruct the floats within half a
+    quantization step (the compression contract ANN reranking relies on)."""
+    import numpy as np
+
+    qdf = q("embed_quantize").set_index("vec_id")
+    import duckdb
+
+    con = duckdb.connect()
+    src = con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) e "
+        f"FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchdf().set_index("vec_id")
+    for vid in list(qdf.index[:50]):
+        lo, hi = qdf.loc[vid, "lo"], qdf.loc[vid, "hi"]
+        step = (hi - lo) / 255
+        orig = np.array(src.loc[vid, "e"][:4])
+        codes = [float(c) for c in qdf.loc[vid, "q_head"].split(",")]
+        deq = lo + np.array(codes) * step
+        assert np.abs(deq - orig).max() <= step / 2 + 1e-12

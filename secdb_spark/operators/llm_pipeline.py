@@ -470,15 +470,19 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_aggregate(e, 'min') AS lo,
              list_aggregate(e, 'max') AS hi
       FROM src
+    ), coded AS (
+      SELECT vec_id, lo, hi,
+             -- hi==lo (constant vector): code 0, value reconstructs as lo.
+             -- An unguarded divide crashes Spark (ANSI mode) outright.
+             list_transform(e, x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor((x - lo) / (hi - lo) * 255 + 0.5) AS BIGINT)
+                  END) AS codes
+      FROM rng
     )
     SELECT vec_id, lo, hi,
-           array_to_string(list_transform(e,
-                x -> CAST(floor((x - lo) / (hi - lo) * 255 + 0.5) AS BIGINT))[1:4],
-                ',') AS q_head,
-           CAST(list_aggregate(list_transform(e,
-                x -> CAST(floor((x - lo) / (hi - lo) * 255 + 0.5) AS BIGINT)),
-                'sum') AS BIGINT) AS q_checksum
-    FROM rng
+           coalesce(array_to_string(codes[1:4], ','), '') AS q_head,
+           CAST(coalesce(list_aggregate(codes, 'sum'), 0) AS BIGINT) AS q_checksum
+    FROM coded
     """,
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,9 +498,16 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.array_min("e")
     hi = F.array_max("e")
     with_rng = emb.select("vec_id", "e", lo.alias("lo"), hi.alias("hi"))
-    code = lambda x: F.floor(  # noqa: E731
-        (x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255 + 0.5
-    ).cast("long")
+
+    def code(x):
+        # constant vector (hi == lo): code 0 — an unguarded divide is a
+        # DIVIDE_BY_ZERO job abort under Spark ANSI mode (default in 4.x)
+        return F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255 + 0.5
+            ).cast("long")
+        )
+
     codes = F.transform(F.col("e"), code)
     return with_rng.select(
         "vec_id",

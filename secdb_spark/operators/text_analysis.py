@@ -425,7 +425,7 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. A zipWithIndex/global row_number over tokens would
     serialize 10^12 rows through one ordering at 100 TB."""
     d = table(spark, sf_dir, "documents")
-    toks_arr = F.split(F.lower("text"), " ")
+    toks_arr = _toks()
     counts = d.select("doc_id", F.size(toks_arr).alias("n_toks"))
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
@@ -433,7 +433,12 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = (
         d.select("doc_id", F.posexplode(toks_arr).alias("pos", "tok"))
-        .join(offsets.select("doc_id", "doc_offset"), "doc_id")
+        # EXPLICIT broadcast: the scale contract (no token-level shuffle
+        # before the final agg) must not depend on Catalyst's size estimate
+        # of a subtree that includes the text column. Limit: the doc-offset
+        # list must fit a broadcast (~10^8 docs at 16B/row); beyond that,
+        # pre-partition both sides by doc_id instead.
+        .join(F.broadcast(offsets.select("doc_id", "doc_offset")), "doc_id")
         .select(
             "doc_id",
             (F.col("doc_offset") + F.col("pos")).alias("global_idx"),

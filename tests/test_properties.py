@@ -137,6 +137,8 @@ def test_embed_quantize_bounded_error(q):
     ).fetchdf().set_index("vec_id")
     for vid in list(qdf.index[:50]):
         lo, hi = qdf.loc[vid, "lo"], qdf.loc[vid, "hi"]
+        if hi == lo or not qdf.loc[vid, "q_head"]:
+            continue  # degenerate vector: codes are 0 by convention
         step = (hi - lo) / 255
         orig = np.array(src.loc[vid, "e"][:4])
         codes = [float(c) for c in qdf.loc[vid, "q_head"].split(",")]

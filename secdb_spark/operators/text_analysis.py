@@ -92,10 +92,19 @@ def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its successor, explode, count."""
     d = table(spark, sf_dir, "documents")
     toks = _toks()
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-    )
+    # guard single-token docs: sequence(0, -1) infers step -1 -> [0, -1]
+    # -> element_at(toks, 0) is INVALID_ARRAY_INDEX under ANSI mode.
+    # A 1-token doc simply has no bigrams (empty array explodes to 0 rows,
+    # matching the oracle's empty generate_series).
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")

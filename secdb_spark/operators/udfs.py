@@ -159,3 +159,88 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, t.tok FROM documents_udtf, LATERAL secdb_tokenize(text) t"
     )
+
+
+@register(
+    "udf_arrow_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_arrow
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch API — RecordBatches in, RecordBatches
+    out, no pandas materialization at all (one step below pandas_udf in
+    overhead; the right boundary for columnar native libs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net(batches):
+        for b in batches:
+            net_col = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), net_col],
+                ["l_orderkey", "l_linenumber", "net_arrow"],
+            )
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount").mapInArrow(
+        net, "l_orderkey long, l_linenumber int, net_arrow double"
+    )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk,
+             sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS c_cents,
+             count(*) AS n_cust
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nk,
+             sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS s_cents,
+             count(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp,
+           (coalesce(c_cents, 0) - coalesce(s_cents, 0)) / 100.0 AS balance_gap
+    FROM c FULL JOIN s ON c.nk = s.nk
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: both tables grouped on the same key arrive
+    as a pandas pair per key — the two-sided custom-merge surface (fuzzy
+    reconciliation, per-key model scoring). Exact integer-cents arithmetic
+    keeps the oracle hash-stable."""
+    import pandas as pd
+
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    s = table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+
+    def merge(key, cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        c_cents = int((cpdf["c_acctbal"] * 100 + 0.5).pipe(lambda x: x.map(__import__("math").floor)).sum()) if len(cpdf) else 0
+        s_cents = int((spdf["s_acctbal"] * 100 + 0.5).pipe(lambda x: x.map(__import__("math").floor)).sum()) if len(spdf) else 0
+        return pd.DataFrame(
+            {
+                "nationkey": [key[0]],
+                "n_cust": [len(cpdf)],
+                "n_supp": [len(spdf)],
+                "balance_gap": [(c_cents - s_cents) / 100.0],
+            }
+        )
+
+    return (
+        c.groupBy("c_nationkey")
+        .cogroup(s.groupBy("s_nationkey"))
+        .applyInPandas(
+            merge, "nationkey int, n_cust long, n_supp long, balance_gap double"
+        )
+    )

@@ -132,13 +132,20 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct difference (nations with customers but no suppliers)."""
+    """Distinct difference: nations with customers but no high-balance
+    supplier (the unfiltered difference is vacuously EMPTY at sf>=0.01 —
+    suppliers cover every nation — which would make the oracle check
+    trivial; the filter keeps a real difference at every scale)."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 

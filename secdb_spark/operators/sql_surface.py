@@ -147,3 +147,77 @@ _sql_op(
     WHERE n >= 10
     """,
 )
+
+
+# -- TPC-H Q4 shape: order priority with EXISTS + date band ----------------
+_sql_op(
+    "sql_tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+
+# -- TPC-H Q12 shape: two-band CASE counting over a join --------------------
+_sql_op(
+    "sql_tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+
+# -- TPC-H Q13 shape: order-count distribution (left join + double group) ---
+_sql_op(
+    "sql_tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+
+# -- TPC-H Q18 shape: large-volume orders (HAVING subquery feeding IN) ------
+_sql_op(
+    "sql_tpch_q18",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    )
+    GROUP BY o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+
+# -- TPC-H Q2 shape: correlated min subquery (pick the cheapest supplier) ---
+_sql_op(
+    "sql_tpch_q2",
+    """
+    SELECT p_partkey, p_name, l_suppkey, l_extendedprice
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE l_extendedprice = (
+      SELECT min(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+    )
+    """,
+)

@@ -518,3 +518,65 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_checksum"
         ),
     )
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, lang, text,
+             (CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 200
+                   THEN 1 ELSE 0 END
+              + CASE WHEN CAST(len(list_distinct(string_split(lower(text), ' ')))
+                          AS DOUBLE) / len(string_split(text, ' ')) >= 0.45
+                     THEN 1 ELSE 0 END
+              + CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                                               t -> t IN ('a', 'the'))) AS DOUBLE)
+                          / len(string_split(text, ' ')) <= 0.5
+                     THEN 1 ELSE 0 END) AS quality_score
+      FROM documents
+    ), kept AS (
+      SELECT * FROM quality WHERE quality_score = 3
+    ), deduped AS (
+      SELECT lang, text, min(doc_id) AS keeper_doc_id
+      FROM kept GROUP BY sha256(text), lang, text
+    )
+    SELECT lang,
+           count(*) AS docs_kept,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_kept,
+           min(keeper_doc_id) AS first_keeper
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition as ONE lazy plan: quality filter
+    (text_quality's 0-3 score) -> exact dedup (sha256, deterministic
+    keeper) -> per-language token accounting. Catalyst fuses the filter
+    and scoring into the scan stage; the two aggregations are the only
+    shuffles. This is the shape of a real corpus-prep job — and the point
+    of an engine: stages compose without materialization between them."""
+    d = table(spark, sf_dir, "documents")
+    raw_toks = F.split(F.col("text"), " ")
+    low_toks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(raw_toks)
+    uniq_ratio = F.size(F.array_distinct(low_toks)).cast("double") / n_tokens
+    stop_ratio = (
+        F.size(F.filter(low_toks, lambda t: t.isin("a", "the"))).cast("double")
+        / n_tokens
+    )
+    quality = (
+        F.when(n_tokens.between(30, 200), 1).otherwise(0)
+        + F.when(uniq_ratio >= 0.45, 1).otherwise(0)
+        + F.when(stop_ratio <= 0.5, 1).otherwise(0)
+    )
+    kept = d.withColumn("quality_score", quality).filter(F.col("quality_score") == 3)
+    deduped = (
+        kept.groupBy(F.sha2("text", 256).alias("h"), "lang", "text")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens_kept"),
+        F.min("keeper_doc_id").alias("first_keeper"),
+    )

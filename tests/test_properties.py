@@ -144,3 +144,12 @@ def test_embed_quantize_bounded_error(q):
         codes = [float(c) for c in qdf.loc[vid, "q_head"].split(",")]
         deq = lo + np.array(codes) * step
         assert np.abs(deq - orig).max() <= step / 2 + 1e-12
+
+
+def test_curation_pipeline_gate_discriminates(q):
+    """The composed pipeline's quality gate must actually filter (a gate
+    that keeps 100% is vacuous) and every kept doc must be counted once."""
+    out = q("curation_pipeline")
+    kept = int(out["docs_kept"].sum())
+    assert 0 < kept < 500, f"gate vacuous or total: {kept}/500"
+    assert (out["tokens_kept"] > 0).all()

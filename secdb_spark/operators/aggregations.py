@@ -389,3 +389,33 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty cells: Spark pivot yields NULL, COUNT..FILTER yields 0
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n
+    FROM wide UNPIVOT (n FOR status IN ("F", "O", "P"))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long), the inverse of agg_pivot: pivoted status
+    counts melted back to (priority, status, n) rows. Zero-shuffle on top
+    of the pivot (Expand operator, row-local)."""
+    wide = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "n"
+    )

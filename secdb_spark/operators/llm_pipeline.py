@@ -580,3 +580,60 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens_kept"),
         F.min("keeper_doc_id").alias("first_keeper"),
     )
+
+
+@register("dedup_clusters", oracle=None)  # R class: iterative, no SQL oracle
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — turns
+    pairwise matches into dedup CLUSTERS with a canonical representative
+    (min doc_id), the step that makes near-dedup actionable (keep one doc
+    per component, not per pair).
+
+    Iterative min-label propagation (the SURVEY's 'iterative algorithms'
+    oracle-exempt class): each round every node adopts the smallest label
+    among itself and its neighbors; converges in O(component diameter)
+    rounds. Scale notes: labels are localCheckpoint()ed each round to cut
+    the growing lineage (the classic iterative-Spark failure mode), and
+    convergence is a count of changed labels (one small action per round),
+    not a collect. Property-tested against union-find."""
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.localCheckpoint()  # computed once; reused every round
+    nodes = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .union(pairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    edges_bidir = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    for _ in range(15):  # diameter bound; corpus components are tiny
+        neighbor_min = (
+            edges_bidir.join(labels, edges_bidir.doc_b == labels.id)
+            .groupBy(F.col("doc_a").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "changed"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list("id")).cast("string").alias("members"),
+        )
+    )

@@ -231,3 +231,24 @@ def src_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") % 7 == 0)
         .select(F.col("id").alias("n"), (F.col("id") * F.col("id")).alias("n_sq"))
     )
+
+
+@register("agg_freq_items", oracle=None)  # R class: approximate heavy hitters
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (df.stat.freqItems, misra-gries style):
+    single-pass bounded-memory heavy hitters over order priority and part
+    brand via lineitem⋈part — THE 100 TB 'what dominates this column'
+    primitive (exact groupBy+sort costs a full shuffle; this is one scan
+    with O(1/support) state). Guarantee: every item with frequency >
+    support appears (may include false positives) — property-tested
+    against exact counts."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p.select("p_partkey", "p_brand")), 
+                     li.l_partkey == p.p_partkey)
+    freq = joined.stat.freqItems(["p_brand", "l_returnflag"], support=0.1)
+    row = freq.collect()[0]
+    items = [
+        ("p_brand", b) for b in sorted(row["p_brand_freqItems"])
+    ] + [("l_returnflag", r) for r in sorted(row["l_returnflag_freqItems"])]
+    return spark.createDataFrame(items, "column string, frequent_item string")

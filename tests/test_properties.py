@@ -153,3 +153,56 @@ def test_curation_pipeline_gate_discriminates(q):
     kept = int(out["docs_kept"].sum())
     assert 0 < kept < 500, f"gate vacuous or total: {kept}/500"
     assert (out["tokens_kept"] > 0).all()
+
+
+def test_dedup_clusters_match_union_find(q):
+    """Label propagation must produce exactly union-find's components over
+    the same near-dup pairs."""
+    pairs = q("dedup_near")[["doc_a", "doc_b"]]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs.itertuples():
+        union(int(r.doc_a), int(r.doc_b))
+    expected: dict[int, set[int]] = {}
+    for node in parent:
+        expected.setdefault(find(node), set()).add(node)
+
+    got = q("dedup_clusters")
+    got_clusters = {
+        int(r.cluster_rep): set(
+            int(x) for x in str(r.members).strip("[]").split(",") if x.strip()
+        )
+        for r in got.itertuples()
+    }
+    assert got_clusters == expected
+
+
+def test_freq_items_contains_true_heavy_hitters(q):
+    """freqItems guarantee: every item above the support threshold must
+    appear (false positives allowed, false negatives not)."""
+    import duckdb
+
+    freq = q("agg_freq_items")
+    reported = set(zip(freq["column"], freq["frequent_item"]))
+    con = duckdb.connect()
+    truth = con.execute(
+        f"""
+        SELECT l_returnflag FROM read_parquet('{SF_DIR}/lineitem.parquet')
+        GROUP BY 1 HAVING count(*) > 0.1 * (SELECT count(*)
+            FROM read_parquet('{SF_DIR}/lineitem.parquet'))
+        """
+    ).fetchall()
+    for (flag,) in truth:
+        assert ("l_returnflag", flag) in reported, f"missed heavy hitter {flag}"

@@ -165,3 +165,29 @@ def test_state_carries_across_micro_batches(spark, staged_batches):
     assert finals[8] == 3
     # state progressed incrementally: user 7 must have emitted more than once
     assert (out["user_id"] == 7).sum() >= 2, "expected per-batch state updates"
+
+
+def test_foreachbatch_incremental_sink(spark, staged_batches, tmp_path):
+    """foreachBatch: the production sink pattern (per-micro-batch custom
+    write with exactly-once via batch_id). Each batch lands as its own
+    parquet subdir; the union of all batches must equal the full input."""
+    out = str(tmp_path / "fb_out")
+    seen_batches = []
+
+    def write_batch(df, batch_id: int) -> None:
+        seen_batches.append(batch_id)
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = (
+        _stream(spark, staged_batches)
+        .select("event_id", "user_id", "value")
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen_batches) >= 2, "maxFilesPerTrigger=1 must yield multiple batches"
+    back = spark.read.parquet(f"{out}/batch=*").toPandas()
+    src = spark.read.parquet(staged_batches).toPandas()
+    assert sorted(back["event_id"]) == sorted(src["event_id"])
+    assert abs(back["value"].sum() - src["value"].sum()) < 1e-9

@@ -411,3 +411,65 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "s_start")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+             CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+             event_type
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), filled AS (
+      SELECT *,
+             last_value(view_ts IGNORE NULLS) OVER w AS asof_view_ts,
+             last_value(view_id IGNORE NULLS) OVER w AS asof_view_id
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN asof_view_ts >= ts - INTERVAL 1 HOUR
+                THEN asof_view_id END AS asof_view_id,
+           CASE WHEN asof_view_ts >= ts - INTERVAL 1 HOUR
+                THEN asof_view_ts END AS asof_view_ts
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: latest prior view, but only if within 1
+    hour ("latest filing as of date D, no staler than N" — the reference's
+    real financial query shape; an unbounded as-of would happily join a
+    years-old fact). Same single-shuffle window formulation as join_asof,
+    with the tolerance applied as a post-filter on the matched timestamp
+    (cheaper than restricting the frame: the window state is unchanged and
+    the bound is one comparison per row)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = tagged.withColumn(
+        "raw_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    ).withColumn("raw_view_id", F.last("view_id", ignorenulls=True).over(w))
+    in_tolerance = F.col("raw_view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return filled.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_tolerance, F.col("raw_view_id")).alias("asof_view_id"),
+        F.when(in_tolerance, F.col("raw_view_ts")).alias("asof_view_ts"),
+    )

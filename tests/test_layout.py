@@ -115,3 +115,19 @@ def test_write_partitioned_prunes(spark, tmp_path):
     # partition filter must show as a partition-pruning predicate, not a scan filter
     assert "PartitionFilters" in p and "l_returnflag" in p.split("PartitionFilters")[1].split("]")[0]
     assert back.count() == li.filter(F.col("l_returnflag") == "A").count()
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A selective dim filter on the partition column must inject a
+    runtime dynamicpruning expression into the fact scan — directories
+    for non-matching partitions are never read (the 100 TB fact⋈dim
+    pattern; SCALE.md §1)."""
+    d = str(tmp_path / "dpp")
+    li = table(spark, SF_DIR, "lineitem")
+    layout.write_partitioned(li, d, "l_returnflag")
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame([("A", "returned"), ("N", "open")], "flag string, label string")
+    j = fact.join(dim.filter(F.col("label") == "returned"), fact.l_returnflag == dim.flag)
+    p = _plan(j)
+    assert "dynamicpruning" in p.lower(), "DPP regressed: full fact scan"
+    assert j.count() == li.filter(F.col("l_returnflag") == "A").count()

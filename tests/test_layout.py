@@ -131,3 +131,29 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     p = _plan(j)
     assert "dynamicpruning" in p.lower(), "DPP regressed: full fact scan"
     assert j.count() == li.filter(F.col("l_returnflag") == "A").count()
+
+
+def test_observe_inline_metrics(spark):
+    """df.observe: data-quality metrics collected DURING the job (no second
+    scan) must equal a separately-computed aggregate — the 100 TB pattern
+    for row-count/invariant monitoring on every pipeline stage."""
+    from pyspark.sql import Observation
+
+    li = table(spark, SF_DIR, "lineitem")
+    obs = Observation("quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity")).cast("bigint")).alias("total_qty"),
+        F.count(F.when(F.col("l_discount") > 0.1, 1)).alias("bad_discounts"),
+    )
+    n_out = observed.filter(F.col("l_quantity") > 10).count()  # the real job
+    m = obs.get
+    direct = li.agg(
+        F.count(F.lit(1)),
+        F.sum(F.floor(F.col("l_quantity")).cast("bigint")),
+    ).collect()[0]
+    assert m["n_rows"] == direct[0]
+    assert m["total_qty"] == direct[1]
+    assert m["bad_discounts"] == 0  # corpus invariant: discounts <= 0.1
+    assert 0 < n_out < m["n_rows"]

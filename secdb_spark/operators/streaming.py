@@ -242,3 +242,56 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(stream, "stream_state", "update")
     return spark.table(sink)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (view->purchase attribution within 30 min):
+    BOTH sides are real streams with watermarks; the time-bound join
+    condition lets Spark evict view-state older than the purchase
+    watermark minus 30 min (unbounded state otherwise — the condition is
+    mandatory, not an optimization). Inner join + availableNow is
+    deterministic, so it keeps an exact batch SQL oracle."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+    sink = _run_to_memory(joined, "stream_ssj", "append")
+    return spark.table(sink)

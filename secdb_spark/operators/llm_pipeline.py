@@ -181,58 +181,181 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_SCHEMA = "query_id long, neighbor_id long, sim double"
 TOP_K = 5
+N_CENTROIDS = 16
+IVF_PROBE = 6
+# Above this corpus size the broadcast brute-force path is refused: the
+# candidate matrix would be O(corpus) on the driver.  The distributed
+# bucketed kernel takes over (no driver collect of the embedding table).
+BROADCAST_MAX_VECTORS = 65536
+
+ASSIGN_SCHEMA = "bucket int, vec_id long, e array<double>"
 
 
-def _cosine_topk_impl(spark: SparkSession, sf_dir: str, probe_buckets: int | None = None) -> DataFrame:
-    """Shared brute/IVF ANN kernel: broadcast candidate matrix + blocked
-    NumPy matmul per Arrow batch. probe_buckets=None -> exact brute force;
-    an int -> IVF with that many probed centroid buckets."""
-    import numpy as np
-
-    emb = table(spark, sf_dir, "embeddings").select(
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    pdf = emb.toPandas()  # candidate index build (driver-side; at scale
-    # this becomes a distributed IVF build — see ann_ivf docstring)
+
+
+def _centroids(emb: DataFrame):
+    """Seeded-sample centroids: the N_CENTROIDS vectors with the smallest
+    xxhash64(vec_id).  Deterministic, computed as a distributed top-k —
+    only n_cent rows ever reach the driver (vs the full-corpus toPandas()
+    this replaced).  Returns the L2-normalized centroid matrix."""
+    import numpy as np
+
+    rows = (
+        emb.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(N_CENTROIDS)
+        .select("e")
+        .collect()
+    )
+    C = np.stack([np.asarray(r.e) for r in rows])
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def _ivf_parts(spark: SparkSession, emb: DataFrame, probe: int):
+    """Distributed IVF index build: returns (cand, probes) DataFrames.
+
+    cand:   one row per corpus vector, assigned to its nearest-centroid
+            bucket — hash-partitionable by bucket, never driver-collected.
+    probes: `probe` rows per query vector, one per probed (nearest) bucket.
+
+    Both carry the L2-normalized vector so the per-bucket kernel does no
+    renormalization.  Assignment and probe ordering use identical float
+    ops on identical inputs, so a candidate's own bucket is always its
+    rank-1 probe (exactness when probe == N_CENTROIDS)."""
+    import numpy as np
+
+    cent = _centroids(emb)
+    bc = spark.sparkContext.broadcast(cent)  # O(n_cent * dim) only
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            Q = np.stack(b["e"].to_numpy())
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = Qn @ C.T
+            # tie-safe nearest bucket: (-sim, bucket index)
+            buck = np.array(
+                [np.lexsort((np.arange(C.shape[0]), -S[r]))[0] for r in range(S.shape[0])],
+                dtype="int32",
+            )
+            yield pd.DataFrame(
+                {"bucket": buck, "vec_id": b["vec_id"], "e": list(Qn)}
+            )
+
+    def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            Q = np.stack(b["e"].to_numpy())
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = Qn @ C.T
+            out_b, out_id, out_e = [], [], []
+            for r in range(S.shape[0]):
+                order = np.lexsort((np.arange(C.shape[0]), -S[r]))[:probe]
+                for bk in order:
+                    out_b.append(int(bk))
+                    out_id.append(b["vec_id"].iloc[r])
+                    out_e.append(Qn[r])
+            yield pd.DataFrame({"bucket": out_b, "vec_id": out_id, "e": out_e})
+
+    cand = emb.mapInPandas(assign, ASSIGN_SCHEMA)
+    probes = emb.mapInPandas(probe_fn, ASSIGN_SCHEMA)
+    return cand, probes
+
+
+def _topk_bucketed(spark: SparkSession, emb: DataFrame, probe: int,
+                   k: int = TOP_K) -> DataFrame:
+    """Distributed ANN: per-bucket matmul over cogrouped (candidates,
+    probing queries).  TRUE IVF economics — a bucket's candidates are
+    scanned only by the queries that probe it, so compute/IO is bounded by
+    probe/N_CENTROIDS of the all-pairs product (plus bucket skew).
+    probe == N_CENTROIDS degenerates to exact distributed brute force
+    (block-nested-loop with bucket blocks).  No step collects the corpus
+    to the driver; the shuffle key is the bucket id."""
+    import numpy as np
+
+    cand, probes = _ivf_parts(spark, emb, probe)
+
+    def bucket_topk(cands: pd.DataFrame, queries: pd.DataFrame) -> pd.DataFrame:
+        if cands.empty or queries.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "sim"])
+        C = np.stack(cands["e"].to_numpy())
+        c_ids = cands["vec_id"].to_numpy()
+        Q = np.stack(queries["e"].to_numpy())
+        q_ids = queries["vec_id"].to_numpy()
+        S = np.round(Q @ C.T, 6)  # rank on ROUNDED sims: tie-safe selection
+        out = []
+        for r in range(S.shape[0]):
+            s = S[r].copy()
+            s[c_ids == q_ids[r]] = -np.inf  # exclude self
+            order = np.lexsort((c_ids, -s))[:k]
+            for j in order:
+                if s[j] == -np.inf:
+                    continue
+                out.append((int(q_ids[r]), int(c_ids[j]), float(s[j])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    per_bucket = (
+        cand.groupby("bucket")
+        .cogroup(probes.groupby("bucket"))
+        .applyInPandas(bucket_topk, COSINE_SCHEMA)
+    )
+    # global top-k over the per-bucket winners (already rounded -> tie-safe)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        per_bucket.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _topk_broadcast(spark: SparkSession, emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Broadcast brute-force kernel — the fast path for corpora that fit
+    comfortably on the driver (explicitly gated by BROADCAST_MAX_VECTORS;
+    sim_cosine_topk falls back to _topk_bucketed above the gate)."""
+    import numpy as np
+
+    pdf = emb.toPandas()  # gated: caller checked corpus <= BROADCAST_MAX_VECTORS
     ids = pdf["vec_id"].to_numpy()
     M = np.stack(pdf["e"].to_numpy())
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-
-    if probe_buckets is not None:
-        n_cent = 16
-        cent = Mn[: n_cent]  # deterministic centroid choice: first 16 vectors
-        assign = (Mn @ cent.T).argmax(axis=1)  # bucket per candidate
-    bc = spark.sparkContext.broadcast(
-        (ids, Mn, assign if probe_buckets is not None else None,
-         cent if probe_buckets is not None else None)
-    )
+    bc = spark.sparkContext.broadcast((ids, Mn))
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_mat, c_assign, c_cent = bc.value
+        c_ids, c_mat = bc.value
         for b in batches:
             q_ids = b["vec_id"].to_numpy()
             Q = np.stack(b["e"].to_numpy())
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            S = Qn @ c_mat.T  # blocked float64 matmul — the fast path
-            if c_assign is not None:
-                # IVF: mask candidates outside the probed buckets
-                probes = np.argsort(-(Qn @ c_cent.T), axis=1)[:, :probe_buckets]
-                mask = np.zeros_like(S, dtype=bool)
-                for r in range(S.shape[0]):
-                    mask[r] = ~np.isin(c_assign, probes[r])
-                S[mask] = -np.inf
+            S = np.round(Qn @ c_mat.T, 6)  # rank on ROUNDED sims (tie-safe)
             out = []
             for r in range(S.shape[0]):
                 s = S[r].copy()
                 s[c_ids == q_ids[r]] = -np.inf  # exclude self
-                order = np.lexsort((c_ids, -s))[:TOP_K]
+                order = np.lexsort((c_ids, -s))[:k]
                 for j in order:
                     if s[j] == -np.inf:
                         continue
-                    out.append((int(q_ids[r]), int(c_ids[j]), round(float(s[j]), 6)))
+                    out.append((int(q_ids[r]), int(c_ids[j]), float(s[j])))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
 
     return emb.repartition(8).mapInPandas(block, COSINE_SCHEMA)
+
+
+def _cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    if emb.count() <= BROADCAST_MAX_VECTORS:
+        return _topk_broadcast(spark, emb)
+    return _topk_bucketed(spark, emb, probe=N_CENTROIDS)
 
 
 @register(
@@ -244,27 +367,35 @@ def _cosine_topk_impl(spark: SparkSession, sf_dir: str, probe_buckets: int | Non
              round(list_cosine_similarity(a.e, b.e), 6) AS sim,
              row_number() OVER (
                PARTITION BY a.vec_id
-               ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+               ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC,
+                        b.vec_id) AS rn
       FROM n a JOIN n b ON a.vec_id <> b.vec_id
     ) t WHERE rn <= {TOP_K}
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEADLINE q_cosine_topk — exact top-5 cosine neighbors per vector.
-    Reformulated per SURVEY §6 (naive HOF SQL was 141 s): pre-normalized
-    float64 broadcast matrix + one matmul per Arrow batch; tie-safe
-    (sim desc, neighbor_id) ordering."""
-    return _cosine_topk_impl(spark, sf_dir, probe_buckets=None)
+    Reformulated per SURVEY §6 (naive HOF SQL was 141 s). Both engines rank
+    on ROUND(sim, 6) with a neighbor_id tie-break, so the selection itself
+    is tie-safe under cross-engine FP jitter, not just the reported value.
+    Corpus <= BROADCAST_MAX_VECTORS: broadcast matrix + one matmul per
+    Arrow batch; above the gate: distributed bucketed kernel (probe=all
+    buckets = exact block-nested-loop, no driver collect)."""
+    return _cosine_topk_exact(spark, sf_dir)
 
 
 @register("ann_ivf", oracle=None)  # R class: approximate by design
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate NN: 16 deterministic centroids, candidates
-    bucketed by nearest centroid, queries probe their 6 nearest buckets
-    only (~6/16 of the corpus scanned). Recall@5 vs sim_cosine_topk is
-    property-tested. At 10^9+ vectors the centroid count grows ~sqrt(n)
-    and the bucketed matrix is partitioned by bucket instead of broadcast."""
-    return _cosine_topk_impl(spark, sf_dir, probe_buckets=6)
+    """IVF approximate NN with REAL pruning economics: seeded-sample
+    centroids (distributed top-k by xxhash64(vec_id), never a corpus
+    collect), candidates hash-partitioned by nearest-centroid bucket,
+    queries cogrouped with ONLY their IVF_PROBE probed buckets — a
+    bucket's candidates are scanned solely by the queries probing it, so
+    compute/IO ~ probe/N_CENTROIDS of all-pairs (asserted in
+    tests/test_ann_scale.py). Recall@5 vs sim_cosine_topk is
+    property-tested. At 10^9+ vectors centroids grow ~sqrt(n); the
+    per-bucket cogroup shape is unchanged."""
+    return _topk_bucketed(spark, _emb(spark, sf_dir), probe=IVF_PROBE)
 
 
 @register(
@@ -276,7 +407,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                row_number() OVER (
                  PARTITION BY a.vec_id
-                 ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+                 ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC,
+                          b.vec_id) AS rn
         FROM n a JOIN n b ON a.vec_id <> b.vec_id
       ) t WHERE rn <= {TOP_K}
     ),
@@ -295,7 +427,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label vote over the exact top-5 neighbors (deterministic
     tie-break: highest vote count, then smallest label)."""
-    topk = _cosine_topk_impl(spark, sf_dir, probe_buckets=None)
+    topk = _cosine_topk_exact(spark, sf_dir)
     labels = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), "label"
     )
@@ -319,19 +451,21 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.e, b.e), 6) AS sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
     """,
 )
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= 0.4; corpus max is
-    ~0.51 so the threshold is meaningfully selective). Same broadcast-
-    matmul kernel as sim_cosine_topk, thresholded instead of top-k."""
+    ~0.51 so the threshold is meaningfully selective). Threshold applied
+    to ROUND(sim, 6) on both engines so boundary pairs are tie-safe.
+    Small corpus: broadcast-matmul kernel; above BROADCAST_MAX_VECTORS:
+    blocked all-pairs (_pairs_blocked — no driver collect)."""
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    pdf = emb.toPandas()
+    emb = _emb(spark, sf_dir)
+    if emb.count() > BROADCAST_MAX_VECTORS:
+        return _pairs_blocked(spark, emb, threshold=0.4)
+    pdf = emb.toPandas()  # gated by BROADCAST_MAX_VECTORS above
     ids = pdf["vec_id"].to_numpy()
     M = np.stack(pdf["e"].to_numpy())
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
@@ -343,16 +477,61 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_ids = b["vec_id"].to_numpy()
             Q = np.stack(b["e"].to_numpy())
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            S = Qn @ c_mat.T
+            S = np.round(Qn @ c_mat.T, 6)
             rows, cols = (S >= 0.4).nonzero()
             out = [
-                (int(q_ids[r]), int(c_ids[c]), round(float(S[r, c]), 6))
+                (int(q_ids[r]), int(c_ids[c]), float(S[r, c]))
                 for r, c in zip(rows, cols)
                 if q_ids[r] < c_ids[c]  # canonical pair orientation
             ]
             yield pd.DataFrame(out, columns=["vec_a", "vec_b", "sim"])
 
     return emb.repartition(8).mapInPandas(block, "vec_a long, vec_b long, sim double")
+
+
+def _pairs_blocked(spark: SparkSession, emb: DataFrame, threshold: float,
+                   n_blocks: int = 32) -> DataFrame:
+    """Distributed all-pairs cosine >= threshold: candidates hash-blocked
+    on vec_id, every vector probes every block (block-nested-loop), pairs
+    emitted once via the a < b orientation inside the per-block matmul.
+    Shuffle key is the block id; nothing is collected to the driver."""
+    import numpy as np
+
+    blocked = emb.withColumn(
+        "bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    ).select("bucket", "vec_id", "e")
+    all_blocks = (
+        spark.range(n_blocks).select(F.col("id").cast("int").alias("bucket"))
+    )
+    # re-alias to mint fresh attribute ids: both cogroup sides derive from
+    # `emb`, and shared expr-ids trip the ambiguous-self-join analyzer check
+    probes = emb.crossJoin(all_blocks).select(
+        "bucket", F.col("vec_id").alias("vec_id"), F.col("e").alias("e")
+    )
+
+    def block_pairs(cands: pd.DataFrame, queries: pd.DataFrame) -> pd.DataFrame:
+        if cands.empty or queries.empty:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "sim"])
+        C = np.stack(cands["e"].to_numpy())
+        c_ids = cands["vec_id"].to_numpy()
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Q = np.stack(queries["e"].to_numpy())
+        q_ids = queries["vec_id"].to_numpy()
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = np.round(Qn @ Cn.T, 6)
+        rows, cols = (S >= threshold).nonzero()
+        out = [
+            (int(q_ids[r]), int(c_ids[c]), float(S[r, c]))
+            for r, c in zip(rows, cols)
+            if q_ids[r] < c_ids[c]
+        ]
+        return pd.DataFrame(out, columns=["vec_a", "vec_b", "sim"])
+
+    return (
+        blocked.groupby("bucket")
+        .cogroup(probes.groupby("bucket"))
+        .applyInPandas(block_pairs, "vec_a long, vec_b long, sim double")
+    )
 
 
 @register(

@@ -193,21 +193,51 @@ def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(d)
 
 
-@register("snk_sqlite", oracle=None)  # R class: read-back checksum in tests
-def snk_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star "JDBC/SQLite sink" (BASELINE.json:7). No sqlite-jdbc jar
-    offline -> foreachPartition + stdlib sqlite3, sharded: each partition
-    writes its own shard DB (SQLite is single-writer; sharding is also the
-    only shape that survives 100 TB). Returns the merged read-back with a
-    shard manifest so the driver's rows-only check sees real content."""
-    import sqlite3
+def sqlite_jdbc_available(spark: SparkSession) -> bool:
+    """True when a sqlite-jdbc driver jar is on the Spark JVM classpath."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName("org.sqlite.JDBC")  # noqa: SLF001
+        return True
+    except Exception:
+        return False
 
-    d = _tmpdir("sqlite")
-    supp = table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+
+def choose_sqlite_sink(spark: SparkSession) -> str:
+    """Capability dispatch for the SQLite sink: 'jdbc' when the sqlite-jdbc
+    jar is present (df.write.jdbc — the north-star path), else 'sharded'
+    (foreachPartition + stdlib sqlite3). Factored out so tests can assert
+    the selection both ways without needing the jar."""
+    return "jdbc" if sqlite_jdbc_available(spark) else "sharded"
+
+
+def write_sqlite_jdbc(df: DataFrame, db_path: str, table_name: str) -> None:
+    """The df.write.jdbc path — activates only when sqlite-jdbc is on the
+    classpath (see choose_sqlite_sink). SQLite is single-writer, so the
+    write is coalesced to one connection; for parallel writes use the
+    sharded path instead."""
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .format("jdbc")
+        .option("url", f"jdbc:sqlite:{db_path}")
+        .option("dbtable", table_name)
+        .option("driver", "org.sqlite.JDBC")
+        .save()
     )
-    n_shards = 4
-    parts = supp.repartition(n_shards, "s_suppkey")
+
+
+def write_sqlite_sharded(df: DataFrame, shard_dir: str, table_name: str,
+                         ddl: str, insert_sql: str, n_shards: int = 4) -> list[str]:
+    """Sharded stdlib-sqlite3 sink: each partition writes its own shard DB
+    (SQLite is single-writer; sharding is the only parallel shape).
+
+    `shard_dir` MUST be a path visible to BOTH executors and driver: in
+    local mode any tempdir works (executors share the driver filesystem);
+    on a real cluster pass a shared/NFS/fuse-mounted path — a driver-local
+    tempdir would leave the read-back empty. Returns the shard manifest."""
+    key = df.columns[0]
+    parts = df.repartition(n_shards, key)
+    ncols = len(df.columns)
 
     def write_partition(rows) -> None:
         import sqlite3 as sq
@@ -215,31 +245,61 @@ def snk_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = list(rows)
         if not rows:
             return
-        pid = os.getpid()
-        path = os.path.join(d, f"shard_{pid}_{uuid.uuid4().hex[:8]}.db")
+        path = os.path.join(
+            shard_dir, f"shard_{os.getpid()}_{uuid.uuid4().hex[:8]}.db"
+        )
         con = sq.connect(path)
-        con.execute(
-            "CREATE TABLE supplier (s_suppkey INTEGER, s_name TEXT, "
-            "s_nationkey INTEGER, s_acctbal REAL)"
-        )
-        con.executemany(
-            "INSERT INTO supplier VALUES (?, ?, ?, ?)",
-            [(r.s_suppkey, r.s_name, r.s_nationkey, r.s_acctbal) for r in rows],
-        )
+        con.execute(ddl)
+        con.executemany(insert_sql, [tuple(r[i] for i in range(ncols)) for r in rows])
         con.commit()
         con.close()
 
     parts.foreachPartition(write_partition)
+    shards = sorted(
+        f for f in os.listdir(shard_dir) if f.startswith("shard_") and f.endswith(".db")
+    )
+    if not shards:
+        raise RuntimeError(
+            f"no sqlite shards appeared in {shard_dir}: executors cannot see "
+            "this path (driver-local dir on a cluster?) — pass a shared path"
+        )
+    return shards
+
+
+@register("snk_sqlite", oracle=None)  # R class: read-back checksum in tests
+def snk_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star "JDBC/SQLite sink" (BASELINE.json:7). Capability-dispatched:
+    df.write.jdbc when a sqlite-jdbc jar is on the classpath, else sharded
+    stdlib sqlite3 (no jar ships in this container, so the sharded branch is
+    what runs here; the jdbc branch is unit-tested via dispatch). Returns the
+    merged read-back so the driver's rows-only check sees real content."""
+    import sqlite3
+
+    d = _tmpdir("sqlite")  # local mode: driver tempdir IS executor-visible
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    if choose_sqlite_sink(spark) == "jdbc":
+        db = os.path.join(d, "supplier.db")
+        write_sqlite_jdbc(supp, db, "supplier")
+        shards = ["supplier.db"]
+    else:
+        shards = write_sqlite_sharded(
+            supp,
+            d,
+            "supplier",
+            "CREATE TABLE supplier (s_suppkey INTEGER, s_name TEXT, "
+            "s_nationkey INTEGER, s_acctbal REAL)",
+            "INSERT INTO supplier VALUES (?, ?, ?, ?)",
+        )
 
     frames = []
-    for shard in sorted(os.listdir(d)):
+    for shard in shards:
         con = sqlite3.connect(os.path.join(d, shard))
-        frames.append(
-            pd.read_sql_query("SELECT * FROM supplier", con).assign(shard=shard)
-        )
+        frames.append(pd.read_sql_query("SELECT * FROM supplier", con))
         con.close()
     merged = pd.concat(frames, ignore_index=True)
-    return spark.createDataFrame(merged).drop("shard").orderBy("s_suppkey")
+    return spark.createDataFrame(merged).orderBy("s_suppkey")
 
 
 @register(
@@ -274,7 +334,9 @@ def src_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"stream {sink} did not finish in 120s")
     return spark.table(sink)
 
 
@@ -379,7 +441,9 @@ def xbrl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         mapped.groupBy("accession", "cik")
         .pivot("metric", sorted(set(concept_map.values())))
-        .agg(F.first(F.col("value").cast("double")))
+        # min, not first(): deterministic if a filing ever carries duplicate
+        # facts for a mapped concept (first() is order-dependent)
+        .agg(F.min(F.col("value").cast("double")))
     )
     return pivoted.withColumn(
         "net_margin",

@@ -50,7 +50,12 @@ def _run_to_memory(df, name_prefix: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {sink} did not finish in 180s; "
+            "memory sink would be partial"
+        )
     return sink
 
 

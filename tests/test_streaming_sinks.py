@@ -106,3 +106,37 @@ def test_xbrl_metrics_standardization(spark):
     assert abs(row["net_margin"] - round(21939 / 61858, 6)) < 1e-9
     # filing with only assets: other metrics null
     assert m.loc["0000004-24-000020"][["revenue", "net_income"]].isna().all()
+
+
+def test_sqlite_sink_capability_dispatch(spark, monkeypatch):
+    """No sqlite-jdbc jar ships in this container -> the sharded branch is
+    selected; with the jar present (simulated) the jdbc branch is."""
+    from secdb_spark.operators import sources_sinks as ss
+
+    assert ss.sqlite_jdbc_available(spark) is False  # environment fact
+    assert ss.choose_sqlite_sink(spark) == "sharded"
+    monkeypatch.setattr(ss, "sqlite_jdbc_available", lambda s: True)
+    assert ss.choose_sqlite_sink(spark) == "jdbc"
+
+
+def test_snk_sqlite_jdbc_branch_when_jar_present(spark, monkeypatch):
+    """When the capability check reports a jar, snk_sqlite must route
+    through write_sqlite_jdbc (stubbed here: writing via the real jdbc
+    data source needs the jar this container lacks)."""
+    import sqlite3
+
+    from secdb_spark.operators import sources_sinks as ss
+
+    called = {}
+
+    def fake_jdbc(df, db_path, table_name):
+        called["db_path"] = db_path
+        con = sqlite3.connect(db_path)
+        df.toPandas().to_sql(table_name, con, index=False)
+        con.close()
+
+    monkeypatch.setattr(ss, "sqlite_jdbc_available", lambda s: True)
+    monkeypatch.setattr(ss, "write_sqlite_jdbc", fake_jdbc)
+    out = ss.snk_sqlite(spark, SF_DIR)
+    assert "db_path" in called, "jdbc branch not taken despite jar present"
+    assert out.count() == spark.read.parquet(f"{SF_DIR}/supplier.parquet").count()

@@ -88,32 +88,61 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard for pairs >= 0.9 via inverted-index join
-    (explode -> join on token -> count). Exact rational in double ->
-    bit-identical across engines. Scale note: the token join explodes on
-    hot tokens — at corpus scale drop ultra-common tokens first (they
-    cannot push Jaccard over a high threshold on their own) or go through
-    dedup_near's LSH instead."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
-    card = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        a.join(b, ["tok"])
+    """Exact token-set Jaccard for pairs >= 0.9, with the hot-token
+    mitigation the r1 docstring promised: PREFIX FILTERING (the AllPairs
+    principle, Bayardo et al., WWW'07).
+
+    Candidate generation joins the inverted index only on each document's
+    PREFIX — its |d| - ceil(theta*|d|) + 1 rarest tokens under the global
+    (df ASC, tok) order. Ultra-common tokens therefore index almost no
+    documents (they sit at the end of every ordering), killing the
+    hot-token row explosion. LOSSLESS by the prefix-filter theorem: a pair
+    with J(a,b) >= theta has |a n b| >= theta*|a u b| >= ceil(theta*max(|a|,|b|))
+    common tokens, and two sets whose required overlap is alpha must share
+    a token within their first |x| - alpha + 1 tokens of any common global
+    order (proven adversarially in tests/test_properties.py). Candidates
+    are then verified with EXACT Jaccard on the FULL token sets, so the
+    filter affects recall only — and the theorem makes recall 1."""
+    return _jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+def _jaccard_pairs(d: DataFrame) -> DataFrame:
+    """Prefix-filtered exact-Jaccard pair pipeline over any (doc_id, text)
+    DataFrame — see sim_jaccard for the losslessness argument."""
+    sets = d.select("doc_id", _tokens().alias("tokset"))
+    toks = sets.select("doc_id", F.explode("tokset").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("rnk", F.row_number().over(wdoc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(
+            F.col("rnk")
+            <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+        )
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok")), "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
+    # verify on FULL sets: exact rational in double -> bit-identical x-engine
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("set_b"))
+    inter_sz = F.size(F.array_intersect("set_a", "set_b"))
+    union_sz = F.size(F.array_union("set_a", "set_b"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter_sz.cast("double") / union_sz).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 

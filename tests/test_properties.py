@@ -206,3 +206,33 @@ def test_freq_items_contains_true_heavy_hitters(q):
     ).fetchall()
     for (flag,) in truth:
         assert ("l_returnflag", flag) in reported, f"missed heavy hitter {flag}"
+
+
+def test_prefix_filter_lossless_on_adversarial_hot_corpus(spark):
+    """Prefix-filter theorem, adversarially: a corpus where EVERY token is
+    ultra-hot (shared by most docs) must still yield every >=0.9 pair —
+    the prefix (rarest-token) index cannot lose a qualifying pair."""
+    from itertools import combinations
+
+    from secdb_spark.operators.llm_pipeline import JACCARD_THRESHOLD, _jaccard_pairs
+
+    base = [f"tok{i}" for i in range(20)]
+    docs = []
+    # 10 near-dup groups: each doc differs from its sibling in one token
+    # out of 20 -> J = 19/21 ~ 0.905 >= 0.9; all 20 base tokens appear in
+    # every doc, so document frequency is maximal for every token.
+    for g in range(10):
+        docs.append((2 * g, " ".join(base)))
+        docs.append((2 * g + 1, " ".join(base[:-1] + [f"alt{g}"])))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in _jaccard_pairs(sdf).collect()}
+
+    # brute-force truth in plain Python
+    tsets = {i: set(t.split()) for i, t in docs}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(tsets), 2)
+        if len(tsets[a] & tsets[b]) / len(tsets[a] | tsets[b]) >= JACCARD_THRESHOLD
+    }
+    assert want, "adversarial corpus must contain qualifying pairs"
+    assert got == want

@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from ..catalog import SCHEMAS, table
@@ -341,10 +341,83 @@ def src_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FACT_SCHEMA = (
-    "accession string, cik string, concept string, unit string, "
-    "decimals int, value decimal(38,6), period_instant string, "
-    "period_start string, period_end string, dim_region string"
+    "accession string, cik string, form string, concept string, unit string, "
+    "decimals int, value_num decimal(38,6), value_text string, "
+    "period_instant string, period_start string, period_end string, "
+    "dims map<string,string>"
 )
+
+FACT_COLS = [f.split()[0] for f in FACT_SCHEMA.split(", ")]
+
+
+def _parse_filing(path: str) -> list[tuple]:
+    """Parse ONE XBRL instance into fact tuples (FACT_SCHEMA order).
+
+    Full context resolution per SURVEY §1.1: every <context> is indexed by
+    id (entity CIK, instant/duration period, explicit dimension members
+    from segment AND scenario as an open-ended map), and each fact resolves
+    its own contextRef — multi-context, multi-dimension filings are the
+    normal case (fixtures/xbrl_gen has 6 contexts per filing, one of them
+    two-dimensional). Numeric values parse to exact Decimal with the
+    `decimals` rounding metadata kept as a column; non-numeric facts (e.g.
+    dei:DocumentType) land in value_text. The filing's form type
+    (10-Q vs 10-Q/A) is denormalized onto every fact row — it drives
+    amendment supersedence downstream (xbrl_supersede)."""
+    import decimal
+    import xml.etree.ElementTree as ET
+
+    ns = {"x": "http://www.xbrl.org/2003/instance"}
+    accession = os.path.basename(path)[: -len(".xml")]
+    root = ET.parse(path).getroot()
+    ctxs: dict[str, tuple] = {}
+    for ctx in root.findall("x:context", ns):
+        cik = ctx.find("x:entity/x:identifier", ns).text
+        period = ctx.find("x:period", ns)
+        instant = period.find("x:instant", ns)
+        start = period.find("x:startDate", ns)
+        end = period.find("x:endDate", ns)
+        dims = {
+            m.get("dimension"): m.text
+            for holder in ("x:segment", "x:scenario")
+            for m in ctx.findall(f"{holder}/x:explicitMember", ns)
+        }
+        ctxs[ctx.get("id")] = (
+            cik,
+            instant.text if instant is not None else None,
+            start.text if start is not None else None,
+            end.text if end is not None else None,
+            dims,
+        )
+    form = None
+    for fact in root.findall("x:fact", ns):
+        if fact.get("name") == "dei:DocumentType":
+            form = fact.text
+    out = []
+    for fact in root.findall("x:fact", ns):
+        cik, instant, start, end, dims = ctxs[fact.get("contextRef")]
+        raw = (fact.text or "").strip()
+        try:
+            value_num, value_text = decimal.Decimal(raw), None
+        except decimal.InvalidOperation:
+            value_num, value_text = None, raw
+        dec = fact.get("decimals")
+        out.append(
+            (
+                accession,
+                cik,
+                form,
+                fact.get("name"),
+                fact.get("unitRef"),
+                int(dec) if dec is not None else None,
+                value_num,
+                value_text,
+                instant,
+                start,
+                end,
+                dims,
+            )
+        )
+    return out
 
 
 @register("src_xbrl_etl", oracle=None)  # R class: fixture parse, no SQL twin
@@ -352,67 +425,78 @@ def src_xbrl_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filing -> facts extraction (the reference's core ETL, SURVEY §3.1)
     as a manifest-driven distributed parse: manifest DF of filing paths ->
     repartition -> mapInPandas(parse with stdlib ElementTree) -> typed
-    facts DataFrame (DecimalType money per SURVEY §1 — exact decimal with
-    explicit `decimals` rounding metadata preserved as a column).
+    facts DataFrame. Parses 104 fixture filings: 4 hand-written originals
+    (fixtures/xbrl) + 100 generated multi-context/dimensioned/amended
+    instances (fixtures/xbrl_gen, see fixtures/gen_xbrl.py).
 
-    The reference used RaptorXML (proprietary, absent); fixtures are
-    hand-written XBRL-shaped instances in fixtures/xbrl/."""
-    import decimal
+    The reference used RaptorXML (proprietary, absent); context
+    resolution, dimensions and supersedence semantics follow the public
+    XBRL 2.1 spec."""
     import glob
-    import xml.etree.ElementTree as ET
 
-    xbrl_dir = os.path.abspath(os.path.join(FIXTURES_DIR, "xbrl"))
-    manifest = spark.createDataFrame(
-        [(p,) for p in sorted(glob.glob(os.path.join(xbrl_dir, "*.xml")))],
-        "path string",
+    paths = sorted(
+        glob.glob(os.path.join(os.path.abspath(FIXTURES_DIR), "xbrl", "*.xml"))
+        + glob.glob(os.path.join(os.path.abspath(FIXTURES_DIR), "xbrl_gen", "*.xml"))
     )
+    manifest = spark.createDataFrame([(p,) for p in paths], "path string")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ns = {"x": "http://www.xbrl.org/2003/instance"}
         for b in batches:
             out = []
             for path in b["path"]:
-                accession = os.path.basename(path)[: -len(".xml")]
-                root = ET.parse(path).getroot()
-                ctx = root.find("x:context", ns)
-                cik = ctx.find("x:entity/x:identifier", ns).text
-                period = ctx.find("x:period", ns)
-                instant = period.find("x:instant", ns)
-                start = period.find("x:startDate", ns)
-                end = period.find("x:endDate", ns)
-                seg = ctx.find("x:segment/x:explicitMember", ns)
-                for fact in root.findall("x:fact", ns):
-                    out.append(
-                        (
-                            accession,
-                            cik,
-                            fact.get("name"),
-                            fact.get("unitRef"),
-                            int(fact.get("decimals")),
-                            decimal.Decimal(fact.text),
-                            instant.text if instant is not None else None,
-                            start.text if start is not None else None,
-                            end.text if end is not None else None,
-                            seg.text if seg is not None else None,
-                        )
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "accession",
-                    "cik",
-                    "concept",
-                    "unit",
-                    "decimals",
-                    "value",
-                    "period_instant",
-                    "period_start",
-                    "period_end",
-                    "dim_region",
-                ],
-            )
+                out.extend(_parse_filing(path))
+            yield pd.DataFrame(out, columns=FACT_COLS)
 
-    return manifest.repartition(4).mapInPandas(parse, FACT_SCHEMA)
+    return manifest.repartition(8).mapInPandas(parse, FACT_SCHEMA)
+
+
+@register("xbrl_filings", oracle=None)  # R class: fixture-derived
+def xbrl_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filing-level metadata table (SECDB layer 2: one row per accession):
+    cik, form, period end (max over the filing's fact periods), fact count,
+    amendment flag and the base form the amendment supersedes. One
+    groupBy(accession) shuffle over the facts — map-side combinable."""
+    facts = src_xbrl_etl(spark, sf_dir)
+    return (
+        facts.groupBy("accession", "cik")
+        .agg(
+            F.min("form").alias("form"),
+            F.max(F.coalesce("period_end", "period_instant")).alias("period_end"),
+            F.count(F.lit(1)).alias("n_facts"),
+        )
+        .withColumn(
+            "base_form",
+            F.when(F.col("form").isNotNull(), F.regexp_replace("form", "/A$", "")),
+        )
+        .withColumn(
+            "is_amendment",
+            F.coalesce(F.col("form").endswith("/A"), F.lit(False)),
+        )
+    )
+
+
+@register("xbrl_supersede", oracle=None)  # R class: fixture-derived
+def xbrl_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amendment supersedence — the upsert_latest pattern applied to
+    filings/facts (VERDICT r1 'What's missing' #2): within each
+    (cik, period_end, base_form) group the LATEST accession wins (EDGAR
+    accession sequences are monotone per filer), and only the winner's
+    facts survive into the queryable view.
+
+    Scale: winners are decided on the tiny filings table (1 row per
+    filing), then applied to the big facts table as a broadcast semi-join
+    — the facts never shuffle."""
+    facts = src_xbrl_etl(spark, sf_dir)
+    filings = xbrl_filings(spark, sf_dir)
+    w = Window.partitionBy("cik", "period_end", "base_form").orderBy(
+        F.col("accession").desc()
+    )
+    winners = (
+        filings.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("accession")
+    )
+    return facts.join(F.broadcast(winners), "accession", "semi")
 
 
 @register("xbrl_metrics", oracle=None)  # R class: fixture-derived, no view oracle
@@ -420,13 +504,17 @@ def xbrl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standardized per-filing metrics — the reference's core domain output
     (SURVEY §1.1 layer 2: "a standardized subset of metrics per filing
     (revenue, net income, assets) to make cross-company queries
-    tractable"). Facts from the ETL are pivoted to one row per filing with
-    canonical metric columns; concept->metric mapping is the broadcastable
-    lookup a real deployment maintains per taxonomy version.
+    tractable"). Consumes the SUPERSEDED facts view (amendments win) and
+    only CONSOLIDATED contexts (no dimension members) — a regional
+    seg:Region breakdown must not leak into the company-level metric.
+    concept->metric mapping is the broadcastable lookup a real deployment
+    maintains per taxonomy version.
 
     Scale: facts partition by accession; the pivot is a groupBy(accession)
-    with first() per mapped concept — one shuffle, map-side combinable."""
-    facts = src_xbrl_etl(spark, sf_dir)
+    with min() per mapped concept — one shuffle, map-side combinable."""
+    facts = xbrl_supersede(spark, sf_dir).filter(
+        F.size(F.col("dims")) == 0
+    )
     concept_map = {
         "us-gaap:Revenues": "revenue",
         "us-gaap:NetIncomeLoss": "net_income",
@@ -443,7 +531,7 @@ def xbrl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("metric", sorted(set(concept_map.values())))
         # min, not first(): deterministic if a filing ever carries duplicate
         # facts for a mapped concept (first() is order-dependent)
-        .agg(F.min(F.col("value").cast("double")))
+        .agg(F.min(F.col("value_num").cast("double")))
     )
     return pivoted.withColumn(
         "net_margin",
@@ -452,3 +540,63 @@ def xbrl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("net_income") / F.col("revenue"), 6),
         ),
     ).orderBy("accession")
+
+
+@register("build_secdb", oracle=None)  # R class: end-to-end relational build
+def build_secdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single "build the SECDB" entry point (VERDICT r1 item 10): one
+    composed pipeline parse -> facts -> supersede -> filings / entities /
+    metrics, persisted as a parquet database AND a sharded SQLite export
+    of the facts table. Returns the build manifest (table, n_rows,
+    checksum) so the driver's rows-only check sees real content; read-back
+    equality is asserted in tests.
+
+    Scale: every stage is the already-scale-shaped operator it composes
+    (manifest-parallel parse, broadcast-semi supersedence, one-shuffle
+    aggregations); persistence is parquet partitioned per table with the
+    SQLite export sharded per partition."""
+    out = _tmpdir("secdb_db")
+    facts = xbrl_supersede(spark, sf_dir)
+    tables = {
+        "facts": facts.withColumn("dims_json", F.to_json("dims")).drop("dims"),
+        "filings": xbrl_filings(spark, sf_dir),
+        "entities": (
+            facts.groupBy("cik")
+            .agg(
+                F.countDistinct("accession").alias("n_filings"),
+                F.count(F.lit(1)).alias("n_facts"),
+            )
+        ),
+        "metrics": xbrl_metrics(spark, sf_dir),
+    }
+    rows = []
+    for name, df in tables.items():
+        path = os.path.join(out, name)
+        df.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        chk = (
+            back.select(
+                F.xxhash64(F.to_json(F.struct(*sorted(back.columns)))).alias("h")
+            )
+            # bit_xor: order-independent row checksum with no ANSI overflow
+            .agg(F.expr("bit_xor(h)").alias("checksum"))
+            .collect()[0]
+        )
+        rows.append((name, back.count(), int(chk.checksum or 0)))
+    # SQLite export of the facts table (the reference's target store)
+    facts_str = tables["facts"].select(
+        "accession", "cik", "concept",
+        F.col("value_num").cast("string").alias("value_num"), "dims_json"
+    )
+    shards = write_sqlite_sharded(
+        facts_str,
+        out,
+        "facts",
+        "CREATE TABLE facts (accession TEXT, cik TEXT, concept TEXT, "
+        "value_num TEXT, dims_json TEXT)",
+        "INSERT INTO facts VALUES (?, ?, ?, ?, ?)",
+    )
+    rows.append(("facts_sqlite_shards", len(shards), 0))
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows long, checksum long"
+    ).orderBy("table_name")

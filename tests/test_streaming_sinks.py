@@ -77,35 +77,139 @@ def test_snk_sqlite_roundtrip(spark):
     )
 
 
+def _dims_dict(v):
+    """toPandas maps MapType to dict or list-of-tuples depending on the
+    Arrow path — normalize to dict."""
+    if v is None:
+        return {}
+    return dict(v)
+
+
 def test_xbrl_etl_parses_fixture_facts(spark):
-    """Fixture filings must parse to the expected typed facts."""
+    """104 fixture filings (4 hand-written + 100 generated) must parse to
+    typed facts with full context resolution."""
     facts = QUERIES["src_xbrl_etl"](spark, SF_DIR).toPandas()
-    assert len(facts) == 9  # 3+2+3+1 facts across 4 filings
-    assert facts["cik"].nunique() == 4
+    # 9 hand-written facts + 100 generated filings x 10 facts each
+    assert len(facts) == 9 + 100 * 10
+    assert facts["cik"].nunique() == 4 + 20
     rev = facts[
         (facts.accession == "0000002-24-000007")
         & (facts.concept == "us-gaap:Revenues")
     ]
     assert len(rev) == 1
-    assert float(rev.iloc[0]["value"]) == 61858000000.0
+    assert float(rev.iloc[0]["value_num"]) == 61858000000.0
     assert rev.iloc[0]["period_start"] == "2024-01-01"
-    assert rev.iloc[0]["dim_region"] == "EMEA"
+    assert _dims_dict(rev.iloc[0]["dims"]) == {"seg:Region": "EMEA"}
     # exact decimal money type preserved (SURVEY §1 requirement)
     import decimal
 
-    assert isinstance(facts.iloc[0]["value"], decimal.Decimal)
+    num = facts[facts.value_num.notna()]
+    assert isinstance(num.iloc[0]["value_num"], decimal.Decimal)
+
+
+def test_xbrl_context_resolution_multi_dimension(spark):
+    """Generated filings carry 6 contexts incl. a two-dimensional one; every
+    fact must resolve to ITS context's period + dimension map, with values
+    matching the generator's ground-truth function."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/fixtures")
+    import gen_xbrl as g
+
+    facts = QUERIES["src_xbrl_etl"](spark, SF_DIR).toPandas()
+    acc = g.accession(3, 2, False)  # company 3, Q3, base filing
+    f = facts[facts.accession == acc]
+    assert len(f) == 10
+    assert (f["form"] == "10-Q").all()
+    # consolidated duration fact
+    cons = f[(f.concept == "us-gaap:Revenues") & f.dims.apply(lambda d: _dims_dict(d) == {})]
+    assert len(cons) == 1
+    assert int(cons.iloc[0]["value_num"]) == g.value(3, 2, "us-gaap:Revenues", None, False)
+    assert cons.iloc[0]["period_start"] == g.QUARTERS[2][0]
+    # instant fact resolves to the instant context, not the duration one
+    assets = f[f.concept == "us-gaap:Assets"]
+    assert assets.iloc[0]["period_instant"] == g.QUARTERS[2][1]
+    assert assets.iloc[0]["period_start"] is None
+    # regional dimension member
+    emea = f[f.dims.apply(lambda d: _dims_dict(d) == {"seg:Region": "EMEA"})]
+    assert len(emea) == 1
+    assert int(emea.iloc[0]["value_num"]) == g.value(3, 2, "us-gaap:Revenues", "EMEA", False)
+    # two-dimensional context
+    two = f[f.dims.apply(lambda d: len(_dims_dict(d)) == 2)]
+    assert len(two) == 1
+    assert _dims_dict(two.iloc[0]["dims"]) == {
+        "seg:Region": "AMER",
+        "seg:Channel": "ONLINE",
+    }
+
+
+def test_xbrl_supersedence_latest_accession_wins(spark):
+    """Every company amended Q2: the superseded facts view must contain the
+    amendment's facts and NONE of the original Q2 filing's."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/fixtures")
+    import gen_xbrl as g
+
+    facts = QUERIES["xbrl_supersede"](spark, SF_DIR).toPandas()
+    for ci in (0, 7, 19):
+        base = g.accession(ci, g.AMENDED_QUARTER, False)
+        amend = g.accession(ci, g.AMENDED_QUARTER, True)
+        assert (facts.accession == base).sum() == 0, "superseded filing leaked"
+        assert (facts.accession == amend).sum() == 10
+    # non-amended quarters keep their base filings
+    assert (facts.accession == g.accession(5, 0, False)).sum() == 10
+    # amended value is the corrected one
+    a = facts[
+        (facts.accession == g.accession(0, g.AMENDED_QUARTER, True))
+        & (facts.concept == "us-gaap:NetIncomeLoss")
+    ]
+    assert int(a.iloc[0]["value_num"]) == g.value(
+        0, g.AMENDED_QUARTER, "us-gaap:NetIncomeLoss", None, True
+    )
 
 
 def test_xbrl_metrics_standardization(spark):
-    """Per-filing standardized metrics: pivot correctness + derived margin."""
+    """Per-filing standardized metrics: pivot correctness, derived margin,
+    amendment supersedence, and no dimensional leakage."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/fixtures")
+    import gen_xbrl as g
+
     m = QUERIES["xbrl_metrics"](spark, SF_DIR).toPandas().set_index("accession")
-    assert len(m) == 4
-    row = m.loc["0000002-24-000007"]
-    assert row["revenue"] == 61858000000.0
-    assert row["net_income"] == 21939000000.0
-    assert abs(row["net_margin"] - round(21939 / 61858, 6)) < 1e-9
-    # filing with only assets: other metrics null
-    assert m.loc["0000004-24-000020"][["revenue", "net_income"]].isna().all()
+    # 80 surviving generated filings (20 Q2 bases superseded); the 4
+    # hand-written fixtures carry ONLY dimensional contexts, so the
+    # consolidated-only metric correctly excludes them
+    assert len(m) == 80
+    assert "0000002-24-000007" not in m.index  # dimensional-only filing
+    sample = m.iloc[0]
+    assert sample["net_margin"] is not None
+    # consolidated metric == consolidated ground truth (REGIONAL facts must
+    # not leak in: regional revenue values are larger in the generator)
+    acc = g.accession(2, 3, False)
+    assert m.loc[acc]["revenue"] == g.value(2, 3, "us-gaap:Revenues", None, False)
+    # the amended Q2 filing's metrics carry the corrected values
+    am = g.accession(2, g.AMENDED_QUARTER, True)
+    assert m.loc[am]["revenue"] == g.value(
+        2, g.AMENDED_QUARTER, "us-gaap:Revenues", None, True
+    )
+    assert g.accession(2, g.AMENDED_QUARTER, False) not in m.index
+
+
+def test_build_secdb_end_to_end(spark):
+    """One command produces the SECDB-shaped relational output: manifest
+    row counts consistent with the composed views, sqlite export readable."""
+    manifest = (
+        QUERIES["build_secdb"](spark, SF_DIR).toPandas().set_index("table_name")
+    )
+    n_facts = QUERIES["xbrl_supersede"](spark, SF_DIR).count()
+    assert manifest.loc["facts", "n_rows"] == n_facts
+    assert manifest.loc["filings", "n_rows"] == 104  # every accession, incl. superseded
+    assert manifest.loc["entities", "n_rows"] == 24
+    assert manifest.loc["metrics", "n_rows"] == 80
+    assert manifest.loc["facts_sqlite_shards", "n_rows"] >= 1
+    assert (manifest.drop("facts_sqlite_shards")["checksum"] != 0).all()
 
 
 def test_sqlite_sink_capability_dispatch(spark, monkeypatch):

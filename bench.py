@@ -25,6 +25,10 @@ HEADLINE = {
     "q_lag_asof": "win_lag_lead",
     "q_session": "stream_session",
     "q_cosine_topk": "sim_cosine_topk",
+    # differentiating layer (added r2): dedup + TPC-H heavy agg
+    "q_dedup_exact": "dedup_exact",
+    "q_dedup_near": "dedup_near",
+    "q_tpch_q18": "sql_tpch_q18",
 }
 
 
@@ -49,13 +53,18 @@ def main() -> None:
             # would let Catalyst prune the outputs)
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+        t0 = time.time()
         run()  # warm-up (JVM, code-gen, file listing)
+        warm = time.time() - t0
+        # heavy queries (q_dedup_near emits ~1M verified pairs at sf0.1):
+        # median of 3 keeps total bench wall-clock bounded
+        n_runs = 3 if warm > 5.0 else 5
         times = []
-        for _ in range(5):
+        for _ in range(n_runs):
             t0 = time.time()
             run()
             times.append(time.time() - t0)
-        results[label] = round(sorted(times)[2], 4)  # median of 5
+        results[label] = round(sorted(times)[n_runs // 2], 4)
 
     total = round(sum(results.values()), 4)
     print(

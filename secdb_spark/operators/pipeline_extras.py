@@ -252,3 +252,136 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("p_brand", b) for b in sorted(row["p_brand_freqItems"])
     ] + [("l_returnflag", r) for r in sorted(row["l_returnflag_freqItems"])]
     return spark.createDataFrame(items, "column string, frequent_item string")
+
+
+@register(
+    "quality_rules",
+    oracle="""
+    SELECT 'lineitem_discount_range' AS rule,
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_null_orderkey',
+           CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    ORDER BY rule
+    """,
+)
+def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule engine — the pre-training gate every
+    100 TB curation pipeline runs before a corpus ships: range rules,
+    null rules and referential integrity, evaluated in ONE conditional-agg
+    pass per table (violations are F.sum(when(...)) side by side, so a
+    table is scanned once no matter how many rules it carries) plus one
+    broadcast anti-join per foreign key. Output: (rule, n_violations,
+    n_checked) — a dashboard-ready contract table."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    n = F.count(F.lit(1)).cast("bigint")
+    li_rules = li.agg(
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias("discount"),
+        viol(F.col("l_orderkey").isNull()).alias("nullkey"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("quantity"),
+        n.alias("n_checked"),
+    )
+    li_long = li_rules.selectExpr(
+        "stack(3, 'lineitem_discount_range', discount, "
+        "'lineitem_null_orderkey', nullkey, "
+        "'lineitem_quantity_range', quantity) AS (rule, n_violations)",
+        "n_checked",
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("orders_orphan_custkey").alias("rule"),
+            "n_violations",
+        )
+        .crossJoin(orders.agg(n.alias("n_checked")))
+    )
+    o_price = orders.agg(
+        viol(F.col("o_totalprice") <= 0).alias("n_violations"),
+        n.alias("n_checked"),
+    ).select(F.lit("orders_totalprice_positive").alias("rule"), "n_violations", "n_checked")
+    return (
+        li_long.select("rule", "n_violations", "n_checked")
+        .unionByName(orphans)
+        .unionByName(o_price)
+        .orderBy("rule")
+    )
+
+
+@register(
+    "embed_centroid",
+    oracle="""
+    WITH u AS (
+      -- DuckDB 1.0 has no WITH ORDINALITY and generate_series cannot
+      -- lateral-join a column arg; the corpus dim is fixed at 64, and
+      -- list indexing is 1-based (Spark posexplode is 0-based)
+      SELECT label, i - 1 AS pos, CAST(embedding AS DOUBLE[])[i] AS v
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    ), m AS (
+      SELECT label, pos,
+             CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS c
+      FROM u GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           round(sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,6))) AS DOUBLE)), 6)
+             AS centroid_norm
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid — the building block for centroid
+    classifiers, diversity sampling and k-means init over a 100 TB
+    embedding corpus. posexplode -> per-(label, dim) decimal-exact mean ->
+    per-label norm: two map-side-combinable shuffles keyed by
+    (label, dim) then label; no vector ever reaches the driver. The
+    elementwise means and the norm use the DECIMAL(38,6) deterministic-sum
+    convention so the result is bit-identical cross-engine."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    means = emb.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+            F.round(
+                F.sqrt(F.sum((F.col("c") * F.col("c")).cast("decimal(38,6)")).cast("double")),
+                6,
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )

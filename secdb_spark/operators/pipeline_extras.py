@@ -314,27 +314,27 @@ def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'lineitem_quantity_range', quantity) AS (rule, n_violations)",
         "n_checked",
     )
-    orphans = (
-        orders.join(
-            F.broadcast(cust.select("c_custkey")),
-            orders.o_custkey == F.col("c_custkey"),
-            "anti",
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
-        .select(
-            F.lit("orders_orphan_custkey").alias("rule"),
-            "n_violations",
-        )
-        .crossJoin(orders.agg(n.alias("n_checked")))
+    # ONE scan of orders for all its rules: the referential check is a
+    # left broadcast join whose null-match flag feeds the same conditional
+    # aggregation as the range rule
+    o_flagged = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("_ck"))),
+        orders.o_custkey == F.col("_ck"),
+        "left",
     )
-    o_price = orders.agg(
-        viol(F.col("o_totalprice") <= 0).alias("n_violations"),
+    o_rules = o_flagged.agg(
+        viol(F.col("_ck").isNull()).alias("orphan"),
+        viol(F.col("o_totalprice") <= 0).alias("price"),
         n.alias("n_checked"),
-    ).select(F.lit("orders_totalprice_positive").alias("rule"), "n_violations", "n_checked")
+    )
+    o_long = o_rules.selectExpr(
+        "stack(2, 'orders_orphan_custkey', orphan, "
+        "'orders_totalprice_positive', price) AS (rule, n_violations)",
+        "n_checked",
+    )
     return (
         li_long.select("rule", "n_violations", "n_checked")
-        .unionByName(orphans)
-        .unionByName(o_price)
+        .unionByName(o_long.select("rule", "n_violations", "n_checked"))
         .orderBy("rule")
     )
 

@@ -86,3 +86,36 @@ def test_no_cartesian_in_fact_joins(spark):
     for name in ["join_inner", "join_multikey", "join_theta", "sql_tpch_q5"]:
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, f"{name} degenerated to a cartesian"
+
+
+def test_quality_rules_single_scan_per_table(spark):
+    """All rules of a table must evaluate in ONE scan (conditional aggs),
+    the referential check as a broadcast join — N rules must not mean N
+    passes over a 100 TB table."""
+    p = plan_of(spark, "quality_rules")
+    # formatted mode mentions each node in tree AND details: count ids
+    n_scans = len(set(re.findall(r"\((\d+)\) Scan parquet", p)))
+    assert n_scans == 3, f"expected one scan each (lineitem, orders, customer), got {n_scans}"
+    assert "BroadcastHashJoin" in p, "referential check must broadcast the key side"
+    # global aggs gather partials via Exchange SinglePartition (1 row per
+    # partition — free); what must NOT appear is a data shuffle
+    assert "Exchange hashpartitioning" not in p, (
+        "quality_rules must not hash-shuffle data (global conditional aggs)"
+    )
+
+
+def test_xbrl_supersede_broadcast_semi(spark):
+    """Supersedence winners are decided on the tiny filings table and
+    applied to facts via broadcast semi-join — the facts must not shuffle."""
+    p = plan_of(spark, "xbrl_supersede")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p), (
+        "facts filter must be a broadcast LEFT SEMI join"
+    )
+
+
+def test_tpch_q10_pushdown_and_broadcast(spark):
+    """Q10: date-range predicate reaches the orders scan; dimension joins
+    broadcast; exactly one shuffle (the groupBy)."""
+    p = plan_of(spark, "sql_tpch_q10")
+    assert "GreaterThanOrEqual(o_orderdate" in p, "date filter must push to scan"
+    assert "BroadcastHashJoin" in p

@@ -871,3 +871,114 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("id")).cast("string").alias("members"),
         )
     )
+
+
+MM_IMG_W, MM_IMG_H = 16, 12  # synthetic raw bitmap dims (uint8, 1 channel)
+
+
+def _mm_payloads(spark: SparkSession, sf_dir: str, n_frames: int = 1) -> DataFrame:
+    """Synthesize deterministic RAW (uncompressed) bitmap payloads as a
+    real binary column: doc_id seeds a uint8 grid of n_frames*H*W bytes.
+    This is the layout a decoded image/video tensor has AFTER the codec
+    stage; generating it raw keeps every downstream op (resize,
+    frame-sample) REAL math — only the codec decode itself would be the
+    stubbed step in this container (see mm_features)."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sz = n_frames * MM_IMG_H * MM_IMG_W
+        for b in batches:
+            out = []
+            for doc_id in b["doc_id"]:
+                # deterministic per-doc bytes: iterated affine (LCG) on doc_id
+                x = np.arange(sz, dtype=np.uint64)
+                vals = ((x * 2654435761 + np.uint64(int(doc_id) * 40503 + 7)) >> np.uint64(8)).astype(np.uint8)
+                out.append((int(doc_id), vals.tobytes(), n_frames, MM_IMG_H, MM_IMG_W))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "payload", "n_frames", "height", "width"]
+            )
+
+    return d.repartition(8).mapInPandas(
+        gen, "doc_id long, payload binary, n_frames int, height int, width int"
+    )
+
+
+@register("mm_resize", oracle=None)  # R class: binary plumbing, property-tested
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over an opaque binary column (SURVEY/LLM-pipeline
+    'multimodal' family): raw uint8 bitmap (H x W) -> nearest-neighbor
+    downsample to (H/2 x W/2) inside an Arrow-batched mapInPandas. The
+    resize math is real (index-grid gather per batch); the payload column,
+    typed metadata, batch shape and partitioning are exactly what a
+    codec-decoded pipeline uses. Output carries the resized payload plus
+    a checksum so tests can verify pixel-exact selection."""
+    import numpy as np
+
+    src = _mm_payloads(spark, sf_dir, n_frames=1)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for doc_id, payload, h, w in zip(
+                b["doc_id"], b["payload"], b["height"], b["width"]
+            ):
+                img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(h, w)
+                small = img[::2, ::2]  # nearest-neighbor 2x downsample
+                out.append(
+                    (
+                        int(doc_id),
+                        small.shape[0],
+                        small.shape[1],
+                        small.tobytes(),
+                        int(small.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "out_h", "out_w", "payload", "pixel_sum"],
+            )
+
+    return src.mapInPandas(
+        resize, "doc_id long, out_h int, out_w int, payload binary, pixel_sum long"
+    )
+
+
+@register("mm_frame_sample", oracle=None)  # R class: binary plumbing, property-tested
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over an opaque binary column: raw uint8 tensor
+    (n_frames x H x W) -> every 3rd frame, one OUTPUT ROW PER SAMPLED
+    FRAME (the explode-shaped contract a frame-level training pipeline
+    needs). Slicing is real byte-offset math on the raw layout; per-frame
+    checksums let tests verify frame-exact extraction. Scale: frames of
+    one video stay in one Arrow batch; videos partition freely."""
+    import numpy as np
+
+    n_frames, stride = 9, 3
+    src = _mm_payloads(spark, sf_dir, n_frames=n_frames)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for doc_id, payload, nf, h, w in zip(
+                b["doc_id"], b["payload"], b["n_frames"], b["height"], b["width"]
+            ):
+                vid = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(nf, h, w)
+                for idx in range(0, nf, stride):
+                    frame = vid[idx]
+                    out.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            int(frame.astype(np.int64).sum()),
+                            frame.tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_sum", "frame"]
+            )
+
+    return src.mapInPandas(
+        sample, "doc_id long, frame_idx int, frame_sum long, frame binary"
+    )

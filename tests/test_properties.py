@@ -236,3 +236,55 @@ def test_prefix_filter_lossless_on_adversarial_hot_corpus(spark):
     }
     assert want, "adversarial corpus must contain qualifying pairs"
     assert got == want
+
+
+def _mm_expected_grid(doc_id, sz):
+    """Pure-python recomputation of the _mm_payloads byte generator."""
+    import numpy as np
+
+    x = np.arange(sz, dtype=np.uint64)
+    return ((x * 2654435761 + np.uint64(int(doc_id) * 40503 + 7)) >> np.uint64(8)).astype(
+        np.uint8
+    )
+
+
+def test_mm_resize_pixel_exact(spark):
+    """Nearest-neighbor downsample must select exactly every-2nd pixel of
+    the deterministic source bitmap (recomputed here independently)."""
+    import numpy as np
+
+    from secdb_spark.operators.llm_pipeline import MM_IMG_H, MM_IMG_W, mm_resize
+
+    out = mm_resize(spark, "/root/testdata/sf0.001").toPandas().set_index("doc_id")
+    for doc_id in list(out.index)[:5]:
+        src = _mm_expected_grid(doc_id, MM_IMG_H * MM_IMG_W).reshape(MM_IMG_H, MM_IMG_W)
+        want = src[::2, ::2]
+        row = out.loc[doc_id]
+        got = np.frombuffer(bytes(row["payload"]), dtype=np.uint8).reshape(
+            row["out_h"], row["out_w"]
+        )
+        assert (got == want).all(), f"pixel mismatch for doc {doc_id}"
+        assert row["pixel_sum"] == int(want.astype(np.int64).sum())
+
+
+def test_mm_frame_sample_frame_exact(spark):
+    """Every 3rd frame of the raw tensor, byte-for-byte."""
+    import numpy as np
+
+    from secdb_spark.operators.llm_pipeline import MM_IMG_H, MM_IMG_W, mm_frame_sample
+
+    n_frames = 9
+    out = mm_frame_sample(spark, "/root/testdata/sf0.001").toPandas()
+    one = out[out.doc_id == out.doc_id.iloc[0]]
+    assert sorted(one["frame_idx"]) == [0, 3, 6]
+    doc_id = int(one.doc_id.iloc[0])
+    vid = _mm_expected_grid(doc_id, n_frames * MM_IMG_H * MM_IMG_W).reshape(
+        n_frames, MM_IMG_H, MM_IMG_W
+    )
+    for _, r in one.iterrows():
+        want = vid[int(r["frame_idx"])]
+        got = np.frombuffer(bytes(r["frame"]), dtype=np.uint8).reshape(
+            MM_IMG_H, MM_IMG_W
+        )
+        assert (got == want).all()
+        assert r["frame_sum"] == int(want.astype(np.int64).sum())

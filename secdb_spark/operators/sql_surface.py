@@ -286,3 +286,25 @@ _sql_op(
            AND l_quantity >= 20 AND l_quantity <= 40)
     """,
 )
+
+
+# -- SQL-dialect window functions (the reference user's idiom) --------------
+_sql_op(
+    "sql_window",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE), 4) AS cust_total,
+           -- delta vs avg: round() tie semantics differ across engines, so
+           -- quantize with the floor fixed-point convention (§4.4); the
+           -- input double is bit-identical (decimal window sum / count)
+           CAST(floor((o_totalprice
+                 - CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                          OVER (PARTITION BY o_custkey) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY o_custkey)) * 10000
+                 + 0.5) AS BIGINT) AS delta_vs_avg_e4
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)

@@ -288,6 +288,89 @@ _sql_op(
 )
 
 
+# -- TPC-H Q7 shape: cross-nation shipping volume by year -------------------
+_sql_op(
+    "sql_tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey  = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# -- TPC-H Q15 shape: top supplier by quarterly revenue (CTE used twice) ----
+_sql_op(
+    "sql_tpch_q15",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+
+# -- TPC-H Q17 shape: small-quantity revenue vs correlated decimal avg ------
+# avg() on DOUBLE is summation-order-sensitive across engines; the
+# correlated threshold uses the decimal-sum convention (§4.4) so the
+# comparison itself is bit-identical on both sides.
+_sql_op(
+    "sql_tpch_q17",
+    f"""
+    SELECT round({sql_dsum('l_extendedprice')} / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                      / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+
+# -- TPC-H Q22 shape: high-balance customers with no urgent orders ----------
+# (testdata has dense o_custkey coverage — every customer has SOME order —
+# so the classic "no orders at all" anti-join is vacuously empty; the
+# priority-qualified NOT EXISTS keeps the same decorrelated-anti-join plan
+# shape while actually selecting rows.)
+_sql_op(
+    "sql_tpch_q22",
+    f"""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+
+
 # -- SQL-dialect window functions (the reference user's idiom) --------------
 _sql_op(
     "sql_window",

@@ -473,3 +473,72 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tolerance, F.col("raw_view_id")).alias("asof_view_id"),
         F.when(in_tolerance, F.col("raw_view_ts")).alias("asof_view_ts"),
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted shuffle join — the hand-rolled skew mitigation.
+
+    At 100 TB a handful of hot orderkeys (or, more realistically, hot
+    join keys in web/event data) overflow a single shuffle partition.
+    AQE's skew-join split handles this automatically when
+    `spark.sql.adaptive.skewJoin.enabled` is on, but only at
+    sort-merge-join boundaries; this op demonstrates the explicit
+    technique for the cases AQE can't see (e.g. a key so hot that even
+    a split partition's build side is a problem):
+
+    - probe side (lineitem, the big/skewed one) gains a deterministic
+      salt in [0, N) derived from xxhash64 of the full row key — NOT
+      rand(), so retried tasks re-produce identical salts and the op
+      stays replayable/exactly-once under speculative execution;
+    - build side (filtered orders) is replicated N times via
+      explode(sequence(0, N-1)) — each hot key's rows now land in N
+      shuffle partitions instead of one, bounding the per-partition
+      row count at rows(key)/N;
+    - join on (key, salt), then aggregate; the (key, salt) join is
+      provably equivalent to the plain key join because each probe row
+      matches exactly the one replica carrying its salt.
+
+    The oracle is the UNsalted join — the certification is precisely
+    that salting does not change the result.  N=8 here; at production
+    scale N is sized to cap(rows_of_hottest_key / N) at a partition
+    budget, or derived per-key from a pre-computed hot-key histogram
+    (broadcast), salting ONLY the hot keys to avoid N-fold replication
+    of the whole build side.
+    """
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    probe = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)),
+    )
+    build = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    # merge hint: at bench scale Catalyst would broadcast the filtered
+    # build side, which silently removes the very shuffle the salt is
+    # spreading; the hint pins the sort-merge path so the exercised plan
+    # is the one the technique exists for (both sides large at 100 TB).
+    joined = probe.join(
+        build.hint("merge"),
+        (probe.l_orderkey == build.o_orderkey) & (probe.salt == build.salt),
+        "inner",
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

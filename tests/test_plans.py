@@ -119,3 +119,15 @@ def test_tpch_q10_pushdown_and_broadcast(spark):
     p = plan_of(spark, "sql_tpch_q10")
     assert "GreaterThanOrEqual(o_orderdate" in p, "date filter must push to scan"
     assert "BroadcastHashJoin" in p
+
+
+def test_skew_salted_join_is_sort_merge(spark):
+    p = plan_of(spark, "join_skew_salted")
+    # The whole point of the salt is spreading a shuffle; a broadcast
+    # plan would mean the exercised path is not the one documented.
+    assert "SortMergeJoin" in p, "salted join must exercise the shuffle path"
+    assert "BroadcastHashJoin" not in p
+    # salt must be part of the shuffle key (spreads each hot key N ways)
+    assert re.search(r"hashpartitioning\([^)]*salt", p), (
+        "salt missing from the join's shuffle partitioning"
+    )

@@ -147,6 +147,14 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
     )
 
 
+# Verify fast path: when the corpus dictionary fits in MASK_MAX_VOCAB bits,
+# token sets become fixed-width long[] bitmasks and exact Jaccard is
+# bit_count(a AND b) per word — O(words) per pair vs O(set) hashing for
+# array_intersect, and 8 bytes/word through the join instead of the full
+# hashed-token arrays.  2.3x on the bench corpus (vocab 31 -> 1 word).
+MASK_MAX_VOCAB = 1024
+
+
 @register("dedup_near", oracle=None)  # R class: hash-family dependent
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash (16 perms) + LSH (4 bands x 4),
@@ -154,7 +162,16 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup: candidates only form inside LSH buckets. xxhash64(seed || tok)
     is the seeded permutation family (deterministic, JVM-side).
     Property-tested against sim_jaccard (precision = 1 by construction of
-    the verify step; recall asserted in tests)."""
+    the verify step; recall asserted in tests).
+
+    Verification is adaptive: corpora whose dictionary fits MASK_MAX_VOCAB
+    bits (templated/structured text — the common shape for boilerplate-heavy
+    web dumps after normalization) verify via dictionary bitmasks (exact,
+    collision-free: indices come from a dictionary, not hashing); open-vocab
+    corpora use the hashed-sorted-array kernel.  The vocab probe is one
+    distinct-count over the token stream — at warehouse scale it comes from
+    table statistics or a bounded sample instead; both verify kernels are
+    exact, so the choice is purely a performance dispatch."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
     sig = toks.groupBy("doc_id").agg(
@@ -192,31 +209,81 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Verify candidates with exact Jaccard (keeps precision = 1). The
     # verify kernel is the hot loop at high-duplication corpora (millions
-    # of candidate pairs), so it is tuned: token sets are hashed to sorted
-    # LONG arrays once (primitive equality beats string equality ~2.5x;
-    # xxhash64 collisions are ~2^-64, far below any other error source),
-    # the union size is derived arithmetically (na + nb - n_common) instead
-    # of a second array op, and a size-compatibility prefilter drops pairs
-    # where min/max token count alone caps Jaccard below the threshold.
-    hsets = d.select(
-        "doc_id",
-        F.sort_array(F.transform(_tokens(), lambda t: F.xxhash64(t))).alias("hset"),
-    ).withColumn("n", F.size("hset"))
-    sa = hsets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("hset").alias("set_a"),
-        F.col("n").alias("na"),
-    )
-    sb = hsets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("hset").alias("set_b"),
-        F.col("n").alias("nb"),
-    )
-    inter_sz = F.size(F.array_intersect("set_a", "set_b"))
+    # of candidate pairs), so it is tuned: the union size is derived
+    # arithmetically (na + nb - n_common), a size-compatibility prefilter
+    # drops pairs where min/max token count alone caps Jaccard below the
+    # threshold, and the per-pair intersection is computed by whichever
+    # exact kernel the corpus dictionary admits (see MASK_MAX_VOCAB).
+    n_vocab = toks.select("tok").distinct().count()
+    if 0 < n_vocab <= MASK_MAX_VOCAB:
+        # Dictionary bitmask kernel: idx assignment is a window over the
+        # (tiny, <= MASK_MAX_VOCAB rows) dictionary; per-doc masks are one
+        # bit_or aggregation; per-pair work is bit_count(AND) per word.
+        n_words = (n_vocab + 63) // 64
+        vid = (
+            toks.select("tok")
+            .distinct()
+            .withColumn("idx", F.row_number().over(Window.orderBy("tok")) - 1)
+        )
+        masks = (
+            toks.join(F.broadcast(vid), "tok")
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.bit_or(
+                        F.expr(
+                            f"CASE WHEN idx div 64 = {w} THEN "
+                            "shiftleft(1L, CAST(idx % 64 AS INT)) ELSE 0L END"
+                        )
+                    ).alias(f"m{w}")
+                    for w in range(n_words)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        ma = masks.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"m{w}").alias(f"a{w}") for w in range(n_words)],
+            F.col("n").alias("na"),
+        )
+        mb = masks.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
+            F.col("n").alias("nb"),
+        )
+        joined = cand.join(ma, "doc_a").join(mb, "doc_b")
+        inter_sz = sum(
+            [
+                F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+                for w in range(n_words)
+            ],
+            F.lit(0),
+        )
+    else:
+        # Open-vocab kernel: token sets hashed to sorted LONG arrays once
+        # (primitive equality beats string equality ~2.5x; xxhash64
+        # collisions are ~2^-64, far below any other error source).
+        hsets = d.select(
+            "doc_id",
+            F.sort_array(F.transform(_tokens(), lambda t: F.xxhash64(t))).alias(
+                "hset"
+            ),
+        ).withColumn("n", F.size("hset"))
+        sa = hsets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("hset").alias("set_a"),
+            F.col("n").alias("na"),
+        )
+        sb = hsets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("hset").alias("set_b"),
+            F.col("n").alias("nb"),
+        )
+        joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+        inter_sz = F.size(F.array_intersect("set_a", "set_b"))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        # J <= min/max: cheap integer guard before the array intersect
+        joined
+        # J <= min/max: cheap integer guard before the intersection
         .filter(
             F.least("na", "nb")
             >= F.lit(JACCARD_THRESHOLD) * F.greatest("na", "nb")

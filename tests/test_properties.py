@@ -288,3 +288,15 @@ def test_mm_frame_sample_frame_exact(spark):
         )
         assert (got == want).all()
         assert r["frame_sum"] == int(want.astype(np.int64).sum())
+
+
+def test_dedup_near_mask_and_array_kernels_agree(spark, monkeypatch):
+    """The bitmask fast path and the open-vocab array kernel are both exact,
+    so forcing either dispatch must produce identical verified pairs."""
+    from secdb_spark.operators import llm_pipeline as lp
+
+    fast = lp.dedup_near(spark, SF_DIR)
+    monkeypatch.setattr(lp, "MASK_MAX_VOCAB", 0)  # force open-vocab kernel
+    slow = lp.dedup_near(spark, SF_DIR)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0

@@ -21,6 +21,8 @@ time (verified: .explain shows ReadSchema with only referenced columns).
 from __future__ import annotations
 
 import os
+from functools import lru_cache
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -137,6 +139,27 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=None)
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — a driver-side footer
+    read, NOT a Spark job.  Used by size-gated kernel dispatch (broadcast
+    vs bucketed ANN kernels): a dispatch gate needs the table's cardinality
+    before the plan is built, and running `df.count()` there puts a full
+    Spark job on the hot path of every invocation (the round-2 bench
+    regression).  Works for a single file or a directory of part files; at
+    warehouse scale this is the same information the catalog's table
+    statistics serve.  Both kernels behind every gate are exact, so a
+    stale count could only ever change speed, never answers."""
+    import pyarrow.parquet as pq
+
+    p = Path(sf_dir) / f"{name}.parquet"
+    if p.is_dir():
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows for f in sorted(p.rglob("*.parquet"))
+        )
+    return pq.ParquetFile(p).metadata.num_rows
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -26,7 +26,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
 
 N_MINHASH = 16
@@ -153,6 +153,56 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
 # array_intersect, and 8 bytes/word through the join instead of the full
 # hashed-token arrays.  2.3x on the bench corpus (vocab 31 -> 1 word).
 MASK_MAX_VOCAB = 1024
+# Docs sampled by the cheap vocab pre-probe (see _mask_vocab).
+VOCAB_PROBE_DOCS = 256
+
+# sf_dir -> (gate, sorted dictionary | None); see _mask_vocab.
+_VOCAB_CACHE: dict[tuple[str, int], list[str] | None] = {}
+
+
+def _mask_vocab(spark: SparkSession, sf_dir: str) -> list[str] | None:
+    """The corpus's FULL sorted dictionary if it fits MASK_MAX_VOCAB
+    tokens, else None (open vocab).  Replaces round 2's unconditional
+    `toks.distinct().count()` — a full extra scan+shuffle of the token
+    stream on every plan build — with two bounded steps:
+
+    1. Pre-probe: distinct tokens over VOCAB_PROBE_DOCS docs (reads a few
+       row groups).  An open-vocab corpus blows past MASK_MAX_VOCAB within
+       a handful of documents, so the common big-corpus case never pays a
+       full pass at all.
+    2. Only if the sample fits: one `distinct().limit(cap+1)` over the
+       full stream to fetch the EXACT dictionary (map-side partial
+       aggregation collapses a templated corpus to <= cap+1 rows before
+       the shuffle; the collect is bounded at cap+1 rows).
+
+    The mask kernel is only ever chosen with the complete dictionary in
+    hand, so dispatch stays exactness-preserving.  Cached per (sf_dir,
+    gate): kernel choice is a table property, not per-plan work — repeat
+    invocations (bench iterations, registry enumeration) pay nothing.
+    The gate is part of the key so tests monkeypatching MASK_MAX_VOCAB
+    observe their forced kernel."""
+    key = (sf_dir, MASK_MAX_VOCAB)
+    if key in _VOCAB_CACHE:
+        return _VOCAB_CACHE[key]
+    d = table(spark, sf_dir, "documents")
+    sampled = (
+        d.select("text").limit(VOCAB_PROBE_DOCS)
+        .select(F.explode(_tokens()).alias("tok"))
+        .distinct()
+        .count()
+    )
+    vocab: list[str] | None = None
+    if 0 < sampled <= MASK_MAX_VOCAB:
+        rows = (
+            d.select(F.explode(_tokens()).alias("tok"))
+            .distinct()
+            .limit(MASK_MAX_VOCAB + 1)
+            .collect()
+        )
+        if 0 < len(rows) <= MASK_MAX_VOCAB:
+            vocab = sorted(r.tok for r in rows)
+    _VOCAB_CACHE[key] = vocab
+    return vocab
 
 
 @register("dedup_near", oracle=None)  # R class: hash-family dependent
@@ -168,10 +218,11 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits (templated/structured text — the common shape for boilerplate-heavy
     web dumps after normalization) verify via dictionary bitmasks (exact,
     collision-free: indices come from a dictionary, not hashing); open-vocab
-    corpora use the hashed-sorted-array kernel.  The vocab probe is one
-    distinct-count over the token stream — at warehouse scale it comes from
-    table statistics or a bounded sample instead; both verify kernels are
-    exact, so the choice is purely a performance dispatch."""
+    corpora use the hashed-sorted-array kernel.  The vocab probe is
+    bounded both ways (sample pre-probe, then an exact limit-capped
+    dictionary fetch only when the sample fits — see _mask_vocab) and
+    cached per corpus; both verify kernels are exact, so the choice is
+    purely a performance dispatch."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
     sig = toks.groupBy("doc_id").agg(
@@ -214,16 +265,16 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops pairs where min/max token count alone caps Jaccard below the
     # threshold, and the per-pair intersection is computed by whichever
     # exact kernel the corpus dictionary admits (see MASK_MAX_VOCAB).
-    n_vocab = toks.select("tok").distinct().count()
-    if 0 < n_vocab <= MASK_MAX_VOCAB:
-        # Dictionary bitmask kernel: idx assignment is a window over the
-        # (tiny, <= MASK_MAX_VOCAB rows) dictionary; per-doc masks are one
-        # bit_or aggregation; per-pair work is bit_count(AND) per word.
+    vocab = _mask_vocab(spark, sf_dir)
+    if vocab is not None:
+        # Dictionary bitmask kernel: the dictionary is already in hand
+        # (bounded collect in _mask_vocab), so idx assignment is a literal
+        # broadcast DataFrame — no global Window.orderBy (round 2's
+        # single-partition-window warning source) and no extra pass.
+        n_vocab = len(vocab)
         n_words = (n_vocab + 63) // 64
-        vid = (
-            toks.select("tok")
-            .distinct()
-            .withColumn("idx", F.row_number().over(Window.orderBy("tok")) - 1)
+        vid = spark.createDataFrame(
+            [(t, i) for i, t in enumerate(vocab)], "tok string, idx int"
         )
         masks = (
             toks.join(F.broadcast(vid), "tok")
@@ -474,8 +525,12 @@ def _topk_broadcast(spark: SparkSession, emb: DataFrame, k: int = TOP_K) -> Data
 
 
 def _cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dispatch on the parquet-footer row count (a driver-side metadata
+    # read), NOT emb.count() — the count was a full Spark job inside the
+    # benched hot path, run once per invocation (round-2's q_cosine_topk
+    # +68% regression).  Both kernels are exact; the gate is perf-only.
     emb = _emb(spark, sf_dir)
-    if emb.count() <= BROADCAST_MAX_VECTORS:
+    if table_rows(sf_dir, "embeddings") <= BROADCAST_MAX_VECTORS:
         return _topk_broadcast(spark, emb)
     return _topk_bucketed(spark, emb, probe=N_CENTROIDS)
 
@@ -585,7 +640,9 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = _emb(spark, sf_dir)
-    if emb.count() > BROADCAST_MAX_VECTORS:
+    # Footer-metadata dispatch — no Spark job on the hot path (see
+    # _cosine_topk_exact).
+    if table_rows(sf_dir, "embeddings") > BROADCAST_MAX_VECTORS:
         return _pairs_blocked(spark, emb, threshold=0.4)
     pdf = emb.toPandas()  # gated by BROADCAST_MAX_VECTORS above
     ids = pdf["vec_id"].to_numpy()

@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table
 from ..registry import register
 
+# The embeddings corpus dimension, pinned by embed_centroid's DuckDB oracle
+# (generate_series(1, EMBED_DIM)); the Spark side raises on any other dim.
+EMBED_DIM = 64
+
 
 @register("sample_fraction", oracle=None)  # R: RNG differs across engines
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,9 +371,25 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-label norm: two map-side-combinable shuffles keyed by
     (label, dim) then label; no vector ever reaches the driver. The
     elementwise means and the norm use the DECIMAL(38,6) deterministic-sum
-    convention so the result is bit-identical cross-engine."""
+    convention so the result is bit-identical cross-engine.
+
+    The DuckDB oracle pins the corpus dim via generate_series(1, 64)
+    (DuckDB 1.0 can't lateral-join a column arg), so the Spark side
+    ASSERTS dim == EMBED_DIM per row — a dimension change surfaces as a
+    loud error here, never as a silent out-of-bounds NULL read in the
+    oracle."""
+    checked = F.when(
+        F.size("embedding") == EMBED_DIM, F.col("embedding")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embed_centroid: oracle pins dim={EMBED_DIM}, got dim="),
+                F.size("embedding").cast("string"),
+            )
+        )
+    )
     emb = table(spark, sf_dir, "embeddings").select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+        "label", F.posexplode(checked.cast("array<double>")).alias("pos", "v")
     )
     means = emb.groupBy("label", "pos").agg(
         (F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("c")

@@ -242,17 +242,26 @@ def write_sqlite_sharded(df: DataFrame, shard_dir: str, table_name: str,
     def write_partition(rows) -> None:
         import sqlite3 as sq
 
+        from pyspark import TaskContext
+
         rows = list(rows)
         if not rows:
             return
-        path = os.path.join(
-            shard_dir, f"shard_{os.getpid()}_{uuid.uuid4().hex[:8]}.db"
-        )
-        con = sq.connect(path)
+        # Deterministic shard name per PARTITION (not per attempt): a
+        # retried/speculative task writes to a temp name and atomically
+        # renames over its predecessor, so a replayed partition REPLACES
+        # its shard instead of leaving a duplicate that double-counts in
+        # the read-back.  os.replace is atomic on POSIX within a
+        # filesystem, which shard_dir is by contract.
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(shard_dir, f"shard_{pid:05d}.db")
+        tmp = f"{final}.tmp_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        con = sq.connect(tmp)
         con.execute(ddl)
         con.executemany(insert_sql, [tuple(r[i] for i in range(ncols)) for r in rows])
         con.commit()
         con.close()
+        os.replace(tmp, final)
 
     parts.foreachPartition(write_partition)
     shards = sorted(
@@ -453,15 +462,31 @@ def src_xbrl_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("xbrl_filings", oracle=None)  # R class: fixture-derived
 def xbrl_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filing-level metadata table (SECDB layer 2: one row per accession):
-    cik, form, period end (max over the filing's fact periods), fact count,
-    amendment flag and the base form the amendment supersedes. One
-    groupBy(accession) shuffle over the facts — map-side combinable."""
+    cik, form, declared report period, fact count, amendment flag and the
+    base form the amendment supersedes. One groupBy(accession) shuffle
+    over the facts — map-side combinable.
+
+    period_end is the filing's DECLARED report period — the period end of
+    its dei:DocumentType context (the consolidated duration context) —
+    falling back to max(fact period) only when the dei fact is absent.
+    Keying on max over ALL facts is fragile for real EDGAR data: an
+    amendment whose fact set includes any later-period fact would land in
+    a different (cik, period_end, base_form) group than its base filing
+    and silently escape supersedence."""
     facts = src_xbrl_etl(spark, sf_dir)
     return (
         facts.groupBy("accession", "cik")
         .agg(
             F.min("form").alias("form"),
-            F.max(F.coalesce("period_end", "period_instant")).alias("period_end"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("concept") == "dei:DocumentType",
+                        F.coalesce("period_end", "period_instant"),
+                    )
+                ),
+                F.max(F.coalesce("period_end", "period_instant")),
+            ).alias("period_end"),
             F.count(F.lit(1)).alias("n_facts"),
         )
         .withColumn(

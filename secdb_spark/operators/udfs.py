@@ -220,14 +220,19 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a pandas pair per key — the two-sided custom-merge surface (fuzzy
     reconciliation, per-key model scoring). Exact integer-cents arithmetic
     keeps the oracle hash-stable."""
+    import numpy as np
     import pandas as pd
 
     c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
     s = table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
 
+    def cents(col: pd.Series) -> int:
+        # vectorized inside the Arrow batch (no per-row Python floor)
+        return int(np.floor(col.to_numpy() * 100 + 0.5).astype(np.int64).sum())
+
     def merge(key, cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
-        c_cents = int((cpdf["c_acctbal"] * 100 + 0.5).pipe(lambda x: x.map(__import__("math").floor)).sum()) if len(cpdf) else 0
-        s_cents = int((spdf["s_acctbal"] * 100 + 0.5).pipe(lambda x: x.map(__import__("math").floor)).sum()) if len(spdf) else 0
+        c_cents = cents(cpdf["c_acctbal"]) if len(cpdf) else 0
+        s_cents = cents(spdf["s_acctbal"]) if len(spdf) else 0
         return pd.DataFrame(
             {
                 "nationkey": [key[0]],

@@ -43,33 +43,81 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
     return deco
 
 
-# Ops already driver-certified in CORRECTNESS_r01.json.  The driver records
-# the FIRST 50 registry entries per round, so ops not yet certified must be
-# emitted first; these round-1 keys go last.  Update per round as the
-# CORRECTNESS_r{N} union grows.
-_DRIVER_CERTIFIED: frozenset[str] = frozenset({
-    "agg_group", "agg_global", "agg_count_distinct", "agg_multi_distinct",
-    "agg_approx_distinct", "agg_having", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_collect", "agg_stats", "agg_percentile",
-    "agg_percentile_approx", "agg_minmax_by", "agg_pivot", "agg_unpivot",
-    "fn_str_basic", "fn_str_regex", "fn_str_search", "fn_date_extract",
-    "fn_date_trunc", "fn_date_arith", "fn_ts_convert", "fn_math", "fn_null",
-    "fn_arr_basic", "fn_arr_explode", "fn_arr_hof", "fn_map", "fn_json",
-    "join_inner", "join_broadcast", "join_left", "join_right", "join_full",
-    "join_semi", "join_anti", "join_cross", "join_multikey", "join_theta",
-    "join_self", "join_asof", "join_interval", "join_asof_tolerance",
-    "dedup_exact", "sim_jaccard", "dedup_near", "sim_cosine_topk", "ann_ivf",
-    "sim_knn",
-})
+# Ops already driver-certified.  The driver records the FIRST 50 registry
+# entries per round, so ops not yet certified must be emitted first and
+# already-certified ones last.  Derived at import time from the union of
+# CORRECTNESS_r*.json keys in the repo root so the set can never drift from
+# what the driver actually recorded (a hand-maintained copy silently pushed
+# 41 uncertified ops past the round-3 window before this change).
+
+
+def _load_driver_certified() -> frozenset[str]:
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    names: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            names.update(json.loads(f.read_text()))
+        except (OSError, ValueError):
+            continue
+    return frozenset(names)
+
+
+_DRIVER_CERTIFIED: frozenset[str] = _load_driver_certified()
+
+
+# SURVEY §2 rows-only ops that must win certification slots over registered
+# extras (the driver checks only the first 50 entries per round; extras like
+# sample_fraction / xbrl_metrics can wait a round, §2 op-ids cannot).
+# dedup_clusters rides along: it is the LLM-pipeline connected-components op
+# and the most informative of the extras.  Deferred-by-arithmetic extras
+# (mm_features, dedup_simhash, sample_*, agg_freq_items, xbrl_metrics) are
+# all property-tested locally and documented in README.md.
+_ROWS_ONLY_PRIORITY: tuple[str, ...] = (
+    "stream_watermark", "stream_dedup", "stream_stateful",
+    "snk_sqlite", "src_xbrl_etl", "xbrl_filings", "xbrl_supersede",
+    "build_secdb", "mm_resize", "mm_frame_sample",
+    "dedup_clusters",
+)
+
+
+# The 50 ops pinned to round-3 certification slots: the 39 pending
+# exact-oracle §2 ops + the 11 priority rows-only ops above.  Pinning the
+# slate (rather than computing it) keeps ops REGISTERED AFTER this round from
+# displacing §2 op-ids out of the driver's first-50 window; new ops queue for
+# round 4.  Once CORRECTNESS_r03.json lands, these names join
+# _DRIVER_CERTIFIED and the slate becomes a no-op.
+_CERT_SLATE: tuple[str, ...] = (
+    "sql_tpch_q14", "sql_tpch_q19", "sql_tpch_q7", "sql_tpch_q15",
+    "sql_tpch_q17", "sql_tpch_q22", "sql_window", "stream_tumbling",
+    "stream_sliding", "stream_session", "stream_static_join",
+    "stream_stream_join", "text_tokenize", "text_tf", "text_ngram",
+    "text_lang", "text_sentiment", "text_langid", "text_quality",
+    "text_tokens_bpe", "text_fingerprint", "seq_pack", "udf_python",
+    "udf_pandas_scalar", "udf_pandas_agg", "udf_grouped_map", "udtf_python",
+    "udf_arrow_map", "udf_cogrouped_map", "win_rownum", "win_rank",
+    "win_ntile", "win_dist", "win_lag_lead", "win_running", "win_moving",
+    "win_range_frame", "win_first_last", "win_topk_group",
+) + _ROWS_ONLY_PRIORITY
 
 
 def _certification_order(names) -> list[str]:
-    """Uncertified ops first (exact-oracle ones before rows-only, each in
-    registration order), already-certified ones last."""
-    pending_exact = [n for n in names if n not in _DRIVER_CERTIFIED and n in _ORACLES]
-    pending_rows = [n for n in names if n not in _DRIVER_CERTIFIED and n not in _ORACLES]
+    """Uncertified slate ops first, then other uncertified ops (exact-oracle
+    before rows-only, each in registration order), already-certified last."""
+    names = list(names)
+    slate = [n for n in _CERT_SLATE if n in names and n not in _DRIVER_CERTIFIED]
+    pending_exact = [
+        n for n in names
+        if n not in _DRIVER_CERTIFIED and n in _ORACLES and n not in slate
+    ]
+    pending_rows = [
+        n for n in names
+        if n not in _DRIVER_CERTIFIED and n not in _ORACLES and n not in slate
+    ]
     done = [n for n in names if n in _DRIVER_CERTIFIED]
-    return pending_exact + pending_rows + done
+    return slate + pending_exact + pending_rows + done
 
 
 def all_queries() -> dict[str, SparkQuery]:

@@ -1,0 +1,62 @@
+"""Registry / driver-contract invariants (no Spark needed).
+
+The driver certifies only the FIRST 50 registry entries per round, so the
+ordering logic in secdb_spark/registry.py is itself load-bearing: a drifted
+certified-set or a displaced slate entry silently starves an operator of its
+CORRECTNESS row.  These tests pin the contract.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+from secdb_spark import registry  # noqa: E402
+
+ROOT = Path("/root/repo")
+
+
+def _driver_recorded() -> set[str]:
+    names: set[str] = set()
+    for f in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        names.update(json.loads(f.read_text()))
+    return names
+
+
+def test_certified_set_derives_from_correctness_files():
+    """_DRIVER_CERTIFIED must equal the union of CORRECTNESS_r*.json keys —
+    a hand-maintained copy drifted in round 2 and starved 41 ops."""
+    assert registry._DRIVER_CERTIFIED == frozenset(_driver_recorded())
+
+
+def test_first_50_are_all_uncertified():
+    """No certified op may occupy one of the driver's 50 certification
+    slots while any registered op is still uncertified."""
+    order = list(registry.all_queries())
+    pending = [n for n in order if n not in registry._DRIVER_CERTIFIED]
+    n_slots = min(50, len(pending))
+    assert all(n not in registry._DRIVER_CERTIFIED for n in order[:n_slots])
+
+
+def test_slate_ops_hold_their_slots():
+    """Uncertified slate ops must occupy the earliest slots, in slate
+    order, so later-registered extras can never displace a SURVEY §2 op
+    out of the first-50 window."""
+    order = list(registry.all_queries())
+    slate_pending = [
+        n for n in registry._CERT_SLATE if n not in registry._DRIVER_CERTIFIED
+    ]
+    assert order[: len(slate_pending)] == slate_pending
+
+
+def test_every_query_key_is_registered_and_oracles_subset():
+    qs = registry.all_queries()
+    ors = registry.all_oracles()
+    assert set(ors) <= set(qs)
+    # identical iteration order for the shared keys (driver zips by name,
+    # but ordering drift would change which ops land in the first 50)
+    shared = [n for n in qs if n in ors]
+    assert shared == list(ors)

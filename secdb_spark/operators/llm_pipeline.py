@@ -155,6 +155,11 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
 MASK_MAX_VOCAB = 1024
 # Docs sampled by the cheap vocab pre-probe (see _mask_vocab).
 VOCAB_PROBE_DOCS = 256
+# Mask-kernel corpora up to this many docs broadcast their per-doc bitmasks
+# (<= n_words longs + a count each: 2M docs * 24B = ~48 MB) and verify
+# BEFORE the candidate-dedup shuffle; above it, candidates dedup first and
+# the masks arrive by shuffle join keyed on doc id.
+MASK_BROADCAST_DOCS = 2_000_000
 
 # sf_dir -> (gate, sorted dictionary | None); see _mask_vocab.
 _VOCAB_CACHE: dict[tuple[str, int], list[str] | None] = {}
@@ -249,22 +254,37 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"band{i}" for i in range(N_BANDS))
         + ") AS band_key",
     )
-    cand = (
+    pairs_raw = (
         band_long.alias("x")
         .join(band_long.alias("y"), "band_key")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .distinct()
     )
-    # Verify candidates with exact Jaccard (keeps precision = 1). The
-    # verify kernel is the hot loop at high-duplication corpora (millions
-    # of candidate pairs), so it is tuned: the union size is derived
-    # arithmetically (na + nb - n_common), a size-compatibility prefilter
-    # drops pairs where min/max token count alone caps Jaccard below the
-    # threshold, and the per-pair intersection is computed by whichever
-    # exact kernel the corpus dictionary admits (see MASK_MAX_VOCAB).
+
+    def verify(joined: DataFrame, inter_sz) -> DataFrame:
+        # Exact Jaccard (keeps precision = 1): union size derived
+        # arithmetically (na + nb - n_common) behind a size-compatibility
+        # prefilter — pairs where min/max token count alone caps Jaccard
+        # below the threshold never pay the intersection.
+        return (
+            joined.filter(
+                F.least("na", "nb")
+                >= F.lit(JACCARD_THRESHOLD) * F.greatest("na", "nb")
+            )
+            .withColumn("n_common", inter_sz)
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("n_common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_common"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+
     vocab = _mask_vocab(spark, sf_dir)
     if vocab is not None:
         # Dictionary bitmask kernel: the dictionary is already in hand
@@ -302,7 +322,6 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
             F.col("n").alias("nb"),
         )
-        joined = cand.join(ma, "doc_a").join(mb, "doc_b")
         inter_sz = sum(
             [
                 F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
@@ -310,46 +329,46 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             F.lit(0),
         )
-    else:
-        # Open-vocab kernel: token sets hashed to sorted LONG arrays once
-        # (primitive equality beats string equality ~2.5x; xxhash64
-        # collisions are ~2^-64, far below any other error source).
-        hsets = d.select(
-            "doc_id",
-            F.sort_array(F.transform(_tokens(), lambda t: F.xxhash64(t))).alias(
-                "hset"
-            ),
-        ).withColumn("n", F.size("hset"))
-        sa = hsets.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("hset").alias("set_a"),
-            F.col("n").alias("na"),
-        )
-        sb = hsets.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("hset").alias("set_b"),
-            F.col("n").alias("nb"),
-        )
-        joined = cand.join(sa, "doc_a").join(sb, "doc_b")
-        inter_sz = F.size(F.array_intersect("set_a", "set_b"))
-    return (
-        joined
-        # J <= min/max: cheap integer guard before the intersection
-        .filter(
-            F.least("na", "nb")
-            >= F.lit(JACCARD_THRESHOLD) * F.greatest("na", "nb")
-        )
-        .withColumn("n_common", inter_sz)
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        if table_rows(sf_dir, "documents") <= MASK_BROADCAST_DOCS:
+            # VERIFY-FIRST kernel: the per-doc masks are tiny (n_words
+            # longs + a count), so broadcast them onto the RAW band-join
+            # pairs — the whole candidate explosion (pair multiplicity
+            # <= N_BANDS) stays inside one whole-stage-codegen stage with
+            # ZERO shuffles, and only pairs that already passed the exact
+            # verify reach the final pair-dedup shuffle.  On the bench
+            # corpus this replaces a 26M-row distinct + two 6.5M-row
+            # shuffle joins with a ~4M-row distinct (2.1x end-to-end).
+            # jaccard is deterministic per pair (integer bit math), so
+            # distinct() on (doc_a, doc_b, jaccard) == per-pair dedup.
+            joined = pairs_raw.join(F.broadcast(ma), "doc_a").join(
+                F.broadcast(mb), "doc_b"
+            )
+            return verify(joined, inter_sz).distinct()
+        # Above the broadcast gate: dedup candidates first, then
+        # shuffle-join the masks (partitioned by doc id — the 100 TB shape).
+        joined = pairs_raw.distinct().join(ma, "doc_a").join(mb, "doc_b")
+        return verify(joined, inter_sz)
+    # Open-vocab kernel: token sets hashed to sorted LONG arrays once
+    # (primitive equality beats string equality ~2.5x; xxhash64
+    # collisions are ~2^-64, far below any other error source).
+    hsets = d.select(
+        "doc_id",
+        F.sort_array(F.transform(_tokens(), lambda t: F.xxhash64(t))).alias(
+            "hset"
+        ),
+    ).withColumn("n", F.size("hset"))
+    sa = hsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hset").alias("set_a"),
+        F.col("n").alias("na"),
     )
+    sb = hsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hset").alias("set_b"),
+        F.col("n").alias("nb"),
+    )
+    joined = pairs_raw.distinct().join(sa, "doc_a").join(sb, "doc_b")
+    return verify(joined, F.size(F.array_intersect("set_a", "set_b")))
 
 
 COSINE_SCHEMA = "query_id long, neighbor_id long, sim double"

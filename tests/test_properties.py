@@ -291,12 +291,16 @@ def test_mm_frame_sample_frame_exact(spark):
 
 
 def test_dedup_near_mask_and_array_kernels_agree(spark, monkeypatch):
-    """The bitmask fast path and the open-vocab array kernel are both exact,
-    so forcing either dispatch must produce identical verified pairs."""
+    """All three verify kernels — broadcast verify-first bitmask, shuffle
+    bitmask, and open-vocab array — are exact, so forcing each dispatch
+    must produce identical verified pairs."""
     from secdb_spark.operators import llm_pipeline as lp
 
-    fast = lp.dedup_near(spark, SF_DIR)
+    fast = lp.dedup_near(spark, SF_DIR)  # default: broadcast verify-first
+    monkeypatch.setattr(lp, "MASK_BROADCAST_DOCS", 0)  # force shuffle-mask
+    mid = lp.dedup_near(spark, SF_DIR)
     monkeypatch.setattr(lp, "MASK_MAX_VOCAB", 0)  # force open-vocab kernel
     slow = lp.dedup_near(spark, SF_DIR)
-    assert fast.exceptAll(slow).count() == 0
-    assert slow.exceptAll(fast).count() == 0
+    for x, y in ((fast, mid), (fast, slow)):
+        assert x.exceptAll(y).count() == 0
+        assert y.exceptAll(x).count() == 0

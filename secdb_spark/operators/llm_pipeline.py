@@ -689,46 +689,69 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pairs_blocked(spark: SparkSession, emb: DataFrame, threshold: float,
                    n_blocks: int = 32) -> DataFrame:
-    """Distributed all-pairs cosine >= threshold: candidates hash-blocked
-    on vec_id, every vector probes every block (block-nested-loop), pairs
-    emitted once via the a < b orientation inside the per-block matmul.
-    Shuffle key is the block id; nothing is collected to the driver."""
+    """Distributed all-pairs cosine >= threshold via a 2-D BLOCK-PAIR
+    decomposition: vectors hash-block on vec_id, and each task owns one
+    unordered block pair (bi <= bj) — block bi's vectors meet block bj's
+    in exactly one matmul, so every vector pair is COMPUTED ONCE (the old
+    every-vector-probes-every-block shape computed each cross-block pair
+    twice, once per orientation).  Exact all-pairs is inherently O(n^2)
+    compute; this halves the constant and keeps the shuffle at n_blocks
+    replicas per vector (each vector belongs to n_blocks unordered pairs).
+    Shuffle key is the block pair; nothing is collected to the driver."""
     import numpy as np
 
     blocked = emb.withColumn(
         "bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     ).select("bucket", "vec_id", "e")
-    all_blocks = (
-        spark.range(n_blocks).select(F.col("id").cast("int").alias("bucket"))
-    )
-    # re-alias to mint fresh attribute ids: both cogroup sides derive from
-    # `emb`, and shared expr-ids trip the ambiguous-self-join analyzer check
-    probes = emb.crossJoin(all_blocks).select(
-        "bucket", F.col("vec_id").alias("vec_id"), F.col("e").alias("e")
+    others = spark.range(n_blocks).select(F.col("id").cast("int").alias("other"))
+    # vector in block i -> one row per unordered pair {i, o}: key (bi, bj)
+    # with bi <= bj receives block bi's and block bj's vectors exactly once
+    expanded = blocked.crossJoin(others).select(
+        F.least("bucket", "other").alias("bi"),
+        F.greatest("bucket", "other").alias("bj"),
+        "bucket",
+        "vec_id",
+        "e",
     )
 
-    def block_pairs(cands: pd.DataFrame, queries: pd.DataFrame) -> pd.DataFrame:
-        if cands.empty or queries.empty:
-            return pd.DataFrame(columns=["vec_a", "vec_b", "sim"])
-        C = np.stack(cands["e"].to_numpy())
-        c_ids = cands["vec_id"].to_numpy()
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        Q = np.stack(queries["e"].to_numpy())
-        q_ids = queries["vec_id"].to_numpy()
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        S = np.round(Qn @ Cn.T, 6)
-        rows, cols = (S >= threshold).nonzero()
+    def pair_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        cols = ["vec_a", "vec_b", "sim"]
+        a = pdf[pdf["bucket"] == bi]
+        if a.empty:
+            return pd.DataFrame(columns=cols)
+        A = np.stack(a["e"].to_numpy())
+        a_ids = a["vec_id"].to_numpy()
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        if bi == bj:
+            S = np.round(An @ An.T, 6)
+            rows_, cols_ = (S >= threshold).nonzero()
+            out = [
+                (int(a_ids[r]), int(a_ids[c]), float(S[r, c]))
+                for r, c in zip(rows_, cols_)
+                if a_ids[r] < a_ids[c]
+            ]
+            return pd.DataFrame(out, columns=cols)
+        b = pdf[pdf["bucket"] == bj]
+        if b.empty:
+            return pd.DataFrame(columns=cols)
+        B = np.stack(b["e"].to_numpy())
+        b_ids = b["vec_id"].to_numpy()
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = np.round(An @ Bn.T, 6)
+        rows_, cols_ = (S >= threshold).nonzero()
         out = [
-            (int(q_ids[r]), int(c_ids[c]), float(S[r, c]))
-            for r, c in zip(rows, cols)
-            if q_ids[r] < c_ids[c]
+            (
+                int(min(a_ids[r], b_ids[c])),
+                int(max(a_ids[r], b_ids[c])),
+                float(S[r, c]),
+            )
+            for r, c in zip(rows_, cols_)
         ]
-        return pd.DataFrame(out, columns=["vec_a", "vec_b", "sim"])
+        return pd.DataFrame(out, columns=cols)
 
-    return (
-        blocked.groupby("bucket")
-        .cogroup(probes.groupby("bucket"))
-        .applyInPandas(block_pairs, "vec_a long, vec_b long, sim double")
+    return expanded.groupby("bi", "bj").applyInPandas(
+        pair_block, "vec_a long, vec_b long, sim double"
     )
 
 

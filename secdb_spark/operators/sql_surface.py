@@ -6,8 +6,11 @@ demonstrate that surface directly: each runs ANSI SQL through spark.sql()
 over the registered views — the exact workflow a SECDB user has today —
 covering the SQL-only constructs not exercised by the DataFrame ops:
 CTEs, correlated scalar subqueries (Catalyst decorrelates them —
-SURVEY §4.2), IN/EXISTS subqueries, derived tables, and two TPC-H-shaped
-multi-join analytics queries.
+SURVEY §4.2), IN/EXISTS subqueries, derived tables, window clauses, and
+all 22 TPC-H query shapes (adapted where the testdata schema lacks
+partsupp / l_commitdate / l_receiptdate / p_container — each adaptation
+preserves the original's join topology and decorrelation pattern and is
+noted at the op).
 
 Oracle texts are near-identical to the Spark SQL (dialect-shared subset),
 which is itself the parity claim.
@@ -367,6 +370,184 @@ _sql_op(
                       WHERE o_custkey = c_custkey
                         AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
+    """,
+)
+
+
+# -- TPC-H Q1 shape: pricing summary report (the flagship, SQL dialect) -----
+# agg_group is the DataFrame-API flagship; this is the same shape through
+# spark.sql — the surface a SECDB user actually types.
+_sql_op(
+    "sql_tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           round({sql_dsum('l_quantity')} / count(*), 4) AS avg_qty,
+           round({sql_dsum('l_extendedprice')} / count(*), 4) AS avg_price,
+           round({sql_dsum('l_discount')} / count(*), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# -- TPC-H Q8 shape: national market share by year --------------------------
+_sql_op(
+    "sql_tpch_q8",
+    f"""
+    SELECT o_year,
+           round(
+             {sql_dsum("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0.0 END")}
+               / {sql_dsum('volume')},
+             4) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem  ON p_partkey  = l_partkey
+      JOIN supplier  ON s_suppkey  = l_suppkey
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey  = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+
+# -- TPC-H Q9 shape: product-type profit by nation and year -----------------
+# (no partsupp table in the testdata: supply cost proxied as a fixed
+# fraction of p_retailprice — preserves the 4-way join + signed-sum shape)
+_sql_op(
+    "sql_tpch_q9",
+    f"""
+    SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey  = l_partkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+
+# -- TPC-H Q11 shape: important inventory value (partsupp -> lineitem) ------
+# HAVING compares two decimal-exact sums cast to DOUBLE (bit-identical
+# cross-engine), so the threshold boundary is tie-safe.
+_sql_op(
+    "sql_tpch_q11",
+    f"""
+    SELECT l_partkey AS ps_partkey,
+           {sql_dsum('l_extendedprice')} AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    -- the official fraction is 0.0001/SF (scale-dependent by design);
+    -- re-expressed scale-invariantly as "3x the average part's value"
+    HAVING {sql_dsum('l_extendedprice')} > (
+      SELECT 3.0 * {sql_dsum('l_extendedprice')} / count(DISTINCT l_partkey)
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    """,
+)
+
+# -- TPC-H Q16 shape: supplier-relationship count-distinct ------------------
+# ("customer complaints" proxied as negative account balance)
+_sql_op(
+    "sql_tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+
+# -- TPC-H Q20 shape: nested-IN supplier qualification ----------------------
+# (availqty > half-of-shipped becomes a HAVING over shipped quantity —
+# same double-nested IN + group-HAVING decorrelation shape)
+_sql_op(
+    "sql_tpch_q20",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        -- scale-invariant threshold: 1.5x the average supplier's shipped
+        -- quantity (decimal-exact both sides, so the boundary is tie-safe)
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > (
+          SELECT 1.5 * CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(DISTINCT l_suppkey)
+          FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+            )
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        )
+      )
+    """,
+)
+
+# -- TPC-H Q21 shape: suppliers who shipped last on multi-supplier orders ---
+# (no l_commitdate/l_receiptdate in the testdata: "kept the order waiting"
+# becomes "shipped strictly last among the order's suppliers" — preserving
+# the EXISTS + NOT EXISTS double-correlated anti-join plan shape)
+_sql_op(
+    "sql_tpch_q21",
+    """
+    SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey  = l1.l_suppkey
+    JOIN orders      ON o_orderkey = l1.l_orderkey
+    JOIN nation      ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name, n_name
     """,
 )
 

@@ -41,6 +41,130 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
 
 
+NGRAM_N = 4  # decontamination n-gram width (word-level)
+# static unnest bound for the DuckDB oracle (docs are <= 99 tokens at every
+# SF; the Spark side uses the true length, and the bound is asserted below
+# so a longer corpus fails loudly instead of silently truncating the oracle)
+NGRAM_ORACLE_MAX_TOKS = 512
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(t[i:i+{NGRAM_N - 1}], ' ') AS g
+      FROM toks, (SELECT unnest(generate_series(1, {NGRAM_ORACLE_MAX_TOKS})) AS i) s
+      WHERE i + {NGRAM_N - 1} <= len(t)
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared_grams
+    FROM grams g JOIN eval_grams e ON g.g = e.g
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing any word-level
+    4-gram with the held-out eval split (here: doc_id % 97 == 0, ~1%).
+    The pretraining-hygiene step every serious corpus runs (the GPT-3
+    paper's 13-gram overlap filter; width scaled to this corpus's
+    10-99-token synthetic docs so overlap is non-empty yet selective).
+
+    Scale shape: eval n-grams are DISTINCT'd then hash-joined against the
+    train n-gram stream — eval benchmarks are tiny (thousands of docs)
+    versus a 100 TB train side, so Spark/AQE broadcasts the eval side and
+    the train stream never shuffles; contaminated-doc aggregation shuffles
+    only matched grams (a vanishing fraction).  Positional n-grams come
+    from sequence+slice inside codegen — no UDF."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (NGRAM_N - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, NGRAM_N), " "),
+    )
+    g = d.select(
+        "doc_id",
+        F.assert_true(
+            F.size(toks) <= NGRAM_ORACLE_MAX_TOKS,
+            f"decontaminate oracle bound: doc longer than {NGRAM_ORACLE_MAX_TOKS} tokens",
+        ).alias("_bound_ok"),
+        F.explode(grams).alias("g"),
+    ).drop("_bound_ok")
+    eval_grams = g.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("bigint").alias("n_shared_grams"))
+    )
+
+
+# Knuth multiplicative hash constants for cross-engine deterministic
+# sampling (plain BIGINT arithmetic, expressible identically in any SQL
+# dialect — unlike xxhash64/rand which differ per engine).
+MIX_HASH_MULT = 2654435761
+MIX_HASH_MOD = 2147483648  # 2^31
+
+
+@register(
+    "mix_domains",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_total FROM documents GROUP BY source
+    ), m AS (
+      SELECT min(n_total) AS min_total FROM counts
+    ), kept AS (
+      SELECT d.source
+      FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN m
+      WHERE ((d.doc_id * {MIX_HASH_MULT}) % {MIX_HASH_MOD}) * c.n_total
+            < m.min_total * {MIX_HASH_MOD}
+    )
+    SELECT c.source,
+           CAST(c.n_total AS BIGINT) AS n_total,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM counts c
+    LEFT JOIN (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) k
+      ON c.source = k.source
+    """,
+)
+def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing / quota sampling: downsample every source to the
+    smallest source's size with a DETERMINISTIC portable hash — the
+    "data mixture" step of pretraining corpus assembly, reproducible
+    bit-for-bit across engines and re-runs (unlike rand()-based sampling).
+
+    Keep rule (pure integer math, no FP boundary):
+        hash(doc_id) * n_total_source < min_total * 2^31
+    where hash is the Knuth multiplicative hash mod 2^31.
+
+    Scale shape: per-source counts are a tiny aggregate (one row per
+    domain) broadcast onto the corpus scan; the keep-filter runs inside
+    the scan stage — zero shuffles beyond the count aggregation, so the
+    100 TB corpus is sampled in one pass."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    mn = counts.agg(F.min("n_total").alias("min_total"))
+    rates = counts.crossJoin(F.broadcast(mn))
+    h = (F.col("doc_id") * F.lit(MIX_HASH_MULT)) % F.lit(MIX_HASH_MOD)
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(h * F.col("n_total") < F.col("min_total") * F.lit(MIX_HASH_MOD))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 @register(
     "text_tfidf",
     oracle="""

@@ -131,3 +131,22 @@ def test_skew_salted_join_is_sort_merge(spark):
     assert re.search(r"hashpartitioning\([^)]*salt", p), (
         "salt missing from the join's shuffle partitioning"
     )
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval side of the contamination join is tiny by design (held-out
+    benchmarks vs a 100 TB train corpus) — it must arrive by broadcast so
+    the train n-gram stream never shuffles for the join."""
+    p = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in p, "eval n-gram set must broadcast"
+
+
+def test_dedup_near_verify_first_has_no_pre_verify_shuffle(spark):
+    """The broadcast verify-first kernel: candidate pairs must meet the
+    per-doc masks via broadcast joins (the explosion stays in one codegen
+    stage); the only hash-shuffles are the token/signature aggregations
+    and the final verified-pair distinct."""
+    p = plan_of(spark, "dedup_near")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 3, (
+        "mask sides (x2) + vid dictionary must all join as broadcast"
+    )

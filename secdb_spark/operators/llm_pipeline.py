@@ -594,6 +594,153 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_bucketed(spark, _emb(spark, sf_dir), probe=IVF_PROBE)
 
 
+LSH_BITS = 6          # random-hyperplane sign bits -> 2^6 buckets
+LSH_SEED = 20240813   # hyperplane RNG seed (deterministic index build)
+
+
+@register("ann_lsh", oracle=None)  # R class: approximate by design
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the second scale path next to ann_ivf (data-
+    independent, no centroid build): each vector's bucket is the sign
+    pattern of LSH_BITS random-hyperplane projections (Charikar'02 SimHash
+    for cosine); candidates hash-partition by bucket, queries MULTIPROBE
+    their own bucket plus every Hamming-1 neighbor (flip one bit), and
+    each bucket's candidates are scanned only by the queries probing it —
+    the same cogroup economics as ann_ivf with zero training.  The
+    hyperplane matrix is seeded numpy (LSH_BITS x dim, regenerated
+    identically in every task — nothing is collected or broadcast beyond
+    the O(bits*dim) constants).  On the near-random synthetic corpus
+    recall@5 is ~0.23 while scanning ~11% of the corpus — ~2.1x better
+    than equal-cost random scanning, which is the honest ceiling for
+    data-independent LSH on unclustered data (tests/test_ann_scale.py
+    pins both the recall ratio and the scan economics)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+
+    def code_of(Qn: "np.ndarray", planes: "np.ndarray") -> "np.ndarray":
+        bits = (Qn @ planes.T) >= 0.0
+        return (bits @ (1 << np.arange(LSH_BITS))).astype("int32")
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            planes = np.random.RandomState(LSH_SEED).standard_normal(
+                (LSH_BITS, len(b["e"].iloc[0]))
+            )
+            Q = np.stack(b["e"].to_numpy())
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"bucket": code_of(Qn, planes), "vec_id": b["vec_id"], "e": list(Qn)}
+            )
+
+    def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            planes = np.random.RandomState(LSH_SEED).standard_normal(
+                (LSH_BITS, len(b["e"].iloc[0]))
+            )
+            Q = np.stack(b["e"].to_numpy())
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            own = code_of(Qn, planes)
+            out_b, out_id, out_e = [], [], []
+            for r in range(len(own)):
+                probes = [int(own[r])] + [
+                    int(own[r]) ^ (1 << j) for j in range(LSH_BITS)
+                ]
+                for bk in probes:
+                    out_b.append(bk)
+                    out_id.append(b["vec_id"].iloc[r])
+                    out_e.append(Qn[r])
+            yield pd.DataFrame({"bucket": out_b, "vec_id": out_id, "e": out_e})
+
+    cand = emb.mapInPandas(assign, ASSIGN_SCHEMA)
+    probes = emb.mapInPandas(probe_fn, ASSIGN_SCHEMA)
+
+    def bucket_topk(cands: pd.DataFrame, queries: pd.DataFrame) -> pd.DataFrame:
+        if cands.empty or queries.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "sim"])
+        C = np.stack(cands["e"].to_numpy())
+        c_ids = cands["vec_id"].to_numpy()
+        Q = np.stack(queries["e"].to_numpy())
+        q_ids = queries["vec_id"].to_numpy()
+        S = np.round(Q @ C.T, 6)
+        out = []
+        for r in range(S.shape[0]):
+            s = S[r].copy()
+            s[c_ids == q_ids[r]] = -np.inf
+            order = np.lexsort((c_ids, -s))[:TOP_K]
+            for j in order:
+                if s[j] == -np.inf:
+                    continue
+                out.append((int(q_ids[r]), int(c_ids[j]), float(s[j])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    per_bucket = (
+        cand.groupby("bucket")
+        .cogroup(probes.groupby("bucket"))
+        .applyInPandas(bucket_topk, COSINE_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        per_bucket.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, sha256(text) AS content_hash,
+             CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END AS incoming
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT content_hash FROM hashed WHERE incoming = 0
+    )
+    SELECT h.doc_id, h.content_hash
+    FROM hashed h
+    LEFT JOIN corpus c ON h.content_hash = c.content_hash
+    WHERE h.incoming = 1
+      AND c.content_hash IS NULL
+      AND h.doc_id = (
+        SELECT min(h2.doc_id) FROM hashed h2
+        WHERE h2.incoming = 1 AND h2.content_hash = h.content_hash
+      )
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup — the daily-ingest shape: a new
+    batch (here doc_id % 10 >= 8) is admitted only where its content hash
+    (a) does not exist in the already-ingested corpus (anti-join) and
+    (b) is the deterministic keeper (min doc_id) within the batch itself.
+
+    Scale shape: the corpus side reduces to its DISTINCT hash set before
+    the anti-join, both sides hash-partition on content_hash (the 100 TB
+    layout keeps the corpus hash index bucketed by this key, making the
+    anti-join co-located), and the within-batch keeper is one map-side-
+    combinable min aggregation.  No step is proportional to corpus *
+    batch."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.sha2("text", 256)
+    )
+    incoming = d.filter(F.col("doc_id") % 10 >= 8)
+    corpus_hashes = (
+        d.filter(F.col("doc_id") % 10 < 8).select("content_hash").distinct()
+    )
+    fresh = incoming.join(corpus_hashes, "content_hash", "anti")
+    return (
+        fresh.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_hash")
+    )
+
+
 @register(
     "sim_knn",
     oracle=f"""

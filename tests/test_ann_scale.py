@@ -95,3 +95,54 @@ def test_no_corpus_collect_above_gate(spark, monkeypatch):
     monkeypatch.setattr("pyspark.sql.DataFrame.toPandas", boom)
     out = lp._cosine_topk_exact(spark, SF_DIR)
     assert out.limit(1).count() == 1
+
+
+def test_ann_lsh_recall_beats_equal_cost_random(spark):
+    """ann_lsh probes (1 + LSH_BITS) of 2^LSH_BITS buckets (~11% of the
+    corpus). On the near-random synthetic embeddings its recall@5 must
+    clearly beat scanning the same fraction at random (deterministic:
+    seeded hyperplanes, no RNG at query time)."""
+    lsh = lp.ann_lsh(spark, SF_DIR).toPandas()
+    exact = lp.sim_cosine_topk(spark, SF_DIR).toPandas()
+    le = set(map(tuple, lsh[["query_id", "neighbor_id"]].itertuples(index=False)))
+    ex = set(map(tuple, exact[["query_id", "neighbor_id"]].itertuples(index=False)))
+    recall = len(le & ex) / len(ex)
+    probed_frac = (1 + lp.LSH_BITS) / (1 << lp.LSH_BITS)
+    assert recall >= 1.8 * probed_frac, (
+        f"recall {recall:.3f} does not beat equal-cost random "
+        f"({probed_frac:.3f} of corpus scanned)"
+    )
+    # every query must still produce a full top-k at this corpus density
+    assert lsh.groupby("query_id").size().min() == lp.TOP_K
+
+
+def test_ann_lsh_buckets_bound_candidate_scans(spark):
+    """LSH economics mirror IVF's: rows scanned = sum over probes of the
+    probed bucket's size — bounded by the probed-bucket fraction of
+    all-pairs (x3 tolerance: hyperplane buckets are skewed on clustered
+    data, that's inherent to data-independent LSH)."""
+    emb = lp._emb(spark, SF_DIR)
+    n = emb.count()
+    import pandas as pd
+    lsh = lp.ann_lsh(spark, SF_DIR)  # noqa: F841  (builds the same parts)
+    # rebuild the assign/probe parts exactly as the op does
+    import numpy as np
+
+    pdf = emb.toPandas()
+    planes = np.random.RandomState(lp.LSH_SEED).standard_normal(
+        (lp.LSH_BITS, len(pdf["e"].iloc[0]))
+    )
+    M = np.stack(pdf["e"].to_numpy())
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    codes = ((Mn @ planes.T) >= 0.0) @ (1 << np.arange(lp.LSH_BITS))
+    sizes = pd.Series(codes).value_counts()
+    scanned = 0
+    for c in codes:
+        probes = [int(c)] + [int(c) ^ (1 << j) for j in range(lp.LSH_BITS)]
+        scanned += sum(int(sizes.get(p, 0)) for p in probes)
+    frac = scanned / (n * n)
+    ideal = (1 + lp.LSH_BITS) / (1 << lp.LSH_BITS)
+    assert frac < 1.0
+    assert frac <= ideal * 3.0, (
+        f"scanned fraction {frac:.3f} exceeds 3x ideal {ideal:.3f}"
+    )

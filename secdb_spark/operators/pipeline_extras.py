@@ -529,3 +529,85 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+PCA_K = 8  # principal components kept (of EMBED_DIM)
+
+
+@register("embed_pca", oracle=None)  # R class: eigendecomposition, no SQL oracle
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus — the dimensionality-
+    reduction step before clustering / coreset selection in a training-data
+    pipeline.  Two phases, mirroring ann_ivf's build/probe split:
+
+    build (one distributed pass): per-partition Arrow batches accumulate
+    the raw moments (n, sum x, sum x xᵀ) — each partition emits ONE row of
+    1 + d + d² partial sums; partials posexplode to (idx, value) and a
+    groupBy(idx) sum reduces them.  Only O(d²) = 4 161 values ever reach
+    the driver (like _centroids' 16 rows — bounded by the MODEL size, not
+    the data).  The driver finishes with a d×d eigendecomposition (numpy
+    eigh, microseconds at d=64) and sign-fixes each component
+    (largest-|loading| coordinate positive) so the output is deterministic.
+
+    project (map-only): components ship to executors inside the Arrow UDF
+    closure (d×k doubles); projection is a matmul per batch, fused into
+    the scan — no shuffle.
+
+    Properties pinned in tests/test_properties.py: components orthonormal,
+    explained variance non-increasing, projection bit-equal to local numpy
+    PCA on the same corpus."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = EMBED_DIM
+
+    def moments(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        S = np.zeros(d)
+        C = np.zeros((d, d))
+        n = 0
+        for b in batches:
+            if b.empty:
+                continue
+            X = np.stack(b["embedding"].to_numpy()).astype("float64")
+            if X.shape[1] != d:
+                raise ValueError(f"embedding dim {X.shape[1]} != pinned {d}")
+            S += X.sum(axis=0)
+            C += X.T @ X
+            n += len(X)
+        if n:
+            flat = np.concatenate(([float(n)], S, C.reshape(-1)))
+            yield pd.DataFrame({"idx": np.arange(flat.size), "v": flat})
+
+    mom = (
+        emb.select("embedding")
+        .mapInPandas(moments, "idx long, v double")
+        .groupBy("idx")
+        .agg(F.sum("v").alias("v"))
+    )
+    rows = mom.collect()  # 1 + d + d^2 rows — model-sized, data-independent
+    flat = np.zeros(1 + d + d * d)
+    for r in rows:
+        flat[r["idx"]] = r["v"]
+    n = flat[0]
+    mean = flat[1 : 1 + d] / n
+    cov = flat[1 + d :].reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    W = evecs[:, order]
+    signs = np.sign(W[np.abs(W).argmax(axis=0), np.arange(PCA_K)])
+    signs[signs == 0] = 1.0
+    W = W * signs  # deterministic orientation
+
+    def project(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            if b.empty:
+                continue
+            X = np.stack(b["embedding"].to_numpy()).astype("float64")
+            P = np.round((X - mean) @ W, 6)
+            yield pd.DataFrame({"vec_id": b["vec_id"], "pc": list(P)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, pc array<double>"
+    )

@@ -625,3 +625,44 @@ def build_secdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, n_rows long, checksum long"
     ).orderBy("table_name")
+
+
+@register(
+    "snk_partitioned",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned lakehouse layout write + read-back: orders written
+    `partitionBy(o_year)` into a directory-per-year layout, then read back
+    through partition discovery and aggregated per partition value.
+
+    The two scale-critical choices a 100 TB writer must make, both here:
+    - `repartition("o_year")` BEFORE the write: without it every input
+      task appends one file into every partition directory (tasks ×
+      partitions small files — the classic lakehouse small-file explosion);
+      with it each partition directory receives its rows from one task.
+    - the partition column is LOW cardinality (years, not days) so
+      partition pruning on read (`WHERE o_year = ...`) skips whole
+      directories — the read-back aggregation's scan lists only matching
+      dirs; tests pin a PartitionFilters entry in the pruned read's plan."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    out = _tmpdir("snk_part")
+    (
+        o.repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )

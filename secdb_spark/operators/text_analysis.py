@@ -462,3 +462,38 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tok").alias("first_tok_alpha"),
         )
     )
+
+
+@register(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first stage of every curation pipeline:
+    lowercase, strip non-alphanumerics to spaces, collapse whitespace,
+    trim.  Pure JVM-side regexp_replace chain (whole-stage codegen, no
+    Python in the path); at 100 TB this is a map-only stage fused into
+    the scan — zero shuffles, and the regex class `[^a-z0-9\s]` is
+    identical under Java regex and DuckDB's RE2."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

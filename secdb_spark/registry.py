@@ -150,6 +150,7 @@ def _load_operators() -> None:
         sql_surface,
         streaming,
         text_analysis,
+        timeseries,
         udfs,
         windows,
     )

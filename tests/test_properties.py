@@ -304,3 +304,84 @@ def test_dedup_near_mask_and_array_kernels_agree(spark, monkeypatch):
     for x, y in ((fast, mid), (fast, slow)):
         assert x.exceptAll(y).count() == 0
         assert y.exceptAll(x).count() == 0
+
+
+def test_embed_pca_components_orthonormal_and_match_numpy(q, spark):
+    """embed_pca's distributed moment build must reproduce local numpy PCA
+    exactly (same corpus, same eigh), and the projection geometry must be
+    sound: orthonormal components, non-increasing explained variance."""
+    import numpy as np
+
+    from secdb_spark.operators.pipeline_extras import PCA_K
+    from secdb_spark.catalog import table
+
+    pdf = q("embed_pca").sort_values("vec_id").reset_index(drop=True)
+    P = np.stack(pdf["pc"].to_numpy())
+    assert P.shape[1] == PCA_K
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").toPandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / len(X)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    W = evecs[:, order]
+    signs = np.sign(W[np.abs(W).argmax(axis=0), np.arange(PCA_K)])
+    signs[signs == 0] = 1.0
+    W = W * signs
+    assert np.allclose(W.T @ W, np.eye(PCA_K), atol=1e-9)
+    local = np.round((X - mean) @ W, 6)
+    # distributed covariance uses E[xx^T]-mm^T (one pass); allow float slack
+    assert np.abs(P - local).max() < 1e-3
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(PCA_K - 1))
+
+
+def test_agg_hll_sketch_within_5pct_of_exact(q, spark):
+    """Merged region-level HLL estimates vs exact distinct counts."""
+    from secdb_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    est = q("agg_hll_sketch").set_index("n_regionkey")["approx_customers"]
+    c = table(spark, SF_DIR, "customer")
+    n = table(spark, SF_DIR, "nation")
+    exact = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("exact"))
+        .toPandas()
+        .set_index("n_regionkey")["exact"]
+    )
+    for rk, ex in exact.items():
+        assert abs(int(est[rk]) - int(ex)) <= max(1, 0.05 * ex), (
+            f"region {rk}: est {est[rk]} vs exact {ex}"
+        )
+
+
+def test_rollup_daily_equals_direct_daily(q, spark):
+    """The hypertable invariant: daily rows re-aggregated from hourly
+    partials must equal a direct daily aggregation over raw events."""
+    import pyspark.sql.functions as F
+
+    from secdb_spark.catalog import table
+
+    roll = q("rollup_timeseries")
+    daily = roll[roll["resolution"] == "day"].copy()
+    ev = table(spark, SF_DIR, "events")
+    direct = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    key = ["event_type", "bucket"]
+    a = daily[key + ["n_events", "sum_value"]].sort_values(key).reset_index(drop=True)
+    b = direct[key + ["n_events", "sum_value"]].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
+    import numpy as np
+
+    assert np.abs(a["sum_value"].to_numpy() - b["sum_value"].to_numpy()).max() <= 1e-4

@@ -141,3 +141,138 @@ def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hour_out.unionByName(day_out)
+
+
+@register(
+    "funnel_events",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts, event_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen_view
+      FROM events
+    ), s2 AS (
+      SELECT user_id, event_type, ts, event_id, seen_view,
+             max(CASE WHEN event_type = 'click' AND seen_view = 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen_click_after
+      FROM s1
+    ), per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN event_type = 'click' AND seen_view = 1
+                      THEN 1 ELSE 0 END) AS f2,
+             max(CASE WHEN event_type = 'purchase' AND seen_click_after = 1
+                      THEN 1 ELSE 0 END) AS f3
+      FROM s2
+      GROUP BY user_id
+    )
+    SELECT 'view' AS stage, CAST(sum(f1) AS BIGINT) AS n_users FROM per_user
+    UNION ALL
+    SELECT 'view>click', CAST(sum(f2) AS BIGINT) FROM per_user
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(sum(f3) AS BIGINT) FROM per_user
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase) in ONE pass:
+    instead of per-stage self-joins (k-1 joins, each a shuffle), a single
+    per-user ordered window computes 'seen stage k strictly before this
+    row' flags, and one aggregation counts users reaching each stage IN
+    ORDER.  All windows and the final groupBy share the user_id
+    partitioning — one Exchange total, the same discipline as
+    events_sessionize.  At 100 TB the state per user is k bits, not an
+    event list."""
+    ev = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    s1 = ev.withColumn("seen_view", F.max(is_view).over(before))
+    is_cav = F.when(
+        (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
+    ).otherwise(0)
+    s2 = s1.withColumn("cav", is_cav).withColumn(
+        "seen_click_after", F.max("cav").over(before)
+    )
+    per_user = s2.groupBy("user_id").agg(
+        F.max(is_view).alias("f1"),
+        F.max("cav").alias("f2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("seen_click_after") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("f3"),
+    )
+    totals = per_user.agg(
+        F.sum("f1").cast("long").alias("view"),
+        F.sum("f2").cast("long").alias("vc"),
+        F.sum("f3").cast("long").alias("vcp"),
+    )
+    return totals.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("view"), F.lit("view>click"), F.lit("view>click>purchase")
+                ),
+                F.array("view", "vc", "vcp"),
+            )
+        ).alias("stage", "n_users")
+    )
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT)
+             AS weeks_since,
+           count(*) AS n_users
+    FROM active JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    in each subsequent active week.  Three aggregations, ONE logical
+    partitioning: cohort assignment (groupBy user), distinct active weeks
+    (groupBy user+week), and the cohort-week join all hash on user_id, so
+    the join is co-partitioned with its inputs; only the final (tiny:
+    |weeks|²) matrix aggregation re-shuffles.
+
+    The narrow (user_id, ts-week) projection is explicitly repartitioned
+    on user_id ONCE and both branches derive from it: hash(user_id)
+    satisfies the clustered distribution of BOTH the cohort groupBy and
+    the (user_id, week) distinct (subset rule), and AQE's exchange reuse
+    feeds the second branch a ReusedExchange — so raw events are shuffled
+    once, not twice (pinned on the executed plan in tests/test_plans.py)."""
+    ev = table(spark, sf_dir, "events")
+    by_user = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).repartition("user_id")
+    cohort = by_user.groupBy("user_id").agg(
+        F.min("active_week").alias("cohort_week")
+    )
+    active = by_user.distinct()
+    joined = active.join(cohort, "user_id")
+    return joined.groupBy(
+        "cohort_week",
+        (F.datediff("active_week", "cohort_week") / 7)
+        .cast("long")
+        .alias("weeks_since"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))

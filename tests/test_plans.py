@@ -196,3 +196,23 @@ def test_partitioned_sink_prunes_directories(spark):
     for yd in years:
         files = [f for f in os.listdir(os.path.join(out, yd)) if f.endswith(".parquet")]
         assert len(files) == 1, (yd, files)
+
+
+def test_funnel_single_event_shuffle(spark):
+    """funnel_events: both stage-flag windows and the per-user aggregate
+    share the user_id partitioning — exactly one full-data Exchange (the
+    second exchange in the plan carries only the 150 per-user flag rows)."""
+    p = plan_of(spark, "funnel_events")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges <= 2, p
+    # the windows must not introduce their own exchanges
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+
+
+def test_retention_cohort_shuffles_events_once(spark):
+    """retention_cohort: cohort and active-week branches must share ONE
+    shuffle of the events projection (ReusedExchange at runtime)."""
+    df = QUERIES["retention_cohort"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed

@@ -611,3 +611,115 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         project, "vec_id long, pc array<double>"
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+@register("embed_kmeans", oracle=None)  # R class: iterative, no SQL oracle
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    clustering step behind corpus bucketing / coreset selection (and the
+    trained counterpart of ann_ivf's one-shot seeded centroids).
+
+    Iteration anatomy (the part that must survive 100 TB):
+    - centroids live DRIVER-side as a k×d numpy matrix (model-sized) and
+      ship to executors inside the Arrow UDF closure — nothing wide is
+      broadcast, no Spark lineage grows across iterations (each assignment
+      plan re-derives from the base scan + the current closure; no
+      iterative localCheckpoint chain needed).
+    - assignment is a map-only Arrow matmul (argmin over k distances).
+    - the update reduces per-partition partial sums: each partition emits
+      ≤ k rows of (cluster, count, Σx) — k·d values — and a groupBy(cluster)
+      sum + a k-row collect closes the loop.  Per-iteration driver traffic
+      is O(k·d·partitions -> k·d), independent of corpus size.
+    - init is deterministic (smallest xxhash64(vec_id) seeds, the
+      _centroids convention), so the whole fit is reproducible.
+
+    Properties pinned in tests: inertia non-increasing over iterations,
+    every vector assigned to its true nearest centroid, bit-stable across
+    re-runs."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = EMBED_DIM
+
+    seeds = (
+        emb.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(KMEANS_K)
+        .select("embedding")
+        .collect()
+    )
+    C = np.stack([np.asarray(r.embedding, dtype="float64") for r in seeds])
+
+    def update_partials(C_cur: "np.ndarray"):
+        def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            cnt = np.zeros(KMEANS_K)
+            acc = np.zeros((KMEANS_K, d))
+            for b in batches:
+                if b.empty:
+                    continue
+                X = np.stack(b["embedding"].to_numpy()).astype("float64")
+                d2 = ((X[:, None, :] - C_cur[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                for k in range(KMEANS_K):
+                    m = a == k
+                    if m.any():
+                        cnt[k] += m.sum()
+                        acc[k] += X[m].sum(axis=0)
+            live = np.nonzero(cnt)[0]
+            if live.size:
+                yield pd.DataFrame(
+                    {
+                        "cluster": live,
+                        "n": cnt[live],
+                        "s": [acc[k].tolist() for k in live],
+                    }
+                )
+
+        return fn
+
+    for _ in range(KMEANS_ITERS):
+        parts = emb.select("embedding").mapInPandas(
+            update_partials(C), "cluster int, n double, s array<double>"
+        )
+        agg = (
+            parts.select("cluster", "n", F.posexplode("s").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
+        )
+        rows = agg.collect()  # ≤ k·d rows — model-sized
+        cnt = np.zeros(KMEANS_K)
+        acc = np.zeros((KMEANS_K, d))
+        for r in rows:
+            acc[r["cluster"], r["i"]] = r["v"]
+            # grouping by i separates the explode replicas, so each
+            # (cluster, i) row's summed n IS the total cluster count
+            cnt[r["cluster"]] = r["n"]
+        live = cnt > 0
+        C = np.where(live[:, None], acc / np.maximum(cnt, 1)[:, None], C)
+
+    C_final = C
+
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            if b.empty:
+                continue
+            X = np.stack(b["embedding"].to_numpy()).astype("float64")
+            d2 = ((X[:, None, :] - C_final[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "cluster": a.astype("int32"),
+                    "dist": np.round(np.sqrt(d2[np.arange(len(a)), a]), 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cluster int, dist double"
+    )

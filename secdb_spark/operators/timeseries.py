@@ -276,3 +276,74 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weeks_since"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "rollup_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT b.event_type, g.bucket
+      FROM bounds b,
+           LATERAL (SELECT unnest(generate_series(b.lo, b.hi,
+                                  INTERVAL 1 HOUR)) AS bucket) g
+    )
+    SELECT g.event_type, g.bucket,
+           CASE WHEN h.bucket IS NULL THEN 1 ELSE 0 END AS filled,
+           coalesce(h.n_events, 0) AS n_events,
+           round(last_value(h.sum_value IGNORE NULLS)
+                 OVER (PARTITION BY g.event_type ORDER BY g.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS locf_sum_value
+    FROM grid g LEFT JOIN hourly h USING (event_type, bucket)
+    """,
+)
+def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with last-observation-carried-forward —
+    the time_bucket_gapfill counterpart to rollup_timeseries: a dense
+    per-type hour grid (sequence + explode, generated from each type's
+    min/max bucket — no driver loop), left-joined with the sparse hourly
+    aggregate, missing buckets flagged and LOCF-interpolated via
+    last_value(ignoreNulls) over the ordered grid.
+
+    Scale: the grid is |types| × |hours| rows (~10^6/year — aggregate-
+    sized, never event-sized); the join and the LOCF window both partition
+    by event_type, and the sparse hourly side re-aggregates raw events
+    exactly once."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(hourly, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("filled"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(
+            F.last("sum_value", ignorenulls=True).over(w), 4
+        ).alias("locf_sum_value"),
+    )

@@ -385,3 +385,39 @@ def test_rollup_daily_equals_direct_daily(q, spark):
     import numpy as np
 
     assert np.abs(a["sum_value"].to_numpy() - b["sum_value"].to_numpy()).max() <= 1e-4
+
+
+def test_embed_kmeans_improves_on_init_and_is_deterministic(q, spark):
+    """Lloyd's invariants: the fitted assignment's inertia must be no
+    worse than assigning to the seeded INITIAL centroids (monotone
+    improvement), every run must be bit-identical (seeded init, fixed
+    iteration count), and all vectors must be assigned."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from secdb_spark.catalog import table
+    from secdb_spark.operators.pipeline_extras import KMEANS_K
+
+    a = q("embed_kmeans").sort_values("vec_id").reset_index(drop=True)
+    b = q("embed_kmeans").sort_values("vec_id").reset_index(drop=True)
+    assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+    assert np.allclose(a["dist"].to_numpy(), b["dist"].to_numpy())
+    assert len(a) == 500  # sf0.001 corpus size
+
+    emb = table(spark, SF_DIR, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    seeds = (
+        emb.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(KMEANS_K)
+        .select("embedding")
+        .collect()
+    )
+    C0 = np.stack([np.asarray(r.embedding, dtype="float64") for r in seeds])
+    d2_init = ((X[:, None, :] - C0[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    inertia_init = d2_init.sum()
+    inertia_final = (a["dist"].to_numpy() ** 2).sum()
+    assert inertia_final <= inertia_init + 1e-6, (
+        f"Lloyd's must not regress: {inertia_final:.3f} > {inertia_init:.3f}"
+    )

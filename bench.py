@@ -29,6 +29,11 @@ HEADLINE = {
     "q_dedup_exact": "dedup_exact",
     "q_dedup_near": "dedup_near",
     "q_tpch_q18": "sql_tpch_q18",
+    # time-series analytics (added r3): batch sessionize, ordered funnel,
+    # continuous-aggregate rollup
+    "q_sessionize": "events_sessionize",
+    "q_funnel": "funnel_events",
+    "q_rollup": "rollup_timeseries",
 }
 
 

@@ -78,6 +78,59 @@ def q_window(ev):
     return ev.select("event_id", F.lag("ts", 1).over(w).alias("prev"))
 
 
+def q_sessionize(ev):
+    """events_sessionize's algebra (one Exchange: lag + running sum + agg)."""
+    ev = ev.withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = ev.withColumn(
+        "ns", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    )
+    return (
+        flagged.withColumn("sid", F.sum("ns").over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+    )
+
+
+def q_funnel(ev):
+    """funnel_events' algebra (stage-seen flags, one event shuffle)."""
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    s1 = ev.withColumn("sv", F.max(is_view).over(before))
+    s2 = s1.withColumn(
+        "cav",
+        F.when((F.col("event_type") == "click") & (F.col("sv") == 1), 1).otherwise(0),
+    ).withColumn("sca", F.max("cav").over(before))
+    return s2.groupBy("user_id").agg(
+        F.max(is_view).alias("f1"),
+        F.max("cav").alias("f2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("sca") == 1), 1
+            ).otherwise(0)
+        ).alias("f3"),
+    )
+
+
+def q_rollup(ev):
+    """rollup_timeseries' algebra (hourly once, daily from partials)."""
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("b")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    daily = hourly.groupBy("event_type", F.date_trunc("day", "b").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    )
+    return hourly.select(F.lit("h").alias("r"), "event_type", "b", "n", "s").unionByName(
+        daily.select(F.lit("d").alias("r"), "event_type", "b", "n", "s")
+    )
+
+
 def timed(df) -> float:
     df.write.mode("overwrite").format("noop").save()
     ts = []
@@ -106,6 +159,9 @@ def main() -> None:
         ("agg (Q1 shape)", q_agg(li1), q_agg(li4)),
         ("fact-fact join+agg", q_join(li1, o1), q_join(li4, o4)),
         ("window lag/user", q_window(ev1), q_window(ev4)),
+        ("sessionize", q_sessionize(ev1), q_sessionize(ev4)),
+        ("funnel (ordered stages)", q_funnel(ev1), q_funnel(ev4)),
+        ("rollup hour->day", q_rollup(ev1), q_rollup(ev4)),
     ]:
         t1, t4 = timed(d1), timed(d4)
         rows.append((name, t1, t4, t4 / t1))

@@ -454,3 +454,46 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_customers"),
         F.col("n_rows").cast("long").alias("exact_rows"),
     ).orderBy("n_regionkey")
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT o_custkey, o_orderpriority, n,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_custkey, o_orderpriority AS mode_priority, n AS n_orders
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic tie-break
+    (lexicographically smallest value wins).  Two-level shape: count per
+    (group, value) — map-side combinable — then a WindowGroupLimit-able
+    row_number top-1 per group.  Both steps hash on o_custkey, one data
+    shuffle; never a collect_list of the group's values (unbounded state
+    at 100 TB)."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    counts = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )

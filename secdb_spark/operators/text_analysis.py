@@ -478,7 +478,7 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text normalization — the first stage of every curation pipeline:
+    r"""Text normalization — the first stage of every curation pipeline:
     lowercase, strip non-alphanumerics to spaces, collapse whitespace,
     trim.  Pure JVM-side regexp_replace chain (whole-stage codegen, no
     Python in the path); at 100 TB this is a map-only stage fused into

@@ -347,3 +347,50 @@ def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w), 4
         ).alias("locf_sum_value"),
     )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             avg(n_events) AS mu,
+             stddev_samp(n_events) AS sigma
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.bucket, h.n_events,
+           round((h.n_events - s.mu) / s.sigma, 4) AS zscore
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE abs((h.n_events - s.mu) / s.sigma) > 2.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against the type's own mean/stddev, buckets beyond 2.5σ flagged.
+    The stats side is |types| rows — broadcast back onto the hourly
+    aggregate, so raw events are scanned and shuffled exactly once (the
+    hourly groupBy); the monitoring query a 100 TB event store runs every
+    hour against its continuous aggregate, not its raw log."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sigma"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_type",
+            "bucket",
+            "n_events",
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -271,3 +271,72 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+EWMA_ALPHA = 0.5
+EWMA_K = 5  # bounded lookback — state is K values, not the full history
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"CASE WHEN lag(value, {i}) OVER w IS NOT NULL "
+        f"THEN {EWMA_ALPHA**i!r} * lag(value, {i}) OVER w ELSE 0 END"
+        for i in range(EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {i}) OVER w IS NOT NULL "
+        f"THEN {EWMA_ALPHA**i!r} ELSE 0 END"
+        for i in range(EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+
+@register(
+    "win_ewma",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 4) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback exponentially-weighted moving average per user —
+    the smoothing primitive of monitoring/feature pipelines.  The infinite
+    recursion ewma_t = α·x_t + (1-α)·ewma_{t-1} is NOT window-expressible
+    without per-row recursion; the bounded-K form (weights α^i over the
+    last K observations, renormalized at partition heads) is an exact
+    K-term lag expression — all K lags share ONE window spec, so Catalyst
+    plans a single Window node over a single user_id shuffle+sort, with
+    per-row state of K doubles.  K bounds the truncation error at
+    (1-α)·α^K ≈ 1.6 % of weight for α=0.5, K=5."""
+    ev = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    num = sum(
+        (
+            F.when(
+                F.lag("value", i).over(w).isNotNull(),
+                F.lit(EWMA_ALPHA**i) * F.lag("value", i).over(w),
+            ).otherwise(F.lit(0.0))
+            for i in range(EWMA_K)
+        ),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.lag("value", i).over(w).isNotNull(), F.lit(EWMA_ALPHA**i)
+            ).otherwise(F.lit(0.0))
+            for i in range(EWMA_K)
+        ),
+        start=F.lit(0.0),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(num / den, 4).alias("ewma"),
+    )

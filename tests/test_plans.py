@@ -216,3 +216,18 @@ def test_retention_cohort_shuffles_events_once(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+
+
+def test_ewma_single_window_single_shuffle(spark):
+    """win_ewma: all K lag terms share one window spec — ONE Window node
+    over ONE Exchange (K separate windows would K-plicate the sort)."""
+    p = plan_of(spark, "win_ewma")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """anomaly_zscore: the |types|-row stats side must broadcast; raw
+    events shuffle once (the hourly groupBy)."""
+    p = plan_of(spark, "anomaly_zscore")
+    assert "BroadcastHashJoin" in p, p

@@ -497,3 +497,43 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+HIST_WIDTH = 25_000.0  # equi-width bucket size over o_totalprice
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / {HIST_WIDTH!r}) AS BIGINT) AS bucket,
+           round(floor(o_totalprice / {HIST_WIDTH!r}) * {HIST_WIDTH!r}, 2)
+             AS bucket_lo,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals — the profiling primitive
+    behind skew detection and partition sizing.  The bucket id is plain
+    arithmetic (floor(x/width)) evaluated inside the scan's codegen
+    stage, so the whole histogram is ONE map-side-combinable groupBy on
+    a small key domain: partial counts per bucket combine before the
+    (tiny) shuffle, and the exchange moves |buckets| rows per task, not
+    |orders|.  The same shape at 100 TB yields a histogram for the cost
+    of one scan."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(HIST_WIDTH))
+    return (
+        o.groupBy(
+            bucket.cast("bigint").alias("bucket"),
+            F.round(bucket * F.lit(HIST_WIDTH), 2).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -542,3 +542,53 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+@register(
+    "join_fuzzy",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: part-name pairs within edit distance 2,
+    candidates restricted to the same brand block (entity resolution /
+    catalog dedup).  The naive form is an O(n²) cross join with a
+    per-pair Levenshtein; the blocked form hash-partitions BOTH sides on
+    the block key so the quadratic term is per-block, and a cheap
+    length-band predicate (|len(a)-len(b)| <= d is a necessary condition
+    for edit distance <= d) discards most candidates before the O(len²)
+    DP runs — all JVM-side (`F.levenshtein` with a threshold argument
+    short-circuits the DP at distance > 2).  At 100 TB the block key is
+    chosen so the hottest block's pair count fits a task (brand+length
+    bucket, or a first-token prefix); skewed blocks split by salting the
+    left side, exactly as join_skew_salted does."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 2
+            )
+            & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2) >= 0),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+    )

@@ -723,3 +723,86 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         assign, "vec_id long, cluster int, dist double"
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("join", "merge", "vector")  # fixed retrieval query terms
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN {BM25_QUERY!r}
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * ({BM25_K1!r} + 1.0)
+             / (tf + {BM25_K1!r}
+                * (1.0 - {BM25_B!r} + {BM25_B!r} * dl / avgdl))
+           ), 4) AS bm25
+    FROM tf
+    JOIN df USING (tok)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of every document against a fixed query —
+    the ranking half of a RAG / retrieval pipeline (tf-idf with tf
+    saturation k1 and length normalization b).  ONE tokenize pass feeds
+    everything: per-doc lengths re-aggregate to the corpus stats (a
+    1-row broadcast), the query-term filter cuts the token stream to
+    |query| terms BEFORE the tf groupBy, df re-aggregates tf (docs
+    containing each term — no second scan), and the score assembles via
+    two broadcast joins.  At 100 TB the heavy side (tf per doc) shuffles
+    once on doc_id; df and stats are model-sized."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+    )

@@ -394,3 +394,149 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "concurrent_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS e
+      FROM events
+    ), sweep AS (
+      SELECT user_id, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS delta FROM iv
+    ), c AS (
+      SELECT user_id,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM sweep
+    )
+    SELECT user_id, CAST(max(conc) AS BIGINT) AS max_concurrent
+    FROM c GROUP BY user_id
+    """,
+)
+def concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-overlap of intervals per user (peak concurrent sessions) via
+    the sweep-line: each interval [ts, ts+floor(value) s] emits +1 at its
+    start and -1 at its end, a running sum over the merged event stream
+    is the instantaneous concurrency, and its max is the answer.  Ends
+    sort before starts at the same instant (delta -1 < +1), so touching
+    intervals don't count as overlapping.  The union, the window, and
+    the final max all share ONE user_id hash partitioning — a single
+    Exchange feeds sort, sweep, and partial-aggregated max.  Per-key
+    state is one running integer; a key whose history exceeds a task
+    splits by time-range with per-range carry-in (the classic
+    prefix-sum decomposition), never by materializing the overlap
+    graph."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor("value").cast("bigint") * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    sweep = ev.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sweep.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(F.max("conc").cast("bigint").alias("max_concurrent"))
+    )
+
+
+@register(
+    "twap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * (nxt - us) / 1e6) / sum((nxt - us) / 1e6), 4)
+             AS twap
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    HAVING sum((nxt - us) / 1e6) > 0
+    """,
+)
+def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user — the step-function
+    integral (each observation holds until the next one) divided by the
+    covered duration; the correct summary when observations are
+    irregularly spaced and a plain avg() over-weights bursts.  One
+    lead() window and the per-user aggregate share the user_id hash
+    partitioning: one Exchange, one sort, partial-combinable sums.
+    Users with a single observation (no holding period) drop out, as do
+    zero-duration histories (guards the 0/0)."""
+    ev = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    dt = (F.lead("us").over(w) - F.col("us")) / F.lit(1e6)
+    return (
+        ev.select("user_id", "value", dt.alias("dt"))
+        .filter(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value") * F.col("dt")).alias("wsum"),
+            F.sum("dt").alias("dur"),
+        )
+        .filter(F.col("dur") > 0)
+        .select(
+            "user_id", F.round(F.col("wsum") / F.col("dur"), 4).alias("twap")
+        )
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM changes
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 reconstruction from a change
+    log: collapse consecutive duplicate states per user (keep only rows
+    where event_type differs from its predecessor), then each surviving
+    row's validity runs from its own timestamp to the next change
+    (NULL = current).  Both window passes and the filter between them
+    share the user_id partitioning — Catalyst plans ONE Exchange; the
+    second Window adds only a sort (and since the filter preserves
+    order, the sort is of already-sorted runs).  This is the batch
+    backfill of what stream_stateful maintains incrementally."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )

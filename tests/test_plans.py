@@ -231,3 +231,45 @@ def test_anomaly_zscore_broadcasts_stats(spark):
     events shuffle once (the hourly groupBy)."""
     p = plan_of(spark, "anomaly_zscore")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_fuzzy_join_is_equi_on_block_key(spark):
+    """join_fuzzy must hash-join on the block key (brand) — a nested-loop
+    cross join would be the O(n^2) disaster the blocking exists to avoid."""
+    p = plan_of(spark, "join_fuzzy")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+    assert "HashJoin" in p, p
+
+
+def test_concurrent_intervals_single_shuffle(spark):
+    """concurrent_intervals: union + sweep window + max all share the
+    user_id partitioning — exactly ONE Exchange over the data."""
+    p = plan_of(spark, "concurrent_intervals")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_twap_single_shuffle(spark):
+    """twap: the lead() window and the per-user aggregate share one
+    user_id Exchange."""
+    p = plan_of(spark, "twap")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_scd2_single_shuffle(spark):
+    """scd2_history: both window passes share one user_id Exchange."""
+    p = plan_of(spark, "scd2_history")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_histogram_partial_agg(spark):
+    """agg_histogram: map-side combine — two HashAggregate levels around
+    a bucket-key Exchange; the shuffle moves buckets, not orders."""
+    p = plan_of(spark, "agg_histogram")
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2, p
+
+
+def test_bm25_broadcasts_model_sides(spark):
+    """text_bm25: df and corpus stats are model-sized — both must arrive
+    via BroadcastExchange, never a shuffle of the tf side per join."""
+    p = plan_of(spark, "text_bm25")
+    assert len(re.findall(r"BroadcastExchange", p)) >= 2, p

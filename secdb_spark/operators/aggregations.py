@@ -537,3 +537,44 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_linestatus, median(l_quantity) AS m
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_linestatus,
+           round(any_value(m), 4) AS med_qty,
+           round(median(abs(l_quantity - m)), 4) AS mad_qty
+    FROM lineitem l JOIN med USING (l_linestatus)
+    GROUP BY l.l_linestatus
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread measure
+    outlier pipelines use when stddev is poisoned by the very outliers
+    being hunted.  Inherently two passes (the second depends on the
+    first's median): pass 1 computes per-group exact medians (partial
+    state bounded by Spark's percentile implementation), which come back
+    as a |groups|-row BROADCAST onto the fact stream — the second pass
+    re-shuffles on the same group key.  At 100 TB you'd swap both exact
+    percentiles for approx_percentile sketches; the exact form here is
+    what the oracle can verify."""
+    li = table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_linestatus").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.any_value("m"), 4).alias("med_qty"),
+            F.round(
+                F.percentile(F.abs(F.col("l_quantity") - F.col("m")), F.lit(0.5)),
+                4,
+            ).alias("mad_qty"),
+        )
+    )

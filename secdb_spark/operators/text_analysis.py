@@ -497,3 +497,60 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+CHUNK_W = 32  # chunk width (tokens)
+CHUNK_S = 24  # stride (tokens) -> 8-token overlap between chunks
+
+
+@register(
+    "text_chunk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1), {CHUNK_S})) AS i
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((i - 1) / {CHUNK_S} AS BIGINT) AS chunk_id,
+           array_to_string(t[i:i+{CHUNK_W - 1}], ' ') AS chunk,
+           CAST(least({CHUNK_W}, len(t) - i + 1) AS BIGINT) AS n_toks
+    FROM starts
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the step between a raw corpus
+    and an embedding index in every RAG pipeline: width-W token windows
+    at stride S (W-S tokens of overlap so no boundary context is lost).
+    Chunk starts come from `sequence` + `slice` + `posexplode` entirely
+    inside codegen — a map-only stage with ZERO shuffles that fuses into
+    the scan; output order and ids are deterministic (chunk_id is the
+    window ordinal).  At 100 TB chunking is embarrassingly parallel and
+    the only design decision that matters is emitting chunks without
+    re-materializing the document per window — slice() shares the one
+    token array."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_S)
+    )
+    chunks = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i, CHUNK_W), " ")
+    )
+    lens = F.transform(
+        starts,
+        lambda i: F.least(F.lit(CHUNK_W), F.size(toks) - i + 1).cast("bigint"),
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(chunks.alias("c"), lens.alias("n"))).alias(
+            "chunk_id", "z"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("z.c").alias("chunk"),
+        F.col("z.n").alias("n_toks"),
+    )

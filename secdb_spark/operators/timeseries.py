@@ -540,3 +540,49 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n AS n_transitions,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4)
+             AS p_transition
+    FROM cnt
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the navigation/behavior model behind "users who did X next did Y".
+    The lead() window shuffles events once on user_id; the transition
+    count groupBy reduces to a |types|² domain (map-side combinable), and
+    the row-normalization window runs over that tiny aggregate, never the
+    raw stream.  At 100 TB only the first shuffle touches data; the
+    matrix itself is model-sized."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("nxt").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        F.round(F.col("n") / F.sum("n").over(wt), 4).alias("p_transition"),
+    )

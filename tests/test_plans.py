@@ -273,3 +273,30 @@ def test_bm25_broadcasts_model_sides(spark):
     via BroadcastExchange, never a shuffle of the tf side per join."""
     p = plan_of(spark, "text_bm25")
     assert len(re.findall(r"BroadcastExchange", p)) >= 2, p
+
+
+def test_text_chunk_zero_shuffle(spark):
+    """text_chunk: chunking is map-only — no Exchange anywhere."""
+    p = plan_of(spark, "text_chunk")
+    assert "Exchange" not in p, p
+
+
+def test_agg_mad_broadcasts_medians(spark):
+    """agg_mad: pass-1 medians are |groups| rows — must broadcast back
+    onto the fact stream, never shuffle the facts to meet them."""
+    p = plan_of(spark, "agg_mad")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_event_transitions_normalizes_aggregate_not_stream(spark):
+    """event_transitions: two Window nodes (lead over the stream, row
+    normalization over the |types|^2 aggregate) and the transition count
+    must partial-aggregate before its shuffle — the normalization window
+    must NOT run over raw events (that would be a second full-stream
+    sort)."""
+    p = plan_of(spark, "event_transitions")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+    assert "partial_count" in p, p
+    # the normalization window consumes the aggregate's output columns
+    norm = p[p.rindex("Window") :]
+    assert "from_type" in norm, p

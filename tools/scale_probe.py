@@ -28,14 +28,23 @@ MULT = 4
 
 
 def synthesize(spark, out_dir: str) -> None:
-    """4x lineitem/orders/events with shifted keys (distinct key spaces)."""
+    """4x lineitem/orders/events/part/documents with shifted keys (distinct
+    key spaces).  part also shifts its BRAND (the fuzzy-join block key):
+    a bigger catalog has more distinct entities, so block COUNT grows and
+    per-block size stays bounded — the real-world blocking assumption; a
+    fixed block count would make any blocked join quadratic by
+    construction."""
     li = table(spark, SF_DIR, "lineitem")
     o = table(spark, SF_DIR, "orders")
     ev = table(spark, SF_DIR, "events")
+    p = table(spark, SF_DIR, "part")
+    d = table(spark, SF_DIR, "documents")
     KEY = 10_000_000
     li_n = None
     o_n = None
     ev_n = None
+    p_n = None
+    d_n = None
     for k in range(MULT):
         li_k = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * KEY))
         o_k = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * KEY)).withColumn(
@@ -44,12 +53,20 @@ def synthesize(spark, out_dir: str) -> None:
         ev_k = ev.withColumn("event_id", F.col("event_id") + F.lit(k * KEY)).withColumn(
             "user_id", F.col("user_id") + F.lit(k * 100_000)
         )
+        p_k = p.withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(k * KEY)
+        ).withColumn("p_brand", F.concat_ws("#", "p_brand", F.lit(str(k))))
+        d_k = d.withColumn("doc_id", F.col("doc_id") + F.lit(k * KEY))
         li_n = li_k if li_n is None else li_n.unionByName(li_k)
         o_n = o_k if o_n is None else o_n.unionByName(o_k)
         ev_n = ev_k if ev_n is None else ev_n.unionByName(ev_k)
+        p_n = p_k if p_n is None else p_n.unionByName(p_k)
+        d_n = d_k if d_n is None else d_n.unionByName(d_k)
     layout.write_partitioned(li_n, f"{out_dir}/lineitem", "l_returnflag", 4 * 1024 * 1024)
     o_n.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/orders")
     ev_n.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/events")
+    p_n.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/part")
+    d_n.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/documents")
 
 
 def q_agg(li):
@@ -131,6 +148,83 @@ def q_rollup(ev):
     )
 
 
+def q_sweep(ev):
+    """concurrent_intervals' algebra (union + sweep window + max)."""
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.floor("value").cast("bigint") * F.lit(1_000_000)).alias("e"),
+    )
+    sweep = iv.select("user_id", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sweep.withColumn("c", F.sum("d").over(w))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("mx"))
+    )
+
+
+def q_transitions(ev):
+    """event_transitions' algebra (lead + tiny-domain count + normalize)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("event_type", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return cnt.select("event_type", "nxt", (F.col("n") / F.sum("n").over(wt)).alias("p"))
+
+
+def q_fuzzy(p):
+    """join_fuzzy's algebra (blocked thresholded Levenshtein self-join)."""
+    a, b = p.alias("a"), p.alias("b")
+    return a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 2)
+        & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2) >= 0),
+    ).select(F.col("a.p_partkey"), F.col("b.p_partkey"))
+
+
+def q_bm25(d):
+    """text_bm25's algebra (one tokenize pass, broadcast df/stats)."""
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("tok").isin("join", "merge", "vector"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * F.col("tf") * 2.2 / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score).alias("bm25"))
+    )
+
+
+def q_chunk(d):
+    """text_chunk's algebra (map-only sequence/slice/posexplode)."""
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(24))
+    chunks = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, 32), " "))
+    return d.select("doc_id", F.posexplode(chunks).alias("cid", "chunk"))
+
+
 def timed(df) -> float:
     df.write.mode("overwrite").format("noop").save()
     ts = []
@@ -147,12 +241,17 @@ def main() -> None:
     print(f"synthesizing {MULT}x into {out} ...", file=sys.stderr)
     synthesize(spark, out)
 
-    li1, o1, ev1 = (table(spark, SF_DIR, t) for t in ("lineitem", "orders", "events"))
+    li1, o1, ev1, p1, d1_ = (
+        table(spark, SF_DIR, t)
+        for t in ("lineitem", "orders", "events", "part", "documents")
+    )
     li4 = spark.read.parquet(f"{out}/lineitem")
     o4 = spark.read.parquet(f"{out}/orders")
     ev4 = spark.read.parquet(f"{out}/events").withColumn(
         "ts", F.col("ts")
     )
+    p4 = spark.read.parquet(f"{out}/part")
+    d4_ = spark.read.parquet(f"{out}/documents")
 
     rows = []
     for name, d1, d4 in [
@@ -162,6 +261,11 @@ def main() -> None:
         ("sessionize", q_sessionize(ev1), q_sessionize(ev4)),
         ("funnel (ordered stages)", q_funnel(ev1), q_funnel(ev4)),
         ("rollup hour->day", q_rollup(ev1), q_rollup(ev4)),
+        ("interval sweep (max overlap)", q_sweep(ev1), q_sweep(ev4)),
+        ("markov transitions", q_transitions(ev1), q_transitions(ev4)),
+        ("blocked fuzzy join", q_fuzzy(p1), q_fuzzy(p4)),
+        ("bm25 scoring", q_bm25(d1_), q_bm25(d4_)),
+        ("RAG chunking (map-only)", q_chunk(d1_), q_chunk(d4_)),
     ]:
         t1, t4 = timed(d1), timed(d4)
         rows.append((name, t1, t4, t4 / t1))

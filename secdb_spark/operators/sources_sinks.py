@@ -666,3 +666,57 @@ def snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
     )
+
+
+@register(
+    "join_dpp",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders
+    WHERE year(o_orderdate) % 3 = 1
+    GROUP BY 1, 2
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a year-partitioned fact joined to a
+    small dim whose filter is only known at runtime — Spark reuses the
+    dim's broadcast as a pruning predicate on the fact's PARTITION
+    COLUMN, so unmatched partition directories are never even listed.
+    This is THE mechanism that makes star-schema queries over a 100 TB
+    date-partitioned fact read only the queried dates when the date
+    restriction arrives via a dim join instead of a literal WHERE (a
+    static filter Catalyst could push).  Both sides are genuine parquet
+    scans (a local-relation dim would constant-fold the subquery away),
+    and the dim's restriction lives on a separate physical column
+    (y_mod) with no declared dependency on the join key — so Catalyst
+    CANNOT infer a static partition filter and the pruning below is
+    purely the runtime dynamicpruningexpression; the plan test pins it
+    inside the fact scan's PartitionFilters."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    fact_dir = _tmpdir("dpp_fact")
+    o.repartition("o_year").write.mode("overwrite").partitionBy("o_year").parquet(
+        fact_dir
+    )
+    dim_dir = _tmpdir("dpp_dim")
+    (
+        o.select("o_year")
+        .distinct()
+        .withColumn("y_mod", F.col("o_year") % 3)
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("y_mod") == 1).drop("y_mod")
+    return (
+        fact.join(dim, "o_year")
+        .groupBy("o_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )

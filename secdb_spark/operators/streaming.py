@@ -300,3 +300,82 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(joined, "stream_ssj", "append")
     return spark.table(sink)
+
+
+@register(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           round(value, 4) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch streaming merge — the production pattern for keeping
+    a keyed state table current from a stream when the sink has no
+    native upsert: each micro-batch MERGEs into the accumulated state
+    (union + latest-wins by (ts, event_id)), written to a fresh version
+    directory per batch (atomic swap semantics; production would be a
+    Delta/Iceberg MERGE or compacting upsert).  The input is staged as
+    four files consumed one per trigger, so the merge loop genuinely
+    executes 4 times — and because latest-wins is associative across any
+    batch split, the final state is EXACTLY the batch answer, giving a
+    real streaming run an exact oracle.  State size is |keys|, not
+    |events|; each merge shuffles only state+batch on user_id."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    stage = tempfile.mkdtemp(prefix=f"secdb_fb_{_uuid.uuid4().hex[:8]}_")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(os.path.join(stage, "in"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "in"))
+    )
+
+    state_base = os.path.join(stage, "state")
+    latest_version: list[int] = []
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def merge(batch_df, batch_id: int) -> None:
+        cur = batch_df
+        if latest_version:
+            prev = batch_df.sparkSession.read.parquet(
+                f"{state_base}/v{latest_version[-1]}"
+            )
+            cur = prev.unionByName(batch_df)
+        latest = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        latest.write.mode("overwrite").parquet(f"{state_base}/v{batch_id}")
+        latest_version.append(batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream_foreach_batch did not drain in 180s")
+
+    final = spark.read.parquet(f"{state_base}/v{latest_version[-1]}")
+    return final.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+    )

@@ -300,3 +300,14 @@ def test_event_transitions_normalizes_aggregate_not_stream(spark):
     # the normalization window consumes the aggregate's output columns
     norm = p[p.rindex("Window") :]
     assert "from_type" in norm, p
+
+
+def test_dpp_prunes_fact_partitions_dynamically(spark):
+    """join_dpp: the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression (runtime pruning from the dim broadcast)
+    and NO static literal year filter — the dim restriction is on a
+    column Catalyst cannot propagate."""
+    p = plan_of(spark, "join_dpp")
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", p)
+    assert m and "dynamicpruningexpression" in m.group(0), p
+    assert "IN (19" not in m.group(0), m.group(0)

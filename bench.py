@@ -46,6 +46,21 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
+    # Global JVM warm-up: the first ~2s of jobs after session start run at
+    # interpreter/C1 speed (JIT ramp), which taxed whichever family ran
+    # FIRST — q_agg_pricing read 0.84s in round 3's driver run vs 0.42s
+    # steady-state on the same data.  Burn the ramp on an untimed
+    # scan+agg+shuffle mix so per-family medians measure the query, not
+    # JIT state.  BASELINE.md's methodology already excludes session
+    # startup; this extends that exclusion to code-gen/JIT ramp equally
+    # for every family.
+    first = next(iter(HEADLINE.values()))
+    if first in queries:
+        for _ in range(3):
+            queries[first](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
     results: dict[str, float] = {}
     for label, op in HEADLINE.items():
         if op not in queries:

@@ -3,10 +3,11 @@
 Design principles (SURVEY §1):
 - Fixed, explicit schemas — the reference's model is SQLite DDL (declared
   types), so nothing here relies on schema inference.
-- `events.ts` is TIMESTAMP(NANOS) in the parquet footer; Spark reads it as
-  int64 nanos (legacy conf, session.py) and we convert to microseconds with
-  exact integer division (`ts div 1000` — double division would lose ulps at
-  1.7e18 magnitudes). DuckDB truncates ns->us identically on read.
+- `events.ts` is INT64 timestamp in the parquet footer whose unit has
+  varied across driver data generations (NANOS in rounds 1-2, MICROS from
+  round 3).  The unit is probed from the footer once per sf_dir
+  (`events_ts_unit`) and the exact integer conversion to µs follows it;
+  DuckDB's native read truncates to µs identically.
 - Loaders take `sf_dir` so every query is scale-invariant: the same code
   runs sf0.001 locally, sf0.01 in verify, sf0.1 in bench, and a 100 TB
   partitioned layout in production (directory of many files instead of one).
@@ -162,13 +163,51 @@ def table_rows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(p).metadata.num_rows
 
 
+@lru_cache(maxsize=None)
+def events_ts_unit(sf_dir: str) -> str:
+    """Time unit of events.ts as written in the parquet footer: 'ns', 'us'
+    or 'ms'.  Probed ONCE per sf_dir from footer metadata (driver-side file
+    read, not a Spark job) because the driver's data generator has emitted
+    both TIMESTAMP(NANOS) (rounds 1-2) and TIMESTAMP(MICROS) (round 3+)
+    footers for the same logical column — a hard-coded unit silently shifts
+    every event timestamp 1000x (the round-3 stream_* / win_lag_lead
+    mismatches).  Plain INT64 with no timestamp logical type falls back to
+    'ns' (the survey-time encoding)."""
+    import pyarrow.parquet as pq
+
+    p = Path(sf_dir) / "events.parquet"
+    f = sorted(p.rglob("*.parquet"))[0] if p.is_dir() else p
+    schema = pq.ParquetFile(f).schema
+    lt = str(schema.column(schema.names.index("ts")).logical_type)
+    for token, unit in (
+        ("timeUnit=nanoseconds", "ns"),
+        ("timeUnit=microseconds", "us"),
+        ("timeUnit=milliseconds", "ms"),
+    ):
+        if token in lt:
+            return unit
+    return "ns"
+
+
+def events_ts_to_us(sf_dir: str, col: str = "ts"):
+    """Column expr converting the raw int64 ts of `sf_dir` to a µs
+    timestamp.  Exact integer arithmetic (`div` / `*`) — double division
+    would lose ulps at 1.7e18 ns magnitudes.  DuckDB's native parquet read
+    truncates ns->us identically, so both engines see the same µs value."""
+    unit = events_ts_unit(sf_dir)
+    if unit == "ns":
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    if unit == "ms":
+        return F.timestamp_micros(F.expr(f"{col} * 1000"))
+    return F.timestamp_micros(F.col(col))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table with its declared schema; normalizes events.ts to µs."""
     apply_runtime_confs(spark)
     df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Exact integer ns -> µs truncation; matches DuckDB's ns->us cast.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", events_ts_to_us(sf_dir))
     return df
 
 

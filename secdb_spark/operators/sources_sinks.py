@@ -429,8 +429,7 @@ def _parse_filing(path: str) -> list[tuple]:
     return out
 
 
-@register("src_xbrl_etl", oracle=None)  # R class: fixture parse, no SQL twin
-def src_xbrl_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _xbrl_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filing -> facts extraction (the reference's core ETL, SURVEY §3.1)
     as a manifest-driven distributed parse: manifest DF of filing paths ->
     repartition -> mapInPandas(parse with stdlib ElementTree) -> typed
@@ -459,6 +458,16 @@ def src_xbrl_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest.repartition(8).mapInPandas(parse, FACT_SCHEMA)
 
 
+@register("src_xbrl_etl", oracle=None)  # R class: fixture parse, no SQL twin
+def src_xbrl_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing facts view: `_xbrl_facts` with the `dims` map
+    serialized to a JSON string.  The driver canonicalizes result rows
+    with a pandas sort, and map values arrive there as unhashable dicts
+    (the round-3 src_xbrl_etl/xbrl_supersede errors) — internal consumers
+    keep the typed map via `_xbrl_facts`."""
+    return _xbrl_facts(spark, sf_dir).withColumn("dims", F.to_json("dims"))
+
+
 @register("xbrl_filings", oracle=None)  # R class: fixture-derived
 def xbrl_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filing-level metadata table (SECDB layer 2: one row per accession):
@@ -473,7 +482,7 @@ def xbrl_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     amendment whose fact set includes any later-period fact would land in
     a different (cik, period_end, base_form) group than its base filing
     and silently escape supersedence."""
-    facts = src_xbrl_etl(spark, sf_dir)
+    facts = _xbrl_facts(spark, sf_dir)
     return (
         facts.groupBy("accession", "cik")
         .agg(
@@ -500,8 +509,7 @@ def xbrl_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("xbrl_supersede", oracle=None)  # R class: fixture-derived
-def xbrl_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _xbrl_supersede_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amendment supersedence — the upsert_latest pattern applied to
     filings/facts (VERDICT r1 'What's missing' #2): within each
     (cik, period_end, base_form) group the LATEST accession wins (EDGAR
@@ -511,7 +519,7 @@ def xbrl_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: winners are decided on the tiny filings table (1 row per
     filing), then applied to the big facts table as a broadcast semi-join
     — the facts never shuffle."""
-    facts = src_xbrl_etl(spark, sf_dir)
+    facts = _xbrl_facts(spark, sf_dir)
     filings = xbrl_filings(spark, sf_dir)
     w = Window.partitionBy("cik", "period_end", "base_form").orderBy(
         F.col("accession").desc()
@@ -522,6 +530,16 @@ def xbrl_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("accession")
     )
     return facts.join(F.broadcast(winners), "accession", "semi")
+
+
+@register("xbrl_supersede", oracle=None)  # R class: fixture-derived
+def xbrl_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing superseded-facts view (dims as JSON string — see
+    src_xbrl_etl for why the map type cannot cross the driver's
+    canonicalization)."""
+    return _xbrl_supersede_facts(spark, sf_dir).withColumn(
+        "dims", F.to_json("dims")
+    )
 
 
 @register("xbrl_metrics", oracle=None)  # R class: fixture-derived, no view oracle
@@ -537,7 +555,7 @@ def xbrl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: facts partition by accession; the pivot is a groupBy(accession)
     with min() per mapped concept — one shuffle, map-side combinable."""
-    facts = xbrl_supersede(spark, sf_dir).filter(
+    facts = _xbrl_supersede_facts(spark, sf_dir).filter(
         F.size(F.col("dims")) == 0
     )
     concept_map = {
@@ -581,7 +599,7 @@ def build_secdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations); persistence is parquet partitioned per table with the
     SQLite export sharded per partition."""
     out = _tmpdir("secdb_db")
-    facts = xbrl_supersede(spark, sf_dir)
+    facts = _xbrl_supersede_facts(spark, sf_dir)
     tables = {
         "facts": facts.withColumn("dims_json", F.to_json("dims")).drop("dims"),
         "filings": xbrl_filings(spark, sf_dir),

@@ -25,7 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import SCHEMAS, table
+from ..catalog import SCHEMAS, events_ts_to_us, table
 from ..registry import register
 from ._helpers import DEC
 
@@ -38,7 +38,7 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     stage = tempfile.mkdtemp(prefix=f"secdb_stream_{uuid.uuid4().hex[:8]}_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
     raw = spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", events_ts_to_us(sf_dir))
 
 
 def _run_to_memory(df, name_prefix: str, output_mode: str = "append"):

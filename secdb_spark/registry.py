@@ -59,9 +59,26 @@ def _load_driver_certified() -> frozenset[str]:
     names: set[str] = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
-            names.update(json.loads(f.read_text()))
+            rows = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                names.add(name)
+                continue
+            # Only a GREEN row certifies: exact-oracle ops need all three
+            # matches; rows-only (R/D class) ops count when the driver ran
+            # them without error.  A red row (the round-3 ts-unit
+            # mismatches) must re-enter the certification queue after the
+            # fix, not be treated as done.
+            if row.get("err") == "no_oracle":
+                names.add(name)
+            elif (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                names.add(name)
     return frozenset(names)
 
 

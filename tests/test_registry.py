@@ -19,17 +19,27 @@ from secdb_spark import registry  # noqa: E402
 ROOT = Path("/root/repo")
 
 
-def _driver_recorded() -> set[str]:
+def _driver_recorded_green() -> set[str]:
     names: set[str] = set()
     for f in sorted(ROOT.glob("CORRECTNESS_r*.json")):
-        names.update(json.loads(f.read_text()))
+        for name, row in json.loads(f.read_text()).items():
+            if not isinstance(row, dict):
+                names.add(name)
+            elif row.get("err") == "no_oracle" or (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                names.add(name)
     return names
 
 
 def test_certified_set_derives_from_correctness_files():
-    """_DRIVER_CERTIFIED must equal the union of CORRECTNESS_r*.json keys —
-    a hand-maintained copy drifted in round 2 and starved 41 ops."""
-    assert registry._DRIVER_CERTIFIED == frozenset(_driver_recorded())
+    """_DRIVER_CERTIFIED must equal the GREEN rows of CORRECTNESS_r*.json —
+    a hand-maintained copy drifted in round 2 and starved 41 ops; counting
+    red rows as certified (round 3's ts-unit mismatches) would starve the
+    re-check after the fix."""
+    assert registry._DRIVER_CERTIFIED == frozenset(_driver_recorded_green())
 
 
 def test_first_50_are_all_uncertified():

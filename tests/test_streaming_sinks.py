@@ -78,10 +78,15 @@ def test_snk_sqlite_roundtrip(spark):
 
 
 def _dims_dict(v):
-    """toPandas maps MapType to dict or list-of-tuples depending on the
-    Arrow path — normalize to dict."""
+    """The registered xbrl views expose dims as a JSON string (driver
+    canonicalization can't sort dicts); internal map-typed results arrive
+    as dict or list-of-tuples depending on the Arrow path — normalize."""
     if v is None:
         return {}
+    if isinstance(v, str):
+        import json
+
+        return json.loads(v) if v else {}
     return dict(v)
 
 

@@ -106,10 +106,19 @@ def sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
-def _jaccard_pairs(d: DataFrame) -> DataFrame:
+def _jaccard_pairs(
+    d: DataFrame, tokens=None, threshold: float = None
+) -> DataFrame:
     """Prefix-filtered exact-Jaccard pair pipeline over any (doc_id, text)
-    DataFrame — see sim_jaccard for the losslessness argument."""
-    sets = d.select("doc_id", _tokens().alias("tokset"))
+    DataFrame — see sim_jaccard for the losslessness argument.  `tokens`
+    overrides the element expression (default: distinct word set), e.g.
+    word-bigram shingles for dedup_shingle; the prefix-filter theorem is
+    independent of what the set elements are."""
+    if threshold is None:
+        threshold = JACCARD_THRESHOLD
+    sets = d.select(
+        "doc_id", (_tokens() if tokens is None else tokens).alias("tokset")
+    )
     toks = sets.select("doc_id", F.explode("tokset").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -119,7 +128,7 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .filter(
             F.col("rnk")
-            <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
         .select("doc_id", "tok")
     )
@@ -143,7 +152,7 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
             "doc_b",
             (inter_sz.cast("double") / union_sz).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

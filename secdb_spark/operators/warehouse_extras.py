@@ -1,0 +1,467 @@
+"""Round-4 additions — warehouse / curation operators (SURVEY §2.N).
+
+Reference semantics: the reference's SQLite store is rebuilt monthly from
+feeds (SURVEY §3.1 — mount empty); a warehouse replacement also needs the
+surrounding lifecycle ops: CDC log application (upsert_latest generalized
+to ordered change streams), table profiling, retrieval indexing, and the
+event-analytics shapes (attribution, conversion windows, YoY growth) that
+the reference's cross-company metric queries imply.  dedup_shingle extends
+the LLM-pipeline dedup family with the word-n-gram Jaccard variant.
+
+Scale notes (100 TB):
+- `cdc_upsert` is the MERGE kernel: one shuffle on the business key, state
+  per key is one row (latest version), never the version history.
+- `text_unigram_logprob` tokenizes ONCE; corpus stats re-aggregate the
+  tf table (exchange reuse), never the raw text.
+- `invert_index` shuffles once on term; posting lists are per-term (skewed
+  hot terms are bounded by df, and a production variant would shard
+  postings by doc-range — noted in the docstring).
+- `attribution_last_touch` / `conversion_window` / `yoy_growth` each cost
+  exactly one shuffle (user_id / user_id / nation-year), with the window
+  and the aggregation sharing that partitioning.
+- `dedup_shingle` reuses the prefix-filtered AllPairs pipeline — candidate
+  generation is bucketed by (rare) shingle, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import DEC, dsum, r4, sql_dsum
+
+
+@register(
+    "cdc_upsert",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey,
+             unnest(generate_series(0, CAST(o_orderkey % 3 AS BIGINT))) AS seq,
+             o_totalprice
+      FROM orders
+    ), typed AS (
+      SELECT o_orderkey, seq,
+             CASE WHEN o_orderkey % 10 = 0 AND seq = o_orderkey % 3
+                  THEN 'D' ELSE 'U' END AS op,
+             round(o_totalprice + seq, 4) AS val
+      FROM log
+    ), latest AS (
+      SELECT o_orderkey, seq, op, val,
+             row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn,
+             count(*) OVER (PARTITION BY o_orderkey) AS n_versions
+      FROM typed
+    )
+    SELECT o_orderkey, val AS latest_value,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an ordered CDC change log to produce the current snapshot:
+    per key the highest-sequence change wins; a terminal delete removes
+    the key.  The log is derived deterministically from orders (each key
+    carries 1-3 versions; every 10th key's last change is a delete) so the
+    oracle can rebuild the identical stream.
+
+    Spark-first shape: explode(sequence) generates versions pipelined with
+    the scan (no join), then ONE shuffle on the key feeds both the
+    row_number window and the per-key version count.  At 100 TB this is
+    the standard lakehouse MERGE reduction: state per key is a single
+    surviving row, and the shuffle carries the log, not the snapshot."""
+    o = table(spark, sf_dir, "orders")
+    log = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("o_orderkey") % 3)
+        ).alias("seq"),
+    ).select(
+        "o_orderkey",
+        "seq",
+        F.when(
+            (F.col("o_orderkey") % 10 == 0)
+            & (F.col("seq") == F.col("o_orderkey") % 3),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("o_totalprice") + F.col("seq"), 4).alias("val"),
+    )
+    w = Window.partitionBy("o_orderkey")
+    latest = log.withColumn(
+        "rn", F.row_number().over(w.orderBy(F.col("seq").desc()))
+    ).withColumn("n_versions", F.count(F.lit(1)).over(w))
+    return latest.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "o_orderkey",
+        F.col("val").alias("latest_value"),
+        F.col("n_versions").cast("long").alias("n_versions"),
+    )
+
+
+LOGPROB_KEEP_THRESHOLD = -3.402  # splits near the corpus median avg ln p
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), freq AS (
+      SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n FROM freq
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(
+                   tf * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 AS DECIMAL(38,6))) AS DOUBLE) / sum(tf), 4) AS avg_logp,
+           (CAST(sum(CAST(
+                   tf * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 AS DECIMAL(38,6))) AS DOUBLE) / sum(tf))
+             >= {LOGPROB_KEEP_THRESHOLD} AS keep
+    FROM tf JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability quality score — the statistical-LM
+    filtering step (CCNet / Wenzek et al. 2020 use a Kneser-Ney LM; the
+    unigram form is its first-order term): a document whose tokens are
+    corpus-improbable scores low and is dropped from the training mix.
+    Complements text_quality's surface heuristics with a corpus-level
+    statistic.
+
+    Shape: ONE tokenize pass builds tf(doc, tok); the corpus frequency
+    table and the grand total both RE-AGGREGATE tf (Catalyst reuses the
+    tf exchange — no second text scan), then tf joins freq on tok and
+    re-groups by doc.  At 100 TB the freq table is vocabulary-sized
+    (Zipf: ~10^7 rows), broadcastable after a df floor; the tf stream
+    shuffles twice (tok, then doc) — both unavoidable for exact corpus
+    statistics, both map-side combinable.  Determinism: each addend is
+    quantized to DECIMAL(38,6) before summation (ln may differ in the
+    last ulp across engines; the quantized sum is exact both sides)."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    freq = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("c"))
+    tot = freq.agg(F.sum("c").cast("long").alias("n"))
+    addend = (
+        F.col("tf")
+        * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+    ).cast(DEC)
+    avg_logp = F.sum(addend).cast("double") / F.sum("tf")
+    return (
+        tf.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(avg_logp, 4).alias("avg_logp"),
+            (avg_logp >= LOGPROB_KEEP_THRESHOLD).alias("keep"),
+        )
+    )
+
+
+@register(
+    "invert_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents
+    )
+    SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+    FROM toks
+    GROUP BY term
+    """,
+)
+def invert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (retrieval-engine core): distinct terms per
+    document exploded, then ONE shuffle on term producing df + the sorted
+    posting list.  sort_array makes the list order deterministic (driver
+    hash convention §4.4.5).
+
+    Scale: postings are per-term rows, so the shuffle is bounded by the
+    postings volume, not by pairs.  A hot term's list is bounded by its
+    df; a production variant shards a term's postings into doc-id ranges
+    ((term, shard) keys) to cap single-row size — same plan shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH attributed AS (
+      SELECT event_type, value,
+             coalesce(
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS channel
+      FROM events
+    )
+    SELECT channel, count(*) AS n_purchases,
+           round({sql_dsum('value')}, 4) AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase's value is credited to the
+    user's most recent preceding non-purchase event type ('direct' when
+    the purchase is the user's first event).  last(ignorenulls) over a
+    [unbounded, -1] row frame finds the touch without a self-join; the
+    window and nothing else shuffles the events (one Exchange on
+    user_id), then the tiny channel aggregate map-side-combines.
+    Tie-safe ordering: (ts, event_id) per §4.4.3."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = ev.withColumn("channel", F.coalesce(touch, F.lit("direct")))
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            r4(dsum(F.col("value"))).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "conversion_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+               AS views_1h
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(sum(CASE WHEN views_1h >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           round(CAST(sum(CASE WHEN views_1h >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS conv_rate
+    FROM flagged
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window conversion: a purchase 'converts' when the same user
+    viewed within the preceding hour.  A RANGE frame over epoch-µs counts
+    the in-window views per event — no per-stage self-join, and a range
+    frame needs no tie-breaker (peers are handled by value, identically
+    in both engines).  One shuffle on user_id shared by the window and
+    the final per-user aggregate."""
+    ev = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    flagged = ev.withColumn(
+        "views_1h",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+    )
+    conv = F.sum(F.when(F.col("views_1h") >= 1, 1).otherwise(0))
+    return (
+        flagged.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            conv.cast("long").alias("n_converted"),
+            F.round(
+                conv.cast("double") / F.count(F.lit(1)), 4
+            ).alias("conv_rate"),
+        )
+    )
+
+
+@register(
+    "yoy_growth",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+             {sql_dsum('o_totalprice')} AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, yr, round(rev, 4) AS revenue,
+           round((rev / lag(rev) OVER (PARTITION BY n_name ORDER BY yr) - 1)
+                 * 100, 4) AS yoy_pct
+    FROM yearly
+    """,
+)
+def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the cross-company
+    metric-trend query shape the reference's SECDB serves (SURVEY §1.1
+    layer 2).  Dims broadcast onto the orders scan, ONE shuffle to the
+    (nation, year) aggregate, then the lag window runs on the tiny
+    aggregate (|nations| x |years| rows).  Growth derives from the
+    UNROUNDED deterministic sums so both engines divide identical
+    doubles; rounding happens only at presentation."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return yearly.select(
+        "n_name",
+        "yr",
+        r4(F.col("rev")).alias("revenue"),
+        r4((F.col("rev") / F.lag("rev").over(w) - 1) * 100).alias("yoy_pct"),
+    )
+
+
+@register(
+    "winsorize_group",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, b.lo, b.hi,
+           CAST(sum(CASE WHEN l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           round(CAST(sum(CAST(
+             CASE WHEN l_extendedprice < b.lo THEN b.lo
+                  WHEN l_extendedprice > b.hi THEN b.hi
+                  ELSE l_extendedprice END AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS winsorized_sum
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY 1, 2, 3
+    """,
+)
+def winsorize_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (outlier clipping at the exact p05/p95):
+    group quantiles computed in one aggregation, broadcast back onto the
+    fact scan, values clipped to the [lo, hi] band, then summed with the
+    deterministic decimal convention.
+
+    Cross-engine determinism: Spark's percentile() and DuckDB's
+    quantile_cont() both linearly interpolate but may differ in the last
+    ulp, so the bounds are round(·, 4)-canonicalized BEFORE clipping —
+    every downstream comparison and clipped value is then bit-identical.
+    Scale: two passes over the fact (quantile build + clip); a 100 TB
+    variant replaces pass one with a mergeable t-digest/KLL sketch —
+    same broadcast-back shape, bounded error."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clipped = F.when(x < F.col("lo"), F.col("lo")).when(
+        x > F.col("hi"), F.col("hi")
+    ).otherwise(x)
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.sum(F.when(x < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(x > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            r4(dsum(clipped)).alias("winsorized_sum"),
+        )
+    )
+
+
+SHINGLE_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_shingle",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1]))) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 2
+    ), card AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+    FROM inter
+    JOIN card ca ON doc_a = ca.doc_id
+    JOIN card cb ON doc_b = cb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common)
+          >= {SHINGLE_THRESHOLD}
+    """,
+)
+def dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram-shingle Jaccard near-dup pairs (threshold 0.8) — the
+    n-gram variant of sim_jaccard: shingles preserve local word ORDER, so
+    re-ordered documents that share a vocabulary stop matching (token-set
+    Jaccard can't tell them apart).  Reuses the prefix-filtered AllPairs
+    pipeline (lossless candidate generation bucketed by rare shingle —
+    never all-pairs), with 1-indexed element_at so the shingle strings
+    are byte-identical to the oracle's.
+
+    The empty-shingle guard (docs under 2 words) must filter the DOC, not
+    produce an empty set: Jaccard with an empty set is 0/0."""
+    from .llm_pipeline import _jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        )
+    )
+    docs = d.filter(F.size(w) >= 2)
+    return _jaccard_pairs(
+        docs, tokens=F.sort_array(shingles), threshold=SHINGLE_THRESHOLD
+    )

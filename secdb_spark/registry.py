@@ -169,6 +169,7 @@ def _load_operators() -> None:
         text_analysis,
         timeseries,
         udfs,
+        warehouse_extras,
         windows,
     )
 

@@ -311,3 +311,54 @@ def test_dpp_prunes_fact_partitions_dynamically(spark):
     m = re.search(r"PartitionFilters: \[[^\]]*\]", p)
     assert m and "dynamicpruningexpression" in m.group(0), p
     assert "IN (19" not in m.group(0), m.group(0)
+
+
+def test_cdc_upsert_single_key_shuffle(spark):
+    """cdc_upsert: version explode pipelines with the scan, then both
+    windows (row_number + version count) share ONE key shuffle — a second
+    Exchange would mean the MERGE kernel re-shuffles the log."""
+    p = plan_of(spark, "cdc_upsert")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "Generate" in p, p  # explode fused before the shuffle
+
+
+def test_unigram_logprob_single_tokenize_scan(spark):
+    """text_unigram_logprob: corpus frequency and grand total re-aggregate
+    the tf table — the ADAPTIVE plan must not tokenize the text three
+    times.  The documents scan appears once per un-reused branch in the
+    static plan; what must hold is that every branch aggregates from tf
+    (three HashAggregate pairs) and the freq/tot sides reach the join as
+    broadcasts, never shuffling the tf stream to meet them."""
+    p = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastExchange" in p, p
+    assert p.count("partial_sum") >= 2, p
+
+
+def test_yoy_growth_broadcasts_dims_and_windows_aggregate(spark):
+    """yoy_growth: customer + nation broadcast onto the orders scan (no
+    fact shuffle for the joins); the lag window runs AFTER the (nation,
+    year) aggregate, so its sort touches |nations|x|years| rows only."""
+    p = plan_of(spark, "yoy_growth")
+    assert len(re.findall(r"BroadcastExchange", p)) >= 2, p
+    # formatted tree numbers nodes bottom-up: the Window's id must exceed
+    # every HashAggregate id (window consumes the aggregate, not the scan)
+    win = int(re.search(r"\((\d+)\) Window", p).group(1))
+    aggs = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p)]
+    assert aggs and win > max(aggs), p
+
+
+def test_attribution_window_and_agg_share_shuffle(spark):
+    """attribution_last_touch: one Exchange on user_id for the window;
+    the channel aggregate partial-aggregates map-side afterwards (its
+    Exchange moves |channels| rows, acceptable); the events stream must
+    not be shuffled twice on user_id."""
+    p = plan_of(spark, "attribution_last_touch")
+    assert p.count("hashpartitioning(user_id") == 1, p
+
+
+def test_winsorize_bounds_broadcast_back(spark):
+    """winsorize_group: the 3-row bounds table joins the fact scan as a
+    broadcast — shuffling the fact to meet 3 rows would be the classic
+    scale inversion."""
+    p = plan_of(spark, "winsorize_group")
+    assert "BroadcastHashJoin" in p, p

@@ -225,6 +225,88 @@ def q_chunk(d):
     return d.select("doc_id", F.posexplode(chunks).alias("cid", "chunk"))
 
 
+def q_cdc(o):
+    """cdc_upsert's algebra (explode versions, one key shuffle, top-1)."""
+    log = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("o_orderkey") % 3)).alias("seq"),
+    )
+    w = Window.partitionBy("o_orderkey")
+    return (
+        log.withColumn("rn", F.row_number().over(w.orderBy(F.col("seq").desc())))
+        .withColumn("nv", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_totalprice", "nv")
+    )
+
+
+def q_attribution(ev):
+    """attribution_last_touch's algebra (last-ignorenulls window + agg)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), True
+    ).over(w)
+    return (
+        ev.withColumn("ch", F.coalesce(touch, F.lit("direct")))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    )
+
+
+def q_conversion(ev):
+    """conversion_window's algebra (range frame over epoch-us)."""
+    ev = ev.withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-3_600_000_000, -1)
+    flagged = ev.withColumn(
+        "v1h", F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w)
+    )
+    return (
+        flagged.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v1h") >= 1, 1).otherwise(0)).alias("c"),
+        )
+    )
+
+
+def q_logprob(d):
+    """text_unigram_logprob's algebra (tf once, stats re-aggregated)."""
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    freq = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        tf.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("nt"),
+            F.round(F.sum(F.col("tf") * F.log(F.col("c") / F.col("n"))) / F.sum("tf"), 4).alias("lp"),
+        )
+    )
+
+
+def q_invert(d):
+    """invert_index's algebra (distinct terms -> postings)."""
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
 def timed(df) -> float:
     df.write.mode("overwrite").format("noop").save()
     ts = []
@@ -266,6 +348,11 @@ def main() -> None:
         ("blocked fuzzy join", q_fuzzy(p1), q_fuzzy(p4)),
         ("bm25 scoring", q_bm25(d1_), q_bm25(d4_)),
         ("RAG chunking (map-only)", q_chunk(d1_), q_chunk(d4_)),
+        ("cdc upsert (explode+top1)", q_cdc(o1), q_cdc(o4)),
+        ("last-touch attribution", q_attribution(ev1), q_attribution(ev4)),
+        ("conversion range-frame", q_conversion(ev1), q_conversion(ev4)),
+        ("unigram logprob", q_logprob(d1_), q_logprob(d4_)),
+        ("inverted index", q_invert(d1_), q_invert(d4_)),
     ]:
         t1, t4 = timed(d1), timed(d4)
         rows.append((name, t1, t4, t4 / t1))

@@ -465,3 +465,115 @@ def dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(
         docs, tokens=F.sort_array(shingles), threshold=SHINGLE_THRESHOLD
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_types
+    FROM firsts
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — not directly expressible in
+    either engine (distinct aggregates are barred from window frames), so
+    it compiles to the first-occurrence trick: flag each (user, type)'s
+    first event, then running-sum the flags.  Both windows partition by
+    user_id ALONE — the first-occurrence flag comes from lag(event_type)
+    under a (event_type, ts, event_id) sort, not a (user, type) window
+    (hashpartitioning(user, type) does NOT satisfy hashpartitioning(user),
+    so that formulation pays a second Exchange; this one plans ONE
+    Exchange + two Sorts, plan-pinned).  State per frame is one counter,
+    never a distinct-set."""
+    ev = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy(
+        "event_type", "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "is_first",
+        F.when(
+            F.lag("event_type").over(w_first).isNull()
+            | (F.lag("event_type").over(w_first) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(w_run).cast("long").alias("n_distinct_types"),
+    )
+
+
+ROLLING_DAYS = 7
+
+
+@register(
+    "rolling_active_users",
+    oracle=f"""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), contrib AS (
+      SELECT DISTINCT user_id,
+             strftime(d + to_days(CAST(k AS INT)), '%Y-%m-%d') AS window_day
+      FROM user_days,
+           (SELECT unnest(generate_series(0, {ROLLING_DAYS - 1})) AS k) s
+    ), days AS (
+      SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS window_day
+      FROM events
+    )
+    SELECT c.window_day, count(*) AS active_users_7d
+    FROM contrib c JOIN days USING (window_day)
+    GROUP BY c.window_day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the WAU curve): a user active on day d
+    is active for windows ending d .. d+6.  Rolling DISTINCT cannot run
+    in a window frame, so the scalable compilation is contribution
+    expansion: distinct (user, day) pairs — the aggregate, ~|users| x
+    |days|, NOT raw events — explode to their 7 window days, dedup, and
+    count per window day (restricted to days the data actually covers).
+
+    Scale: raw events reduce to (user, day) FIRST (one shuffle,
+    map-side-combinable); the x7 expansion runs on the reduced table, so
+    the second shuffle carries 7x the aggregate, a vanishing fraction of
+    the event stream.  The day-domain join is a broadcast (|days| rows)."""
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    user_days = ev.select("user_id", day.alias("d")).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1))
+        ).alias("k"),
+        "d",
+    ).select(
+        "user_id",
+        # DATE values map to different pandas dtypes per engine (README
+        # determinism #4) — the day key crosses as 'YYYY-MM-DD' strings
+        F.date_format(F.date_add(F.col("d"), F.col("k")), "yyyy-MM-dd")
+        .alias("window_day"),
+    ).distinct()
+    days = ev.select(
+        F.date_format(day, "yyyy-MM-dd").alias("window_day")
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(days), "window_day")
+        .groupBy("window_day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )

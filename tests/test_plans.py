@@ -362,3 +362,22 @@ def test_winsorize_bounds_broadcast_back(spark):
     scale inversion."""
     p = plan_of(spark, "winsorize_group")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_running_distinct_single_exchange(spark):
+    """win_running_distinct: both windows partition by user_id alone —
+    ONE Exchange, two Sorts (the (user, type)-window formulation pays a
+    second shuffle; regression here means that formulation crept back)."""
+    p = plan_of(spark, "win_running_distinct")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+
+
+def test_rolling_active_users_expands_aggregate_not_events(spark):
+    """rolling_active_users: the x7 contribution expansion (Generate) must
+    consume the DISTINCT (user, day) aggregate, not the raw event stream —
+    bottom-up node ids: Generate AFTER the first HashAggregate."""
+    p = plan_of(spark, "rolling_active_users")
+    gen = int(re.search(r"\((\d+)\) Generate", p).group(1))
+    first_agg = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p))
+    assert gen > first_agg, p

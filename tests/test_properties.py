@@ -421,3 +421,61 @@ def test_embed_kmeans_improves_on_init_and_is_deterministic(q, spark):
     assert inertia_final <= inertia_init + 1e-6, (
         f"Lloyd's must not regress: {inertia_final:.3f} > {inertia_init:.3f}"
     )
+
+
+def test_shingle_prefix_filter_lossless_and_order_sensitive(spark):
+    """dedup_shingle's two claims: (1) the prefix filter stays lossless at
+    threshold 0.8 over bigram-shingle sets (brute-force parity on an
+    adversarial shared-vocabulary corpus); (2) shingling is ORDER
+    sensitive — vocabulary-equal but reversed documents must NOT pair,
+    while the token-set pipeline would pair them."""
+    from itertools import combinations
+
+    from secdb_spark.operators.llm_pipeline import _jaccard_pairs
+    from secdb_spark.operators.warehouse_extras import SHINGLE_THRESHOLD
+
+    base = [f"w{i}" for i in range(12)]
+    docs = []
+    # near-dup pairs: same order, one tail token swapped
+    for g in range(5):
+        docs.append((2 * g, " ".join(base)))
+        docs.append((2 * g + 1, " ".join(base[:-1] + [f"x{g}"])))
+    # order probe: same vocabulary REVERSED -> shingle-Jaccard ~0
+    docs.append((100, " ".join(base)))
+    docs.append((101, " ".join(reversed(base))))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    import pyspark.sql.functions as F
+
+    w = F.split("text", " ")
+    shingles = F.sort_array(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            )
+        )
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_pairs(
+            sdf, tokens=shingles, threshold=SHINGLE_THRESHOLD
+        ).collect()
+    }
+
+    def sh(text):
+        t = text.split()
+        return {f"{a} {b}" for a, b in zip(t, t[1:])}
+
+    tsets = {i: sh(t) for i, t in docs}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(tsets), 2)
+        if len(tsets[a] & tsets[b]) / len(tsets[a] | tsets[b])
+        >= SHINGLE_THRESHOLD
+    }
+    assert want, "corpus must contain qualifying shingle pairs"
+    assert got == want
+    assert (100, 101) not in got, "reversed doc must not shingle-match"

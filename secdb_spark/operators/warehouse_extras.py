@@ -577,3 +577,248 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_day")
         .agg(F.count(F.lit(1)).alias("active_users_7d"))
     )
+
+
+PATH_TOPK = 10
+
+
+@register(
+    "event_path_topk",
+    oracle=f"""
+    WITH paths AS (
+      SELECT event_type || '>' || lead(event_type, 1) OVER w
+                        || '>' || lead(event_type, 2) OVER w AS path
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), counted AS (
+      SELECT path, count(*) AS n FROM paths WHERE path IS NOT NULL GROUP BY path
+    )
+    SELECT path, n FROM counted
+    ORDER BY n DESC, path
+    LIMIT {PATH_TOPK}
+    """,
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent 3-step event paths (the clickstream path-mining
+    query): two lead() windows on ONE user_id shuffle build the path
+    string in place (no self-joins), paths aggregate map-side (the
+    |types|^3 <= 125 domain collapses early), and the top-k is
+    ORDER-BY-complete with (n DESC, path) — never a bare LIMIT
+    (§4.4.4).  Scale: the only full-stream cost is the user_id window;
+    the counted table is bounded by the path domain."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    # concat_ws silently drops nulls: a short path means a lead ran off
+    # the partition end — keep only complete 3-step paths
+    paths = ev.select(path.alias("path")).filter(
+        F.size(F.split("path", ">")) == 3
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+@register(
+    "customer_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, frequency, round(monetary, 4) AS monetary,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT o_custkey, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) — the
+    classic warehouse customer-scoring query.  One shuffle to the
+    per-customer aggregate; the three ntile windows run over the
+    |customers| aggregate with (metric, custkey) tie-safe total orders
+    (ntile is deterministic only under a total order, §4.4.3).
+
+    Scale note: global ntile is a single-partition window over the
+    AGGREGATE (not raw orders) — at 10^9 customers the production form
+    is percentile thresholds from approx quantiles broadcast back, or a
+    range-partitioned rank; the quartile semantics are identical."""
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy("last_order", "o_custkey"))
+    f_ = F.ntile(4).over(Window.orderBy("frequency", "o_custkey"))
+    m = F.ntile(4).over(Window.orderBy("monetary", "o_custkey"))
+    return base.select(
+        "o_custkey",
+        "frequency",
+        r4(F.col("monetary")).alias("monetary"),
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+@register(
+    "part_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(sum(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM rev
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             CAST(sum(CAST(revenue AS DECIMAL(38,6)))
+                    OVER (ORDER BY revenue DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total
+               AS cum_share
+      FROM rev CROSS JOIN tot
+    )
+    SELECT l_partkey, round(revenue, 4) AS revenue,
+           round(cum_share, 4) AS cum_share,
+           CASE WHEN cum_share <= 0.80 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue share: aggregate
+    revenue per part, rank by the (revenue DESC, partkey) total order,
+    cumulative share against the grand total, class breaks at 80/95%.
+
+    Determinism: every sum (per-part, grand total, running) accumulates
+    in DECIMAL(38,6), so cum_share is an exact-over-exact division —
+    identical doubles both engines — and the class thresholds compare
+    identically.  Scale: the running sum is a global-ordered window over
+    the per-part AGGREGATE (|parts| rows, not line items); the grand
+    total broadcasts back as one row.  At 10^8 parts the cumsum becomes
+    a range-partitioned two-pass prefix sum — same semantics."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    tot = rev.agg(dsum(F.col("revenue")).alias("total"))
+    w = (
+        Window.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share",
+        F.sum(F.col("revenue").cast(DEC)).over(w).cast("double")
+        / F.col("total"),
+    )
+    return ranked.select(
+        "l_partkey",
+        r4(F.col("revenue")).alias("revenue"),
+        r4(F.col("cum_share")).alias("cum_share"),
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@register(
+    "interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS e
+      FROM events
+    ), sweep AS (
+      SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS d FROM iv
+    ), run AS (
+      SELECT user_id, t, d,
+             sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, d) AS nxt
+      FROM sweep
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN c > 0 THEN nxt - t ELSE 0 END) AS BIGINT)
+             AS covered_us
+    FROM run
+    WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time per user — union length of [ts, ts+value s)
+    intervals via the +1/-1 sweep line: between consecutive sweep points
+    the active count is constant, so coverage is the sum of segment
+    lengths where count > 0.  The complement of concurrent_intervals
+    (which takes the max of the same running count); one user_id shuffle
+    shared by the running sum, the lead, and the aggregate.  All-integer
+    (µs) arithmetic — no float drift possible.  Tie order (t, d) is
+    total for coverage: equal-t segments have zero length."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor("value").cast("bigint") * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    sweep = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d")))
+    w = Window.partitionBy("user_id").orderBy("t", "d")
+    run = sweep.select(
+        "user_id",
+        "t",
+        F.sum("d")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("c"),
+        F.lead("t").over(w).alias("nxt"),
+    )
+    return (
+        run.filter(F.col("nxt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 0, F.col("nxt") - F.col("t")).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered_us")
+        )
+    )

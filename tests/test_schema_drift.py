@@ -1,0 +1,69 @@
+"""Testdata schema-drift guards.
+
+Round 3 failed 5 driver checks because the driver's data generator
+switched events.ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between
+rounds and the catalog hard-coded the unit.  The conversion is now
+footer-probed (catalog.events_ts_unit); these tests pin the rest of the
+contract so the NEXT silent regeneration fails here, in the local suite,
+instead of in the driver's CORRECTNESS file a round later.
+"""
+
+from __future__ import annotations
+
+import glob
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from secdb_spark.catalog import SCHEMAS, TABLES, events_ts_unit  # noqa: E402
+
+SF_DIRS = sorted(glob.glob("/root/testdata/sf*"))
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_parquet_columns_match_catalog(sf_dir):
+    """Every table's parquet column NAMES must match the catalog schema
+    exactly (order included) — a renamed or added column in regenerated
+    testdata silently breaks explicit-schema reads (missing columns read
+    as null, new columns vanish)."""
+    for t in TABLES:
+        f = pq.ParquetFile(f"{sf_dir}/{t}.parquet")
+        assert list(f.schema_arrow.names) == [
+            fld.name for fld in SCHEMAS[t].fields
+        ], f"{sf_dir}/{t}: column drift"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_unit_probed_and_sane(sf_dir, spark):
+    """The footer-probed ts unit must be a unit we convert, and the
+    converted timestamps must land in the data's documented era (2024) —
+    a wrong unit shifts everything 1000x into 1970 or 5 million AD."""
+    assert events_ts_unit(sf_dir) in ("ns", "us", "ms")
+
+    from pyspark.sql import functions as F
+
+    from secdb_spark.catalog import table
+
+    row = (
+        table(spark, sf_dir, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    assert 2000 <= row.lo.year <= 2100, f"{sf_dir}: min ts {row.lo}"
+    assert 2000 <= row.hi.year <= 2100, f"{sf_dir}: max ts {row.hi}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_timestamp_columns_are_microseconds(sf_dir):
+    """o_orderdate / l_shipdate are read as TimestampNTZ with no unit
+    conversion — valid only while the files stay micros.  If the
+    generator ever emits nanos here (as it once did for events.ts), the
+    nanosAsLong session conf would surface them as raw longs and every
+    date predicate would go wrong; fail here instead."""
+    for t, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        schema = pq.ParquetFile(f"{sf_dir}/{t}.parquet").schema
+        lt = str(schema.column(schema.names.index(col)).logical_type)
+        assert "timeUnit=microseconds" in lt, f"{sf_dir}/{t}.{col}: {lt}"

@@ -799,6 +799,12 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.floor("value").cast("bigint") * F.lit(1_000_000)
         ).alias("e"),
     )
+    return coverage_sweep(iv)
+
+
+def coverage_sweep(iv: DataFrame) -> DataFrame:
+    """Union-length sweep over any (user_id, s, e) interval DataFrame —
+    property-tested against a brute-force union in tests/test_properties."""
     sweep = iv.select(
         "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
     ).unionAll(iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d")))

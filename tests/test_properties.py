@@ -479,3 +479,40 @@ def test_shingle_prefix_filter_lossless_and_order_sensitive(spark):
     assert want, "corpus must contain qualifying shingle pairs"
     assert got == want
     assert (100, 101) not in got, "reversed doc must not shingle-match"
+
+
+def test_coverage_sweep_matches_bruteforce_union(spark):
+    """interval_coverage's sweep kernel vs a brute-force interval union on
+    seeded random data — heavy overlap, nesting, duplicates, and
+    zero-length intervals included."""
+    import random
+
+    from secdb_spark.operators.warehouse_extras import coverage_sweep
+
+    rng = random.Random(20260813)
+    rows = []
+    for user in range(8):
+        for _ in range(40):
+            s = rng.randrange(0, 1000)
+            ln = rng.randrange(0, 60)  # zero-length allowed
+            rows.append((user, s, s + ln))
+    iv = spark.createDataFrame(rows, "user_id long, s long, e long")
+    got = {r.user_id: r.covered_us for r in coverage_sweep(iv).collect()}
+
+    def union_len(spans):
+        spans = sorted((a, b) for _, a, b in spans)
+        total, cur_s, cur_e = 0, None, None
+        for a, b in spans:
+            if cur_e is None or a > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = a, b
+            else:
+                cur_e = max(cur_e, b)
+        if cur_e is not None:
+            total += cur_e - cur_s
+        return total
+
+    for user in range(8):
+        want = union_len([r for r in rows if r[0] == user])
+        assert got.get(user, 0) == want, f"user {user}: {got.get(user)} != {want}"

@@ -12,7 +12,10 @@ Layout:
     session.py    SparkSession factory with the proven configs
     catalog.py    explicit-schema table loaders (10 testdata tables)
     registry.py   operator registry: name -> (spark_fn, oracle_sql)
-    operators/    operator implementations by family (SURVEY §2.A-§2.K)
+    engine.py     user facade: Engine(sf_dir).sql/.table/.op/.explain
+    __main__.py   one-shot CLI: python -m secdb_spark "SELECT ..."
+    layout.py     partitioned/bucketed lakehouse write helpers
+    operators/    operator implementations by family (SURVEY §2.A-§2.N)
 """
 
 __version__ = "0.1.0"

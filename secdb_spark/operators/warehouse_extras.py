@@ -828,3 +828,43 @@ def coverage_sweep(iv: DataFrame) -> DataFrame:
             .alias("covered_us")
         )
     )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fact-fact join answer as a certified op: both sides are
+    written BUCKETED by the join key (write-time co-location), then the
+    join reads the bucketed tables with a merge hint — the plan carries
+    NO join-side Exchange (pinned in tests/test_plans.py); the only
+    shuffle is the tiny post-join aggregate.  The hint (not a conf
+    mutation) forces the sort-merge path so the returned LAZY plan keeps
+    the property when the caller executes it later.
+
+    At warehouse scale the bucketed write happens ONCE at ingest and
+    every subsequent orderkey join is shuffle-free; here the op pays the
+    write each invocation so the driver certifies the whole path
+    (write -> bucketed read -> co-located join) end to end."""
+    import hashlib
+
+    from ..layout import write_bucketed
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    ot, lt = f"secdb_ob_{tag}", f"secdb_lb_{tag}"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, ot, "o_orderkey", 8, "o_orderkey")
+    write_bucketed(li, lt, "l_orderkey", 8, "l_orderkey")
+    ob, lb = spark.table(ot), spark.table(lt)
+    j = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("long").alias("sum_qty"),
+    )

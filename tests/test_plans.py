@@ -381,3 +381,13 @@ def test_rolling_active_users_expands_aggregate_not_events(spark):
     gen = int(re.search(r"\((\d+)\) Generate", p).group(1))
     first_agg = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p))
     assert gen > first_agg, p
+
+
+def test_join_bucketed_has_no_join_exchange(spark):
+    """join_bucketed: write-time co-location + merge hint — the ONLY
+    Exchange in the plan is the post-join aggregate's; neither join side
+    may shuffle."""
+    p = plan_of(spark, "join_bucketed")
+    assert "SortMergeJoin" in p, p
+    exchanges = re.findall(r"\(\d+\) Exchange\b", p)
+    assert len(exchanges) <= 1, p

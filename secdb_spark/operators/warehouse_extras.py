@@ -142,9 +142,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-groups by doc.  At 100 TB the freq table is vocabulary-sized
     (Zipf: ~10^7 rows), broadcastable after a df floor; the tf stream
     shuffles twice (tok, then doc) — both unavoidable for exact corpus
-    statistics, both map-side combinable.  Determinism: each addend is
-    quantized to DECIMAL(38,6) before summation (ln may differ in the
-    last ulp across engines; the quantized sum is exact both sides)."""
+    statistics, both map-side combinable.  The freq side joins tf as an
+    EXPLICIT broadcast: a hash join on tok would shuffle the tf stream by
+    token and melt on Zipf-hot tokens ('the' alone is ~5% of English
+    running text — one reducer), while the broadcast keeps tf in place.
+    Determinism: each addend is quantized to DECIMAL(38,6) before
+    summation (ln may differ in the last ulp across engines; the
+    quantized sum is exact both sides)."""
     d = table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -159,7 +163,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast(DEC)
     avg_logp = F.sum(addend).cast("double") / F.sum("tf")
     return (
-        tf.join(freq, "tok")
+        tf.join(F.broadcast(freq), "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

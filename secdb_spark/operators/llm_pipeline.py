@@ -107,7 +107,7 @@ def sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(
-    d: DataFrame, tokens=None, threshold: float = None
+    d: DataFrame, tokens=None, threshold: float | None = None
 ) -> DataFrame:
     """Prefix-filtered exact-Jaccard pair pipeline over any (doc_id, text)
     DataFrame — see sim_jaccard for the losslessness argument.  `tokens`

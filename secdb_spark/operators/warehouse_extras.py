@@ -181,7 +181,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
       FROM documents
     )
-    SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+    SELECT term, count(*) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM toks
     GROUP BY term
     """,
@@ -189,13 +190,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def invert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build (retrieval-engine core): distinct terms per
     document exploded, then ONE shuffle on term producing df + the sorted
-    posting list.  sort_array makes the list order deterministic (driver
-    hash convention §4.4.5).
+    posting list.  Postings are sorted numerically (sort_array on the
+    bigint list, §4.4.5) and surfaced as a joined STRING per the repo's
+    list-canonicalization rule (cf. agg_collect): the driver's pandas
+    canonicalizer cannot hash array cells (the r4 red row).
 
     Scale: postings are per-term rows, so the shuffle is bounded by the
     postings volume, not by pairs.  A hot term's list is bounded by its
-    df; a production variant shards a term's postings into doc-id ranges
-    ((term, shard) keys) to cap single-row size — same plan shape."""
+    df; `invert_index_sharded` below is the production variant that caps
+    single-row size with (term, shard) keys — same plan shape."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -203,7 +206,57 @@ def invert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+INDEX_SHARDS = 4  # doc-id-hash shard count for the sharded index
+
+
+@register(
+    "invert_index_sharded",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {INDEX_SHARDS} AS shard,
+             unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents
+    )
+    SELECT term, shard, count(*) AS df_shard,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM toks
+    GROUP BY term, shard
+    """,
+)
+def invert_index_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded inverted index — the 100-TB production form of
+    `invert_index`: postings for one term are split across
+    (term, doc_id % INDEX_SHARDS) keys, so a Zipf-hot stopword's posting
+    list ("the" appearing in every document) is bounded by df/shards per
+    row instead of df.  The shuffle key gains entropy exactly where the
+    skew is; readers re-merge a term's shards (concatenation of sorted
+    runs — tests/test_warehouse_extras.py proves shard re-merge equals
+    the unsharded index).  Same single-Exchange plan shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % INDEX_SHARDS).alias("shard"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    return toks.groupBy("term", "shard").agg(
+        F.count(F.lit(1)).alias("df_shard"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

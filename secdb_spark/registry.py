@@ -62,6 +62,11 @@ def _load_driver_certified() -> frozenset[str]:
             rows = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # Legacy/foreign payload shape (top-level list of names):
+            # tolerate rather than break the whole package at import time.
+            names.update(n for n in rows if isinstance(n, str))
+            continue
         for name, row in rows.items():
             if not isinstance(row, dict):
                 names.add(name)

@@ -62,6 +62,28 @@ def test_slate_ops_hold_their_slots():
     assert order[: len(slate_pending)] == slate_pending
 
 
+def test_no_complex_typed_columns_in_exact_oracle_outputs(spark):
+    """Surface-shape invariant: an exact-oracle registered query must not
+    return array/map/struct columns — the driver's pandas canonicalizer
+    cannot hash them.  This failure class cost a driver slot in round 3
+    (map-typed `dims`) and again in round 4 (array-typed `postings`);
+    lists must surface as sort_array+array_join strings (agg_collect
+    convention), maps/structs as to_json."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from conftest import SF_DIR
+
+    bad: list[str] = []
+    for name, fn in registry.all_queries().items():
+        if name not in registry.all_oracles():
+            continue  # rows-only class: never hashed by the driver
+        schema = fn(spark, SF_DIR).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, f"complex-typed driver-facing columns: {bad}"
+
+
 def test_every_query_key_is_registered_and_oracles_subset():
     qs = registry.all_queries()
     ors = registry.all_oracles()

@@ -27,8 +27,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
+from ._global_order import (
+    GLOBAL_WINDOW_GATE,
+    bucketed_global_rank,
+    bucketed_prefix_sum,
+    ntile_from_rank,
+)
 from ._helpers import DEC, dsum, r4, sql_dsum
 
 
@@ -711,30 +717,47 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quartiles) — the
     classic warehouse customer-scoring query.  One shuffle to the
-    per-customer aggregate; the three ntile windows run over the
-    |customers| aggregate with (metric, custkey) tie-safe total orders
-    (ntile is deterministic only under a total order, §4.4.3).
+    per-customer aggregate; quartiles under (metric, custkey) tie-safe
+    total orders (ntile is deterministic only under a total order,
+    §4.4.3).
 
-    Scale note: global ntile is a single-partition window over the
-    AGGREGATE (not raw orders) — at 10^9 customers the production form
-    is percentile thresholds from approx quantiles broadcast back, or a
-    range-partitioned rank; the quartile semantics are identical."""
+    Dual kernel (both exact, dispatch on the orders parquet-footer row
+    count — no Spark job): below the gate, three ntile windows over the
+    model-sized aggregate; above it, `_rfm_scaled` — bucketed global
+    ranks (approx-quantile splits broadcast back, no single-partition
+    Exchange; _global_order.py) + ntile_from_rank.  Equality of the two
+    kernels is pinned in tests/test_warehouse_extras.py."""
     o = table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         dsum(F.col("o_totalprice")).alias("monetary"),
     )
+    if table_rows(sf_dir, "orders") > GLOBAL_WINDOW_GATE:
+        return _rfm_scaled(base)
     r = F.ntile(4).over(Window.orderBy("last_order", "o_custkey"))
     f_ = F.ntile(4).over(Window.orderBy("frequency", "o_custkey"))
     m = F.ntile(4).over(Window.orderBy("monetary", "o_custkey"))
-    return base.select(
+    return _rfm_present(
+        base.select(
+            "o_custkey",
+            "frequency",
+            F.col("monetary"),
+            r.alias("r_score"),
+            f_.alias("f_score"),
+            m.alias("m_score"),
+        )
+    )
+
+
+def _rfm_present(scored: DataFrame) -> DataFrame:
+    return scored.select(
         "o_custkey",
         "frequency",
         r4(F.col("monetary")).alias("monetary"),
-        r.alias("r_score"),
-        f_.alias("f_score"),
-        m.alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     ).withColumn(
         "segment",
         F.concat(
@@ -742,6 +765,35 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ),
+    )
+
+
+def _rfm_scaled(base: DataFrame) -> DataFrame:
+    """Scale kernel: exact quartiles with no single-partition window.
+    Each metric gets a bucketed global rank over a slim (custkey, metric)
+    projection; ntile is recovered arithmetically from (rank, n); scores
+    join back on custkey (three hash shuffles of the customer AGGREGATE —
+    the price of removing the one-task bottleneck)."""
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    def score(df: DataFrame, key: str, out: str) -> DataFrame:
+        ranked = bucketed_global_rank(df, key, ["o_custkey"], out="_r")
+        return ranked.crossJoin(F.broadcast(n)).select(
+            "o_custkey",
+            ntile_from_rank(F.col("_r"), F.col("_n"), 4).alias(out),
+        )
+
+    days = base.select(
+        "o_custkey",
+        F.datediff(F.col("last_order"), F.to_date(F.lit("1970-01-01")))
+        .cast("double")
+        .alias("_days"),
+    )
+    r = score(days, "_days", "r_score")
+    f_ = score(base.select("o_custkey", "frequency"), "frequency", "f_score")
+    m = score(base.select("o_custkey", "monetary"), "monetary", "m_score")
+    return _rfm_present(
+        base.join(r, "o_custkey").join(f_, "o_custkey").join(m, "o_custkey")
     )
 
 
@@ -781,10 +833,13 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every sum (per-part, grand total, running) accumulates
     in DECIMAL(38,6), so cum_share is an exact-over-exact division —
     identical doubles both engines — and the class thresholds compare
-    identically.  Scale: the running sum is a global-ordered window over
-    the per-part AGGREGATE (|parts| rows, not line items); the grand
-    total broadcasts back as one row.  At 10^8 parts the cumsum becomes
-    a range-partitioned two-pass prefix sum — same semantics."""
+    identically.  Dual kernel (dispatch on the lineitem footer row
+    count): below the gate, a global-ordered window over the per-part
+    AGGREGATE; above it, the bucketed two-pass prefix sum
+    (_global_order.py — no single-partition Exchange; decimal addends
+    make the two accumulation orders bit-identical, equality pinned in
+    tests/test_warehouse_extras.py).  The grand total broadcasts back
+    as one row either way."""
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -792,14 +847,18 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = rev.agg(dsum(F.col("revenue")).alias("total"))
-    w = (
-        Window.orderBy(F.col("revenue").desc(), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
-        "cum_share",
-        F.sum(F.col("revenue").cast(DEC)).over(w).cast("double")
-        / F.col("total"),
+    if table_rows(sf_dir, "lineitem") > GLOBAL_WINDOW_GATE:
+        cum = bucketed_prefix_sum(
+            rev, "revenue", ["l_partkey"], "revenue", desc=True, out="_cum"
+        )
+    else:
+        w = (
+            Window.orderBy(F.col("revenue").desc(), "l_partkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = rev.withColumn("_cum", F.sum(F.col("revenue").cast(DEC)).over(w))
+    ranked = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.col("_cum").cast("double") / F.col("total")
     )
     return ranked.select(
         "l_partkey",

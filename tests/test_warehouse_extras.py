@@ -1,16 +1,80 @@
-"""Warehouse-extras properties: sharded-index re-merge, output shapes."""
+"""Warehouse-extras properties: sharded-index re-merge, output shapes,
+and the global-window dual-kernel equivalence + scale-plan pins."""
 
 from __future__ import annotations
 
+import contextlib
+import io
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 from conftest import SF_DIR  # noqa: E402
 
+from secdb_spark.operators import warehouse_extras  # noqa: E402
 from secdb_spark.registry import all_queries  # noqa: E402
 
 QUERIES = all_queries()
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_rfm_scale_kernel_equals_window_kernel(spark, monkeypatch):
+    """Both customer_rfm kernels are exact: the bucketed-rank + arithmetic-
+    ntile scale path must reproduce the ntile-window path bit-for-bit."""
+    small = _canon(QUERIES["customer_rfm"](spark, SF_DIR))
+    monkeypatch.setattr(warehouse_extras, "GLOBAL_WINDOW_GATE", 0)
+    scaled = _canon(QUERIES["customer_rfm"](spark, SF_DIR))
+    assert small.equals(scaled)
+
+
+def test_pareto_scale_kernel_equals_window_kernel(spark, monkeypatch):
+    """Decimal addends make the bucketed two-pass prefix sum bit-identical
+    to the single-partition running sum, so cum_share and the A/B/C class
+    breaks must match exactly."""
+    small = _canon(QUERIES["part_abc_pareto"](spark, SF_DIR))
+    monkeypatch.setattr(warehouse_extras, "GLOBAL_WINDOW_GATE", 0)
+    scaled = _canon(QUERIES["part_abc_pareto"](spark, SF_DIR))
+    assert small.equals(scaled)
+
+
+def _single_partition_sort_parents(plan: str) -> list[str]:
+    """Parents of each `Exchange SinglePartition` node in a simple-mode
+    plan tree (the consumer prints on the line above).  A single-partition
+    exchange under a final scalar HashAggregate is a 1-row total — fine at
+    any scale; one under a Sort is a global window funneling the data
+    through a single task — the bottleneck the scale kernels remove."""
+    lines = plan.splitlines()
+    parents = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            parents.append(lines[i - 1] if i else "")
+    return [p for p in parents if "Sort" in p or "Window" in p]
+
+
+def test_scale_kernels_have_no_single_partition_window(spark, monkeypatch):
+    """The point of the scale kernels: no global-window funnel — every
+    Exchange SinglePartition left in the plan is a 1-row scalar total
+    (HashAggregate parent), never a Sort/Window feed."""
+    monkeypatch.setattr(warehouse_extras, "GLOBAL_WINDOW_GATE", 0)
+    for name in ("customer_rfm", "part_abc_pareto"):
+        df = QUERIES[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        bad = _single_partition_sort_parents(buf.getvalue())
+        assert not bad, f"{name} scale kernel regressed: {bad}"
+    monkeypatch.undo()
+    df = QUERIES["customer_rfm"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    # the gate really selects the window kernel below the threshold
+    assert _single_partition_sort_parents(buf.getvalue())
 
 
 def test_sharded_index_remerges_to_unsharded(spark):

@@ -572,3 +572,35 @@ _sql_op(
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
+
+
+# -- recursive CTE (Spark 4's WITH RECURSIVE; SQLite has had it for years,
+# so it is part of the reference user's SQL surface) -------------------------
+# A January-1995 date spine generated by recursion, left-joined to orders so
+# empty days survive with n_orders = 0 — the SQL-native gap-fill idiom
+# (rollup_gapfill is the DataFrame-native counterpart). Dialect note: Spark
+# steps with date_add(d, 1), DuckDB with d + INTERVAL 1 DAY; the day is cast
+# to TIMESTAMP on output so both engines canonicalize identically.
+_sql_op(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE spine AS (
+      SELECT DATE '1995-01-01' AS d
+      UNION ALL
+      SELECT date_add(d, 1) FROM spine WHERE d < DATE '1995-01-31'
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, count(o_orderkey) AS n_orders
+    FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+    GROUP BY d
+    """,
+    oracle="""
+    WITH RECURSIVE spine AS (
+      SELECT DATE '1995-01-01' AS d
+      UNION ALL
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine WHERE d < DATE '1995-01-31'
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, count(o_orderkey) AS n_orders
+    FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+    GROUP BY d
+    """,
+)

@@ -1,0 +1,629 @@
+"""Round-5 additions — market-basket, data-quality, retrieval-scoring and
+skew-handling operators (SURVEY §2.O).
+
+Reference semantics: the reference is a rebuilt-monthly analytic store
+queried with plain SQL (SURVEY §1.1/§3.1 — mount empty); beyond the §2
+inventory these are the remaining lifecycle/analytics shapes its users run
+around such a store: co-occurrence mining over order baskets, snapshot
+diffing between monthly rebuilds, referential-integrity audits, column
+profiling, TF-IDF/MinHash retrieval scoring for the documents table, and
+an explicitly salted join demonstrating the hot-key strategy the engine
+applies at 100 TB.
+
+Scale notes (100 TB):
+- `basket_copurchase` / `assoc_rules` / `graph_triangles`: pair fan-out is
+  per-basket O(k²) with k = basket size (bounded, ~7 for TPC-H orders),
+  co-located by the basket key — never a corpus cross join; rules/triangles
+  run over the SUPPORT-THRESHOLDED aggregate, orders of magnitude smaller
+  than the pair stream.
+- `snapshot_diff` is one co-partitioned full-outer join on the business
+  key; `fk_integrity` is three left joins each co-partitioned on its FK.
+- `data_profile` uses exact count(DISTINCT) per column (one Expand pass) so
+  the DuckDB oracle can certify it; the documented 100-TB swap is
+  approx_count_distinct / the agg_hll_sketch op — one pass, no Expand.
+- `tfidf_topk` broadcasts the vocabulary-bounded idf side onto the tf
+  stream (the text_unigram_logprob lesson: hash-joining would shuffle the
+  tf stream by token and collapse on Zipf-hot terms).
+- `minhash_sig` is one tokenize + one doc_id-partitioned aggregate; the
+  md5-min signature is engine-portable (certified against DuckDB).
+- `join_salted` splits each hot join key across SALT_BUCKETS reducers
+  (fact side salted by row hash, dim side replicated per salt) — identical
+  output to the plain join, certified by the plain-SQL oracle.
+- `text_pii_scrub` is a fused regexp chain in the scan projection — no
+  shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import dsum, r4, sql_dsum
+
+TOPK_PAIRS = 20
+MIN_PAIR_SUPPORT = 2  # baskets a pair must co-occur in (assoc/graph ops)
+SALT_BUCKETS = 8
+TFIDF_TOPK = 3
+
+
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) pairs — the basket/item incidence list."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey").distinct()
+
+
+def _copurchase_pairs(items: DataFrame) -> DataFrame:
+    """Unordered co-occurring part pairs per basket (p1 < p2): self-join
+    co-partitioned on the basket key, so fan-out is per-basket O(k²) and
+    never crosses baskets."""
+    a, b = items.alias("a"), items.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+
+
+_PAIRS_SQL = """
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, a.l_orderkey AS okey
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+@register(
+    "basket_copurchase",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT p1, p2, count(*) AS n_baskets
+    FROM pairs
+    GROUP BY p1, p2
+    ORDER BY n_baskets DESC, p1, p2
+    LIMIT {TOPK_PAIRS}
+    """,
+)
+def basket_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-{TOPK_PAIRS} part pairs most
+    often bought in the same order.  One shuffle on the basket key for the
+    self-join, map-side-combined pair counts, ORDER-BY-complete top-k
+    (ties broken by (p1, p2), §4.4.4)."""
+    pairs = _copurchase_pairs(_basket_items(spark, sf_dir))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .orderBy(F.col("n_baskets").desc(), "p1", "p2")
+        .limit(TOPK_PAIRS)
+    )
+
+
+@register(
+    "assoc_rules",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    icnt AS (SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1),
+    pairs AS ({_PAIRS_SQL}),
+    pcnt AS (
+      SELECT p1, p2, count(*) AS n_pair FROM pairs GROUP BY p1, p2
+      HAVING count(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    rules AS (
+      SELECT p1 AS antecedent, p2 AS consequent, n_pair FROM pcnt
+      UNION ALL
+      SELECT p2, p1, n_pair FROM pcnt
+    )
+    SELECT antecedent, consequent, n_pair,
+           round(CAST(n_pair AS DOUBLE) / ia.n_item, 4) AS confidence,
+           round(CAST(n_pair AS DOUBLE) * nb.n_orders
+                 / (ia.n_item * ic.n_item), 4) AS lift
+    FROM rules
+    JOIN icnt ia ON ia.l_partkey = antecedent
+    JOIN icnt ic ON ic.l_partkey = consequent
+    CROSS JOIN nb
+    """,
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for every part pair with
+    support >= {MIN_PAIR_SUPPORT}, both directed rules with confidence
+    sup(ab)/sup(a) and lift conf/(sup(b)/N).  The rule set is the
+    support-thresholded AGGREGATE (thousands of rows), so the two item-
+    frequency joins and the 1-row basket total broadcast onto it; the
+    only full-data shuffles are the basket self-join and the item count.
+    All inputs to the ratios are exact integers — the divisions are
+    single correctly-rounded IEEE ops, identical both engines."""
+    items = _basket_items(spark, sf_dir)
+    nb = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    icnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    pcnt = (
+        _copurchase_pairs(items)
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= MIN_PAIR_SUPPORT)
+    )
+    rules = pcnt.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "n_pair",
+    ).unionAll(
+        pcnt.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "n_pair",
+        )
+    )
+    ia = icnt.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    ic = icnt.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_c")
+    )
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            r4(F.col("n_pair").cast("double") / F.col("n_a")).alias(
+                "confidence"
+            ),
+            r4(
+                F.col("n_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_c"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT p1, p2 FROM pairs GROUP BY p1, p2
+      HAVING count(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.p1 = e1.p2
+      JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges, n_triangles FROM tri
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the thresholded co-purchase graph (edges = part
+    pairs co-occurring in >= {MIN_PAIR_SUPPORT} baskets, oriented p1 < p2
+    so each triangle is enumerated exactly once).  The classic two-join
+    formulation runs over the EDGE AGGREGATE — support thresholding is
+    what makes graph ops tractable at scale (the edge set is orders of
+    magnitude smaller than the pair stream; at 100 TB the same plan holds
+    with the edge list hash-partitioned on the join vertex)."""
+    edges = (
+        _copurchase_pairs(_basket_items(spark, sf_dir))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MIN_PAIR_SUPPORT)
+        .drop("n")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1"))
+            & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(tri))
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH new_snap AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ), old_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN round(o_totalprice * 1.1, 4)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           o.o_totalprice AS old_price,
+           n.o_totalprice AS new_price
+    FROM new_snap n
+    FULL OUTER JOIN old_snap o ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR n.o_totalprice <> o.o_totalprice
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two monthly rebuilds (the reference store is
+    rebuilt from feeds, SURVEY §3.1): full-outer join on the business key,
+    emitting added / removed / changed rows with before/after values.
+    The previous snapshot is derived deterministically from orders
+    (keys % 7 dropped = added since; % 5 repriced = changed).  One
+    co-partitioned shuffle on the key; unchanged rows are filtered before
+    any downstream work."""
+    o = table(spark, sf_dir, "orders")
+    new = o.select("o_orderkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, r4(F.col("o_totalprice") * 1.1)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    n, old_a = new.alias("n"), old.alias("o")
+    j = n.join(
+        old_a, F.col("n.o_orderkey") == F.col("o.o_orderkey"), "full_outer"
+    )
+    return j.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("n.o_totalprice") != F.col("o.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("n.o_orderkey"), F.col("o.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+        F.col("o.o_totalprice").alias("old_price"),
+        F.col("n.o_totalprice").alias("new_price"),
+    )
+
+
+@register(
+    "fk_integrity",
+    oracle="""
+    WITH cust_ok AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+    part_ok AS (SELECT p_partkey FROM part WHERE p_partkey % 89 <> 0)
+    SELECT 'orders.o_custkey->customer' AS constraint_name,
+           count(*) AS n_checked,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders o LEFT JOIN cust_ok c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', count(*),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part_ok p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', count(*),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality gate a rebuilt
+    warehouse runs before publishing: per FK constraint, rows checked and
+    dangling references found.  Two constraints run against deliberately
+    corrupted dimension views (every 97th customer / 89th part dropped)
+    so the violation counters are provably exercised; the third
+    (lineitem->orders) is clean.  Each check is one co-partitioned left
+    join + counting aggregate; the three 1-row results union."""
+
+    def check(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str):
+        j = fact.join(dim, fact[fk] == dim[pk], "left")
+        return j.agg(
+            F.lit(label).alias("constraint_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(dim[pk].isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+
+    cust_ok = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 != 0)
+        .select("c_custkey")
+    )
+    part_ok = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 89 != 0)
+        .select("p_partkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        check(orders, "o_custkey", cust_ok, "c_custkey",
+              "orders.o_custkey->customer")
+        .unionAll(check(li, "l_partkey", part_ok, "p_partkey",
+                        "lineitem.l_partkey->part"))
+        .unionAll(check(li, "l_orderkey", orders.select("o_orderkey"),
+                        "o_orderkey", "lineitem.l_orderkey->orders"))
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@register(
+    "data_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null count, exact distinct count, min/max) for
+    every orders column — the rebuild-validation report.  ONE scan: all
+    per-column aggregates compute in a single agg row (Spark plans the
+    multi-distinct via one Expand pass), then stack() unpivots to a row
+    per column.  Exact count(DISTINCT) is chosen so the DuckDB oracle can
+    certify values; the 100-TB swap is approx_count_distinct (one pass,
+    no Expand) — the HLL path is the agg_hll_sketch op."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+@register(
+    "tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(floor(ln(CAST(nd.n_docs AS DOUBLE) / df.df) * 1000000
+                                + 0.5) AS BIGINT) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd
+    )
+    SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) t WHERE rn <= {TFIDF_TOPK}
+    """,
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} TF-IDF terms per document — the retrieval scoring
+    pass over the corpus.  idf is quantized to an INTEGER (floor(ln(N/df)
+    * 1e6 + .5)) so score = tf * idf6 is exact bigint arithmetic: ranking
+    can never be flipped by cross-engine ln() last-ulp jitter except
+    exactly at a floor boundary (accepted-risk class, ADVICE r4).  The
+    vocabulary-bounded idf side BROADCASTS onto the tf stream — hash-
+    joining would shuffle tf by token and collapse on Zipf-hot terms
+    (the text_unigram_logprob lesson); the top-k window shares the
+    doc_id partitioning of the tf aggregate."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.col("df")) * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("idf6"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf6")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", "score", "rn")
+    )
+
+
+MINHASH_SEEDS = ["s0:", "s1:", "s2:", "s3:"]
+
+
+@register(
+    "minhash_sig",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents
+    )
+    SELECT doc_id,
+           {", ".join(f"min(md5('{s}' || term)) AS sig{i}"
+                      for i, s in enumerate(MINHASH_SEEDS))}
+    FROM toks
+    GROUP BY doc_id
+    """,
+)
+def minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash signatures: sig_i = min over the document's
+    distinct terms of md5(seed_i || term).  md5 is bit-identical across
+    engines, so — unlike seed-dependent xxhash MinHash (dedup_near's R
+    class) — this variant certifies against the DuckDB oracle exactly.
+    One tokenize + one doc_id-partitioned aggregate (all four mins in the
+    same pass); at 100 TB the md5s cost ~4 hashes/token, embarrassingly
+    parallel, and band-bucketing on (sig_i) downstream is a plain
+    groupBy."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.col("term")))).alias(f"sig{i}")
+            for i, s in enumerate(MINHASH_SEEDS)
+        ]
+    )
+
+
+@register(
+    "join_salted",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round({sql_dsum('l_extendedprice')}, 4) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-fact join: the lineitem side's join key gains a
+    deterministic row-hash salt in [0, {SALT_BUCKETS}), the orders side
+    replicates once per salt value, and the join runs on (key, salt) —
+    splitting any hot orderkey across {SALT_BUCKETS} reducers instead of
+    collapsing one.  Output is IDENTICAL to the plain join (the oracle is
+    the plain SQL join), which is the whole point: salting is a physical
+    strategy, not a semantic change.  Cost: the replicated side's shuffle
+    volume x{SALT_BUCKETS} — the standard trade when AQE skew-join can't
+    see the skew (e.g. pre-AQE stages or map-side spill pressure)."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS)),
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    # shuffle_hash hint: at test scale Catalyst would broadcast the
+    # replicated orders side, silently bypassing the salted exchange this
+    # op exists to demonstrate (a broadcast join has no reducer skew to
+    # fix); the hint pins the (key, salt)-partitioned path a 100-TB
+    # fact-fact join would take (plan-pinned in tests/test_plans.py).
+    j = li.join(
+        o.hint("shuffle_hash"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (li["_salt"] == o["_salt"]),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        r4(dsum(F.col("l_extendedprice"))).alias("sum_price"),
+    )
+
+
+@register(
+    "ts_ohlc",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_ticks,
+           round({sql_dsum('value')}, 4) AS volume
+    FROM flagged
+    GROUP BY event_type, bucket
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the financial bar-chart aggregate): per event type
+    and hour, the first/last/extreme values plus tick count and summed
+    volume.  Open/close come from tie-safe row_number flags ((ts,
+    event_id) total order, §4.4.3) folded into the same aggregate — both
+    windows and the groupBy share one (event_type, bucket) partitioning,
+    so the whole op is a single Exchange.  Open/close/high/low are
+    UNROUNDED single values (bit-identical cross-engine by §4.4.2's µs
+    normalization); only the order-sensitive volume sum goes through the
+    decimal quantizer."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts")
+    )
+    pw = Window.partitionBy("event_type", "bucket")
+    w_a = pw.orderBy("ts", "event_id")
+    w_d = pw.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    flagged = ev.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return flagged.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        r4(dsum(F.col("value"))).alias("volume"),
+    )
+
+
+PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+"
+PII_NUM = "[0-9]{4,}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{PII_NUM}', '<NUM>', 'g') AS scrubbed,
+           regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{PII_NUM}', '<NUM>', 'g') <> text AS changed
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for the curation pipeline: email-shaped and long-
+    numeric spans replaced with typed placeholders (patterns restricted
+    to the RE2 ∩ Java-regex dialect so both engines match identically;
+    DuckDB needs the 'g' flag to replace ALL occurrences, which is
+    Spark's default).  Pure per-row projection fused into the scan — no
+    shuffle; at 100 TB this is the cheapest kind of operator there is."""
+    d = table(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+        PII_NUM,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (scrub != F.col("text")).alias("changed"),
+    )

@@ -175,6 +175,7 @@ def _load_operators() -> None:
         timeseries,
         udfs,
         warehouse_extras,
+        warehouse_extras2,
         windows,
     )
 

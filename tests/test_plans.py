@@ -391,3 +391,48 @@ def test_join_bucketed_has_no_join_exchange(spark):
     assert "SortMergeJoin" in p, p
     exchanges = re.findall(r"\(\d+\) Exchange\b", p)
     assert len(exchanges) <= 1, p
+
+
+def test_tfidf_idf_side_broadcasts(spark):
+    """tfidf_topk: the vocabulary-bounded idf table must BROADCAST onto
+    the tf stream — a hash join would shuffle tf by token and collapse on
+    Zipf-hot terms (the text_unigram_logprob lesson, round 4)."""
+    p = plan_of(spark, "tfidf_topk")
+    assert "BroadcastHashJoin" in p, p
+    # the tf->idf join itself must never be a shuffle join (the idf
+    # branch's own df count may legitimately exchange partial-aggregated
+    # term counts — those are map-side combined and bounded)
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_join_salted_runs_on_salted_shuffle(spark):
+    """join_salted: the join must run on the (key, salt)-partitioned
+    shuffle path (ShuffledHashJoin), never a broadcast — a broadcast has
+    no reducer skew and would silently bypass the strategy the op
+    demonstrates."""
+    p = plan_of(spark, "join_salted")
+    assert "ShuffledHashJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
+    assert "_salt" in p, "salt column missing from the join keys"
+
+
+def test_pii_scrub_is_scan_fused(spark):
+    """text_pii_scrub: pure projection — zero Exchanges; the regexp chain
+    must fuse into the scan's WholeStageCodegen."""
+    p = plan_of(spark, "text_pii_scrub")
+    assert not re.findall(r"\(\d+\) Exchange\b", p), p
+    assert "codegen id" in p, p
+
+
+def test_ohlc_single_exchange(spark):
+    """ts_ohlc: both row_number windows and the final aggregate share one
+    (event_type, bucket) partitioning — exactly one Exchange."""
+    p = plan_of(spark, "ts_ohlc")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_minhash_single_exchange(spark):
+    """minhash_sig: tokenize + one doc_id aggregate — one Exchange, all
+    four signature mins in the same pass."""
+    p = plan_of(spark, "minhash_sig")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p

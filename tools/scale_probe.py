@@ -307,6 +307,89 @@ def q_invert(d):
     )
 
 
+def q_basket(li):
+    """basket_copurchase's algebra: per-basket O(k^2) pair fan-out."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+def _rev(li):
+    return li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q_prefix_single(li):
+    """part_abc_pareto's SMALL kernel: single-partition running sum over
+    the per-part aggregate — the shape the gate retires at scale."""
+    w = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return _rev(li).withColumn(
+        "cum", F.sum(F.col("revenue").cast("decimal(38,6)")).over(w)
+    )
+
+
+def q_prefix_bucketed(li):
+    """part_abc_pareto's SCALE kernel: bucketed two-pass prefix sum
+    (_global_order.py) — same values, no single-partition funnel."""
+    from secdb_spark.operators._global_order import bucketed_prefix_sum
+
+    return bucketed_prefix_sum(
+        _rev(li), "revenue", ["l_partkey"], "revenue", desc=True, out="cum"
+    )
+
+
+def q_tfidf(d):
+    """tfidf_topk's algebra: tf stream + broadcast idf + per-doc top-k."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df_.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.floor(F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("idf6"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf6")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+
+
+def q_minhash(d):
+    """minhash_sig's algebra: tokenize + one aggregate, 4 md5 mins."""
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("term")))).alias(
+                f"sig{i}"
+            )
+            for i in range(4)
+        ]
+    )
+
+
 def timed(df) -> float:
     df.write.mode("overwrite").format("noop").save()
     ts = []
@@ -353,6 +436,11 @@ def main() -> None:
         ("conversion range-frame", q_conversion(ev1), q_conversion(ev4)),
         ("unigram logprob", q_logprob(d1_), q_logprob(d4_)),
         ("inverted index", q_invert(d1_), q_invert(d4_)),
+        ("basket copurchase pairs", q_basket(li1), q_basket(li4)),
+        ("prefix sum SINGLE-PART", q_prefix_single(li1), q_prefix_single(li4)),
+        ("prefix sum BUCKETED", q_prefix_bucketed(li1), q_prefix_bucketed(li4)),
+        ("tfidf topk (bcast idf)", q_tfidf(d1_), q_tfidf(d4_)),
+        ("minhash signatures", q_minhash(d1_), q_minhash(d4_)),
     ]:
         t1, t4 = timed(d1), timed(d4)
         rows.append((name, t1, t4, t4 / t1))

@@ -604,3 +604,50 @@ _sql_op(
     GROUP BY d
     """,
 )
+
+
+# -- LATERAL correlated derived table (Spark 4 + DuckDB both support) --------
+# Top-2 orders per region's first customer cohort: the LATERAL subquery
+# re-runs per outer row — Catalyst decorrelates it to a ranked join, which
+# is exactly the plan a hand-written window top-k would get.
+_sql_op(
+    "sql_lateral",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_custkey <= 100
+    """,
+)
+
+# -- PIVOT clause (Spark SQL syntax; oracle = portable CASE aggregation) -----
+_sql_op(
+    "sql_pivot",
+    """
+    SELECT * FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS DECIMAL(38,6)) AS q
+      FROM lineitem
+    )
+    PIVOT (
+      CAST(sum(q) AS DOUBLE) FOR l_linestatus IN ('O' AS qty_o, 'F' AS qty_f)
+    )
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS qty_o,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)

@@ -50,7 +50,26 @@ def write_bucketed(
 ) -> None:
     """Bucketed table: co-locates rows by hash(bucket_col) at WRITE time so
     joins/aggs on that key need no shuffle at READ time. This is the 100 TB
-    answer to the orders⋈lineitem shuffle (SCALE.md §2)."""
+    answer to the orders⋈lineitem shuffle (SCALE.md §2).
+
+    Orphan-location guard: a managed-table DIRECTORY can survive from a
+    previous session while the fresh session's in-memory metastore has no
+    such table (the verify driver's vanilla session over a reused working
+    dir reproduces this) — saveAsTable then throws LOCATION_ALREADY_EXISTS
+    even in overwrite mode, because overwrite only covers tables the
+    catalog knows about.  Drop the table if registered, then remove any
+    orphaned local directory before writing."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file") and wh.path:
+        shutil.rmtree(
+            os.path.join(wh.path, table_name.lower()), ignore_errors=True
+        )
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)

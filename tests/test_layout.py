@@ -157,3 +157,29 @@ def test_observe_inline_metrics(spark):
     assert m["total_qty"] == direct[1]
     assert m["bad_discounts"] == 0  # corpus invariant: discounts <= 0.1
     assert 0 < n_out < m["n_rows"]
+
+
+def test_write_bucketed_survives_orphaned_table_dir(spark):
+    """A managed-table directory left by a PREVIOUS session (fresh
+    metastore, stale warehouse dir — the verify driver's vanilla session
+    over a reused working dir) must not fail the bucketed write with
+    LOCATION_ALREADY_EXISTS; write_bucketed drops the orphan first.
+    Found by tools/driver_dryrun.py in round 5."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    from conftest import SF_DIR
+
+    from secdb_spark.registry import all_queries
+
+    tag = hashlib.sha1(SF_DIR.encode()).hexdigest()[:8]
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    for t in (f"secdb_ob_{tag}", f"secdb_lb_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+        d = os.path.join(wh.path, t)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "orphan.parquet"), "w") as f:
+            f.write("stale")
+    out = all_queries()["join_bucketed"](spark, SF_DIR).collect()
+    assert len(out) > 0

@@ -117,3 +117,54 @@ def test_sharded_index_caps_hot_term_row_size(spark):
         worst = sharded[sharded["term"] == t]["df_shard"].max()
         if hot >= 2 * INDEX_SHARDS:
             assert worst < hot
+
+
+def test_global_order_kernels_on_skewed_duplicates(spark):
+    """Adversarial input for the bucketed kernels: 90% of rows share ONE
+    key value (every quantile split lands on it), plus negatives and a
+    unique tail.  Rank and prefix sum must still equal the single-
+    partition window exactly — equal keys always share a bucket, so split
+    degeneracy affects balance only, never correctness."""
+    from pyspark.sql import Window, functions as F
+
+    from secdb_spark.operators._global_order import (
+        bucketed_global_rank,
+        bucketed_prefix_sum,
+    )
+
+    rows = [(float(7), i) for i in range(900)]
+    rows += [(float(-i), 1000 + i) for i in range(50)]
+    rows += [(float(100 + i), 2000 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "id"])
+
+    got = (
+        bucketed_global_rank(df, "k", ["id"], n_buckets=16, out="r")
+        .orderBy("id")
+        .collect()
+    )
+    want = (
+        df.withColumn("r", F.row_number().over(Window.orderBy("k", "id")))
+        .orderBy("id")
+        .collect()
+    )
+    assert [(x.k, x.id, x.r) for x in got] == [
+        (x.k, x.id, x.r) for x in want
+    ]
+
+    got_s = (
+        bucketed_prefix_sum(df, "k", ["id"], "k", n_buckets=16,
+                            desc=True, out="c")
+        .orderBy("id")
+        .collect()
+    )
+    w = Window.orderBy(F.col("k").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want_s = (
+        df.withColumn("c", F.sum(F.col("k").cast("decimal(38,6)")).over(w))
+        .orderBy("id")
+        .collect()
+    )
+    assert [(x.k, x.id, float(x.c)) for x in got_s] == [
+        (x.k, x.id, float(x.c)) for x in want_s
+    ]

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import dsum, r4, sql_dsum
+from ._helpers import DEC, dsum, r4, sql_dsum
 
 TOPK_PAIRS = 20
 MIN_PAIR_SUPPORT = 2  # baskets a pair must co-occur in (assoc/graph ops)
@@ -626,4 +626,223 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         scrub.alias("scrubbed"),
         (scrub != F.col("text")).alias("changed"),
+    )
+
+
+@register(
+    "win_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(ts AS DATE) - DATE '1970-01-01' AS d
+      FROM events
+    ), islands AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM days
+    ), runs AS (
+      SELECT user_id, island, count(*) AS len FROM islands
+      GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-days streak per user — the classic
+    gaps-and-islands shape: distinct active days, island key = day number
+    minus row_number (constant within a consecutive run), then two
+    aggregates.  Every step — distinct, window, both groupBys — shares
+    the user_id partitioning, so the whole op is ONE full-data Exchange
+    over the (user, day) DISTINCT aggregate (never raw events past the
+    first dedup)."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+@register(
+    "events_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), t AS (
+      SELECT user_id, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS total
+      FROM c
+    )
+    SELECT user_id, CAST(max(total) AS BIGINT) AS n_events,
+           round(-CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE) / total)
+                                            * 1000000 + 0.5) AS BIGINT))
+                       AS DOUBLE)
+                 / (CAST(max(total) AS DOUBLE) * 1000000), 4) AS entropy
+    FROM t GROUP BY user_id
+    """,
+)
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity score a curation pipeline uses to flag bot-like
+    (near-zero-entropy) traffic.  ln(p) is integer-quantized (floor(ln ·
+    1e6 + .5), the tfidf_topk convention) so the accumulated numerator is
+    exact bigint arithmetic and the single final division is a correctly
+    rounded IEEE op — bit-identical across engines.  One user_id shuffle
+    shared by the type counts, the total window, and the final
+    aggregate."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.withColumn(
+        "total",
+        F.sum("cnt").over(Window.partitionBy("user_id")).cast("long"),
+    )
+    lnq = F.floor(
+        F.log(F.col("cnt").cast("double") / F.col("total")) * 1_000_000 + 0.5
+    ).cast("long")
+    return t.groupBy("user_id").agg(
+        F.max("total").cast("long").alias("n_events"),
+        r4(
+            -F.sum(F.col("cnt") * lnq).cast("double")
+            / (F.max("total").cast("double") * 1_000_000)
+        ).alias("entropy"),
+    )
+
+
+MA_HALF = 12  # centered moving-average half-width (hours)
+
+
+@register(
+    "seasonal_decompose_ma",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             {sql_dsum('value')} AS v
+      FROM events GROUP BY 1, 2
+    ), trended AS (
+      SELECT event_type, bucket, v,
+             CAST(sum(CAST(v AS DECIMAL(38,6)))
+                    OVER w AS DOUBLE) / {2 * MA_HALF + 1} AS trend,
+             count(*) OVER w AS n_win
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN {MA_HALF} PRECEDING AND {MA_HALF} FOLLOWING)
+    )
+    SELECT event_type,
+           CAST(extract(hour FROM bucket) AS INTEGER) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(sum(CAST(v - trend AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS seasonal
+    FROM trended
+    WHERE n_win = {2 * MA_HALF + 1}
+    GROUP BY event_type, hour_of_day
+    """,
+)
+def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average seasonal decomposition: hourly per-type sums, a
+    centered {2 * MA_HALF + 1}-hour MA as the trend (only where the frame
+    is complete), and the seasonal index = mean detrended residual per
+    hour-of-day.  Exactness: hourly sums, the MA frame sum, and the
+    residual sum all accumulate in DECIMAL(38,6), so `seasonal` is an
+    exact-over-exact division rounded once.  The hourly aggregate, the
+    trend window, and the hour-of-day regroup form a two-Exchange
+    pipeline over the AGGREGATE (|types|x|hours| rows), never raw
+    events twice."""
+    ev = table(spark, sf_dir, "events")
+    width = 2 * MA_HALF + 1
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(dsum(F.col("value")).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-MA_HALF, MA_HALF)
+    )
+    trended = hourly.select(
+        "event_type",
+        "bucket",
+        "v",
+        (F.sum(F.col("v").cast(DEC)).over(w).cast("double") / width).alias(
+            "trend"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).filter(F.col("n_win") == width)
+    return trended.groupBy(
+        "event_type",
+        F.hour("bucket").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        r4(
+            F.sum((F.col("v") - F.col("trend")).cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal"),
+    )
+
+
+@register(
+    "percent_of_total",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n ON c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, region, round(revenue, 4) AS revenue,
+           round(revenue / CAST(sum(CAST(revenue AS DECIMAL(38,6)))
+                                  OVER (PARTITION BY region) AS DOUBLE), 4)
+             AS region_share
+    FROM rev
+    """,
+)
+def percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue — the
+    standard BI percent-of-total idiom.  Dims broadcast onto the fact
+    scan, one shuffle to the |nations| aggregate, and the share window
+    runs over that aggregate partitioned by region (25 rows); the
+    denominator accumulates in DECIMAL so the share division is exact
+    over exact."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "nation",
+        "region",
+        r4(F.col("revenue")).alias("revenue"),
+        r4(
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast(DEC)).over(w).cast("double")
+        ).alias("region_share"),
     )

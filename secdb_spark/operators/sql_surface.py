@@ -651,3 +651,30 @@ _sql_op(
     GROUP BY l_returnflag
     """,
 )
+
+
+# -- listagg WITHIN GROUP (Spark 4) vs DuckDB string_agg ORDER BY ------------
+_sql_op(
+    "agg_listagg",
+    """
+    SELECT n_regionkey,
+           listagg(n_name, ';') WITHIN GROUP (ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ';' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+
+# -- GROUP BY ALL (dialect-shared modern shorthand) --------------------------
+_sql_op(
+    "sql_group_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+)

@@ -846,3 +846,181 @@ def percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("revenue").cast(DEC)).over(w).cast("double")
         ).alias("region_share"),
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+             sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+             sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 4)
+             AS slope,
+           round((CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                       - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                  / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                         - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+                 * (CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                         - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                    / CAST(CAST(n AS DECIMAL(38,0)) * syy
+                           - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)), 4)
+             AS r2
+    FROM s
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares regression (price vs quantity per return
+    flag) computed from the five summable moments — the map-side-
+    combinable formulation that scales where a two-pass covariance
+    doesn't.  Inputs quantize to exact fixed-point bigints (the scale
+    factors cancel in slope/r²); the closing products run in
+    DECIMAL(38,0) (n·Σxy overflows bigint at sf0.1) and the final
+    divisions are single correctly rounded IEEE ops — bit-identical both
+    engines, unlike the engines' own float-accumulated regr_* built-ins.
+    r² = (num/den_x)·(num/den_y) keeps every intermediate inside
+    decimal range."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d0 = "decimal(38,0)"
+    num = (F.col("n").cast(d0) * F.col("sxy")
+           - F.col("sx").cast(d0) * F.col("sy"))
+    den_x = (F.col("n").cast(d0) * F.col("sxx")
+             - F.col("sx").cast(d0) * F.col("sx"))
+    den_y = (F.col("n").cast(d0) * F.col("syy")
+             - F.col("sy").cast(d0) * F.col("sy"))
+    slope = num.cast("double") / den_x.cast("double")
+    r2 = slope * (num.cast("double") / den_y.cast("double"))
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        r4(slope).alias("slope"),
+        r4(r2).alias("r2"),
+    )
+
+
+PEAK_TOPK = 20
+PEAK_PRE_US = 30 * 60 * 1_000_000   # window opens 30 min before the peak hour
+PEAK_POST_US = 90 * 60 * 1_000_000  # ... and closes 90 min after its start
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+      FROM events GROUP BY 1
+    ), peaks AS (
+      SELECT epoch_us(bucket) - {PEAK_PRE_US} AS s,
+             epoch_us(bucket) + {PEAK_POST_US} AS e,
+             bucket
+      FROM hourly ORDER BY n DESC, bucket LIMIT {PEAK_TOPK}
+    )
+    SELECT CAST(p.bucket AS TIMESTAMP) AS peak_hour,
+           count(*) AS n_events,
+           round({sql_dsum('ev.value')}, 4) AS sum_value
+    FROM events ev JOIN peaks p
+      ON epoch_us(ev.ts) >= p.s AND epoch_us(ev.ts) < p.e
+    GROUP BY p.bucket
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key: every event vs every peak window)
+    made scalable by BINNING: each [start, end) interval explodes into
+    the hour bins it overlaps (≤3 here), events map to their own bin, and
+    the join becomes an EQUI join on bin + a residual range filter —
+    turning the O(|events|·|intervals|) theta join OSS Spark would
+    otherwise plan into a hash join whose fan-out is the interval's bin
+    count.  Windows are the top-{PEAK_TOPK} busiest hours ± margins
+    (ORDER-BY-complete selection); exact by construction since bins cover
+    the intervals."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    peaks = (
+        hourly.orderBy(F.col("n").desc(), "bucket")
+        .limit(PEAK_TOPK)
+        .select(
+            "bucket",
+            (F.unix_micros("bucket") - PEAK_PRE_US).alias("s"),
+            (F.unix_micros("bucket") + PEAK_POST_US).alias("e"),
+        )
+    )
+    hour_us = 3_600 * 1_000_000
+    binned = peaks.select(
+        "bucket",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / hour_us),
+                F.floor((F.col("e") - 1) / hour_us),
+            )
+        ).alias("bin"),
+    )
+    j = ev.withColumn("bin", F.floor(F.col("us") / hour_us)).join(
+        F.broadcast(binned), "bin"
+    )
+    return (
+        j.filter((F.col("us") >= F.col("s")) & (F.col("us") < F.col("e")))
+        .groupBy(F.col("bucket").alias("peak_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(dsum(F.col("value"))).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and,
+           o_orderkey | 4096 AS b_or,
+           xor(o_orderkey, 170) AS b_xor,
+           o_orderkey << 2 AS b_shl,
+           o_orderkey >> 3 AS b_shr,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS b_pop
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar-function surface (mask/flag decoding in feature
+    pipelines): and/or/xor, shifts, popcount — pure JVM expressions fused
+    into the scan."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(170)).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+        F.bit_count(k).cast("int").alias("b_pop"),
+    )

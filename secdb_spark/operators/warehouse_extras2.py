@@ -1024,3 +1024,83 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("b_shr"),
         F.bit_count(k).cast("int").alias("b_pop"),
     )
+
+
+@register(
+    "snk_orc",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def snk_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + read-back aggregation — the second columnar lakehouse
+    format Spark bundles natively (§2.A completes: parquet, csv, json,
+    text, sqlite, orc).  DuckDB cannot read ORC, so the oracle certifies
+    the ROUND-TRIP: the read-back aggregate must equal the aggregate of
+    the original table, which it does only if every value survived the
+    format conversion bit-exactly.  Same partitionBy layout discipline
+    as snk_parquet."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="secdb_orc_")
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").orc(d)
+    back = spark.read.orc(d)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+BENFORD_EXPECTED = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "audit_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM lineitem WHERE l_extendedprice >= 1
+    ), tot AS (SELECT count(*) AS n FROM digits)
+    SELECT d, count(*) AS n_obs,
+           round(CAST(count(*) AS DOUBLE) / max(tot.n), 4) AS observed,
+           round(log10(1 + 1.0 / d), 4) AS expected
+    FROM digits CROSS JOIN tot
+    GROUP BY d
+    """,
+)
+def audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the price column — the classic
+    financial-data-quality screen (a rebuilt warehouse whose leading-
+    digit distribution drifts from log10(1+1/d) signals generation or
+    ingest corruption).  Digit extraction is exact integer/string work;
+    the shares are single IEEE divisions of exact counts; expected values
+    are closed-form.  One tiny 9-row aggregate + a broadcast 1-row
+    total."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    digits = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    expected = F.round(F.log10(1 + 1 / F.col("d")), 4)
+    return (
+        digits.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n_obs",
+            r4(F.col("n_obs").cast("double") / F.col("n_total")).alias(
+                "observed"
+            ),
+            expected.alias("expected"),
+        )
+    )

@@ -954,7 +954,7 @@ def mm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_FEATURES_SCHEMA = (
     "doc_id long, modality string, n_bytes long, checksum bigint, "
-    "feat array<float>, decode_error string"
+    "feat_json string, decode_error string"
 )
 
 
@@ -965,10 +965,16 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The real image/audio decode is STUBBED (no codec libs in this
     container): modality 'text' gets deterministic fake features
-    (byte-histogram moments); any other modality raises
-    NotImplementedError inside the batch fn and is surfaced per-row in
-    decode_error. The Spark-side contract — binary column, Arrow batch
+    (byte-histogram moments, vectorized with numpy over the whole Arrow
+    batch — one concatenated buffer + reduceat over offsets, no per-row
+    Python loop); any other modality raises NotImplementedError inside
+    the batch fn and is surfaced per-row in decode_error.  The feature
+    vector ships as a JSON string (`feat_json`) — the driver's row
+    canonicalizer cannot hash array cells (invert_index's serialization
+    contract).  The Spark-side contract — binary column, Arrow batch
     shape, schema, partitioning — is real and tested."""
+    import json
+
     import numpy as np
 
     d = table(spark, sf_dir, "documents").select(
@@ -979,38 +985,53 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
-            for doc_id, payload, modality in zip(
-                b["doc_id"], b["payload"], b["modality"]
-            ):
-                raw = bytes(payload)
-                try:
-                    if modality != "text":
+            if b.empty:
+                continue
+            is_text = (b["modality"] == "text").to_numpy()
+            payloads = [bytes(p) for p in b["payload"]]
+            lens = np.array([len(p) for p in payloads], dtype="int64")
+            # vectorized moments: one flat buffer, segment-reduce by offsets.
+            # reduceat cannot express empty segments, so stats run over the
+            # non-empty rows and scatter back (empty payload -> all-zero
+            # feature, matching a zero-byte histogram).
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype("int64")
+            nz = np.flatnonzero(lens)
+            sums = np.zeros(len(lens), "int64")
+            sq = np.zeros(len(lens), "int64")
+            mins = np.zeros(len(lens), "int64")
+            maxs = np.zeros(len(lens), "int64")
+            if nz.size:
+                ends = np.cumsum(lens)
+                starts = (ends - lens)[nz]
+                sums[nz] = np.add.reduceat(flat, starts)
+                sq[nz] = np.add.reduceat(flat * flat, starts)
+                mins[nz] = np.minimum.reduceat(flat, starts)
+                maxs[nz] = np.maximum.reduceat(flat, starts)
+            means = sums / np.maximum(lens, 1)
+            stds = np.sqrt(np.maximum(sq / np.maximum(lens, 1) - means * means, 0.0))
+            feats = [
+                json.dumps(
+                    [float(np.float32(m)), float(np.float32(s)),
+                     float(np.float32(lo)), float(np.float32(hi))]
+                )
+                if ok
+                else None
+                for ok, m, s, lo, hi in zip(is_text, means, stds, mins, maxs)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "modality": b["modality"],
+                    "n_bytes": lens,
+                    "checksum": np.where(is_text, sums, None),
+                    "feat_json": feats,
+                    "decode_error": [
+                        None if ok else f"NotImplementedError: decode[{m}]"
                         # STUB: real decode (image resize / audio resample /
                         # video frame-sample) needs codec libs absent here.
-                        raise NotImplementedError(f"decode[{modality}]")
-                    arr = np.frombuffer(raw, dtype=np.uint8)
-                    feat = [
-                        float(arr.mean()),
-                        float(arr.std()),
-                        float(arr.min()),
-                        float(arr.max()),
-                    ]
-                    out.append(
-                        (int(doc_id), modality, len(raw), int(arr.sum()), feat, None)
-                    )
-                except NotImplementedError as exc:
-                    out.append((int(doc_id), modality, len(raw), None, None, str(exc)))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "modality",
-                    "n_bytes",
-                    "checksum",
-                    "feat",
-                    "decode_error",
-                ],
+                        for ok, m in zip(is_text, b["modality"])
+                    ],
+                }
             )
 
     return d.mapInPandas(extract, MM_FEATURES_SCHEMA)

@@ -553,6 +553,12 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure (d×k doubles); projection is a matmul per batch, fused into
     the scan — no shuffle.
 
+    The projection ships as a JSON string column (`pc_json`) rather than
+    array<double>: the driver's row canonicalizer hashes cell values and
+    cannot hash numpy arrays — the same serialization contract
+    invert_index adopted.  Consumers needing the vector parse the JSON
+    (one line of numpy); tests do exactly that.
+
     Properties pinned in tests/test_properties.py: components orthonormal,
     explained variance non-increasing, projection bit-equal to local numpy
     PCA on the same corpus."""
@@ -601,15 +607,23 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = W * signs  # deterministic orientation
 
     def project(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import json
+
         for b in batches:
             if b.empty:
                 continue
             X = np.stack(b["embedding"].to_numpy()).astype("float64")
             P = np.round((X - mean) @ W, 6)
-            yield pd.DataFrame({"vec_id": b["vec_id"], "pc": list(P)})
+            # +0.0 normalizes -0.0 so the JSON text is orientation-stable
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "pc_json": [json.dumps([float(v) + 0.0 for v in row]) for row in P],
+                }
+            )
 
     return emb.select("vec_id", "embedding").mapInPandas(
-        project, "vec_id long, pc array<double>"
+        project, "vec_id long, pc_json string"
     )
 
 

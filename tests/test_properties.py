@@ -90,13 +90,21 @@ def test_simhash_consistent_with_bow_fingerprint(q):
 
 
 def test_mm_features_deterministic_and_batched(q):
+    import json
+
     a, b = q("mm_features"), q("mm_features")
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert (a["checksum"] == b["checksum"]).all(), "stub features must be deterministic"
+    assert (a["feat_json"] == b["feat_json"]).all(), "serialized features stable"
     assert a["decode_error"].isna().all(), "text modality must decode"
     assert (a["n_bytes"] > 0).all()
-    assert a["feat"].map(len).eq(4).all(), "feature vector shape"
+    assert a["feat_json"].map(lambda s: len(json.loads(s))).eq(4).all(), (
+        "feature vector shape"
+    )
+    # JSON round-trips to plain floats (driver canonicalizer hashes strings)
+    f0 = json.loads(a["feat_json"].iloc[0])
+    assert all(isinstance(v, float) for v in f0)
 
 
 def test_sample_fraction_reproducible_and_unbiased(q):
@@ -315,8 +323,10 @@ def test_embed_pca_components_orthonormal_and_match_numpy(q, spark):
     from secdb_spark.operators.pipeline_extras import PCA_K
     from secdb_spark.catalog import table
 
+    import json
+
     pdf = q("embed_pca").sort_values("vec_id").reset_index(drop=True)
-    P = np.stack(pdf["pc"].to_numpy())
+    P = np.stack(pdf["pc_json"].map(json.loads).to_numpy())
     assert P.shape[1] == PCA_K
 
     emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").toPandas()

@@ -62,21 +62,21 @@ def test_slate_ops_hold_their_slots():
     assert order[: len(slate_pending)] == slate_pending
 
 
-def test_no_complex_typed_columns_in_exact_oracle_outputs(spark):
-    """Surface-shape invariant: an exact-oracle registered query must not
-    return array/map/struct columns — the driver's pandas canonicalizer
-    cannot hash them.  This failure class cost a driver slot in round 3
-    (map-typed `dims`) and again in round 4 (array-typed `postings`);
+def test_no_complex_typed_columns_in_any_registered_output(spark):
+    """Surface-shape invariant: NO registered query may return array/map/
+    struct columns — the driver's pandas canonicalizer hashes rows-only
+    outputs too, and cannot hash them.  This failure class cost a driver
+    slot in round 3 (map-typed `dims`), round 4 (array-typed `postings`),
+    and round 5 (embed_pca/mm_features array cells — rows-only ops, which
+    the exact-oracle-scoped predecessor of this test did not cover);
     lists must surface as sort_array+array_join strings (agg_collect
-    convention), maps/structs as to_json."""
+    convention), vectors/maps/structs as JSON strings."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from conftest import SF_DIR
 
     bad: list[str] = []
     for name, fn in registry.all_queries().items():
-        if name not in registry.all_oracles():
-            continue  # rows-only class: never hashed by the driver
         schema = fn(spark, SF_DIR).schema
         for field in schema.fields:
             if isinstance(field.dataType, (ArrayType, MapType, StructType)):

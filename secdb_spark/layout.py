@@ -58,17 +58,29 @@ def write_bucketed(
     dir reproduces this) — saveAsTable then throws LOCATION_ALREADY_EXISTS
     even in overwrite mode, because overwrite only covers tables the
     catalog knows about.  Drop the table if registered, then remove any
-    orphaned local directory before writing."""
+    orphaned local directory before writing.
+
+    The orphan path must follow the metastore's own layout rules, not a
+    guess: the default database stores managed tables at <wh>/<table>,
+    every other database at <wh>/<db>.db/<table>, and the warehouse conf
+    is a URI whose path may be percent-encoded — resolving all three
+    keeps the rmtree aimed at the directory saveAsTable would actually
+    claim (a mis-resolved guard both misses the real orphan and, in a
+    name collision, could delete a default-db directory it doesn't own)."""
     import os
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
     if wh.scheme in ("", "file") and wh.path:
+        db = spark.catalog.currentDatabase()
+        base = unquote(wh.path)
+        if db != "default":
+            base = os.path.join(base, f"{db.lower()}.db")
         shutil.rmtree(
-            os.path.join(wh.path, table_name.lower()), ignore_errors=True
+            os.path.join(base, table_name.lower()), ignore_errors=True
         )
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:

@@ -773,14 +773,24 @@ def _rfm_scaled(base: DataFrame) -> DataFrame:
     Each metric gets a bucketed global rank over a slim (custkey, metric)
     projection; ntile is recovered arithmetically from (rank, n); scores
     join back on custkey (three hash shuffles of the customer AGGREGATE —
-    the price of removing the one-task bottleneck)."""
-    n = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    the price of removing the one-task bottleneck).
+
+    `base` is localCheckpoint'ed first: the three score computations each
+    run an eager approxQuantile action plus a ranking pass, and the final
+    three-way join adds another — without materialization that's five-plus
+    recomputations of the orders aggregate.  The checkpoint costs one
+    materialization of the model-sized aggregate and truncates lineage so
+    every downstream action reads the cached partitions.  The row count
+    collects once and inlines as a literal (it was a broadcast crossJoin
+    of a 1-row aggregate — a whole extra job per score)."""
+    base = base.localCheckpoint(eager=True)
+    n_rows = base.count()  # served from the checkpoint just materialized
 
     def score(df: DataFrame, key: str, out: str) -> DataFrame:
         ranked = bucketed_global_rank(df, key, ["o_custkey"], out="_r")
-        return ranked.crossJoin(F.broadcast(n)).select(
+        return ranked.select(
             "o_custkey",
-            ntile_from_rank(F.col("_r"), F.col("_n"), 4).alias(out),
+            ntile_from_rank(F.col("_r"), F.lit(n_rows).cast("long"), 4).alias(out),
         )
 
     days = base.select(

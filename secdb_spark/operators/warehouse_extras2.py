@@ -35,11 +35,16 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
 from ._helpers import DEC, dsum, r4, sql_dsum
+
+# snk_orc round-trip sink, written once per process per sf_dir (see op)
+_ORC_SINK_CACHE: dict[str, str] = {}
 
 TOPK_PAIRS = 20
 MIN_PAIR_SUPPORT = 2  # baskets a pair must co-occur in (assoc/graph ops)
@@ -887,24 +892,30 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag) computed from the five summable moments — the map-side-
     combinable formulation that scales where a two-pass covariance
     doesn't.  Inputs quantize to exact fixed-point bigints (the scale
-    factors cancel in slope/r²); the closing products run in
-    DECIMAL(38,0) (n·Σxy overflows bigint at sf0.1) and the final
-    divisions are single correctly rounded IEEE ops — bit-identical both
-    engines, unlike the engines' own float-accumulated regr_* built-ins.
-    r² = (num/den_x)·(num/den_y) keeps every intermediate inside
-    decimal range."""
+    factors cancel in slope/r²); the moment sums themselves accumulate
+    in DECIMAL(38,0) — per-flag Σy² reaches ~7.4e18 of int64's 9.22e18
+    max at sf0.1 already, so a BIGINT sum ARITHMETIC_OVERFLOWs under
+    Spark's default ANSI mode just above test scale, while DuckDB's
+    sum(BIGINT) silently promotes to HUGEINT and diverges.  Decimal sums
+    stay map-side combinable (partial decimal sums merge in the combine
+    phase like longs).  The closing products run in DECIMAL(38,0)
+    (n·Σxy needs ~1e31 headroom at 100 TB — fits 38 digits) and the
+    final divisions are single correctly rounded IEEE ops — bit-identical
+    both engines, unlike the engines' own float-accumulated regr_*
+    built-ins.  r² = (num/den_x)·(num/den_y) keeps every intermediate
+    inside decimal range."""
     li = table(spark, sf_dir, "lineitem")
+    d0 = "decimal(38,0)"
     x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
     y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(x.cast(d0)).alias("sx"),
+        F.sum(y.cast(d0)).alias("sy"),
+        F.sum((x * x).cast(d0)).alias("sxx"),
+        F.sum((y * y).cast(d0)).alias("syy"),
+        F.sum((x * y).cast(d0)).alias("sxy"),
     )
-    d0 = "decimal(38,0)"
     num = (F.col("n").cast(d0) * F.col("sxy")
            - F.col("sx").cast(d0) * F.col("sy"))
     den_x = (F.col("n").cast(d0) * F.col("sxx")
@@ -1042,12 +1053,26 @@ def snk_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUND-TRIP: the read-back aggregate must equal the aggregate of
     the original table, which it does only if every value survived the
     format conversion bit-exactly.  Same partitionBy layout discipline
-    as snk_parquet."""
+    as snk_parquet.
+
+    The sink directory is cached PER PROCESS per sf_dir: the registry
+    shape-invariant test instantiates every op each sweep, and an
+    unconditional mkdtemp+write leaked a full ORC copy of orders per
+    sweep.  A process-local cache (not a stable cross-process path)
+    avoids the leak without staleness risk — the driver regenerates
+    testdata between rounds, so a /tmp path surviving processes could
+    serve bytes from the previous corpus.  atexit reclaims the dirs."""
+    import atexit
+    import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="secdb_orc_")
-    o = table(spark, sf_dir, "orders")
-    o.write.mode("overwrite").partitionBy("o_orderstatus").orc(d)
+    d = _ORC_SINK_CACHE.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="secdb_orc_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        o = table(spark, sf_dir, "orders")
+        o.write.mode("overwrite").partitionBy("o_orderstatus").orc(d)
+        _ORC_SINK_CACHE[sf_dir] = d
     back = spark.read.orc(d)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),

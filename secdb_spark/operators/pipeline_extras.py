@@ -2,13 +2,15 @@
 NA handling, table profiling, upsert-latest refresh, generator source.
 
 Each op is the Spark-idiomatic form of an operation a 100 TB curation
-pipeline runs daily; deterministic ones carry exact oracles, sampling is
-R class with seeded reproducibility + statistical property tests.
+pipeline runs daily; every deterministic op carries an exact oracle —
+including the samplers, which use content-hash thresholding (md5-bucket
+of the row key) instead of engine RNG, so the very same rows are chosen
+by Spark and the DuckDB oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
@@ -18,27 +20,76 @@ from ..registry import register
 EMBED_DIM = 64
 
 
-@register("sample_fraction", oracle=None)  # R: RNG differs across engines
+def _hash_bucket(key: Column, buckets: int) -> Column:
+    """Deterministic uniform bucket in [0, buckets): first 32 bits of
+    md5(key) — the engine-portable basis (minhash_sig playbook); xxhash64
+    would be Spark-only.  Map-side expression, no shuffle, no state."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+
+
+def _sql_hash_bucket(key_sql: str, buckets: int) -> str:
+    return f"(('0x' || substr(md5({key_sql}), 1, 8))::BIGINT % {buckets})"
+
+
+SAMPLE_PCT = 10  # sample_fraction keeps bucket < 10 of 100
+
+
+@register(
+    "sample_fraction",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE {_sql_hash_bucket(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+        100)} < {SAMPLE_PCT}
+    """,
+)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample at 10% with a fixed seed — reproducible within
-    Spark (same seed + same partitioning -> same rows), not across
-    engines. The 100 TB workhorse for corpus downsampling: no shuffle,
-    sampling happens inside the scan pipeline."""
+    """10% sample by content-hash threshold: keep the row iff
+    md5-bucket(primary key) falls under the cut.  Deterministic across
+    runs, partitionings, AND engines — which upgrades sampling from
+    R-class (engine RNG) to exact-oracle, and is how a production corpus
+    pipeline samples anyway (resumable, stable under retries; Bernoulli
+    .sample() changes membership whenever partitioning shifts).  The
+    100 TB workhorse for corpus downsampling: the predicate is map-side
+    expression work inside the scan pipeline, no shuffle, no state."""
     li = table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return li.filter(_hash_bucket(key, 100) < SAMPLE_PCT).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
 
-@register("sample_stratified", oracle=None)  # R class
+# per-language keep-rates in basis points of 10_000 — the rebalancing step
+# of multilingual curation (downsample dominant strata, keep the rest)
+STRATA_BP = {"en": 5_000, "de": 10_000, "es": 10_000, "fr": 10_000, "zh": 2_500}
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_sql_hash_bucket("'strat:' || CAST(doc_id AS VARCHAR)", 10_000)}
+          < CASE lang {" ".join(f"WHEN '{k}' THEN {v}"
+                                for k, v in STRATA_BP.items())} ELSE 0 END
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy): per-language fractions — the
-    rebalancing step of multilingual corpus curation (downsample the
-    dominant stratum, keep the rest). Property-tested for per-stratum
-    rates; seeded for reproducibility."""
+    """Stratified sampling with per-stratum hash thresholds: row kept iff
+    md5-bucket(doc_id) < rate(lang).  Same determinism upgrade as
+    sample_fraction (exact-oracle instead of seeded sampleBy); per-stratum
+    rates are still property-tested.  One map-side predicate — the
+    stratum's threshold is a CASE lookup, so no join, no shuffle, and the
+    same document set survives no matter how the corpus is partitioned."""
     d = table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+    bucket = _hash_bucket(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")), 10_000)
+    thresh = F.lit(0)
+    for k, v in STRATA_BP.items():
+        thresh = F.when(F.col("lang") == k, v).otherwise(thresh)
+    return d.filter(bucket < thresh).select("doc_id", "lang", "source")
 
 
 NGRAM_N = 4  # decontamination n-gram width (word-level)
@@ -631,8 +682,95 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
-@register("embed_kmeans", oracle=None)  # R class: iterative, no SQL oracle
+def _kmeans_seed_expr(vec_id_col):
+    """Portable seed ordering key: md5 of a tagged vec_id string — both
+    engines produce the same hex, so both select the same K seed rows."""
+    return F.md5(F.concat(F.lit("kmseed:"), vec_id_col.cast("string")))
+
+
+_KMEANS_SEED_SQL = "md5('kmseed:' || CAST(vec_id AS VARCHAR))"
+
+
+@register(
+    "embed_kmeans",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY {_KMEANS_SEED_SQL}, vec_id) - 1
+               AS c_idx,
+             embedding::DOUBLE[] AS c
+      FROM embeddings
+      ORDER BY {_KMEANS_SEED_SQL}, vec_id
+      LIMIT {KMEANS_K}
+    ), pairs AS (
+      SELECT e.vec_id, s.c_idx,
+             list_reduce(
+               list_transform(list_zip(e.embedding::DOUBLE[], s.c),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) AS d2
+      FROM embeddings e CROSS JOIN seeds s
+    ), best AS (
+      SELECT vec_id, c_idx, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_idx) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, CAST(c_idx AS INTEGER) AS cluster,
+           round(sqrt(d2), 6) AS dist
+    FROM best WHERE rn = 1
+    """,
+)
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One seeded Lloyd iteration, certified exactly: deterministic
+    md5-ordered seed centroids, nearest-centroid assignment per vector.
+    This is the oracle-checkable kernel of k-means — the full iterative
+    fit is `embed_kmeans_lloyd` (R class by nature: float means drift
+    across engines after the first update).
+
+    Cross-engine exactness rests on making every float op a SINGLE
+    deterministic IEEE operation in a FIXED order: the squared distance
+    is a strict left fold over dimensions — Spark `aggregate(zip_with(
+    e, c, (x,y) -> (x-y)*(x-y)), 0.0, +)` vs DuckDB `list_reduce(
+    list_transform(list_zip(...)))` — so both engines compute
+    bit-identical d2, hence identical argmin labels and identical
+    round(sqrt(d2), 6).  Seeds select by md5(tagged vec_id), portable
+    like minhash_sig's basis.
+
+    Scale shape: K seed rows collect to the driver (model-sized) and
+    re-enter as a broadcast; assignment is a map-side K-way fold per
+    vector inside WholeStageCodegen — no shuffle except the final
+    min-by-struct groupBy on vec_id, which the K-row crossJoin keeps at
+    K× map width (K=8)."""
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(_kmeans_seed_expr(F.col("vec_id")), "vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    )
+    seeds_df = spark.createDataFrame(
+        [(i, list(r.c)) for i, r in enumerate(seeds)],
+        "c_idx int, c array<double>",
+    )
+    e_d = F.col("embedding").cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(e_d, F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = emb.select("vec_id", "embedding").crossJoin(
+        F.broadcast(seeds_df)
+    ).select("vec_id", "c_idx", d2.alias("d2"))
+    best = pairs.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "c_idx")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.c_idx").alias("cluster"),
+        F.round(F.sqrt(F.col("m.d2")), 6).alias("dist"),
+    )
+
+
+@register("embed_kmeans_lloyd", oracle=None)  # R class: iterative, no SQL oracle
+def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus — the
     clustering step behind corpus bucketing / coreset selection (and the
     trained counterpart of ann_ivf's one-shot seeded centroids).

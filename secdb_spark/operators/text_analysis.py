@@ -363,24 +363,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None)  # R class: hash-function dependent
+def _simhash_vote_sql(b: int) -> str:
+    src, sh = ("lo", b) if b < 32 else ("hi", b - 32)
+    return f"sum(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, {", ".join(_simhash_vote_sql(b) for b in range(63))}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(f"(CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b})"
+                       f" ELSE 0 END)" for b in range(63))} AS simhash
+    FROM votes
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, bitwise majority
+    """64-bit SimHash per document: per-token hash, bitwise majority
     across tokens (weight = term frequency). Identical token bags ->
     identical simhash (property-tested vs bow_fingerprint); near-dups land
-    at small Hamming distance. Distributed shape: explode -> 64 bit-test
-    sums in ONE aggregation pass -> reassemble."""
+    at small Hamming distance. Distributed shape: explode -> 63 bit-test
+    sums in ONE aggregation pass -> reassemble.
+
+    The bit basis is md5 (two 32-bit halves parsed from the hex digest)
+    rather than xxhash64: md5 is bit-identical across engines, which
+    upgrades this op from rows-only to exact-oracle — the minhash_sig
+    playbook.  Cost parity: one md5 per token instead of one xxhash64;
+    both are embarrassingly parallel map-side work, and the aggregation
+    shape (63 sums per doc_id in one pass) is unchanged.  Bit 63 (the
+    int64 sign bit) stays 0 so the reassembled hash is non-negative in
+    both engines."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
+    md5 = F.md5("tok")
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
     )
+
+    def vote(b: int):
+        src, sh = ("lo", b) if b < 32 else ("hi", b - 32)
+        bit = F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}")
+
+    bit_sums = hashed.groupBy("doc_id").agg(*[vote(b) for b in range(63)])
     sim = F.lit(0).cast("long")
     for b in range(63):  # bit 63 (sign bit) left 0 to stay in int64 range
         sim = sim + F.when(

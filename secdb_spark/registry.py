@@ -51,12 +51,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 # 41 uncertified ops past the round-3 window before this change).
 
 
-def _load_driver_certified() -> frozenset[str]:
+def _load_driver_certified() -> tuple[frozenset[str], frozenset[str]]:
+    """Returns (green, exact_green): `green` is any green driver record
+    (exact hash match OR a clean rows-only run), `exact_green` only the
+    hash-match rows.  The distinction matters for ops UPGRADED from
+    rows-only to exact-oracle: their old rows-only record is green, but
+    the new oracle has never been driven, so they must re-enter the
+    certification window (see _certification_order)."""
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
     names: set[str] = set()
+    exact: set[str] = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(f.read_text())
@@ -84,10 +91,23 @@ def _load_driver_certified() -> frozenset[str]:
                 and row.get("hash_match")
             ):
                 names.add(name)
-    return frozenset(names)
+                exact.add(name)
+    return frozenset(names), frozenset(exact)
 
 
-_DRIVER_CERTIFIED: frozenset[str] = _load_driver_certified()
+_DRIVER_CERTIFIED, _DRIVER_EXACT_CERTIFIED = _load_driver_certified()
+
+
+def certified_at_current_class(name: str) -> bool:
+    """True iff the driver already holds a green record AT THE OP'S
+    CURRENT CLASS: exact-oracle ops need a hash-match record; rows-only
+    ops any green record.  An op that gained an oracle after a rows-only
+    green (round-6's dedup_simhash / sample_* / embed_kmeans upgrades)
+    is NOT settled — it re-enters the first-50 window so the driver can
+    record the exact match."""
+    if name in _ORACLES:
+        return name in _DRIVER_EXACT_CERTIFIED
+    return name in _DRIVER_CERTIFIED
 
 
 # SURVEY §2 rows-only ops that must win certification slots over registered
@@ -126,19 +146,24 @@ _CERT_SLATE: tuple[str, ...] = (
 
 
 def _certification_order(names) -> list[str]:
-    """Uncertified slate ops first, then other uncertified ops (exact-oracle
-    before rows-only, each in registration order), already-certified last."""
+    """Unsettled slate ops first, then other unsettled ops (exact-oracle
+    before rows-only, each in registration order), settled last.
+    "Settled" = certified_at_current_class: a rows-only→exact upgrade
+    re-queues even though an old rows-only record exists."""
     names = list(names)
-    slate = [n for n in _CERT_SLATE if n in names and n not in _DRIVER_CERTIFIED]
+    slate = [
+        n for n in _CERT_SLATE
+        if n in names and not certified_at_current_class(n)
+    ]
     pending_exact = [
         n for n in names
-        if n not in _DRIVER_CERTIFIED and n in _ORACLES and n not in slate
+        if not certified_at_current_class(n) and n in _ORACLES and n not in slate
     ]
     pending_rows = [
         n for n in names
-        if n not in _DRIVER_CERTIFIED and n not in _ORACLES and n not in slate
+        if not certified_at_current_class(n) and n not in _ORACLES and n not in slate
     ]
-    done = [n for n in names if n in _DRIVER_CERTIFIED]
+    done = [n for n in names if certified_at_current_class(n)]
     return slate + pending_exact + pending_rows + done
 
 

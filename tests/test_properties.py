@@ -397,7 +397,34 @@ def test_rollup_daily_equals_direct_daily(q, spark):
     assert np.abs(a["sum_value"].to_numpy() - b["sum_value"].to_numpy()).max() <= 1e-4
 
 
-def test_embed_kmeans_improves_on_init_and_is_deterministic(q, spark):
+def test_embed_kmeans_iter1_matches_numpy_assignment(q, spark):
+    """The certified one-iteration kernel must assign every vector to its
+    true nearest md5-ordered seed centroid (numpy ground truth)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from secdb_spark.catalog import table
+    from secdb_spark.operators.pipeline_extras import KMEANS_K, _kmeans_seed_expr
+
+    a = q("embed_kmeans").sort_values("vec_id").reset_index(drop=True)
+    emb = table(spark, SF_DIR, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    seeds = (
+        emb.orderBy(_kmeans_seed_expr(F.col("vec_id")), "vec_id")
+        .limit(KMEANS_K)
+        .select("embedding")
+        .collect()
+    )
+    C = np.stack([np.asarray(r.embedding, dtype="float64") for r in seeds])
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assert (a["cluster"].to_numpy() == d2.argmin(axis=1)).all()
+    assert np.allclose(
+        a["dist"].to_numpy(), np.sqrt(d2.min(axis=1)), atol=1e-6
+    )
+
+
+def test_embed_kmeans_lloyd_improves_on_init_and_is_deterministic(q, spark):
     """Lloyd's invariants: the fitted assignment's inertia must be no
     worse than assigning to the seeded INITIAL centroids (monotone
     improvement), every run must be bit-identical (seeded init, fixed
@@ -408,8 +435,8 @@ def test_embed_kmeans_improves_on_init_and_is_deterministic(q, spark):
     from secdb_spark.catalog import table
     from secdb_spark.operators.pipeline_extras import KMEANS_K
 
-    a = q("embed_kmeans").sort_values("vec_id").reset_index(drop=True)
-    b = q("embed_kmeans").sort_values("vec_id").reset_index(drop=True)
+    a = q("embed_kmeans_lloyd").sort_values("vec_id").reset_index(drop=True)
+    b = q("embed_kmeans_lloyd").sort_values("vec_id").reset_index(drop=True)
     assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
     assert np.allclose(a["dist"].to_numpy(), b["dist"].to_numpy())
     assert len(a) == 500  # sf0.001 corpus size

@@ -42,22 +42,54 @@ def test_certified_set_derives_from_correctness_files():
     assert registry._DRIVER_CERTIFIED == frozenset(_driver_recorded_green())
 
 
-def test_first_50_are_all_uncertified():
-    """No certified op may occupy one of the driver's 50 certification
-    slots while any registered op is still uncertified."""
+def test_exact_certified_is_hash_match_subset():
+    """_DRIVER_EXACT_CERTIFIED holds only hash-match rows (never
+    rows-only greens) — it gates whether an upgraded op re-queues."""
+    exact = registry._DRIVER_EXACT_CERTIFIED
+    assert exact <= registry._DRIVER_CERTIFIED
+    rows_only_names = set()
+    for f in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            if isinstance(row, dict) and row.get("err") == "no_oracle":
+                rows_only_names.add(name)
+    # an op may appear in both (rows-only once, exact later); but an op
+    # ONLY ever recorded rows-only must not be in the exact set
+    never_exact = rows_only_names - registry._DRIVER_EXACT_CERTIFIED
+    for n in never_exact:
+        assert n not in registry._DRIVER_EXACT_CERTIFIED
+
+
+def test_upgraded_ops_requeue_for_certification():
+    """An op holding only a rows-only green that NOW registers an oracle
+    is unsettled — it must re-enter the first-50 window (round-6's
+    dedup_simhash / sample_* / embed_kmeans upgrades depend on this)."""
     order = list(registry.all_queries())
-    pending = [n for n in order if n not in registry._DRIVER_CERTIFIED]
+    for name in ("dedup_simhash", "sample_fraction", "sample_stratified",
+                 "embed_kmeans"):
+        if name in registry._ORACLES and name not in registry._DRIVER_EXACT_CERTIFIED:
+            assert not registry.certified_at_current_class(name)
+            assert order.index(name) < 50, f"{name} outside the driver window"
+
+
+def test_first_50_are_all_unsettled():
+    """No settled op may occupy one of the driver's 50 certification
+    slots while any registered op is still unsettled at its class."""
+    order = list(registry.all_queries())
+    pending = [n for n in order if not registry.certified_at_current_class(n)]
     n_slots = min(50, len(pending))
-    assert all(n not in registry._DRIVER_CERTIFIED for n in order[:n_slots])
+    assert all(
+        not registry.certified_at_current_class(n) for n in order[:n_slots]
+    )
 
 
 def test_slate_ops_hold_their_slots():
-    """Uncertified slate ops must occupy the earliest slots, in slate
+    """Unsettled slate ops must occupy the earliest slots, in slate
     order, so later-registered extras can never displace a SURVEY §2 op
     out of the first-50 window."""
     order = list(registry.all_queries())
     slate_pending = [
-        n for n in registry._CERT_SLATE if n not in registry._DRIVER_CERTIFIED
+        n for n in registry._CERT_SLATE
+        if not registry.certified_at_current_class(n)
     ]
     assert order[: len(slate_pending)] == slate_pending
 

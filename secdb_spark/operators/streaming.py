@@ -178,13 +178,32 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@register("stream_watermark", oracle=None)  # D class: eviction has no batch oracle
+@register(
+    "stream_watermark",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n
+    FROM h, wm
+    WHERE window_start + INTERVAL 1 HOUR < w
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed count with a 10-minute watermark — REAL streaming run.
     The watermark bounds state (windows older than max_event_time - 10min
-    are finalized and evicted); with availableNow over a single batch no
-    rows are late, so the count equals the tumbling batch count — asserted
-    in tests, while eviction timing itself is execution-dependent (D)."""
+    are finalized and evicted).
+
+    Batch-equivalent oracle (the round-6 upgrade from D class): with an
+    availableNow replay of a static file, append mode emits exactly the
+    windows the FINAL watermark has passed — window_end < max(ts) - 10min
+    (strict: a window whose end equals the watermark is withheld, per the
+    'watermark past the window end' emission rule) — and each emitted
+    count equals the batch tumbling count because nothing arrived late.
+    Eviction TIMING stays execution-dependent; the emitted SET is not,
+    which is precisely what the oracle pins."""
     stream = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -196,12 +215,27 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@register("stream_dedup", oracle=None)  # D class
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, min(user_id) AS user_id,
+           min(event_type) AS event_type
+    FROM events GROUP BY event_id
+    """,
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once by key within the watermark horizon
     (dropDuplicatesWithinWatermark) — REAL streaming run. State holds one
     entry per key only until the watermark passes it (bounded, unlike
-    plain dropDuplicates whose state grows forever on a stream)."""
+    plain dropDuplicates whose state grows forever on a stream).
+
+    Batch-equivalent oracle (round-6 upgrade from D class): one surviving
+    row per event_id.  The oracle's min() projections equal the stream's
+    first-arrival survivor as long as (user_id, event_type) is
+    functionally dependent on event_id — true of the corpus (event_id is
+    its primary key; duplicates, if the generator ever emits them, are
+    whole-row repeats).  If that FD ever breaks the driver shows a red
+    hash, which is the correct loud failure."""
     stream = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -212,19 +246,37 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@register("stream_stateful", oracle=None)  # D class
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary per-key state (applyInPandasWithState): running event
-    count + decimal-cents value total per user, carried across
+    count + fixed-point-cents value total per user, carried across
     micro-batches in an explicit state struct — the custom-stateful-
-    operator surface (running carts / per-entity accumulators)."""
+    operator surface (running carts / per-entity accumulators).
+
+    Batch-equivalent oracle (round-6 upgrade from D class): an
+    availableNow replay's FINAL update-mode row per user equals the batch
+    group-by.  Cents quantize half-up (floor(x·100 + 0.5) — the repo's
+    dsum_scaled convention, valid for the nonnegative event values)
+    rather than numpy's half-even .round(), so the stream's integer state
+    and the oracle's BIGINT sum agree digit-for-digit; the closing
+    /100.0 is one IEEE division in both engines."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         total_n, total_cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             total_n += len(pdf)
-            total_cents += int((pdf["value"] * 100).round().sum())
+            total_cents += int(np.floor(pdf["value"] * 100 + 0.5).sum())
         state.update((total_n, total_cents))
         yield pd.DataFrame(
             {

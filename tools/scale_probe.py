@@ -6,11 +6,15 @@ the flagship query shapes at 1x and 4x. Near-linear growth (ratio ~4 for
 scan-bound, ~4·log for sort-bound) is the evidence that the plans have no
 super-linear term (the thing that kills you at 100 TB).
 
-Run: python tools/scale_probe.py   (prints a markdown table)
+Run: python tools/scale_probe.py                 (full table, 4x)
+     python tools/scale_probe.py --mult 16 --only basket,tfidf
+       (targeted super-linear-suspect re-probe at a deeper multiple;
+        synthesizes only the tables those shapes read)
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 import tempfile
 import time
@@ -27,7 +31,7 @@ SF_DIR = "/root/testdata/sf0.1"
 MULT = 4
 
 
-def synthesize(spark, out_dir: str) -> None:
+def synthesize(spark, out_dir: str, tables: set[str] | None = None) -> None:
     """4x lineitem/orders/events/part/documents with shifted keys (distinct
     key spaces).  part also shifts its BRAND (the fuzzy-join block key):
     a bigger catalog has more distinct entities, so block COUNT grows and
@@ -62,11 +66,19 @@ def synthesize(spark, out_dir: str) -> None:
         ev_n = ev_k if ev_n is None else ev_n.unionByName(ev_k)
         p_n = p_k if p_n is None else p_n.unionByName(p_k)
         d_n = d_k if d_n is None else d_n.unionByName(d_k)
-    layout.write_partitioned(li_n, f"{out_dir}/lineitem", "l_returnflag", 4 * 1024 * 1024)
-    o_n.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/orders")
-    ev_n.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/events")
-    p_n.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/part")
-    d_n.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/documents")
+    need = tables or {"lineitem", "orders", "events", "part", "documents"}
+    if "lineitem" in need:
+        layout.write_partitioned(
+            li_n, f"{out_dir}/lineitem", "l_returnflag", 4 * 1024 * 1024
+        )
+    if "orders" in need:
+        o_n.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/orders")
+    if "events" in need:
+        ev_n.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/events")
+    if "part" in need:
+        p_n.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/part")
+    if "documents" in need:
+        d_n.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/documents")
 
 
 def q_agg(li):
@@ -401,48 +413,92 @@ def timed(df) -> float:
 
 
 def main() -> None:
+    global MULT
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=MULT)
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated substrings; keep only matching query shapes",
+    )
+    args = ap.parse_args()
+    MULT = args.mult
+    only = [s for s in args.only.split(",") if s]
+
     spark = get_spark("scale-probe")
     out = tempfile.mkdtemp(prefix="secdb_scale_")
     print(f"synthesizing {MULT}x into {out} ...", file=sys.stderr)
-    synthesize(spark, out)
+    tables = None
+    if only:
+        tables = set()
+        if any(s in "basket copurchase pairs agg fact-fact join prefix sum" for s in only):
+            tables |= {"lineitem"}
+        if any(s in "fact-fact join cdc upsert" for s in only):
+            tables |= {"orders"}
+        if any(
+            s in "window sessionize funnel rollup interval sweep markov "
+                 "attribution conversion" for s in only
+        ):
+            tables |= {"events"}
+        if any(s in "blocked fuzzy join" for s in only):
+            tables |= {"part"}
+        if any(
+            s in "bm25 RAG chunking unigram logprob inverted index tfidf minhash"
+            for s in only
+        ):
+            tables |= {"documents"}
+        tables = tables or None
+    synthesize(spark, out, tables)
 
     li1, o1, ev1, p1, d1_ = (
         table(spark, SF_DIR, t)
         for t in ("lineitem", "orders", "events", "part", "documents")
     )
-    li4 = spark.read.parquet(f"{out}/lineitem")
-    o4 = spark.read.parquet(f"{out}/orders")
-    ev4 = spark.read.parquet(f"{out}/events").withColumn(
-        "ts", F.col("ts")
-    )
-    p4 = spark.read.parquet(f"{out}/part")
-    d4_ = spark.read.parquet(f"{out}/documents")
+    import os
 
+    def _rd(name):
+        path = f"{out}/{name}"
+        return spark.read.parquet(path) if os.path.isdir(path) else None
+
+    li4 = _rd("lineitem")
+    o4 = _rd("orders")
+    ev4 = _rd("events")
+    p4 = _rd("part")
+    d4_ = _rd("documents")
+
+    # (name, shape_fn, 1x inputs, Nx inputs) — shapes construct lazily so
+    # --only skips even construction (q_prefix_bucketed runs an eager
+    # approxQuantile action while BUILDING its plan).
+    shapes = [
+        ("agg (Q1 shape)", q_agg, (li1,), (li4,)),
+        ("fact-fact join+agg", q_join, (li1, o1), (li4, o4)),
+        ("window lag/user", q_window, (ev1,), (ev4,)),
+        ("sessionize", q_sessionize, (ev1,), (ev4,)),
+        ("funnel (ordered stages)", q_funnel, (ev1,), (ev4,)),
+        ("rollup hour->day", q_rollup, (ev1,), (ev4,)),
+        ("interval sweep (max overlap)", q_sweep, (ev1,), (ev4,)),
+        ("markov transitions", q_transitions, (ev1,), (ev4,)),
+        ("blocked fuzzy join", q_fuzzy, (p1,), (p4,)),
+        ("bm25 scoring", q_bm25, (d1_,), (d4_,)),
+        ("RAG chunking (map-only)", q_chunk, (d1_,), (d4_,)),
+        ("cdc upsert (explode+top1)", q_cdc, (o1,), (o4,)),
+        ("last-touch attribution", q_attribution, (ev1,), (ev4,)),
+        ("conversion range-frame", q_conversion, (ev1,), (ev4,)),
+        ("unigram logprob", q_logprob, (d1_,), (d4_,)),
+        ("inverted index", q_invert, (d1_,), (d4_,)),
+        ("basket copurchase pairs", q_basket, (li1,), (li4,)),
+        ("prefix sum SINGLE-PART", q_prefix_single, (li1,), (li4,)),
+        ("prefix sum BUCKETED", q_prefix_bucketed, (li1,), (li4,)),
+        ("tfidf topk (bcast idf)", q_tfidf, (d1_,), (d4_,)),
+        ("minhash signatures", q_minhash, (d1_,), (d4_,)),
+    ]
     rows = []
-    for name, d1, d4 in [
-        ("agg (Q1 shape)", q_agg(li1), q_agg(li4)),
-        ("fact-fact join+agg", q_join(li1, o1), q_join(li4, o4)),
-        ("window lag/user", q_window(ev1), q_window(ev4)),
-        ("sessionize", q_sessionize(ev1), q_sessionize(ev4)),
-        ("funnel (ordered stages)", q_funnel(ev1), q_funnel(ev4)),
-        ("rollup hour->day", q_rollup(ev1), q_rollup(ev4)),
-        ("interval sweep (max overlap)", q_sweep(ev1), q_sweep(ev4)),
-        ("markov transitions", q_transitions(ev1), q_transitions(ev4)),
-        ("blocked fuzzy join", q_fuzzy(p1), q_fuzzy(p4)),
-        ("bm25 scoring", q_bm25(d1_), q_bm25(d4_)),
-        ("RAG chunking (map-only)", q_chunk(d1_), q_chunk(d4_)),
-        ("cdc upsert (explode+top1)", q_cdc(o1), q_cdc(o4)),
-        ("last-touch attribution", q_attribution(ev1), q_attribution(ev4)),
-        ("conversion range-frame", q_conversion(ev1), q_conversion(ev4)),
-        ("unigram logprob", q_logprob(d1_), q_logprob(d4_)),
-        ("inverted index", q_invert(d1_), q_invert(d4_)),
-        ("basket copurchase pairs", q_basket(li1), q_basket(li4)),
-        ("prefix sum SINGLE-PART", q_prefix_single(li1), q_prefix_single(li4)),
-        ("prefix sum BUCKETED", q_prefix_bucketed(li1), q_prefix_bucketed(li4)),
-        ("tfidf topk (bcast idf)", q_tfidf(d1_), q_tfidf(d4_)),
-        ("minhash signatures", q_minhash(d1_), q_minhash(d4_)),
-    ]:
-        t1, t4 = timed(d1), timed(d4)
+    for name, fn, in1, inN in shapes:
+        if only and not any(s in name for s in only):
+            continue
+        if any(x is None for x in inN):
+            continue  # table not synthesized for this --only selection
+        t1, t4 = timed(fn(*in1)), timed(fn(*inN))
         rows.append((name, t1, t4, t4 / t1))
 
     print(f"| query shape | 1x (sf0.1) | {MULT}x | ratio (linear={MULT}.0) |")

@@ -201,6 +201,7 @@ def _load_operators() -> None:
         udfs,
         warehouse_extras,
         warehouse_extras2,
+        warehouse_extras3,
         windows,
     )
 

@@ -39,7 +39,10 @@ def test_table_and_ops(eng):
     assert "agg_group" in eng.ops() and len(eng.ops()) >= 200
     assert eng.op("agg_group").count() == 6
     assert "SELECT" in (eng.oracle("agg_group") or "")
-    assert eng.oracle("stream_watermark") is None
+    # round 6 gave the streaming trio batch-equivalent oracles; ann_ivf
+    # stays legitimately R-class (seeded centroids, approximate recall)
+    assert "SELECT" in (eng.oracle("stream_watermark") or "")
+    assert eng.oracle("ann_ivf") is None
     with pytest.raises(KeyError):
         eng.op("no_such_op")
 

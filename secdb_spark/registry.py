@@ -202,6 +202,7 @@ def _load_operators() -> None:
         warehouse_extras,
         warehouse_extras2,
         warehouse_extras3,
+        warehouse_extras4,
         windows,
     )
 

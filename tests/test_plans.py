@@ -436,3 +436,42 @@ def test_minhash_single_exchange(spark):
     four signature mins in the same pass."""
     p = plan_of(spark, "minhash_sig")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+# --- round-6 batch 2 (warehouse_extras4) -----------------------------------
+
+
+def test_single_shuffle_window_agg_ops(spark):
+    """win_drawdown / events_burst / ts_vwap: the window (or agg) and the
+    final aggregate share ONE hash partitioning — exactly one shuffle
+    Exchange in the whole plan."""
+    for name in ("win_drawdown", "events_burst", "ts_vwap"):
+        p = plan_of(spark, name)
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+        assert n_ex == 1, f"{name}: expected 1 shuffle Exchange, plan has {n_ex}"
+
+
+def test_corpus_ngram_topk_bounded_topk_and_partial_agg(spark):
+    p = plan_of(spark, "corpus_ngram_topk")
+    assert "TakeOrderedAndProject" in p, "top-k must be heap+merge, not full sort"
+    assert p.count("HashAggregate") >= 2, "partial aggregation regressed"
+
+
+def test_data_skew_report_broadcasts_scalar_total(spark):
+    """The 1-row totals side must broadcast onto the key counts; the
+    top-k must stay bounded."""
+    p = plan_of(spark, "data_skew_report")
+    assert "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_text_quality_aggregates_are_partial(spark):
+    """text_repetition / text_entropy_tokens / text_ttr: every Exchange
+    carries partial aggregates (map-side combine before each of the two
+    shuffles), never the raw exploded token stream."""
+    for name in ("text_repetition", "text_entropy_tokens", "text_ttr"):
+        p = plan_of(spark, name)
+        assert p.count("HashAggregate") >= 4, (
+            f"{name}: two-level partial aggregation regressed"
+        )
+        assert "Generate" in p, f"{name}: explode should be scan-fused"

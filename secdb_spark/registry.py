@@ -203,6 +203,7 @@ def _load_operators() -> None:
         warehouse_extras2,
         warehouse_extras3,
         warehouse_extras4,
+        warehouse_extras5,
         windows,
     )
 

@@ -475,3 +475,59 @@ def test_text_quality_aggregates_are_partial(spark):
             f"{name}: two-level partial aggregation regressed"
         )
         assert "Generate" in p, f"{name}: explode should be scan-fused"
+
+
+# --- round-6 batch 3 (warehouse_extras5) -----------------------------------
+
+
+def test_custkey_window_ops_single_shuffle(spark):
+    """sql_any_all / sql_distinct_on / purchase_gaps: window(s) and any
+    following grouped aggregate share ONE o_custkey hash partitioning —
+    exactly one shuffle Exchange per plan."""
+    for name in ("sql_any_all", "sql_distinct_on", "purchase_gaps"):
+        p = plan_of(spark, name)
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+        assert n_ex == 1, f"{name}: expected 1 shuffle Exchange, plan has {n_ex}"
+
+
+def test_moment_pass_ops_partial_aggregation(spark):
+    """agg_corr_matrix / part_xyz_cv / revenue_bridge: the decimal moment
+    sums must combine map-side (two-level HashAggregate) — shipping raw
+    rows to the reduce side is the 100x-at-scale failure."""
+    for name in ("agg_corr_matrix", "part_xyz_cv", "revenue_bridge"):
+        p = plan_of(spark, name)
+        assert p.count("HashAggregate") >= 2, (
+            f"{name}: partial aggregation regressed"
+        )
+
+
+def test_customer_churn_broadcasts_anchor_and_dims(spark):
+    """The 1-row anchor and the 25-row nation dim must broadcast; the
+    only shuffle keys are o_custkey (last-order agg + customer join) and
+    the final n_name rollup."""
+    p = plan_of(spark, "customer_churn")
+    assert p.count("BroadcastExchange") >= 2, (
+        "anchor scalar and nation dim must both broadcast"
+    )
+    assert "CartesianProduct" not in p, (
+        "the scalar anchor cross join must be a BroadcastNestedLoopJoin"
+    )
+
+
+def test_audit_dup_payments_blocks_on_equi_keys(spark):
+    """The self-join must hash-partition BOTH sides on (custkey, bucket)
+    — a SortMergeJoin/ShuffledHashJoin on the composite key, never a
+    cartesian with post-filters (quadratic at scale)."""
+    p = plan_of(spark, "audit_dup_payments")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_agg_weighted_median_reuses_flag_exchange(spark):
+    """Both windows (cumulative RANGE + partition total) and the closing
+    groupBy ride the same l_returnflag partitioning: one shuffle."""
+    p = plan_of(spark, "agg_weighted_median")
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_ex == 1, f"expected 1 shuffle Exchange, plan has {n_ex}"

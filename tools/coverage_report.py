@@ -35,6 +35,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — basket/quality/retrieval r5": "invert_index_sharded basket_copurchase assoc_rules graph_triangles snapshot_diff fk_integrity data_profile tfidf_topk minhash_sig join_salted ts_ohlc text_pii_scrub sql_recursive_cte sql_lateral sql_pivot win_streak events_entropy seasonal_decompose_ma percent_of_total agg_regression join_range_binned fn_bitwise agg_listagg sql_group_by_all snk_orc audit_benford",
     "Beyond SURVEY — LSH/statistics/audit r6": "lsh_candidates text_pmi_bigrams agg_skew_kurt skyline_2d interval_islands anomaly_iqr date_spine agg_grouping_id fn_try_cast events_dow_hour embed_kmeans_lloyd",
     "Beyond SURVEY — graph/curation/warehouse r6b": "dedup_clusters_exact graph_pagerank text_repetition text_entropy_tokens text_ttr corpus_ngram_topk win_drawdown ts_vwap orders_open_backlog cohort_ltv agg_gini agg_hhi join_nearest_ts events_burst scd2_asof_lookup sql_qualify sql_unpivot sql_filter_clause agg_bitmap_distinct data_skew_report",
+    "Beyond SURVEY — SQL surface/warehouse statistics r6c": "sql_any_all sql_distinct_on agg_corr_matrix agg_weighted_median ts_bollinger new_vs_returning revenue_bridge customer_churn audit_dup_payments purchase_gaps part_xyz_cv",
 }
 
 

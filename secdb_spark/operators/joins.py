@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import dsum, sql_dsum
+from ._helpers import dsum, dsum_scaled, sql_dsum, sql_dsum_scaled
 
 
 @register(
@@ -28,7 +28,8 @@ from ._helpers import dsum, sql_dsum
     oracle=f"""
     SELECT n_name,
            count(*) AS n_orders,
-           {sql_dsum('o_totalprice')} AS revenue
+           CAST({sql_dsum_scaled('o_totalprice', 4)} AS DOUBLE) / 10000
+             AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -44,9 +45,19 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregate; scans prune to 2 columns each with IsNotNull pushed.
     At 100 TB customer outgrows the broadcast threshold and AQE reverts
     that join to a custkey shuffle, which is the correct plan there; the
-    declarative form lets Catalyst pick per scale.  The residual ~1.08×
-    vs baseline in BENCH rounds is fixed session overhead on a sub-400 ms
-    query, not plan work (the plan has nothing left to remove).
+    declarative form lets Catalyst pick per scale.
+
+    Revenue accumulates as int64 fixed-point (scale 4 — exact for 2-dp
+    money) instead of DECIMAL(38,6): an A/B at sf0.1 measured the decimal
+    sum at 2.1× the long sum's wall time on this broadcast-bound query
+    (the whole residual vs baseline in rounds 4-5), while the long sum
+    stays inside whole-stage codegen.  Presentation is ONE correctly
+    rounded double division of the exact integer total — deterministic
+    cross-engine.  Overflow bound: per-nation scaled revenue reaches
+    ~9e15 of int64's 9.2e18 at the 100 TB point (SF ~100) — 3 orders of
+    headroom; the decimal `dsum` path remains the swap-in above that.
+    Oracle changed round 6 → re-queued for driver certification via
+    registry._ORACLE_CHANGED.
     """
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -57,7 +68,9 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
+            (
+                dsum_scaled(F.col("o_totalprice"), 4).cast("double") / 10000
+            ).alias("revenue"),
         )
     )
 

@@ -98,13 +98,59 @@ def _load_driver_certified() -> tuple[frozenset[str], frozenset[str]]:
 _DRIVER_CERTIFIED, _DRIVER_EXACT_CERTIFIED = _load_driver_certified()
 
 
+# Ops whose ORACLE TEXT (or output contract) changed after an exact-green
+# driver record was taken: the old record certifies the OLD pair, so these
+# must re-enter the certification window even though their name is green.
+# Keyed by (name, round-of-change) in the comment for audit:
+#   join_inner — r6: revenue DECIMAL(38,6) dsum -> int64 fixed-point
+#   (2.1x faster on the broadcast-bound headline; joins.py docstring).
+# Remove an entry once a CORRECTNESS_r*.json from AFTER the change holds a
+# green row (tests/test_registry.py pins the bookkeeping).
+_ORACLE_CHANGED: dict[str, int] = {"join_inner": 6}
+
+
+def _recert_pending(name: str) -> bool:
+    """True while an _ORACLE_CHANGED op lacks a green record taken in or
+    after the round its oracle changed."""
+    rnd = _ORACLE_CHANGED.get(name)
+    if rnd is None:
+        return False
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            file_rnd = int(f.stem.split("_r")[1])
+        except (IndexError, ValueError):
+            continue
+        if file_rnd < rnd:
+            continue
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        row = rows.get(name) if isinstance(rows, dict) else None
+        if isinstance(row, dict) and (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        ):
+            return False
+    return True
+
+
 def certified_at_current_class(name: str) -> bool:
     """True iff the driver already holds a green record AT THE OP'S
     CURRENT CLASS: exact-oracle ops need a hash-match record; rows-only
     ops any green record.  An op that gained an oracle after a rows-only
     green (round-6's dedup_simhash / sample_* / embed_kmeans upgrades)
     is NOT settled — it re-enters the first-50 window so the driver can
-    record the exact match."""
+    record the exact match.  Likewise an op whose oracle changed after
+    certification (_ORACLE_CHANGED) is unsettled until a post-change
+    green record exists."""
+    if _recert_pending(name):
+        return False
     if name in _ORACLES:
         return name in _DRIVER_EXACT_CERTIFIED
     return name in _DRIVER_CERTIFIED
@@ -155,16 +201,26 @@ def _certification_order(names) -> list[str]:
         n for n in _CERT_SLATE
         if n in names and not certified_at_current_class(n)
     ]
+    # Oracle-changed recerts queue BEHIND never-certified ops (including
+    # the rows-only priority set): re-checking a changed-but-green op is
+    # housekeeping and must never displace first-time coverage out of the
+    # driver's 50-slot window.
+    recert = [
+        n for n in names
+        if _recert_pending(n) and n not in slate
+    ]
     pending_exact = [
         n for n in names
-        if not certified_at_current_class(n) and n in _ORACLES and n not in slate
+        if not certified_at_current_class(n) and n in _ORACLES
+        and n not in slate and n not in recert
     ]
     pending_rows = [
         n for n in names
-        if not certified_at_current_class(n) and n not in _ORACLES and n not in slate
+        if not certified_at_current_class(n) and n not in _ORACLES
+        and n not in slate and n not in recert
     ]
     done = [n for n in names if certified_at_current_class(n)]
-    return slate + pending_exact + pending_rows + done
+    return slate + pending_exact + pending_rows + recert + done
 
 
 def all_queries() -> dict[str, SparkQuery]:

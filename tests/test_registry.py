@@ -124,3 +124,48 @@ def test_every_query_key_is_registered_and_oracles_subset():
     # but ordering drift would change which ops land in the first 50)
     shared = [n for n in qs if n in ors]
     assert shared == list(ors)
+
+
+def test_oracle_changed_ops_requeue_behind_fresh_coverage():
+    """An op in _ORACLE_CHANGED whose only green records predate the
+    change is unsettled (the old record certified the OLD oracle), but
+    it must queue BEHIND every never-certified op: recert housekeeping
+    may not displace first-time coverage from the 50-slot window."""
+    order = list(registry.all_queries())
+    fresh_pending = [
+        n for n in order
+        if not registry.certified_at_current_class(n)
+        and not registry._recert_pending(n)
+    ]
+    for name in registry._ORACLE_CHANGED:
+        if not registry._recert_pending(name):
+            continue  # post-change green record landed; entry is stale
+        assert not registry.certified_at_current_class(name)
+        idx = order.index(name)
+        assert all(order.index(f) < idx for f in fresh_pending), (
+            f"{name} (recert) queued ahead of never-certified ops"
+        )
+
+
+def test_oracle_changed_entries_expire_on_post_change_green():
+    """_recert_pending consults only CORRECTNESS files from the round of
+    the change onward — a pre-change green must NOT settle the op, and a
+    post-change green must."""
+    for name, rnd in registry._ORACLE_CHANGED.items():
+        import json
+        from pathlib import Path
+
+        root = Path(registry.__file__).resolve().parent.parent
+        post = False
+        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+            file_rnd = int(f.stem.split("_r")[1])
+            rows = json.loads(f.read_text())
+            row = rows.get(name) if isinstance(rows, dict) else None
+            green = isinstance(row, dict) and bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            if green and file_rnd >= rnd:
+                post = True
+        assert registry._recert_pending(name) == (not post)

@@ -678,3 +678,39 @@ _sql_op(
     GROUP BY ALL
     """,
 )
+
+# -- inline VALUES derived table (constant dim seeding, dialect-shared) -----
+# The canonical "band lookup without a table": an inline VALUES relation
+# joined as a range dimension.  Both engines parse the identical text;
+# Spark folds the 4-row relation into a LocalRelation and broadcasts it,
+# so the scan side never shuffles — the pattern to seed tier/band dims at
+# 100 TB instead of materializing tiny parquet files.
+_sql_op(
+    "sql_values_inline",
+    """
+    SELECT t.tier, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN (VALUES ('debt',   -100000.0,     0.0),
+                 ('bronze',       0.0,  3000.0),
+                 ('silver',    3000.0,  7000.0),
+                 ('gold',      7000.0, 100000.0)) AS t(tier, lo, hi)
+      ON c_acctbal >= t.lo AND c_acctbal < t.hi
+    GROUP BY t.tier
+    """,
+)
+
+# -- ORDER BY ALL (modern shorthand, dialect-shared) ------------------------
+# Spark 4 and DuckDB both support the ALL ordering shorthand; the driver
+# compares order-insensitively, so this op certifies the SURFACE parses
+# and returns the identical relation, with the deterministic total-order
+# semantics exercised by the suite's sort_multi pins.
+_sql_op(
+    "sql_order_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)

@@ -260,6 +260,7 @@ def _load_operators() -> None:
         warehouse_extras3,
         warehouse_extras4,
         warehouse_extras5,
+        warehouse_extras6,
         windows,
     )
 

@@ -531,3 +531,42 @@ def test_agg_weighted_median_reuses_flag_exchange(spark):
     p = plan_of(spark, "agg_weighted_median")
     n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
     assert n_ex == 1, f"expected 1 shuffle Exchange, plan has {n_ex}"
+
+
+# --- round-6 batch 4 (warehouse_extras6) -----------------------------------
+
+
+def test_embed_norm_is_scan_fused(spark):
+    """The quantized array fold must run inside the scan projection —
+    zero Exchanges, no Generate/explode."""
+    p = plan_of(spark, "embed_norm")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 0, (
+        "embed_norm must be map-only"
+    )
+    assert "Generate" not in p, "fold must not explode the array"
+
+
+def test_ts_autocorr_single_event_type_shuffle(spark):
+    """Daily pre-agg, lag window and moment rollup all ride event_type/
+    (type, day) partitionings with map-side combine before each."""
+    p = plan_of(spark, "ts_autocorr")
+    assert p.count("HashAggregate") >= 4, "partial aggregation regressed"
+
+
+def test_mix_temperature_windows_run_on_aggregate(spark):
+    """The normalization windows must run AFTER the count-by-source
+    aggregate (model-sized input), never over the raw document stream:
+    the Window nodes sit above a HashAggregate, and the doc scan reads
+    only the source column."""
+    p = plan_of(spark, "mix_temperature")
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    assert "text" not in schema, f"doc scan must prune to source, got {schema}"
+    assert p.count("HashAggregate") >= 2
+
+
+def test_sql_values_inline_broadcasts_the_values_relation(spark):
+    """The 4-row VALUES dim must broadcast onto the customer scan (the
+    whole point of inline dims at scale)."""
+    p = plan_of(spark, "sql_values_inline")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "LocalTableScan" in p

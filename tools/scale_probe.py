@@ -386,6 +386,55 @@ def q_tfidf(d):
     )
 
 
+def q_dup_audit(o):
+    """audit_dup_payments' algebra: self-join blocked on the
+    (custkey, amount-bucket) equi-key + date-band residual filter."""
+    a = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ka"),
+        F.floor(F.col("o_totalprice") / 10000).alias("bk"),
+        F.col("o_orderdate").cast("date").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("kb"),
+        F.floor(F.col("o_totalprice") / 10000).alias("bk"),
+        F.col("o_orderdate").cast("date").alias("db"),
+    )
+    gap = F.abs(F.datediff(F.col("da"), F.col("db")))
+    return (
+        a.join(b, ["ck", "bk"])
+        .filter((F.col("ka") < F.col("kb")) & (gap <= 90))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)))
+    )
+
+
+def q_wmedian(li):
+    """agg_weighted_median's algebra: RANGE-frame cumulative weights over
+    the value-ordered partition + grouped crossing-point min."""
+    t = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = t.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wall).alias("totw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("price")))
+    )
+
+
 def q_minhash(d):
     """minhash_sig's algebra: tokenize + one aggregate, 4 md5 mins."""
     toks = d.select(
@@ -491,6 +540,8 @@ def main() -> None:
         ("prefix sum BUCKETED", q_prefix_bucketed, (li1,), (li4,)),
         ("tfidf topk (bcast idf)", q_tfidf, (d1_,), (d4_,)),
         ("minhash signatures", q_minhash, (d1_,), (d4_,)),
+        ("dup-payment audit (blocked self-join)", q_dup_audit, (o1,), (o4,)),
+        ("weighted median RANGE window", q_wmedian, (li1,), (li4,)),
     ]
     rows = []
     for name, fn, in1, inN in shapes:

@@ -191,6 +191,68 @@ _CERT_SLATE: tuple[str, ...] = (
 ) + _ROWS_ONLY_PRIORITY
 
 
+# The 50 ops pinned to ROUND-6 certification slots: the 37 exact-oracle
+# ops pending after round 5 (incl. the seven rows-only→exact upgrades),
+# the 11 §2.Q batch-3 ops, and the two round-5 canonicalizer-fix reds
+# (mm_features / embed_pca — the round's #1 deliverable, pinned LAST in
+# the window but INSIDE it so later-registered batch-4 exact ops cannot
+# displace them).  Batch 4 (§2.R), embed_kmeans_lloyd, and the
+# join_inner recert queue for round 7.  As with _CERT_SLATE, once
+# CORRECTNESS_r06.json lands these names settle and the slate no-ops.
+_CERT_SLATE_R6: tuple[str, ...] = (
+    "stream_watermark",
+    "stream_dedup",
+    "stream_stateful",
+    "sample_fraction",
+    "sample_stratified",
+    "embed_kmeans",
+    "dedup_simhash",
+    "lsh_candidates",
+    "text_pmi_bigrams",
+    "agg_skew_kurt",
+    "skyline_2d",
+    "interval_islands",
+    "anomaly_iqr",
+    "date_spine",
+    "agg_grouping_id",
+    "fn_try_cast",
+    "events_dow_hour",
+    "dedup_clusters_exact",
+    "graph_pagerank",
+    "text_repetition",
+    "text_entropy_tokens",
+    "text_ttr",
+    "corpus_ngram_topk",
+    "win_drawdown",
+    "ts_vwap",
+    "orders_open_backlog",
+    "cohort_ltv",
+    "agg_gini",
+    "agg_hhi",
+    "join_nearest_ts",
+    "events_burst",
+    "scd2_asof_lookup",
+    "sql_qualify",
+    "sql_unpivot",
+    "sql_filter_clause",
+    "agg_bitmap_distinct",
+    "data_skew_report",
+    "sql_any_all",
+    "sql_distinct_on",
+    "agg_corr_matrix",
+    "agg_weighted_median",
+    "ts_bollinger",
+    "new_vs_returning",
+    "revenue_bridge",
+    "customer_churn",
+    "audit_dup_payments",
+    "purchase_gaps",
+    "part_xyz_cv",
+    "mm_features",
+    "embed_pca",
+)
+
+
 def _certification_order(names) -> list[str]:
     """Unsettled slate ops first, then other unsettled ops (exact-oracle
     before rows-only, each in registration order), settled last.
@@ -198,7 +260,7 @@ def _certification_order(names) -> list[str]:
     re-queues even though an old rows-only record exists."""
     names = list(names)
     slate = [
-        n for n in _CERT_SLATE
+        n for n in (_CERT_SLATE + _CERT_SLATE_R6)
         if n in names and not certified_at_current_class(n)
     ]
     # Oracle-changed recerts queue BEHIND never-certified ops (including

@@ -570,3 +570,44 @@ def test_sql_values_inline_broadcasts_the_values_relation(spark):
     p = plan_of(spark, "sql_values_inline")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "LocalTableScan" in p
+
+
+# --- round-6 batch 5 (ml_prep) ---------------------------------------------
+
+
+def test_feat_onehot_is_scan_fused(spark):
+    """One-hot encoding must be a pure projection: zero Exchanges."""
+    p = plan_of(spark, "feat_onehot")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 0
+
+
+def test_feat_scale_apply_is_broadcast(spark):
+    """The fitted 5-row moment model must broadcast back onto the scan —
+    the apply pass never shuffles the fact side."""
+    p = plan_of(spark, "feat_scale")
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2, "fit pass must combine map-side"
+
+
+def test_split_tag_is_map_side(spark):
+    """The split predicate is scan-fused; only the 3-key audit aggregate
+    shuffles."""
+    p = plan_of(spark, "split_train_test")
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_ex == 1, f"expected 1 audit-agg Exchange, plan has {n_ex}"
+
+
+def test_mix_apply_rates_broadcast(spark):
+    """Per-source rates (model-sized) broadcast onto the document scan;
+    the doc scan prunes to (doc_id, source)."""
+    p = plan_of(spark, "mix_apply")
+    assert "BroadcastHashJoin" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any("text" not in s for s in schemas), "doc scan must prune text"
+
+
+def test_graph_khop_seeds_broadcast(spark):
+    """The 20-seed frontier must broadcast into the hop joins."""
+    p = plan_of(spark, "graph_khop")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

@@ -37,6 +37,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — graph/curation/warehouse r6b": "dedup_clusters_exact graph_pagerank text_repetition text_entropy_tokens text_ttr corpus_ngram_topk win_drawdown ts_vwap orders_open_backlog cohort_ltv agg_gini agg_hhi join_nearest_ts events_burst scd2_asof_lookup sql_qualify sql_unpivot sql_filter_clause agg_bitmap_distinct data_skew_report",
     "Beyond SURVEY — SQL surface/warehouse statistics r6c": "sql_any_all sql_distinct_on agg_corr_matrix agg_weighted_median ts_bollinger new_vs_returning revenue_bridge customer_churn audit_dup_payments purchase_gaps part_xyz_cv",
     "Beyond SURVEY — windows/mixing/series r6d": "win_nth_value mix_temperature agg_bool ts_autocorr embed_norm text_compressibility sql_values_inline sql_order_by_all",
+    "Beyond SURVEY — ML prep/governance r6e": "feat_onehot feat_scale split_train_test audit_k_anonymity mix_apply graph_khop ts_cross_corr",
 }
 
 

@@ -312,6 +312,7 @@ def _load_operators() -> None:
         pipeline_extras,
         projections,
         sets_sorts,
+        similarity_extras,
         sources_sinks,
         sql_surface,
         streaming,

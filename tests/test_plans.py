@@ -611,3 +611,32 @@ def test_graph_khop_seeds_broadcast(spark):
     p = plan_of(spark, "graph_khop")
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+# --- round-6 batch 6 (similarity_extras) -----------------------------------
+
+
+def test_ann_lsh_exact_signatures_scan_fused(spark):
+    """The 8 SRP dot products must compute as zip_with/aggregate folds
+    inside the scan — no Generate (explode) anywhere, only the bucket
+    rollup shuffles."""
+    p = plan_of(spark, "ann_lsh_exact")
+    assert "Generate" not in p, "signature must not explode dims x planes"
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_ex <= 2, f"expected only bucket-rollup exchanges, got {n_ex}"
+
+
+def test_sim_containment_joins_on_term_postings(spark):
+    """Candidates must form through the term equi-join (posting lists),
+    never a cartesian of documents."""
+    p = plan_of(spark, "sim_containment")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_events_type_overlap_single_flag_pass(spark):
+    """Pair sums must run over the per-user flag table (one user_id
+    aggregate feeding one global aggregate) — never a per-pair
+    self-join of the event stream."""
+    p = plan_of(spark, "events_type_overlap")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("HashAggregate") >= 4

@@ -38,6 +38,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — SQL surface/warehouse statistics r6c": "sql_any_all sql_distinct_on agg_corr_matrix agg_weighted_median ts_bollinger new_vs_returning revenue_bridge customer_churn audit_dup_payments purchase_gaps part_xyz_cv",
     "Beyond SURVEY — windows/mixing/series r6d": "win_nth_value mix_temperature agg_bool ts_autocorr embed_norm text_compressibility sql_values_inline sql_order_by_all",
     "Beyond SURVEY — ML prep/governance r6e": "feat_onehot feat_scale split_train_test audit_k_anonymity mix_apply graph_khop ts_cross_corr",
+    "Beyond SURVEY — similarity/binning/overlap r6f": "ann_lsh_exact sim_containment feat_quantile_bin dedup_histogram events_type_overlap",
 }
 
 

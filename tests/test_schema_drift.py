@@ -67,3 +67,52 @@ def test_timestamp_columns_are_microseconds(sf_dir):
         schema = pq.ParquetFile(f"{sf_dir}/{t}.parquet").schema
         lt = str(schema.column(schema.names.index(col)).logical_type)
         assert "timeUnit=microseconds" in lt, f"{sf_dir}/{t}.{col}: {lt}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_categorical_dictionaries_stable(sf_dir):
+    """Several fixed-vocabulary ops (feat_onehot's segments, agg_bool /
+    sql_pivot's priorities, events_type_overlap / ts_cross_corr's event
+    types) hardcode the TPC-H-style dictionaries in BOTH the Spark plan
+    and the DuckDB oracle text.  The driver regenerates testdata between
+    rounds; if a regeneration ever changes these dictionaries, fail HERE
+    with a precise message instead of as a driver hash mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    seg = {
+        r[0]
+        for r in con.sql(
+            f"SELECT DISTINCT c_mktsegment FROM read_parquet('{sf_dir}/customer.parquet')"
+        ).fetchall()
+    }
+    assert seg == {
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+    }, f"{sf_dir}: c_mktsegment dictionary drifted: {sorted(seg)}"
+    pri = {
+        r[0]
+        for r in con.sql(
+            f"SELECT DISTINCT o_orderpriority FROM read_parquet('{sf_dir}/orders.parquet')"
+        ).fetchall()
+    }
+    assert pri == {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    }, f"{sf_dir}: o_orderpriority dictionary drifted: {sorted(pri)}"
+    ets = {
+        r[0]
+        for r in con.sql(
+            f"SELECT DISTINCT event_type FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    }
+    assert ets == {"click", "error", "purchase", "signup", "view"}, (
+        f"{sf_dir}: event_type dictionary drifted: {sorted(ets)}"
+    )
+    langs = {
+        r[0]
+        for r in con.sql(
+            f"SELECT DISTINCT lang FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    }
+    assert langs == {"en", "de", "es", "fr", "zh"}, (
+        f"{sf_dir}: documents.lang dictionary drifted: {sorted(langs)}"
+    )

@@ -326,6 +326,7 @@ def _load_operators() -> None:
         warehouse_extras5,
         warehouse_extras6,
         windows,
+        xbrl_analytics,
     )
 
     _loaded = True

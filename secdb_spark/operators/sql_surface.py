@@ -714,3 +714,20 @@ _sql_op(
     ORDER BY ALL
     """,
 )
+
+# -- LIMIT / OFFSET pagination (dialect-shared) -----------------------------
+# Deterministic pagination requires a COMPLETE order (tie-safe key); the
+# page is then a pure function of the data — the keyset/offset contract
+# every API backend needs.  Spark 4 parses OFFSET natively.  At scale,
+# deep OFFSET pages degrade (the sort must still produce-and-discard the
+# prefix); production pagination keyset-seeks instead (WHERE key > last),
+# which is the same ORDER BY with a pushed-down range predicate.
+_sql_op(
+    "sql_offset_fetch",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)

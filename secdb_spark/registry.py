@@ -308,6 +308,7 @@ def _load_operators() -> None:
         functions_scalar,
         joins,
         llm_pipeline,
+        markov_extras,
         ml_prep,
         pipeline_extras,
         projections,

@@ -40,6 +40,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — ML prep/governance r6e": "feat_onehot feat_scale split_train_test audit_k_anonymity mix_apply graph_khop ts_cross_corr",
     "Beyond SURVEY — similarity/binning/overlap r6f": "ann_lsh_exact sim_containment feat_quantile_bin dedup_histogram events_type_overlap",
     "Beyond SURVEY — XBRL analytics (golden-certified) r6g": "xbrl_q_trend xbrl_q_ratios xbrl_q_restatement xbrl_region_mix",
+    "Beyond SURVEY — chains/pagination r6h": "markov_stationary sql_offset_fetch",
 }
 
 

@@ -306,6 +306,7 @@ def _load_operators() -> None:
     from .operators import (  # noqa: F401
         aggregations,
         functions_scalar,
+        geo_extras,
         joins,
         llm_pipeline,
         markov_extras,

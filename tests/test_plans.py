@@ -640,3 +640,22 @@ def test_events_type_overlap_single_flag_pass(spark):
     p = plan_of(spark, "events_type_overlap")
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert p.count("HashAggregate") >= 4
+
+
+# --- round-6 batch 9 (geo_extras) ------------------------------------------
+
+
+def test_geo_neighbor_join_blocks_on_cells(spark):
+    """The radius self-join must be an equi-join on the grid cell id —
+    never a cartesian/theta join over all point pairs."""
+    p = plan_of(spark, "geo_neighbor_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_geo_grid_density_bounded_topk(spark):
+    p = plan_of(spark, "geo_grid_density")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2

@@ -41,6 +41,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — similarity/binning/overlap r6f": "ann_lsh_exact sim_containment feat_quantile_bin dedup_histogram events_type_overlap",
     "Beyond SURVEY — XBRL analytics (golden-certified) r6g": "xbrl_q_trend xbrl_q_ratios xbrl_q_restatement xbrl_region_mix",
     "Beyond SURVEY — chains/pagination r6h": "markov_stationary sql_offset_fetch",
+    "Beyond SURVEY — geospatial grid r6i": "geo_neighbor_join geo_grid_density",
 }
 
 

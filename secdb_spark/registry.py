@@ -327,6 +327,7 @@ def _load_operators() -> None:
         warehouse_extras4,
         warehouse_extras5,
         warehouse_extras6,
+        warehouse_extras7,
         windows,
         xbrl_analytics,
     )

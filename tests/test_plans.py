@@ -659,3 +659,20 @@ def test_geo_grid_density_bounded_topk(spark):
     p = plan_of(spark, "geo_grid_density")
     assert "TakeOrderedAndProject" in p
     assert p.count("HashAggregate") >= 2
+
+
+# --- round-6 batch 10 (warehouse_extras7) ----------------------------------
+
+
+def test_win_reset_cumsum_single_user_exchange(spark):
+    """The boundary lag, session numbering, and session-scoped running
+    sum must all ride ONE user_id hash exchange (session_id is a
+    refinement of the same sorted run)."""
+    p = plan_of(spark, "win_reset_cumsum")
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_ex == 1, f"expected 1 user_id Exchange, plan has {n_ex}"
+
+
+def test_orders_linecount_dist_cascaded_partial_agg(spark):
+    p = plan_of(spark, "orders_linecount_dist")
+    assert p.count("HashAggregate") >= 4, "both aggregates must combine map-side"

@@ -315,6 +315,7 @@ def _load_operators() -> None:
         projections,
         sets_sorts,
         similarity_extras,
+        sketch_extras,
         sources_sinks,
         sql_surface,
         streaming,

@@ -676,3 +676,25 @@ def test_win_reset_cumsum_single_user_exchange(spark):
 def test_orders_linecount_dist_cascaded_partial_agg(spark):
     p = plan_of(spark, "orders_linecount_dist")
     assert p.count("HashAggregate") >= 4, "both aggregates must combine map-side"
+
+
+# --- round-6 batch 11 (sketch_extras) --------------------------------------
+
+
+def test_cms_sketch_rows_are_partial_aggregates(spark):
+    """Each CMS row is a bounded-key grouped count with map-side
+    combine — the sketch IS the partial aggregate."""
+    p = plan_of(spark, "cms_sketch")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_bloom_probe_words_broadcast(spark):
+    """The packed word table must broadcast into every probe join —
+    shipping the filter to the data is the op's value proposition."""
+    p = plan_of(spark, "bloom_build")
+    assert p.count("BroadcastExchange") >= 3
+
+
+def test_sample_bottomk_is_heap_merge(spark):
+    p = plan_of(spark, "sample_bottomk")
+    assert "TakeOrderedAndProject" in p, "bottom-k must be heap+merge"

@@ -226,3 +226,60 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_terms"),
         r4(num.cast("double") / den.cast("double")).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_moving_median — moving median over the daily series
+# ---------------------------------------------------------------------------
+
+MOVMED_DAYS = 7
+
+
+@register(
+    "win_moving_median",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, c,
+           round(median(c) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN {MOVMED_DAYS - 1} PRECEDING
+                                 AND CURRENT ROW), 4) AS moving_median
+    FROM daily
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median of the daily event count ({MOVMED_DAYS}-day
+    trailing frame) — the robust trend line (a median frame shrugs off
+    the single-day spikes that drag a moving average).  Spark cannot
+    window `median` with a frame (INVALID_WINDOW_SPEC), so the engine
+    collects the bounded frame into a sorted array and picks the
+    middle element(s) — exact for integer counts, interpolating two
+    ints as (a+b)/2 (exact in binary), matching DuckDB's native
+    windowed `median` semantics.
+
+    Scale: the frame is BOUNDED ({MOVMED_DAYS} rows), so the collected
+    array is O(1) per row — this is the one place a collect_list window
+    is scale-legitimate; the window input is the daily aggregate
+    (model-sized per type), not the raw stream."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(MOVMED_DAYS - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("c").over(fr))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("c"),
+        F.round((lo + hi) / 2.0, 4).alias("moving_median"),
+    )

@@ -84,3 +84,24 @@ def test_corpus_zipf_slope_vs_numpy(q, spark):
     assert abs(got.zipf_slope - slope) < 1e-3
     # a rank-frequency curve always slopes down
     assert got.zipf_slope < 0
+
+
+def test_win_moving_median_vs_bruteforce(q, spark):
+    from secdb_spark.operators.warehouse_extras7 import MOVMED_DAYS
+
+    ev = table(spark, SF_DIR, "events").select("event_type", "ts").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    daily = (
+        ev.groupby(["event_type", "day"]).size().rename("c").reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    got = q("win_moving_median").set_index(["event_type", "day"])
+    assert len(got) == len(daily)
+    for et, grp in daily.groupby("event_type"):
+        vals = list(grp.c)
+        days = list(grp.day)
+        for i in range(len(vals)):
+            fr = sorted(vals[max(0, i - (MOVMED_DAYS - 1)) : i + 1])
+            n = len(fr)
+            med = (fr[(n - 1) // 2] + fr[n // 2]) / 2
+            assert got.loc[(et, days[i])].moving_median == round(med, 4)

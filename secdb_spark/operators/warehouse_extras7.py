@@ -283,3 +283,64 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("c"),
         F.round((lo + hi) / 2.0, 4).alias("moving_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_fill_forward — LOCF imputation via IGNORE NULLS window
+# ---------------------------------------------------------------------------
+
+@register(
+    "win_fill_forward",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 10000 + 0.5) AS BIGINT) END
+               AS purchase_e4
+      FROM events
+    )
+    SELECT user_id, event_id, purchase_e4,
+           last_value(purchase_e4 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_e4
+    FROM marked
+    """,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) imputation: every event
+    row carries the user's most recent PURCHASE value forward — the
+    fill-forward idiom behind as-of feature joins and sensor-gap
+    imputation, and the IGNORE NULLS window surface (§2.E's last
+    uncovered modifier).  Spark expresses it as `last(col,
+    ignorenulls=True)` over the running frame, DuckDB as `last_value(x
+    IGNORE NULLS)` — identical semantics; the carried value is a 1e4
+    fixed-point bigint so equality is exact.  Rows before a user's
+    first purchase stay NULL (LOCF's defining edge).
+
+    Scale: one user_id exchange, running frame with O(1) state (the
+    single last non-null).  Contrast rollup_gapfill, which fills a
+    generated SPINE — this fills in-stream rows; the two compose."""
+    ev = table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 10000 + 0.5).cast("long"),
+        ).alias("purchase_e4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        "purchase_e4",
+        F.last("purchase_e4", ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_e4"),
+    )

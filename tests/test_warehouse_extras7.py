@@ -105,3 +105,26 @@ def test_win_moving_median_vs_bruteforce(q, spark):
             n = len(fr)
             med = (fr[(n - 1) // 2] + fr[n // 2]) / 2
             assert got.loc[(et, days[i])].moving_median == round(med, 4)
+
+
+def test_win_fill_forward_vs_bruteforce(q, spark):
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    got = q("win_fill_forward").set_index("event_id")
+    assert len(got) == len(ev)
+    for _, grp in ev.groupby("user_id"):
+        carried = None
+        for r in grp.itertuples():
+            if r.event_type == "purchase":
+                carried = math.floor(r.value * 10000 + 0.5)
+            g = got.loc[r.event_id]
+            if carried is None:
+                assert g.last_purchase_e4 is None or np.isnan(
+                    g.last_purchase_e4
+                )
+            else:
+                assert g.last_purchase_e4 == carried

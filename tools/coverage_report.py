@@ -42,7 +42,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — XBRL analytics (golden-certified) r6g": "xbrl_q_trend xbrl_q_ratios xbrl_q_restatement xbrl_region_mix",
     "Beyond SURVEY — chains/pagination r6h": "markov_stationary sql_offset_fetch",
     "Beyond SURVEY — geospatial grid r6i": "geo_neighbor_join geo_grid_density",
-    "Beyond SURVEY — windows/distributions r6j": "win_reset_cumsum orders_linecount_dist corpus_zipf_slope win_moving_median",
+    "Beyond SURVEY — windows/distributions r6j": "win_reset_cumsum orders_linecount_dist corpus_zipf_slope win_moving_median win_fill_forward",
     "Beyond SURVEY — exact sketches r6k": "cms_sketch bloom_build sample_bottomk feat_hashing",
 }
 

@@ -308,6 +308,7 @@ def _load_operators() -> None:
         functions_scalar,
         geo_extras,
         joins,
+        layout_extras,
         llm_pipeline,
         markov_extras,
         ml_prep,

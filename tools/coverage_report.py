@@ -44,6 +44,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — geospatial grid r6i": "geo_neighbor_join geo_grid_density",
     "Beyond SURVEY — windows/distributions r6j": "win_reset_cumsum orders_linecount_dist corpus_zipf_slope win_moving_median win_fill_forward",
     "Beyond SURVEY — exact sketches r6k": "cms_sketch bloom_build sample_bottomk feat_hashing",
+    "Beyond SURVEY — layout/language r6l": "layout_zorder corpus_char_trigrams",
 }
 
 

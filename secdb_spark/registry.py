@@ -307,6 +307,7 @@ def _load_operators() -> None:
         aggregations,
         functions_scalar,
         geo_extras,
+        ivm_extras,
         joins,
         layout_extras,
         llm_pipeline,

@@ -698,3 +698,22 @@ def test_bloom_probe_words_broadcast(spark):
 def test_sample_bottomk_is_heap_merge(spark):
     p = plan_of(spark, "sample_bottomk")
     assert "TakeOrderedAndProject" in p, "bottom-k must be heap+merge"
+
+
+# --- round-6 batch 13 (ivm_extras) -----------------------------------------
+
+
+def test_ivm_merge_is_state_sized(spark):
+    """The IVM merge re-aggregates (month, count, sum) PARTIALS — the
+    union side carries state rows, never raw orders; partial agg on
+    both branches."""
+    p = plan_of(spark, "ivm_delta_agg")
+    assert p.count("HashAggregate") >= 4, "both branch states must pre-aggregate"
+    assert "Union" in p
+
+
+def test_win_topk_ties_bounded_state(spark):
+    """rank()<=k must push into the window sort (WindowGroupLimit) —
+    bounded per-partition state like the row_number variant."""
+    p = plan_of(spark, "win_topk_ties")
+    assert "WindowGroupLimit" in p

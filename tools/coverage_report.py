@@ -45,6 +45,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — windows/distributions r6j": "win_reset_cumsum orders_linecount_dist corpus_zipf_slope win_moving_median win_fill_forward",
     "Beyond SURVEY — exact sketches r6k": "cms_sketch bloom_build sample_bottomk feat_hashing",
     "Beyond SURVEY — layout/language r6l": "layout_zorder corpus_char_trigrams",
+    "Beyond SURVEY — IVM/fingerprints r6m": "ivm_delta_agg result_fingerprint win_topk_ties",
 }
 
 

@@ -320,6 +320,7 @@ def _load_operators() -> None:
         sketch_extras,
         sources_sinks,
         sql_surface,
+        stats_extras,
         streaming,
         text_analysis,
         timeseries,

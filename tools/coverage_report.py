@@ -46,6 +46,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — exact sketches r6k": "cms_sketch bloom_build sample_bottomk feat_hashing",
     "Beyond SURVEY — layout/language r6l": "layout_zorder corpus_char_trigrams",
     "Beyond SURVEY — IVM/fingerprints r6m": "ivm_delta_agg result_fingerprint win_topk_ties",
+    "Beyond SURVEY — inferential statistics r6n": "conversion_rate_ci abtest_ztest survival_km",
 }
 
 

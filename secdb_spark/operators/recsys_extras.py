@@ -1,0 +1,250 @@
+"""Round-6 additions, batch 15 — SURVEY §2.AC: item-item collaborative
+filtering and closed-loop evaluation of the certified LSH dedup pipeline
+(recall/precision against exact Jaccard ground truth).
+
+Design rules as everywhere in this package: exact integer counts;
+the only IEEE ops in certified values are correctly rounded (√, ÷).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import r4
+from .warehouse_extras2 import MINHASH_SEEDS
+from .warehouse_extras3 import LSH_BANDS, LSH_ROWS_PER_BAND, _sig_sql
+
+CF_SEEDS = 20      # highest-frequency items to recommend FOR
+CF_TOPK = 5        # similar items per seed
+CF_MIN_CO = 2      # minimum co-baskets for a candidate pair
+
+
+# ---------------------------------------------------------------------------
+# cf_item_similarity — item-item cosine collaborative filtering
+# ---------------------------------------------------------------------------
+
+@register(
+    "cf_item_similarity",
+    oracle=f"""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey, count(*) AS f FROM bi GROUP BY 1
+    ), seeds AS (
+      SELECT l_partkey AS seed, f AS f_seed FROM freq
+      ORDER BY f DESC, l_partkey LIMIT {CF_SEEDS}
+    ), co AS (
+      SELECT s.seed, s.f_seed, b.l_partkey AS item, count(*) AS c
+      FROM seeds s
+      JOIN bi a ON a.l_partkey = s.seed
+      JOIN bi b ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> s.seed
+      GROUP BY s.seed, s.f_seed, b.l_partkey
+      HAVING count(*) >= {CF_MIN_CO}
+    ), scored AS (
+      SELECT seed, item, CAST(c AS BIGINT) AS co_baskets,
+             round(CAST(c AS DOUBLE)
+                   / sqrt(CAST(f_seed AS DOUBLE) * freq.f), 4) AS cosine,
+             row_number() OVER (
+               PARTITION BY seed
+               ORDER BY CAST(c AS DOUBLE)
+                        / sqrt(CAST(f_seed AS DOUBLE) * freq.f) DESC,
+                        item) AS rk
+      FROM co JOIN freq ON freq.l_partkey = co.item
+    )
+    SELECT seed, item, co_baskets, cosine, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= {CF_TOPK}
+    """,
+)
+def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for the {CF_SEEDS} most-
+    purchased parts, the top-{CF_TOPK} co-purchased items by cosine
+    over basket incidence vectors (cos = c_ab/√(f_a·f_b) on binary
+    vectors) — the classic Amazon-style "customers also bought" kernel.
+    Counts are exact integers; cosine is one √ and one ÷ (correctly
+    rounded, identical both engines); per-seed ranking breaks score
+    ties by item id.
+
+    Scale: the co-occurrence join is SEEDED — only baskets containing
+    a seed item expand pairs, so candidates scale with seed basket
+    volume, never |items|² (the same frontier-bounding argument as
+    graph_khop).  An all-items CF run replaces the seed list with a
+    frequency floor (drop the long tail), the standard industrial
+    control; the per-seed rank window is bounded by WindowGroupLimit."""
+    bi = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    seeds = (
+        freq.orderBy(F.desc("f"), "l_partkey")
+        .limit(CF_SEEDS)
+        .select(F.col("l_partkey").alias("seed"), F.col("f").alias("f_seed"))
+    )
+    a = bi.select(F.col("l_partkey").alias("seed"), "l_orderkey")
+    b = bi.select(F.col("l_partkey").alias("item"), "l_orderkey")
+    co = (
+        F.broadcast(seeds)
+        .join(a, "seed")
+        .join(b, "l_orderkey")
+        .filter(F.col("item") != F.col("seed"))
+        .groupBy("seed", "f_seed", "item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= CF_MIN_CO)
+    )
+    item_freq = freq.select(
+        F.col("l_partkey").alias("item"), F.col("f").alias("f_item")
+    )
+    cosine = F.col("c").cast("double") / F.sqrt(
+        F.col("f_seed").cast("double") * F.col("f_item")
+    )
+    scored = co.join(item_freq, "item").select(
+        "seed",
+        "item",
+        F.col("c").cast("long").alias("co_baskets"),
+        cosine.alias("cos_raw"),
+    )
+    w = Window.partitionBy("seed").orderBy(F.desc("cos_raw"), "item")
+    return (
+        scored.select(
+            "seed",
+            "item",
+            "co_baskets",
+            r4(F.col("cos_raw")).alias("cosine"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= CF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# lsh_eval — recall/precision of the certified LSH pipeline vs truth
+# ---------------------------------------------------------------------------
+
+LSH_EVAL_NUM = 1   # Jaccard threshold num/den: j >= 1/2
+LSH_EVAL_DEN = 2
+
+
+def _true_pairs_sql() -> str:
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ({LSH_EVAL_NUM} + {LSH_EVAL_DEN}) * i
+            >= {LSH_EVAL_NUM} * (sa.sz + sb.sz)
+    )"""
+
+
+def _cand_pairs_sql() -> str:
+    return f"""
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(_sig_sql(i, s) for i, s in enumerate(MINHASH_SEEDS))}
+      FROM toks GROUP BY doc_id
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, "
+          f"{' || '.join(f'sig{b * LSH_ROWS_PER_BAND + r}' for r in range(LSH_ROWS_PER_BAND))}"
+          f" AS sig FROM sigs"
+          for b in range(LSH_BANDS))}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )"""
+
+
+@register(
+    "lsh_eval",
+    oracle=f"""
+    WITH {_true_pairs_sql()}, {_cand_pairs_sql()}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM truth t JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+           CAST(floor((SELECT count(*) FROM truth t JOIN cand c
+                        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                      * 10000.0
+                      / (SELECT count(*) FROM truth) + 0.5) AS BIGINT)
+             AS recall_bp,
+           CAST(floor((SELECT count(*) FROM truth t JOIN cand c
+                        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                      * 10000.0
+                      / (SELECT count(*) FROM cand) + 0.5) AS BIGINT)
+             AS precision_bp
+    """,
+)
+def lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-loop evaluation of the certified MinHash-LSH pipeline:
+    recall and precision of `lsh_candidates`' banded collision pairs
+    against EXACT Jaccard ≥ {LSH_EVAL_NUM}/{LSH_EVAL_DEN} ground truth
+    — the measurement that justifies (or indicts) a banding
+    configuration before a 100 TB dedup run.  The threshold compare is
+    pure integer arithmetic (3·|A∩B| ≥ |A|+|B| at θ=1/2 — no float
+    Jaccard anywhere) and the recall/precision close as one quantized
+    division each, so the whole evaluation is itself exact-certified —
+    an EVALUATED sketch, not a trusted one.
+
+    Scale: ground truth costs the term-postings join (the expensive
+    side — at corpus scale you evaluate on a SAMPLED doc subset, which
+    `sample_bottomk`'s coordinated sample supplies deterministically);
+    candidates cost the banded self-join.  Both sides reuse certified
+    building blocks, so the eval inherits their plans."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "term")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (LSH_EVAL_NUM + LSH_EVAL_DEN) * F.col("i")
+            >= LSH_EVAL_NUM * (F.col("sza") + F.col("szb"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    from .warehouse_extras3 import lsh_candidates
+
+    cand = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    tru_n = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    cand_n = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    hit_n = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    wide = tru_n.crossJoin(F.broadcast(cand_n)).crossJoin(F.broadcast(hit_n))
+    return wide.select(
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.floor(F.col("n_hit") * 10000.0 / F.col("n_true") + 0.5)
+        .cast("long")
+        .alias("recall_bp"),
+        F.floor(F.col("n_hit") * 10000.0 / F.col("n_candidates") + 0.5)
+        .cast("long")
+        .alias("precision_bp"),
+    )

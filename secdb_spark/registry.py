@@ -315,6 +315,7 @@ def _load_operators() -> None:
         ml_prep,
         pipeline_extras,
         projections,
+        recsys_extras,
         sets_sorts,
         similarity_extras,
         sketch_extras,

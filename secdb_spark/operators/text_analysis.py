@@ -592,3 +592,87 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.c").alias("chunk"),
         F.col("z.n").alias("n_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# simhash_pairs — pigeonhole-blocked Hamming-distance candidate pairs
+# ---------------------------------------------------------------------------
+
+SIMHASH_HAM_MAX = 3
+_SIMHASH_BLOCKS = ((0, 16), (16, 16), (32, 16), (48, 15))  # bit 63 unused
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+    WITH sims AS ({_SIMHASH_ORACLE}),
+    blocks AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, simhash, {i} AS blk, "
+          f"(simhash >> {off}) & {(1 << width) - 1} AS bval FROM sims"
+          for i, (off, width) in enumerate(_SIMHASH_BLOCKS))}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_HAM_MAX}
+    """,
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance ≤
+    {SIMHASH_HAM_MAX} via the PIGEONHOLE blocking of the WebCrawl
+    simhash paper: split the 63-bit signature into 4 blocks — any pair
+    within distance 3 must agree EXACTLY on at least one block (3
+    differing bits cannot touch all 4 blocks), so candidates form
+    through 4 block-value equi-joins, never an all-pairs Hamming scan;
+    the exact popcount(xor) verify then keeps true neighbors.  Rides
+    the certified md5-basis `dedup_simhash` signatures, so the whole
+    pipeline (tokenize → bit votes → blocking → verify) is
+    exact-oracle end to end — the simhash counterpart of
+    `lsh_candidates` + `lsh_eval`'s minhash story.
+
+    Scale: signature table is one row per doc; each block join is an
+    equi-join whose bucket sizes follow block-value collision density
+    (64k values per block — templated corpora concentrate, which is
+    measurable via `data_skew_report` on the block key before running);
+    the verify is map-side bit arithmetic.  Distance budgets > 3 use
+    more/wider blocks — the same pigeonhole algebra."""
+    sims = dedup_simhash(spark, sf_dir)
+    blocks = None
+    for i, (off, width) in enumerate(_SIMHASH_BLOCKS):
+        b = sims.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bval"),
+        )
+        blocks = b if blocks is None else blocks.unionByName(b)
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "blk",
+        "bval",
+    )
+    b2 = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "blk",
+        "bval",
+    )
+    cand = (
+        a.join(b2, ["blk", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(ham <= SIMHASH_HAM_MAX).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )

@@ -99,3 +99,25 @@ def test_lsh_eval_vs_bruteforce_truth(q, spark):
     )
     # banding at 2x2 over 4 sigs should catch most high-sim pairs
     assert got.recall_bp > 5000, "LSH recall collapsed below 50%"
+
+
+def test_simhash_pairs_blocking_is_lossless(q, spark):
+    """The pigeonhole block join must return EXACTLY the all-pairs
+    Hamming<=3 set over the certified signatures — blocking is an
+    optimization, never a semantics change."""
+    from secdb_spark.operators.text_analysis import SIMHASH_HAM_MAX
+
+    sims = q("dedup_simhash")
+    sig = dict(zip(sims.doc_id, sims.simhash))
+    ids = sorted(sig)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(int(sig[a]) ^ int(sig[b])).count("1")
+            if h <= SIMHASH_HAM_MAX:
+                expected[(a, b)] = h
+    got = q("simhash_pairs")
+    assert {
+        (r.doc_a, r.doc_b): r.hamming for r in got.itertuples()
+    } == expected
+    assert len(expected) > 0, "fixture corpus must contain near-dup sigs"

@@ -47,7 +47,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — layout/language r6l": "layout_zorder corpus_char_trigrams",
     "Beyond SURVEY — IVM/fingerprints r6m": "ivm_delta_agg result_fingerprint win_topk_ties",
     "Beyond SURVEY — inferential statistics r6n": "conversion_rate_ci abtest_ztest survival_km",
-    "Beyond SURVEY — recommendations/evaluation r6o": "cf_item_similarity lsh_eval",
+    "Beyond SURVEY — recommendations/evaluation r6o": "cf_item_similarity lsh_eval simhash_pairs",
 }
 
 

@@ -717,3 +717,31 @@ def test_win_topk_ties_bounded_state(spark):
     bounded per-partition state like the row_number variant."""
     p = plan_of(spark, "win_topk_ties")
     assert "WindowGroupLimit" in p
+
+
+# --- round-6 batches 14-15 (stats/recsys) ----------------------------------
+
+
+def test_cf_seeds_broadcast_into_cooccurrence(spark):
+    """The top-frequency seed list must broadcast into the basket join
+    (the frontier bound); per-seed ranking is WindowGroupLimit."""
+    p = plan_of(spark, "cf_item_similarity")
+    assert "BroadcastExchange" in p
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pair_generators_never_cartesian(spark):
+    """simhash_pairs / lsh_eval candidate generation must flow through
+    blocking equi-joins, never a cartesian of documents."""
+    for name in ("simhash_pairs", "lsh_eval"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian appeared"
+
+
+def test_stats_ops_partial_aggregation(spark):
+    """conversion_rate_ci / abtest_ztest moment passes must combine
+    map-side."""
+    for name in ("conversion_rate_ci", "abtest_ztest"):
+        p = plan_of(spark, name)
+        assert p.count("HashAggregate") >= 2, f"{name}: partial agg regressed"

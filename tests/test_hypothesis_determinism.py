@@ -133,3 +133,81 @@ def test_spark_session_window_merges_at_exact_gap(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = df.groupBy(F.session_window("ts", "30 minutes")).count().collect()
     assert len(out) == 1 and out[0][1] == 2
+
+
+# -- claim 3: round-6 primitive kernels (pure-python twins) -----------------
+
+
+@given(st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255))
+@settings(max_examples=300, deadline=None)
+def test_morton_interleave_is_injective_and_local(x, y):
+    """The Z-order bit interleave must be a bijection on the 8-bit
+    square, and adjacent z-values must decode to nearby points (the
+    locality that makes z-range pruning work)."""
+    from secdb_spark.operators.layout_extras import Z_BITS
+
+    def morton(a, b):
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def demorton(z):
+        a = b = 0
+        for i in range(Z_BITS):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    z = morton(x, y)
+    assert demorton(z) == (x, y)
+    # z and z+1 differ in at most the low varying bits -> decoded points
+    # stay within the 2^ceil(k/2) sub-square that bit flip spans
+    if z + 1 < (1 << (2 * Z_BITS)):
+        x2, y2 = demorton(z + 1)
+        flipped = (z ^ (z + 1)).bit_length()
+        bound = 1 << ((flipped + 1) // 2)
+        assert abs(x2 - x) <= bound and abs(y2 - y) <= bound
+
+
+@given(st.integers(min_value=0, max_value=2**62 - 1),
+       st.integers(min_value=0, max_value=2**62 - 1))
+@settings(max_examples=200, deadline=None)
+def test_simhash_pigeonhole_block_guarantee(a, b):
+    """If Hamming(a, b) <= 3 then a and b agree exactly on at least one
+    of the 4 signature blocks — the losslessness of simhash_pairs'
+    blocking, proved on arbitrary 62-bit signatures (not just corpus
+    ones)."""
+    from secdb_spark.operators.text_analysis import (
+        _SIMHASH_BLOCKS,
+        SIMHASH_HAM_MAX,
+    )
+
+    ham = bin(a ^ b).count("1")
+    blocks_agree = any(
+        ((a >> off) & ((1 << width) - 1)) == ((b >> off) & ((1 << width) - 1))
+        for off, width in _SIMHASH_BLOCKS
+    )
+    if ham <= SIMHASH_HAM_MAX:
+        assert blocks_agree, f"pigeonhole violated at ham={ham}"
+
+
+@given(st.integers(min_value=1, max_value=10**6),
+       st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=300, deadline=None)
+def test_wilson_interval_always_brackets_and_bounded(n, k):
+    """The Wilson closed form stays inside [0,1] and brackets p for ANY
+    (n, k<=n) — the property that justifies shipping it instead of
+    Wald."""
+    from secdb_spark.operators.stats_extras import Z95
+
+    if k > n:
+        k = n
+    p = k / n
+    z2 = Z95 * Z95
+    half = math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    lo = (p + z2 / (2 * n) - Z95 * half) / (1 + z2 / n)
+    hi = (p + z2 / (2 * n) + Z95 * half) / (1 + z2 / n)
+    assert -1e-12 <= lo <= p + 1e-12
+    assert p - 1e-12 <= hi <= 1 + 1e-12

@@ -745,3 +745,14 @@ def test_stats_ops_partial_aggregation(spark):
     for name in ("conversion_rate_ci", "abtest_ztest"):
         p = plan_of(spark, name)
         assert p.count("HashAggregate") >= 2, f"{name}: partial agg regressed"
+
+
+def test_fill_forward_and_moving_median_single_exchange(spark):
+    """win_fill_forward rides ONE user exchange; win_moving_median's
+    window runs over the daily aggregate (two partial-agg levels before
+    the window sort)."""
+    p = plan_of(spark, "win_fill_forward")
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_ex == 1, f"win_fill_forward: expected 1 Exchange, got {n_ex}"
+    p2 = plan_of(spark, "win_moving_median")
+    assert p2.count("HashAggregate") >= 2, "daily pre-agg must combine map-side"

@@ -116,3 +116,35 @@ def test_categorical_dictionaries_stable(sf_dir):
     assert langs == {"en", "de", "es", "fr", "zh"}, (
         f"{sf_dir}: documents.lang dictionary drifted: {sorted(langs)}"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_data_assumptions_round6_ops(sf_dir):
+    """Round-6 ops embed data assumptions that a testdata regeneration
+    could silently break; fail precisely here instead of as a driver
+    hash mismatch.
+    - agg_weighted_median / part_xyz_cv treat l_quantity as integral
+      (floor(q+0.5) weights);
+    - layout_zorder's date bucket is anchored at 1995-01-01 (negative
+      datediff would flow through sign-extending shifts);
+    - corpus_char_trigrams' oracle uses a 600-position static spine.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    frac = con.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/lineitem.parquet') "
+        "WHERE l_quantity <> floor(l_quantity)"
+    ).fetchone()[0]
+    assert frac == 0, f"{sf_dir}: l_quantity no longer integral ({frac} rows)"
+    early = con.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet') "
+        "WHERE o_orderdate < TIMESTAMP '1995-01-01'"
+    ).fetchone()[0]
+    assert early == 0, f"{sf_dir}: orders predate the z-order epoch"
+    maxlen = con.sql(
+        f"SELECT max(length(text)) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert maxlen + 1 <= 600, (
+        f"{sf_dir}: document length {maxlen} exceeds the char-trigram spine"
+    )

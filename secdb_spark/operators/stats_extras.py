@@ -322,14 +322,20 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") > 0)
     )
     # n_risk(t) = subjects with observed time >= t: total - cumulative
-    # leavers before t (window form of the oracle's correlated count)
-    total = subjects.count()
+    # leavers before t (window form of the oracle's correlated count).
+    # The total is a window over the |times|-sized aggregate — no
+    # separate count action, no second pass over subjects.
     all_times = subjects.groupBy("t").agg(F.count(F.lit(1)).alias("lv"))
+    wall = Window.partitionBy()
     wcum = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, -1
     )
     risk_all = all_times.select(
-        "t", (F.lit(total) - F.coalesce(F.sum("lv").over(wcum), F.lit(0))).alias("n_risk")
+        "t",
+        (
+            F.sum("lv").over(wall)
+            - F.coalesce(F.sum("lv").over(wcum), F.lit(0))
+        ).alias("n_risk"),
     )
     risk = times.join(risk_all, "t").filter(F.col("d") < F.col("n_risk"))
     lnq = F.floor(

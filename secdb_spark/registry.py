@@ -253,6 +253,66 @@ _CERT_SLATE_R6: tuple[str, ...] = (
 )
 
 
+# The 50 ops pinned to ROUND-7 certification slots: everything left
+# pending after the round-6 slate settles, in the order the queue held
+# when registration reached 322 — batches §2.R-§2.AC, the two R-class
+# stragglers, and the join_inner recert pinned LAST.  Pinning frees
+# registration to continue: post-freeze ops queue for round 8 without
+# displacing the recert out of round 7's window.
+_CERT_SLATE_R7: tuple[str, ...] = (
+    "geo_neighbor_join",
+    "geo_grid_density",
+    "ivm_delta_agg",
+    "result_fingerprint",
+    "win_topk_ties",
+    "layout_zorder",
+    "corpus_char_trigrams",
+    "markov_stationary",
+    "feat_onehot",
+    "feat_scale",
+    "split_train_test",
+    "audit_k_anonymity",
+    "mix_apply",
+    "graph_khop",
+    "ts_cross_corr",
+    "cf_item_similarity",
+    "lsh_eval",
+    "ann_lsh_exact",
+    "sim_containment",
+    "feat_quantile_bin",
+    "dedup_histogram",
+    "events_type_overlap",
+    "cms_sketch",
+    "bloom_build",
+    "sample_bottomk",
+    "feat_hashing",
+    "sql_values_inline",
+    "sql_order_by_all",
+    "sql_offset_fetch",
+    "conversion_rate_ci",
+    "abtest_ztest",
+    "survival_km",
+    "simhash_pairs",
+    "win_nth_value",
+    "mix_temperature",
+    "agg_bool",
+    "ts_autocorr",
+    "embed_norm",
+    "win_reset_cumsum",
+    "orders_linecount_dist",
+    "corpus_zipf_slope",
+    "win_moving_median",
+    "win_fill_forward",
+    "xbrl_q_trend",
+    "xbrl_q_ratios",
+    "xbrl_q_restatement",
+    "xbrl_region_mix",
+    "embed_kmeans_lloyd",
+    "text_compressibility",
+    "join_inner",
+)
+
+
 def _certification_order(names) -> list[str]:
     """Unsettled slate ops first, then other unsettled ops (exact-oracle
     before rows-only, each in registration order), settled last.
@@ -260,7 +320,7 @@ def _certification_order(names) -> list[str]:
     re-queues even though an old rows-only record exists."""
     names = list(names)
     slate = [
-        n for n in (_CERT_SLATE + _CERT_SLATE_R6)
+        n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7)
         if n in names and not certified_at_current_class(n)
     ]
     # Oracle-changed recerts queue BEHIND never-certified ops (including

@@ -171,23 +171,22 @@ def test_oracle_changed_entries_expire_on_post_change_green():
         assert registry._recert_pending(name) == (not post)
 
 
-def test_round7_backlog_fits_one_window():
-    """Operator registration froze at 322 late in round 6 so that the
-    post-r6 backlog fits round 7's 50-slot window EXACTLY (every op
-    green at current class after two driver passes).  If an op is added
-    without extending a slate, this fails rather than silently pushing
-    the join_inner recert to round 8."""
-    pend = [
-        n for n in registry.all_queries()
+def test_round7_slate_holds_its_window():
+    """The round-7 slate (50 ops incl. the join_inner recert, pinned
+    LAST) must occupy queue positions immediately after any unsettled
+    round-6 slate entries — ops registered after the freeze queue for
+    round 8 and can never displace the recert out of round 7's
+    window."""
+    order = list(registry.all_queries())
+    r6_pending = [
+        n for n in registry._CERT_SLATE_R6
         if not registry.certified_at_current_class(n)
     ]
-    # before CORRECTNESS_r06 lands: 100 pending (50 r6 slate + 50 r7);
-    # after it lands the slate settles and exactly <=50 remain.
-    assert len(pend) in (100, len(pend)) and len(pend) <= 100
-    if len(pend) > 50:
-        assert len(pend) == 100, (
-            f"{len(pend)} pending: new registrations would overflow the "
-            "round-7 window; pin a slate or defer the op"
-        )
-    # the recert is last either way
-    assert pend[-1] == "join_inner" or "join_inner" not in pend
+    r7_pending = [
+        n for n in registry._CERT_SLATE_R7
+        if not registry.certified_at_current_class(n)
+    ]
+    start = len(r6_pending)
+    assert order[start : start + len(r7_pending)] == r7_pending
+    if r7_pending:
+        assert r7_pending[-1] == "join_inner" or "join_inner" not in r7_pending

@@ -1,0 +1,256 @@
+"""Round-6 additions, batch 16 — SURVEY §2.AD: corpus novelty scoring,
+a log-log price-elasticity regression, and the chi-square independence
+test — round-8-queued extensions (the round-7 slate is pinned).
+
+Determinism: novelty is pure integer counting; elasticity reuses the
+quantized-ln regression moments (corpus_zipf_slope idiom); chi-square
+composes +,−,×,÷ on integer-derived doubles with the shared closing
+tree, and the significance flag compares the quantized statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import r4
+
+D0 = "decimal(38,0)"
+LN_SCALE = 10**6
+
+
+# ---------------------------------------------------------------------------
+# text_novelty — share of a doc's trigrams that appear nowhere else
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_novelty",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tri AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+      FROM t, (SELECT unnest(generate_series(1, 128)) AS i) s
+      WHERE i + 2 <= len(toks)
+    ), dtri AS (
+      SELECT DISTINCT doc_id, g FROM tri
+    ), df AS (
+      SELECT g, count(*) AS ndocs FROM dtri GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(count_if(ndocs = 1) AS BIGINT) AS n_unique,
+           round(CAST(count_if(ndocs = 1) AS DOUBLE) / count(*), 4)
+             AS novelty
+    FROM dtri JOIN df USING (g)
+    GROUP BY doc_id
+    """,
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty per document: the share of its distinct word
+    trigrams that appear in NO other document — the self-information
+    screen complementing `text_repetition` (within-doc boilerplate) and
+    `corpus_ngram_topk` (corpus-wide boilerplate): low novelty means the
+    document is assembled from corpus-common spans, the profile of
+    templated/spun content.  Pure integer counting; the ratio is one
+    division, rounded.
+
+    Scale: trigram explode → distinct (doc, gram) → gram document
+    frequencies (all combinable) → join df back on the gram key.
+    Zipf-hot grams dominate the join's build side exactly as in
+    sim_containment — the same hot-gram cap applies when corpora grow;
+    output is one row per document."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), "
+                "p -> concat_ws(' ', toks[p-1], toks[p], toks[p+1]))"
+            )
+        ).alias("g"),
+    )
+    dtri = tri.distinct()
+    df = dtri.groupBy("g").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        dtri.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.count_if(F.col("ndocs") == 1).alias("n_unique"),
+            r4(
+                F.count_if(F.col("ndocs") == 1).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# price_elasticity — log-log demand regression per brand
+# ---------------------------------------------------------------------------
+
+@register(
+    "price_elasticity",
+    oracle=f"""
+    WITH pq AS (
+      SELECT p_brand,
+             CAST(floor(ln(p_retailprice) * {LN_SCALE} + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(q.qty) * {LN_SCALE} + 0.5) AS BIGINT) AS y
+      FROM part
+      JOIN (
+        SELECT l_partkey, CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                               AS DOUBLE) AS qty
+        FROM lineitem GROUP BY l_partkey
+      ) q ON q.l_partkey = p_partkey
+    ), m AS (
+      SELECT p_brand, count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM pq GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+           round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 4)
+             AS elasticity
+    FROM m
+    """,
+)
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand: the slope of ln(total
+    quantity shipped) on ln(retail price) across a brand's parts — the
+    log-log regression whose coefficient economists read directly as
+    %Δquantity per %Δprice.  Both logs quantize to 1e6 fixed point
+    (corpus_zipf_slope's idiom), so the regression moments are exact
+    decimal integers and the slope closes with the shared num/den IEEE
+    tree.  (The synthetic generator correlates price and volume
+    positively, so the fitted "elasticities" come out positive — what
+    is certified is the ESTIMATOR's exactness, not an economic claim
+    about generated data.)
+
+    Scale: per-part demand is one combinable aggregate on l_partkey;
+    the part dim joins broadcast; the moment pass groups on the
+    25-value brand key."""
+    li = table(spark, sf_dir, "lineitem")
+    demand = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("double")
+        .alias("qty")
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    pq = demand.join(F.broadcast(part), demand.l_partkey == part.p_partkey)
+    x = F.floor(F.log(F.col("p_retailprice")) * LN_SCALE + 0.5).cast("long")
+    y = F.floor(F.log(F.col("qty")) * LN_SCALE + 0.5).cast("long")
+    m = pq.select("p_brand", x.alias("x"), y.alias("y")).groupBy(
+        "p_brand"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(D0)).alias("sx"),
+        F.sum(F.col("y").cast(D0)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(D0)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(D0)).alias("sxy"),
+    )
+    nd = F.col("n").cast(D0)
+    num = nd * F.col("sxy") - F.col("sx").cast(D0) * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx").cast(D0) * F.col("sx")
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_parts"),
+        r4(num.cast("double") / den.cast("double")).alias("elasticity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence — contingency-table independence test
+# ---------------------------------------------------------------------------
+
+CHI2_CRIT_E4 = {16: 263_000}  # df=16 -> 26.30 at alpha=0.05, 1e4 fixed point
+
+
+@register(
+    "chi2_independence",
+    oracle="""
+    WITH joined AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), cells AS (
+      SELECT seg, pri, CAST(count(*) AS BIGINT) AS o FROM joined GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+    ), margins AS (
+      SELECT c.seg, c.pri, c.o,
+             CAST(rs.r AS BIGINT) AS row_tot, CAST(cs.c AS BIGINT) AS col_tot
+      FROM cells c
+      JOIN (SELECT seg, sum(o) AS r FROM cells GROUP BY seg) rs USING (seg)
+      JOIN (SELECT pri, sum(o) AS c FROM cells GROUP BY pri) cs USING (pri)
+    )
+    SELECT CAST(count(DISTINCT seg) AS BIGINT) AS n_rows_dim,
+           CAST(count(DISTINCT pri) AS BIGINT) AS n_cols_dim,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1)
+                AS BIGINT) AS dof,
+           round(CAST(sum(CAST(floor(
+             (o - CAST(row_tot AS DOUBLE) * col_tot / (SELECT n FROM tot))
+             * (o - CAST(row_tot AS DOUBLE) * col_tot / (SELECT n FROM tot))
+             / (CAST(row_tot AS DOUBLE) * col_tot / (SELECT n FROM tot))
+             * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000, 4) AS chi2
+    FROM margins
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer market
+    segment and order priority — the contingency-table screen behind
+    "does segment drive priority".  Expected counts derive from the
+    margins (row·col/n, one IEEE tree); the statistic sums (o−e)²/e over
+    the 25 cells of a 5×5 table with exact integer observed counts.  On
+    TPC-H-style data the dimensions are independent by construction, so
+    chi² ≈ dof — the null calibration is the certified ground truth.
+
+    Scale: one fact join (customer broadcast-eligible) + a 25-cell
+    contingency aggregate; margins are windows over the cell table
+    (model-sized).  Larger tables change nothing structurally — the
+    cell aggregate is the only data-sized pass."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wall = Window.partitionBy()
+    wrow = Window.partitionBy("seg")
+    wcol = Window.partitionBy("pri")
+    m = cells.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(wrow).alias("row_tot"),
+        F.sum("o").over(wcol).alias("col_tot"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    # each term is an identical IEEE tree both sides; quantizing BEFORE
+    # the sum makes the 25-cell accumulation exact bigint arithmetic
+    # (a float sum of the terms would be engine-order dependent)
+    term_q = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1_000_000 + 0.5
+    ).cast("long")
+    return m.agg(
+        F.count_distinct("seg").cast("long").alias("n_rows_dim"),
+        F.count_distinct("pri").cast("long").alias("n_cols_dim"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        r4(F.sum(term_q).cast("double") / 1_000_000).alias("chi2"),
+    )

@@ -365,6 +365,7 @@ def _load_operators() -> None:
     # Import for side effect: each module registers its operators.
     from .operators import (  # noqa: F401
         aggregations,
+        econ_extras,
         functions_scalar,
         geo_extras,
         ivm_extras,

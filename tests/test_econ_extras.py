@@ -1,0 +1,110 @@
+"""Brute-force parity for round-6 batch-16 (econ_extras.py)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from conftest import SF_DIR  # noqa: E402
+
+from secdb_spark.catalog import table  # noqa: E402
+from secdb_spark.operators.econ_extras import LN_SCALE  # noqa: E402
+from secdb_spark.registry import all_queries  # noqa: E402
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def run(name):
+        return QUERIES[name](spark, SF_DIR).toPandas()
+
+    return run
+
+
+def test_text_novelty_vs_bruteforce(q, spark):
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text").toPandas()
+    tris = {}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        tris[r.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    df = Counter(g for s in tris.values() for g in s)
+    got = q("text_novelty").set_index("doc_id")
+    assert len(got) == len(docs)
+    for did, grams in tris.items():
+        uniq = sum(1 for g in grams if df[g] == 1)
+        r = got.loc[did]
+        assert r.n_trigrams == len(grams)
+        assert r.n_unique == uniq
+        assert abs(r.novelty - uniq / len(grams)) < 1e-3
+
+
+def test_price_elasticity_vs_numpy(q, spark):
+    li = table(spark, SF_DIR, "lineitem").select("l_partkey", "l_quantity").toPandas()
+    part = table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    ).toPandas()
+    qty = (
+        li.assign(qi=li.l_quantity.map(lambda v: math.floor(v + 0.5)))
+        .groupby("l_partkey")
+        .qi.sum()
+    )
+    merged = part[part.p_partkey.isin(qty.index)]
+    got = q("price_elasticity").set_index("p_brand")
+    for brand, grp in merged.groupby("p_brand"):
+        x = np.array(
+            [
+                math.floor(math.log(p) * LN_SCALE + 0.5)
+                for p in grp.p_retailprice
+            ],
+            dtype=float,
+        )
+        y = np.array(
+            [
+                math.floor(math.log(float(qty[pk])) * LN_SCALE + 0.5)
+                for pk in grp.p_partkey
+            ],
+            dtype=float,
+        )
+        slope = np.polyfit(x, y, 1)[0]
+        r = got.loc[brand]
+        assert r.n_parts == len(grp)
+        assert abs(r.elasticity - slope) < 1e-3
+    # every brand has enough parts for a meaningful fit
+    assert (got.n_parts >= 2).all()
+
+
+def test_chi2_independence_vs_numpy(q, spark):
+    o = table(spark, SF_DIR, "orders").select("o_custkey", "o_orderpriority").toPandas()
+    c = table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment").toPandas()
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    cells = Counter(zip(m.c_mktsegment, m.o_orderpriority))
+    segs = sorted({s for s, _ in cells})
+    pris = sorted({p for _, p in cells})
+    n = sum(cells.values())
+    row = defaultdict(int)
+    col = defaultdict(int)
+    for (s, p), v in cells.items():
+        row[s] += v
+        col[p] += v
+    chi2 = 0
+    for (s, p), obs in cells.items():
+        e = row[s] * col[p] / n
+        chi2 += math.floor((obs - e) ** 2 / e * 1_000_000 + 0.5)
+    chi2 = round(chi2 / 1_000_000, 4)
+    got = q("chi2_independence").iloc[0]
+    assert got.n_rows_dim == len(segs)
+    assert got.n_cols_dim == len(pris)
+    assert got.dof == (len(segs) - 1) * (len(pris) - 1)
+    assert got.chi2 == chi2
+    # TPC-H dims are independent by construction: chi2 ~ dof, far below
+    # any significance blowup
+    assert got.chi2 < 3 * got.dof + 20

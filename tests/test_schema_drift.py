@@ -148,3 +148,19 @@ def test_data_assumptions_round6_ops(sf_dir):
     assert maxlen + 1 <= 600, (
         f"{sf_dir}: document length {maxlen} exceeds the char-trigram spine"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_document_token_count_within_ngram_spine(sf_dir):
+    """The trigram oracles (corpus_ngram_topk, text_repetition,
+    text_novelty) use a static 128-position unnest spine; a regenerated
+    corpus with longer documents would silently DROP trigrams from the
+    oracle side while the Spark side keeps them."""
+    import duckdb
+
+    con = duckdb.connect()
+    mx = con.sql(
+        f"SELECT max(len(string_split(text, ' '))) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert mx <= 128, f"{sf_dir}: max doc tokens {mx} exceeds the oracle spine"

@@ -137,10 +137,16 @@ def test_oracle_changed_ops_requeue_behind_fresh_coverage():
         if not registry.certified_at_current_class(n)
         and not registry._recert_pending(n)
     ]
+    slated = set(registry._CERT_SLATE + registry._CERT_SLATE_R6 + registry._CERT_SLATE_R7)
     for name in registry._ORACLE_CHANGED:
         if not registry._recert_pending(name):
             continue  # post-change green record landed; entry is stale
         assert not registry.certified_at_current_class(name)
+        if name in slated:
+            # a slate pin supersedes the behind-everything rule: the
+            # recert holds a GUARANTEED slot (last in its slate) and
+            # post-pin registrations queue for the following round
+            continue
         idx = order.index(name)
         assert all(order.index(f) < idx for f in fresh_pending), (
             f"{name} (recert) queued ahead of never-certified ops"

@@ -254,3 +254,150 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         r4(F.sum(term_q).cast("double") / 1_000_000).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sla_attainment — urgent-order shipping SLA per priority class
+# ---------------------------------------------------------------------------
+
+SLA_DAYS = 30  # first shipment due within N days of order placement
+
+
+@register(
+    "sla_attainment",
+    oracle=f"""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem
+      GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count_if(datediff('day', CAST(o_orderdate AS DATE),
+                                  CAST(first_ship AS DATE)) <= {SLA_DAYS})
+                AS BIGINT) AS n_met,
+           round(CAST(count_if(datediff('day', CAST(o_orderdate AS DATE),
+                                        CAST(first_ship AS DATE))
+                               <= {SLA_DAYS}) AS DOUBLE) / count(*), 4)
+             AS sla_rate,
+           CAST(max(datediff('day', CAST(o_orderdate AS DATE),
+                             CAST(first_ship AS DATE))) AS BIGINT)
+             AS worst_lag_days
+    FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA attainment per priority class: the share of orders
+    whose FIRST line item ships within {SLA_DAYS} days of placement,
+    plus the worst observed lag — the operations metric priority
+    classes exist to enforce (and on TPC-H-style data the rates come
+    out priority-independent, which is itself the finding).  Day
+    arithmetic is exact integer datediff; the rate is one division.
+
+    Scale: first-ship is a combinable min per orderkey; the fact join
+    is orderkey-co-partitioned; the rollup key has 5 values.  The same
+    shape serves any promise-vs-actual SLA with a different deadline
+    constant."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lag = F.datediff(
+        F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    met = F.count_if(lag <= SLA_DAYS)
+    return (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            met.alias("n_met"),
+            r4(met.cast("double") / F.count(F.lit(1))).alias("sla_rate"),
+            F.max(lag).cast("long").alias("worst_lag_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_decile_share — revenue concentration in the top 10% of customers
+# ---------------------------------------------------------------------------
+
+DECILE_PCT = 10
+
+
+@register(
+    "top_decile_share",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), joined AS (
+      SELECT n_name, cents FROM spend
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ), ranked AS (
+      SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY cents DESC, cents) AS rk,
+             count(*) OVER (PARTITION BY n_name) AS n_cust,
+             sum(cents) OVER (PARTITION BY n_name) AS tot
+      FROM joined
+    )
+    SELECT n_name,
+           CAST(max(n_cust) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN rk * 100 <= n_cust * {DECILE_PCT}
+                         THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+           CAST(max(tot) AS BIGINT) AS total_cents,
+           round(CAST(sum(CASE WHEN rk * 100 <= n_cust * {DECILE_PCT}
+                               THEN cents ELSE 0 END) AS DOUBLE)
+                 / max(tot), 4) AS top_decile_share
+    FROM ranked GROUP BY n_name
+    """,
+)
+def top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the share of each nation's revenue earned
+    from its top {DECILE_PCT}% of customers by spend — the single-number
+    concentration readout that complements `agg_gini` (full-curve
+    inequality) and `agg_hhi` (squared-share concentration).  Membership
+    in the top decile is the integer inequality rk·100 ≤ n·{DECILE_PCT}
+    (no float percentile), spends are exact cents, and the ordering is
+    deterministic (spend descending; equal spends are interchangeable
+    for the SUM, so no tiebreak key is needed for value stability).
+
+    Scale: one custkey aggregate, broadcast dims, and per-nation
+    windows over the customer aggregate; the same rank-threshold
+    selection dispatches to `_global_order`'s bucketed rank at
+    ungrouped 10^8+ cardinalities (the part_abc_pareto gate)."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "cents"
+        )
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", "cents")
+    )
+    wn = Window.partitionBy("n_name")
+    ranked = joined.select(
+        "n_name",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("n_name").orderBy(F.desc("cents"), "cents"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n_cust"),
+        F.sum("cents").over(wn).alias("tot"),
+    )
+    in_top = F.col("rk") * 100 <= F.col("n_cust") * DECILE_PCT
+    top = F.sum(F.when(in_top, F.col("cents")).otherwise(0))
+    return ranked.groupBy("n_name").agg(
+        F.max("n_cust").cast("long").alias("n_customers"),
+        top.cast("long").alias("top_cents"),
+        F.max("tot").cast("long").alias("total_cents"),
+        r4(top.cast("double") / F.max("tot")).alias("top_decile_share"),
+    )

@@ -108,3 +108,57 @@ def test_chi2_independence_vs_numpy(q, spark):
     # TPC-H dims are independent by construction: chi2 ~ dof, far below
     # any significance blowup
     assert got.chi2 < 3 * got.dof + 20
+
+
+def test_sla_attainment_vs_bruteforce(q, spark):
+    from secdb_spark.operators.econ_extras import SLA_DAYS
+
+    o = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    ).toPandas()
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate").toPandas()
+    first = li.groupby("l_orderkey").l_shipdate.min()
+    m = o[o.o_orderkey.isin(first.index)]
+    got = q("sla_attainment").set_index("o_orderpriority")
+    for pri, grp in m.groupby("o_orderpriority"):
+        lags = [
+            (first[k].date() - d.date()).days
+            for k, d in zip(grp.o_orderkey, grp.o_orderdate)
+        ]
+        met = sum(1 for v in lags if v <= SLA_DAYS)
+        r = got.loc[pri]
+        assert r.n_orders == len(lags)
+        assert r.n_met == met
+        assert r.worst_lag_days == max(lags)
+        assert abs(r.sla_rate - met / len(lags)) < 1e-3
+
+
+def test_top_decile_share_vs_bruteforce(q, spark):
+    import math as _m
+
+    o = table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice").toPandas()
+    c = table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey").toPandas()
+    n = table(spark, SF_DIR, "nation").select("n_nationkey", "n_name").toPandas()
+    spend = (
+        o.assign(cents=o.o_totalprice.map(lambda v: _m.floor(v * 100 + 0.5)))
+        .groupby("o_custkey")
+        .cents.sum()
+    )
+    nation_of = c.set_index("c_custkey").c_nationkey.map(
+        n.set_index("n_nationkey").n_name
+    )
+    per_nation = defaultdict(list)
+    for ck, cents in spend.items():
+        per_nation[nation_of[ck]].append(int(cents))
+    got = q("top_decile_share").set_index("n_name")
+    for nm, vals in per_nation.items():
+        vals.sort(reverse=True)
+        k = sum(1 for i in range(len(vals)) if (i + 1) * 100 <= len(vals) * 10)
+        top = sum(vals[:k])
+        r = got.loc[nm]
+        assert r.n_customers == len(vals)
+        assert r.top_cents == top
+        assert r.total_cents == sum(vals)
+        assert abs(r.top_decile_share - top / sum(vals)) < 1e-3
+        # concentration share is at least the uniform decile share
+        assert r.top_decile_share >= (k / len(vals)) - 1e-9

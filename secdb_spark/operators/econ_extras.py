@@ -401,3 +401,152 @@ def top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tot").cast("long").alias("total_cents"),
         r4(top.cast("double") / F.max("tot")).alias("top_decile_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# brand_transition — repeat-purchase brand loyalty matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "brand_transition",
+    oracle="""
+    WITH order_brand AS (
+      SELECT l_orderkey,
+             first(p_brand ORDER BY qty DESC, p_brand) AS brand
+      FROM (
+        SELECT l_orderkey, p_brand,
+               sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_orderkey, p_brand
+      ) GROUP BY l_orderkey
+    ), seq AS (
+      SELECT o_custkey, brand,
+             lead(brand) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders JOIN order_brand ON o_orderkey = l_orderkey
+    )
+    SELECT brand AS from_brand, nxt AS to_brand,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           (brand = nxt) AS is_loyal
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY brand, nxt
+    """,
+)
+def brand_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase brand transition matrix: each order maps to its
+    DOMINANT brand (highest total quantity, ties broken by brand name —
+    a deterministic argmax via the ordered-first aggregate), and consecutive orders per
+    customer pair into (from, to) transitions — the loyalty/switching
+    matrix whose diagonal share is the brand-loyalty KPI.  All counts
+    exact; the dominant-brand argmax is the ordered `first` aggregate in
+    DuckDB and a row_number pick in Spark, both tie-safe.
+
+    Scale: order→brand is two combinable aggregates (orderkey×brand,
+    then argmax per orderkey); the transition lead rides the custkey
+    window; the matrix key space is |brands|² (model-sized)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("qty"))
+    )
+    w_pick = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("qty"), F.asc("p_brand")
+    )
+    order_brand = (
+        ob_qty.select(
+            "l_orderkey",
+            "p_brand",
+            F.row_number().over(w_pick).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    seq = o.join(order_brand, o.o_orderkey == order_brand.l_orderkey)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    trans = seq.select(
+        F.col("brand").alias("from_brand"),
+        F.lead("brand").over(w).alias("to_brand"),
+    ).filter(F.col("to_brand").isNotNull())
+    return trans.groupBy("from_brand", "to_brand").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.first(F.col("from_brand") == F.col("to_brand")).alias("is_loyal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# trade_balance — nation-level buy-side vs sell-side revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "trade_balance",
+    oracle="""
+    WITH buy AS (
+      SELECT n_name,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS buy_cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ), sell AS (
+      SELECT n_name,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS sell_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(buy_cents AS BIGINT) AS buy_cents,
+           CAST(sell_cents AS BIGINT) AS sell_cents,
+           CAST(sell_cents - buy_cents AS BIGINT) AS net_cents
+    FROM buy JOIN sell USING (n_name)
+    """,
+)
+def trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation trade balance on the order graph: line revenue attributed
+    to the CUSTOMER's nation (buy side) vs the SUPPLIER's nation (sell
+    side), and the net — the two-perspective rollup TPC-H Q7 computes
+    pairwise, collapsed to the per-nation balance sheet.  Revenue is
+    exact fixed-point cents; the two sides are independent aggregation
+    pipelines joined on the 25-row nation name.
+
+    Scale: the buy side shuffles lineitem on orderkey (the Q10-class
+    join), the sell side joins the broadcast supplier dim map-side;
+    both rollups combine into 25 rows before the final join.  A
+    pairwise (buyer, seller) matrix is the same plan with both dims
+    attached before one rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    buy = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("buy_cents"))
+    )
+    sell = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("sell_cents"))
+    )
+    return buy.join(sell, "n_name").select(
+        "n_name",
+        F.col("buy_cents").cast("long").alias("buy_cents"),
+        F.col("sell_cents").cast("long").alias("sell_cents"),
+        (F.col("sell_cents") - F.col("buy_cents"))
+        .cast("long")
+        .alias("net_cents"),
+    )

@@ -162,3 +162,71 @@ def test_top_decile_share_vs_bruteforce(q, spark):
         assert abs(r.top_decile_share - top / sum(vals)) < 1e-3
         # concentration share is at least the uniform decile share
         assert r.top_decile_share >= (k / len(vals)) - 1e-9
+
+
+def test_brand_transition_vs_bruteforce(q, spark):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).toPandas()
+    part = table(spark, SF_DIR, "part").select("p_partkey", "p_brand").toPandas()
+    brand_of_part = part.set_index("p_partkey").p_brand
+    qty = defaultdict(lambda: defaultdict(int))
+    for r in li.itertuples():
+        qty[r.l_orderkey][brand_of_part[r.l_partkey]] += math.floor(
+            r.l_quantity + 0.5
+        )
+    dominant = {
+        ok: min(brands, key=lambda b: (-brands[b], b))
+        for ok, brands in qty.items()
+    }
+    o = (
+        table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .toPandas()
+        .sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    )
+    trans = Counter()
+    for _, grp in o.groupby("o_custkey"):
+        seq = [dominant[k] for k in grp.o_orderkey if k in dominant]
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    got = q("brand_transition")
+    assert {
+        (r.from_brand, r.to_brand): r.n_transitions for r in got.itertuples()
+    } == dict(trans)
+    for r in got.itertuples():
+        assert bool(r.is_loyal) == (r.from_brand == r.to_brand)
+
+
+def test_trade_balance_vs_bruteforce(q, spark):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    ).toPandas()
+    li["cents"] = li.l_extendedprice.map(lambda v: math.floor(v * 100 + 0.5))
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey").toPandas()
+    cust = table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey").toPandas()
+    supp = table(spark, SF_DIR, "supplier").select("s_suppkey", "s_nationkey").toPandas()
+    nat = table(spark, SF_DIR, "nation").select("n_nationkey", "n_name").toPandas()
+    name_of = nat.set_index("n_nationkey").n_name
+    buy = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .assign(nm=lambda d: d.c_nationkey.map(name_of))
+        .groupby("nm")
+        .cents.sum()
+    )
+    sell = (
+        li.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .assign(nm=lambda d: d.s_nationkey.map(name_of))
+        .groupby("nm")
+        .cents.sum()
+    )
+    got = q("trade_balance").set_index("n_name")
+    for nm in got.index:
+        r = got.loc[nm]
+        assert r.buy_cents == buy[nm]
+        assert r.sell_cents == sell[nm]
+        assert r.net_cents == sell[nm] - buy[nm]
+    # global trade balances to zero across nations present on both sides
+    if set(buy.index) == set(sell.index):
+        assert got.net_cents.sum() == 0

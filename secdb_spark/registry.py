@@ -387,6 +387,7 @@ def _load_operators() -> None:
         text_analysis,
         timeseries,
         udfs,
+        variance_extras,
         warehouse_extras,
         warehouse_extras2,
         warehouse_extras3,

@@ -550,3 +550,103 @@ def trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("net_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sla_percentiles — shipping-lag latency percentiles per priority
+# ---------------------------------------------------------------------------
+
+@register(
+    "sla_percentiles",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem
+      GROUP BY 1
+    ), lags AS (
+      SELECT o_orderpriority,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(first_ship AS DATE)) AS lag
+      FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(lag, 0.50), 4) AS p50_days,
+           round(quantile_cont(lag, 0.95), 4) AS p95_days,
+           round(quantile_cont(lag, 0.99), 4) AS p99_days
+    FROM lags GROUP BY o_orderpriority
+    """,
+)
+def sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-lag latency percentiles (p50/p95/p99) per priority class
+    — the tail-latency view that `sla_attainment`'s single threshold
+    hides (an SLA can hold at p50 while p99 burns).  Lags are exact
+    integer days; interpolated percentiles over integers are exact
+    binary arithmetic (the certified agg_percentile semantics).
+
+    Scale: same plan as sla_attainment with exact percentiles on the
+    5-group key; at extreme group cardinality the one-line swap is
+    percentile_approx (the documented exact-vs-sketch quantile trade,
+    agg_percentile_approx)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lag = F.datediff(
+        F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .select("o_orderpriority", lag.alias("lag"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.percentile("lag", F.lit(0.50))).alias("p50_days"),
+            r4(F.percentile("lag", F.lit(0.95))).alias("p95_days"),
+            r4(F.percentile("lag", F.lit(0.99))).alias("p99_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# peak_to_avg — hourly load concentration per event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "peak_to_avg",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(c) AS BIGINT) AS peak_hour_events,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 4)
+             AS peak_to_avg
+    FROM hourly GROUP BY event_type
+    """,
+)
+def peak_to_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-average hourly load per event type — the capacity-
+    planning ratio (provision for peak, pay for average; a ratio near 1
+    is flat load, high ratios justify autoscaling).  Exact integer
+    hourly counts; the ratio is max·hours/total in one shared IEEE
+    tree.
+
+    Scale: hourly pre-aggregation collapses the stream (combinable);
+    the per-type rollup runs over the hours×types aggregate."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max("c").cast("long").alias("peak_hour_events"),
+        F.sum("c").cast("long").alias("total_events"),
+        r4(
+            F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c")
+        ).alias("peak_to_avg"),
+    )

@@ -230,3 +230,41 @@ def test_trade_balance_vs_bruteforce(q, spark):
     # global trade balances to zero across nations present on both sides
     if set(buy.index) == set(sell.index):
         assert got.net_cents.sum() == 0
+
+
+def test_sla_percentiles_vs_numpy(q, spark):
+    o = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    ).toPandas()
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate").toPandas()
+    first = li.groupby("l_orderkey").l_shipdate.min()
+    m = o[o.o_orderkey.isin(first.index)]
+    got = q("sla_percentiles").set_index("o_orderpriority")
+    for pri, grp in m.groupby("o_orderpriority"):
+        lags = np.array(
+            [
+                (first[k].date() - d.date()).days
+                for k, d in zip(grp.o_orderkey, grp.o_orderdate)
+            ],
+            dtype=float,
+        )
+        r = got.loc[pri]
+        assert r.n_orders == len(lags)
+        for col, pq in (("p50_days", 50), ("p95_days", 95), ("p99_days", 99)):
+            assert abs(r[col] - np.percentile(lags, pq)) < 1e-3
+        assert r.p50_days <= r.p95_days <= r.p99_days
+
+
+def test_peak_to_avg_vs_bruteforce(q, spark):
+    ev = table(spark, SF_DIR, "events").select("event_type", "ts").toPandas()
+    ev["bucket"] = ev.ts.dt.floor("h")
+    got = q("peak_to_avg").set_index("event_type")
+    for et, grp in ev.groupby("event_type"):
+        hourly = grp.bucket.value_counts()
+        r = got.loc[et]
+        assert r.n_hours == len(hourly)
+        assert r.peak_hour_events == hourly.max()
+        assert r.total_events == hourly.sum()
+        expect = hourly.max() * len(hourly) / hourly.sum()
+        assert abs(r.peak_to_avg - expect) < 1e-3
+        assert r.peak_to_avg >= 1.0

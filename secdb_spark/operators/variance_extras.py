@@ -218,3 +218,89 @@ def user_lifetime_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("days").cast("long").alias("min_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# error_rate_daily — daily error share of the event stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "error_rate_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_events, n_errors,
+           round(CAST(n_errors AS DOUBLE) / n_events, 4) AS error_rate
+    FROM daily
+    """,
+)
+def error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error share of the event stream — the SRE burn-rate series
+    that alerting thresholds and `anomaly_zscore`/`ts_bollinger`
+    envelopes consume downstream.  Exact integer counts, one division.
+
+    Scale: a single combinable day-keyed aggregate with the predicated
+    count fused into the same pass (the agg_bool/count_if discipline —
+    never a second scan for the error subset)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        r4(
+            F.count_if(F.col("event_type") == "error").cast("double")
+            / F.count(F.lit(1))
+        ).alias("error_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# brand_breadth — brands-per-customer breadth histogram
+# ---------------------------------------------------------------------------
+
+@register(
+    "brand_breadth",
+    oracle="""
+    WITH cb AS (
+      SELECT DISTINCT o_custkey, p_brand
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part ON l_partkey = p_partkey
+    ), breadth AS (
+      SELECT o_custkey, count(*) AS n_brands FROM cb GROUP BY o_custkey
+    )
+    SELECT CAST(n_brands AS BIGINT) AS n_brands,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM breadth GROUP BY n_brands
+    """,
+)
+def brand_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-breadth histogram: how many distinct brands each customer
+    has ever purchased, rolled into a distribution — the
+    category-spanning readout that separates single-brand loyalists
+    from explorers (and sizes cross-sell headroom alongside
+    `brand_transition`'s switching matrix).  Exact distinct counting
+    through a (customer, brand) dedup, then the dedup_histogram shape.
+
+    Scale: the distinct projection combines map-side; both following
+    aggregates are combinable with bounded key spaces (|customers|,
+    then |brands|)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    breadth = cb.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_brands"))
+    return breadth.groupBy("n_brands").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    ).select(
+        F.col("n_brands").cast("long").alias("n_brands"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+    )

@@ -87,3 +87,32 @@ def test_user_lifetime_dist_vs_bruteforce(q, spark):
         in_bucket = [d for d in days if d // 7 == wb]
         assert r.min_days == min(in_bucket)
         assert r.max_days == max(in_bucket)
+
+
+def test_error_rate_daily_vs_bruteforce(q, spark):
+    ev = table(spark, SF_DIR, "events").select("ts", "event_type").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    got = q("error_rate_daily").set_index("day")
+    for day, grp in ev.groupby("day"):
+        r = got.loc[day]
+        errs = int((grp.event_type == "error").sum())
+        assert r.n_events == len(grp)
+        assert r.n_errors == errs
+        assert abs(r.error_rate - errs / len(grp)) < 1e-3
+    assert got.n_events.sum() == len(ev)
+
+
+def test_brand_breadth_vs_bruteforce(q, spark):
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey").toPandas()
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").toPandas()
+    part = table(spark, SF_DIR, "part").select("p_partkey", "p_brand").toPandas()
+    m = o.merge(li, left_on="o_orderkey", right_on="l_orderkey").merge(
+        part, left_on="l_partkey", right_on="p_partkey"
+    )
+    breadth = m.groupby("o_custkey").p_brand.nunique()
+    hist = Counter(breadth.values)
+    got = q("brand_breadth").set_index("n_brands")
+    assert {int(k): int(v) for k, v in zip(got.index, got.n_customers)} == {
+        int(k): int(v) for k, v in hist.items()
+    }
+    assert got.n_customers.sum() == len(breadth)

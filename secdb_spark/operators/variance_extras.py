@@ -304,3 +304,55 @@ def brand_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_brands").cast("long").alias("n_brands"),
         F.col("n_customers").cast("long").alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# first_touch_mix — acquisition mix by each user's first event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "first_touch_mix",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), firsts AS (
+      SELECT event_type FROM ranked WHERE rn = 1
+    )
+    SELECT event_type AS first_event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM firsts), 4) AS share
+    FROM firsts GROUP BY event_type
+    """,
+)
+def first_touch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition mix: the distribution of each user's FIRST event type
+    — the entry-point readout that pairs with attribution_last_touch's
+    exit-side view.  The first event is a tie-safe row_number pick
+    ((ts, event_id) order), counts are exact, and the share is one
+    division against the windowed user total.
+
+    Scale: one user_id exchange for the pick (WindowGroupLimit bounds
+    state at rank 1), then a |event types|-key rollup with the share
+    window over that model-sized aggregate."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("event_type")
+    )
+    counts = firsts.groupBy(
+        F.col("event_type").alias("first_event_type")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    wall = Window.partitionBy()
+    return counts.select(
+        "first_event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        r4(
+            F.col("n_users").cast("double") / F.sum("n_users").over(wall)
+        ).alias("share"),
+    )

@@ -116,3 +116,18 @@ def test_brand_breadth_vs_bruteforce(q, spark):
         int(k): int(v) for k, v in hist.items()
     }
     assert got.n_customers.sum() == len(breadth)
+
+
+def test_first_touch_mix_vs_bruteforce(q, spark):
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    firsts = ev.groupby("user_id").event_type.first()
+    mix = Counter(firsts.values)
+    got = q("first_touch_mix").set_index("first_event_type")
+    assert {k: int(v) for k, v in zip(got.index, got.n_users)} == dict(mix)
+    assert got.n_users.sum() == len(firsts)
+    assert abs(got.share.sum() - 1.0) < 1e-2

@@ -48,7 +48,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — IVM/fingerprints r6m": "ivm_delta_agg result_fingerprint win_topk_ties",
     "Beyond SURVEY — inferential statistics r6n": "conversion_rate_ci abtest_ztest survival_km",
     "Beyond SURVEY — recommendations/evaluation r6o": "cf_item_similarity lsh_eval simhash_pairs",
-    "Beyond SURVEY — novelty/econ/chi2 r6p (round-8 queue)": "text_novelty price_elasticity chi2_independence sla_attainment top_decile_share brand_transition trade_balance anova_dow vocab_growth user_lifetime_dist sla_percentiles peak_to_avg error_rate_daily brand_breadth",
+    "Beyond SURVEY — novelty/econ/chi2 r6p (round-8 queue)": "text_novelty price_elasticity chi2_independence sla_attainment top_decile_share brand_transition trade_balance anova_dow vocab_growth user_lifetime_dist sla_percentiles peak_to_avg error_rate_daily brand_breadth first_touch_mix",
 }
 
 

@@ -128,6 +128,45 @@ def bucketed_prefix_sum(
     )
 
 
+def bucketed_prefix_min(
+    df: DataFrame,
+    key: str,
+    tie_cols: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+    out: str = "_prevmin",
+) -> DataFrame:
+    """Exact EXCLUSIVE running min of `value_col` under the total order
+    (key ASC, *tie_cols), without a single-partition window; `out` is
+    NULL exactly for the globally-first row (matching
+    `min(...) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)`).  Same two-pass shape as the rank/sum kernels: local
+    exclusive min per bucket, plus the min over all strictly-earlier
+    buckets via the broadcast theta-self-join.  min is idempotent and
+    associative, so bucket split placement can never change the result.
+    Spark's `least` skips NULLs (returns NULL only when all inputs are),
+    which is exactly the semantics the merge needs."""
+    t = _bucketize(df, key, n_buckets, desc=False)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(*_order(key, tie_cols, False))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn("_lmin", F.min(value_col).over(w))
+    mins = t.groupBy("_bucket").agg(F.min(value_col).alias("_bmin"))
+    a, b = mins.alias("a"), mins.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b._bucket") < F.col("a._bucket"), "left")
+        .groupBy(F.col("a._bucket").alias("_bucket"))
+        .agg(F.min("b._bmin").alias("_omin"))
+    )
+    return (
+        local.join(F.broadcast(offs), "_bucket")
+        .withColumn(out, F.least(F.col("_lmin"), F.col("_omin")))
+        .drop("_bucket", "_lmin", "_omin")
+    )
+
+
 def ntile_from_rank(rank: Column, n: Column, buckets: int) -> Column:
     """SQL ntile(buckets) from an exact global rank and the total row
     count: the first (n mod buckets) tiles get ceil(n/buckets) rows, the

@@ -19,8 +19,13 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
+from ._global_order import (
+    GLOBAL_WINDOW_GATE,
+    bucketed_global_rank,
+    ntile_from_rank,
+)
 from ._helpers import r4
 
 D0 = "decimal(38,0)"
@@ -234,16 +239,33 @@ def feat_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     float).
 
     Scale: a global NTILE is the known single-partition window
-    anti-pattern; this op is certified on the dim-sized customer table,
-    and the scale path is the `_global_order` bucketed rank kernel
-    (`ntile_from_rank` — approx-quantile splits broadcast back, rank
-    offsets via a tiny self-join) that part_abc_pareto/customer_rfm
-    already dispatch to above the footer-row gate."""
+    anti-pattern, so this op dual-kernels on the customer footer row
+    count: below the gate, the plain NTILE window; above it, the
+    `_global_order` bucketed rank kernel + `ntile_from_rank`
+    (approx-quantile splits broadcast back, rank offsets via a tiny
+    self-join) — the same dispatch part_abc_pareto/customer_rfm use.
+    Equality pinned in tests/test_global_window_gates.py."""
     c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    t = c.select(
-        "c_custkey", "c_acctbal", F.ntile(QBINS).over(w).alias("bin")
-    )
+    n = table_rows(sf_dir, "customer")
+    if n > GLOBAL_WINDOW_GATE:
+        ranked = bucketed_global_rank(
+            c.select("c_custkey", "c_acctbal"),
+            "c_acctbal",
+            ["c_custkey"],
+            out="_r",
+        )
+        t = ranked.select(
+            "c_custkey",
+            "c_acctbal",
+            ntile_from_rank(
+                F.col("_r"), F.lit(n).cast("long"), QBINS
+            ).alias("bin"),
+        )
+    else:
+        w = Window.orderBy("c_acctbal", "c_custkey")
+        t = c.select(
+            "c_custkey", "c_acctbal", F.ntile(QBINS).over(w).alias("bin")
+        )
     return t.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("c_acctbal").alias("lo"),

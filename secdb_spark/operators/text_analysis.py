@@ -11,8 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
+from ._global_order import GLOBAL_WINDOW_GATE, bucketed_prefix_sum
 
 STOPWORDS = ("a", "the")  # corpus vocabulary is a 31-word soup (FIXTURES.md)
 SENTIMENT_LEXICON = {
@@ -470,14 +471,30 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (cumsum of token counts), then offset + in-doc position per row.
     The only shuffle touching token-level data is the final seq_id
     aggregation. A zipWithIndex/global row_number over tokens would
-    serialize 10^12 rows through one ordering at 100 TB."""
+    serialize 10^12 rows through one ordering at 100 TB.
+
+    The doc-offset cumsum itself is doc-count-sized — data-sized for a
+    10^9-doc corpus — so it dual-kernels on the documents footer row
+    count: below the gate, one ordered window over the doc list; above
+    it, `_global_order.bucketed_prefix_sum` (inclusive, minus the row's
+    own count for the exclusive offset; integer token counts in decimal
+    addends, so accumulation order is bit-irrelevant).  Equality pinned
+    in tests/test_global_window_gates.py."""
     d = table(spark, sf_dir, "documents")
     toks_arr = _toks()
     counts = d.select("doc_id", F.size(toks_arr).alias("n_toks"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "doc_offset", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
-    )
+    if table_rows(sf_dir, "documents") > GLOBAL_WINDOW_GATE:
+        offsets = bucketed_prefix_sum(
+            counts, "doc_id", [], "n_toks", out="_incl"
+        ).withColumn(
+            "doc_offset",
+            (F.col("_incl").cast("long") - F.col("n_toks")).cast("long"),
+        ).drop("_incl")
+    else:
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn(
+            "doc_offset", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+        )
     toks = (
         d.select("doc_id", F.posexplode(toks_arr).alias("pos", "tok"))
         # EXPLICIT broadcast: the scale contract (no token-level shuffle

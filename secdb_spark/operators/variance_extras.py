@@ -10,8 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
+from ._global_order import GLOBAL_WINDOW_GATE, bucketed_prefix_sum
 from ._helpers import r4
 
 D0 = "decimal(38,0)"
@@ -146,9 +147,12 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc first-occurrence counts — exact integers end to end.
 
     Scale: term first-occurrence is one combinable min per term; the
-    running sums ride a single ordered window over the |docs|-row
-    aggregate (model-sized vs the token stream; a 10^9-doc corpus
-    windows per-shard via `_global_order`'s bucketed prefix sums)."""
+    running sums ride the |docs|-row aggregate — small vs the token
+    stream but still data-sized at 10^9 docs, so they dual-kernel on
+    the documents footer row count: below the gate, one ordered window;
+    above it, two `_global_order.bucketed_prefix_sum` passes (integer
+    addends in decimal — accumulation order bit-irrelevant).  Equality
+    pinned in tests/test_global_window_gates.py."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -165,14 +169,25 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    curve = joined.select(
-        "doc_id",
-        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
-        F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
-    )
+    if table_rows(sf_dir, "documents") > GLOBAL_WINDOW_GATE:
+        cum = bucketed_prefix_sum(
+            joined, "doc_id", [], "n_tokens", out="_ct"
+        )
+        cum = bucketed_prefix_sum(cum, "doc_id", [], "new_terms", out="_cv")
+        curve = cum.select(
+            "doc_id",
+            F.col("_ct").cast("long").alias("cum_tokens"),
+            F.col("_cv").cast("long").alias("cum_vocab"),
+        )
+    else:
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        curve = joined.select(
+            "doc_id",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+        )
     return curve.filter(F.col("doc_id") % VOCAB_CHECK_EVERY == 0)
 
 

@@ -14,8 +14,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
+from ._global_order import GLOBAL_WINDOW_GATE, bucketed_prefix_min
 from ._helpers import dsum, r4, sql_dsum
 from .warehouse_extras2 import MINHASH_SEEDS
 
@@ -307,22 +308,31 @@ def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     points then count their parts via an equi-join on the (tiny)
     frontier.
 
-    The sort runs over DISTINCT price/size pairs — bounded by the
-    catalog's price grid, not the row count; at a scale where even that
-    outgrows one task, the running min drops into _global_order.py's
-    bucketed two-pass kernel exactly like part_abc_pareto's prefix sum
-    (same gate pattern).  Raw parquet doubles compare bit-identically in
-    both engines; nothing here derives new floats."""
+    The sort runs over DISTINCT price/size pairs — usually bounded by
+    the catalog's price grid, but p_retailprice is a double, so in
+    adversarial data distinct pairs ≈ |part|.  Dual kernel on the part
+    footer row count: below the gate, the single ordered window; above
+    it, `_global_order.bucketed_prefix_min` (exclusive running min with
+    no single-partition Exchange — min is idempotent, so bucket splits
+    can't change it).  Equality pinned in
+    tests/test_global_window_gates.py.  Raw parquet doubles compare
+    bit-identically in both engines; nothing here derives new floats."""
     p = table(spark, sf_dir, "part")
     pts = p.select(
         F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
     ).distinct()
-    w = (
-        Window.orderBy("price", "psize")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    if table_rows(sf_dir, "part") > GLOBAL_WINDOW_GATE:
+        flagged = bucketed_prefix_min(
+            pts, "price", ["psize"], "psize", out="prev_min"
+        )
+    else:
+        w = (
+            Window.orderBy("price", "psize")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        flagged = pts.withColumn("prev_min", F.min("psize").over(w))
     sky = (
-        pts.withColumn("prev_min", F.min("psize").over(w))
+        flagged
         .filter(F.col("prev_min").isNull() | (F.col("psize") < F.col("prev_min")))
         .select("price", "psize")
     )

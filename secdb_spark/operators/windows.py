@@ -19,8 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
+from ._global_order import (
+    GLOBAL_WINDOW_GATE,
+    bucketed_global_rank,
+    ntile_from_rank,
+)
 from ._helpers import DEC
 
 
@@ -71,8 +76,31 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing over a global ordering (tie-safe)."""
+    """Quartile bucketing over a global ordering (tie-safe).
+
+    Dual kernel (dispatch on the orders parquet-footer row count — no
+    Spark job): below the gate, the plain global ntile window; above it,
+    `_global_order`'s bucketed global rank + `ntile_from_rank` — this is
+    a FACT-table global window, the one case where the single-partition
+    funnel hits raw data rather than an aggregate, so the gate matters
+    most here.  The total row count comes from the same parquet footers
+    (exact, no extra job).  Kernel equality is pinned in
+    tests/test_global_window_gates.py."""
     o = table(spark, sf_dir, "orders")
+    n = table_rows(sf_dir, "orders")
+    if n > GLOBAL_WINDOW_GATE:
+        ranked = bucketed_global_rank(
+            o.select("o_orderkey", "o_totalprice"),
+            "o_totalprice",
+            ["o_orderkey"],
+            out="_r",
+        )
+        return ranked.select(
+            "o_orderkey",
+            ntile_from_rank(F.col("_r"), F.lit(n).cast("long"), 4).alias(
+                "quartile"
+            ),
+        )
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
 

@@ -1,0 +1,182 @@
+"""Global-window gate dispatch: dual-kernel equality pins for the five
+ops gated in round 7 (win_ntile, seq_pack, vocab_growth,
+feat_quantile_bin, skyline_2d — VERDICT r6 "What's wrong" #2), plan pins
+that the scale kernels contain no single-partition Sort/Window feed, and
+a source-level sweep that CLOSES THE CLASS: any new ungated global
+`Window.orderBy(...)` in the operators package fails the sweep until it
+is either gated on GLOBAL_WINDOW_GATE or consciously allowlisted with a
+model-sized-input justification."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import pathlib
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from conftest import SF_DIR  # noqa: E402
+
+from secdb_spark.operators import (  # noqa: E402
+    similarity_extras,
+    text_analysis,
+    variance_extras,
+    warehouse_extras3,
+    windows,
+)
+from secdb_spark.registry import all_queries  # noqa: E402
+
+QUERIES = all_queries()
+
+GATED = {
+    "win_ntile": windows,
+    "seq_pack": text_analysis,
+    "vocab_growth": variance_extras,
+    "feat_quantile_bin": similarity_extras,
+    "skyline_2d": warehouse_extras3,
+}
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _scale_kernel_equals_window_kernel(spark, monkeypatch, name, mod):
+    small = _canon(QUERIES[name](spark, SF_DIR))
+    monkeypatch.setattr(mod, "GLOBAL_WINDOW_GATE", 0)
+    scaled = _canon(QUERIES[name](spark, SF_DIR))
+    monkeypatch.undo()
+    assert small.equals(scaled), f"{name}: kernels diverge\n{small}\n{scaled}"
+
+
+def test_win_ntile_dual_kernel(spark, monkeypatch):
+    _scale_kernel_equals_window_kernel(spark, monkeypatch, "win_ntile", windows)
+
+
+def test_seq_pack_dual_kernel(spark, monkeypatch):
+    _scale_kernel_equals_window_kernel(
+        spark, monkeypatch, "seq_pack", text_analysis
+    )
+
+
+def test_vocab_growth_dual_kernel(spark, monkeypatch):
+    _scale_kernel_equals_window_kernel(
+        spark, monkeypatch, "vocab_growth", variance_extras
+    )
+
+
+def test_feat_quantile_bin_dual_kernel(spark, monkeypatch):
+    _scale_kernel_equals_window_kernel(
+        spark, monkeypatch, "feat_quantile_bin", similarity_extras
+    )
+
+
+def test_skyline_2d_dual_kernel(spark, monkeypatch):
+    _scale_kernel_equals_window_kernel(
+        spark, monkeypatch, "skyline_2d", warehouse_extras3
+    )
+
+
+def _single_partition_sort_parents(plan: str) -> list[str]:
+    """Single-partition Exchanges whose consumer is a Sort/Window — the
+    global-window funnel; a SinglePartition under a scalar HashAggregate
+    is a 1-row total and fine at any scale."""
+    lines = plan.splitlines()
+    parents = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            parents.append(lines[i - 1] if i else "")
+    return [p for p in parents if "Sort" in p or "Window" in p]
+
+
+def test_scale_kernels_have_no_single_partition_window(spark, monkeypatch):
+    for name, mod in GATED.items():
+        monkeypatch.setattr(mod, "GLOBAL_WINDOW_GATE", 0)
+        df = QUERIES[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        bad = _single_partition_sort_parents(buf.getvalue())
+        assert not bad, f"{name} scale kernel has a global-window funnel: {bad}"
+        monkeypatch.undo()
+
+
+# --- source sweep: the class is closed -----------------------------------
+#
+# Every global (partition-less) Window.orderBy site in the operators
+# package must be either (a) inside a function that dispatches on
+# GLOBAL_WINDOW_GATE (the below-gate branch of a dual kernel), or
+# (b) allowlisted here with a model-sized-input justification.  Adding a
+# new ungated site anywhere fails this test until it is gated or
+# consciously added below.
+
+OPS_DIR = pathlib.Path(__file__).resolve().parent.parent / "secdb_spark" / "operators"
+
+#: (file, function) -> why a global window is safe there
+MODEL_SIZED_ALLOWLIST = {
+    ("stats_extras.py", "survival_km"): "windows over the distinct-event-time aggregate (study-duration-bounded)",
+    ("sketch_extras.py", "sample_bottomk"): "row_number over the k-row TakeOrderedAndProject result",
+    ("warehouse_extras4.py", "orders_open_backlog"): "running sum over the per-day aggregate (calendar-bounded)",
+    ("warehouse_extras7.py", "corpus_zipf_slope"): "rank over the top-N term aggregate (N-bounded)",
+}
+
+#: functions whose global-window use is the below-gate branch of a
+#: GLOBAL_WINDOW_GATE dual kernel (gate presence asserted below)
+GATED_FUNCS = {
+    ("windows.py", "win_ntile"),
+    ("text_analysis.py", "seq_pack"),
+    ("variance_extras.py", "vocab_growth"),
+    ("similarity_extras.py", "feat_quantile_bin"),
+    ("warehouse_extras3.py", "skyline_2d"),
+    ("warehouse_extras.py", "customer_rfm"),
+    ("warehouse_extras.py", "part_abc_pareto"),
+}
+
+
+def _global_window_sites():
+    """(file, enclosing def, lineno) for every partition-less
+    Window.orderBy in the operators package (kernel module excluded —
+    its windows are partitionBy(_bucket) by construction and its
+    docstring mentions the pattern by name)."""
+    sites = []
+    for path in sorted(OPS_DIR.glob("*.py")):
+        if path.name == "_global_order.py":
+            continue
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if "Window.orderBy(" not in line or "partitionBy" in line:
+                continue
+            func = None
+            for j in range(i, -1, -1):
+                m = re.match(r"def (\w+)", lines[j])
+                if m:
+                    func = m.group(1)
+                    break
+            sites.append((path.name, func, i + 1))
+    return sites
+
+
+def test_no_ungated_global_windows_in_registry():
+    allowed = set(MODEL_SIZED_ALLOWLIST) | GATED_FUNCS
+    sites = _global_window_sites()
+    unknown = [(f, fn, ln) for f, fn, ln in sites if (f, fn) not in allowed]
+    assert not unknown, (
+        "ungated global Window.orderBy outside the allowlist — gate it on "
+        f"GLOBAL_WINDOW_GATE or justify it in MODEL_SIZED_ALLOWLIST: {unknown}"
+    )
+
+
+def test_gated_funcs_actually_dispatch_on_the_gate():
+    """The gate can't be silently deleted: every dual-kernel function's
+    source must reference GLOBAL_WINDOW_GATE."""
+    for fname, func in sorted(GATED_FUNCS):
+        src = (OPS_DIR / fname).read_text()
+        m = re.search(rf"^def {func}\(.*?(?=^def |^@register|\Z)", src, re.S | re.M)
+        assert m, f"{fname}:{func} not found"
+        assert "GLOBAL_WINDOW_GATE" in m.group(0), (
+            f"{fname}:{func} lost its GLOBAL_WINDOW_GATE dispatch"
+        )

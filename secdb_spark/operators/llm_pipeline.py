@@ -219,12 +219,67 @@ def _mask_vocab(spark: SparkSession, sf_dir: str) -> list[str] | None:
     return vocab
 
 
-@register("dedup_near", oracle=None)  # R class: hash-family dependent
+def _dedup_near_oracle() -> str:
+    """Full-pipeline DuckDB twin of dedup_near on the portable md5-min
+    basis: identical signatures, identical band keys, exact-Jaccard
+    verify — the minhash_sig/lsh_candidates certification playbook
+    applied end-to-end (VERDICT r6 'Next round' #5)."""
+    rows_per_band = N_MINHASH // N_BANDS
+    sig_exprs = ", ".join(
+        f"min(md5('mh{j}:' || tok)) AS h{j}" for j in range(N_MINHASH)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, '{b}_' || {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {sig_exprs}
+      FROM toks GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ), card AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN card ca ON i.doc_a = ca.doc_id
+    JOIN card cb ON i.doc_b = cb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common)
+          >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_near", oracle=_dedup_near_oracle())
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash (16 perms) + LSH (4 bands x 4),
     verified with exact Jaccard >= 0.9 — all DataFrame ops, no pairwise
-    blowup: candidates only form inside LSH buckets. xxhash64(seed || tok)
-    is the seeded permutation family (deterministic, JVM-side).
+    blowup: candidates only form inside LSH buckets. min(md5(seed || tok))
+    is the permutation family — the engine-portable basis minhash_sig /
+    lsh_candidates certified in rounds 5-6, now carried END-TO-END so the
+    whole pipeline (signatures → band keys → bucket join → exact-Jaccard
+    verify) has a DuckDB twin and an exact value hash (was R class on
+    seeded xxhash64 through round 6; md5 is equally JVM-side/codegen and
+    the verify step dominates the wall anyway).
     Property-tested against sim_jaccard (precision = 1 by construction of
     the verify step; recall asserted in tests).
 
@@ -241,7 +296,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
     sig = toks.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.lit(f"mh{j}:"), F.col("tok")))).alias(f"h{j}")
+            F.min(F.md5(F.concat(F.lit(f"mh{j}:"), F.col("tok")))).alias(f"h{j}")
             for j in range(N_MINHASH)
         ]
     )
@@ -398,15 +453,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: engine-portable IVF seed order: md5('ivfseed:' || vec_id) — the
+#: minhash_sig basis, so the certified twin (ann_ivf_assign) selects the
+#: IDENTICAL centroid set in DuckDB.
+IVF_SEED_TAG = "ivfseed:"
+
+
+def _ivf_seed_expr(vec_id_col):
+    return F.md5(F.concat(F.lit(IVF_SEED_TAG), vec_id_col.cast("string")))
+
+
 def _centroids(emb: DataFrame):
     """Seeded-sample centroids: the N_CENTROIDS vectors with the smallest
-    xxhash64(vec_id).  Deterministic, computed as a distributed top-k —
-    only n_cent rows ever reach the driver (vs the full-corpus toPandas()
-    this replaced).  Returns the L2-normalized centroid matrix."""
+    md5(tagged vec_id) — portable across engines (was xxhash64 through
+    round 6; the md5 basis lets ann_ivf_assign certify the assignment
+    step against DuckDB).  Deterministic, computed as a distributed
+    top-k — only n_cent rows ever reach the driver (vs the full-corpus
+    toPandas() this replaced).  Returns the L2-normalized centroid
+    matrix."""
     import numpy as np
 
     rows = (
-        emb.withColumn("h", F.xxhash64("vec_id"))
+        emb.withColumn("h", _ivf_seed_expr(F.col("vec_id")))
         .orderBy("h", "vec_id")
         .limit(N_CENTROIDS)
         .select("e")
@@ -601,6 +669,100 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested. At 10^9+ vectors centroids grow ~sqrt(n); the
     per-bucket cogroup shape is unchanged."""
     return _topk_bucketed(spark, _emb(spark, sf_dir), probe=IVF_PROBE)
+
+
+_IVF_SEED_SQL = f"md5('{IVF_SEED_TAG}' || CAST(vec_id AS VARCHAR))"
+
+
+@register(
+    "ann_ivf_assign",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY {_IVF_SEED_SQL}, vec_id) - 1
+               AS c_idx,
+             e AS c,
+             sqrt(list_reduce(list_transform(e, x -> x * x),
+                              (acc, x) -> acc + x)) AS cnorm
+      FROM emb
+      ORDER BY {_IVF_SEED_SQL}, vec_id
+      LIMIT {N_CENTROIDS}
+    ), pairs AS (
+      SELECT q.vec_id, s.c_idx,
+             list_reduce(
+               list_transform(list_zip(q.e, s.c), p -> p[1] * p[2]),
+               (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(q.e, x -> x * x),
+                                 (acc, x) -> acc + x)) * s.cnorm) AS sim
+      FROM emb q CROSS JOIN seeds s
+    ), best AS (
+      SELECT vec_id, c_idx, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, c_idx) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, CAST(c_idx AS INTEGER) AS bucket,
+           round(sim, 6) AS sim
+    FROM best WHERE rn = 1
+    """,
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index-build assignment step, certified EXACTLY — the
+    embed_kmeans iteration-1 playbook applied to ann_ivf (VERDICT r6
+    'Next round' #5): ann_ivf itself stays R class (its per-bucket
+    NumPy matmul kernel is approximate by design), but its
+    centroid-selection + nearest-centroid assignment semantics get a
+    DuckDB twin on the shared md5 seed basis (_ivf_seed_expr — the SAME
+    expression _centroids uses, so this op pins the production centroid
+    set, not a parallel one).
+
+    Cross-engine exactness: cosine is built from three strict left
+    folds (dot, |q|², |c|²) in a FIXED evaluation tree
+    `dot / (sqrt(qq) * cnorm)` — Spark `aggregate(zip_with(...))` vs
+    DuckDB `list_reduce(list_transform(list_zip(...)))` — so both
+    engines produce bit-identical sims, identical argmax buckets
+    (tie-safe via min-struct on (-sim, c_idx) == ORDER BY sim DESC,
+    c_idx), and identical round(sim, 6).
+
+    Scale shape: N_CENTROIDS seed rows collect to the driver
+    (model-sized) and re-enter as a broadcast; assignment is a map-side
+    K-way fold inside WholeStageCodegen; the only shuffle is the final
+    min-by-struct groupBy on vec_id."""
+    emb = _emb(spark, sf_dir)
+    seeds = (
+        emb.orderBy(_ivf_seed_expr(F.col("vec_id")), "vec_id")
+        .limit(N_CENTROIDS)
+        .select("e")
+        .collect()
+    )
+    sq_fold = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    seeds_df = spark.createDataFrame(
+        [(i, list(r.e)) for i, r in enumerate(seeds)],
+        "c_idx int, c array<double>",
+    )
+    seeds_df = seeds_df.select(
+        "c_idx", "c", F.sqrt(sq_fold(F.col("c"))).alias("cnorm")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.sqrt(sq_fold(F.col("e"))) * F.col("cnorm"))
+    pairs = emb.crossJoin(F.broadcast(seeds_df)).select(
+        "vec_id", "c_idx", sim.alias("sim")
+    )
+    best = pairs.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("sim")).alias("ns"), F.col("c_idx"))).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.c_idx").alias("bucket"),
+        F.round(-F.col("m.ns"), 6).alias("sim"),
+    )
 
 
 LSH_BITS = 6          # random-hyperplane sign bits -> 2^6 buckets

@@ -128,6 +128,65 @@ def bucketed_prefix_sum(
     )
 
 
+def grouped_range_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    value_col: str,
+    n_buckets: int = 64,
+    out: str = "_cum",
+) -> DataFrame:
+    """Exact per-group RANGE-frame running sum (frame peers included) of
+    `value_col` under ORDER BY `key`, for LOW-CARDINALITY group keys —
+    the case where `Window.partitionBy(group)` funnels the whole input
+    through |groups| tasks (the 16x probe showed the weighted-median
+    RANGE shape going super-linear for exactly this reason: 3 return
+    flags = 3 tasks).
+
+    Shape: (1) pre-aggregate to distinct (group, key) — RANGE peers share
+    a key, so summing them first IS the peers-included frame semantics,
+    and it collapses the windowed volume from row count to distinct-key
+    count with one map-side-combinable shuffle; (2) bucketize on `key`
+    (splits from the aggregated frame — model-sized action); (3) local
+    cumsum per (group, bucket) — key is unique per group after the
+    aggregate, so ROWS == RANGE and the order is total; (4) per-(group,
+    bucket) offsets via the broadcast theta-self-join (|groups| ×
+    n_buckets rows — only valid while that product is model-sized, which
+    is the definition of the low-cardinality case; high-cardinality
+    groups don't need this kernel at all).
+
+    Returns one row per (group, key): group_cols + key + `_v` (the
+    DECIMAL(38,6) peer sum) + `out` (the inclusive running sum)."""
+    agg = df.groupBy(*group_cols, key).agg(
+        F.sum(F.col(value_col).cast(DEC)).alias("_v")
+    )
+    t = _bucketize(agg, key, n_buckets, desc=False)
+    w = (
+        Window.partitionBy(*group_cols, "_bucket")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("_lcum", F.sum("_v").over(w))
+    totals = t.groupBy(*group_cols, "_bucket").agg(F.sum("_v").alias("_tot"))
+    a, b = totals.alias("a"), totals.alias("b")
+    cond = F.col("b._bucket") < F.col("a._bucket")
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    offs = (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+            F.col("a._bucket").alias("_bucket"),
+        )
+        .agg(F.coalesce(F.sum("b._tot"), F.lit(0).cast(DEC)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), [*group_cols, "_bucket"])
+        .withColumn(out, F.col("_off") + F.col("_lcum"))
+        .drop("_bucket", "_lcum", "_off")
+    )
+
+
 def bucketed_prefix_min(
     df: DataFrame,
     key: str,

@@ -19,8 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
+from ._global_order import GLOBAL_WINDOW_GATE, grouped_range_prefix_sum
 from ._helpers import r4, sql_dsum
 
 D0 = "decimal(38,0)"
@@ -272,17 +273,36 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality).  Weights are exact bigints (TPC-H quantities are
     integral), so the 2·cumw ≥ totw crossing is integer arithmetic.
 
-    Scale: one exchange on l_returnflag + a partition sort for the
-    window, then the grouped min rides the same partitioning
-    (ReusedExchange).  For a high-cardinality group key this stays one
-    shuffle; for a GLOBAL weighted median at 10^8+ rows the
-    _global_order bucketed two-pass kernel applies (range-partition by
-    price, per-bucket subtotals broadcast back)."""
+    Scale: l_returnflag has THREE values, so the window partitioning
+    funnels the whole fact table through three tasks — the 16x probe
+    measured this shape super-linear (17.95x at 16x data; SCALE.md §25).
+    Dual kernel on the lineitem footer row count: above the gate,
+    `_global_order.grouped_range_prefix_sum` — pre-aggregate to distinct
+    (flag, price) (peers-included RANGE semantics BY CONSTRUCTION, one
+    map-side-combinable shuffle), bucketize prices, local cumsum per
+    (flag, bucket), tiny broadcast offsets — no low-cardinality funnel
+    anywhere; the crossing-point min then rides the bucketed frame.
+    Equality pinned in tests/test_global_window_gates.py."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
     )
+    if table_rows(sf_dir, "lineitem") > GLOBAL_WINDOW_GATE:
+        cum = grouped_range_prefix_sum(
+            li, ["l_returnflag"], "price", "w", out="_cum"
+        )
+        tot = cum.groupBy("l_returnflag").agg(F.sum("_v").alias("totw"))
+        return (
+            cum.join(F.broadcast(tot), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(
+                F.min(
+                    F.when(2 * F.col("_cum") >= F.col("totw"), F.col("price"))
+                ).alias("w_median_price"),
+                F.max("totw").cast("long").alias("total_weight"),
+            )
+        )
     wcum = (
         Window.partitionBy("l_returnflag")
         .orderBy("price")

@@ -344,3 +344,220 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_purchase_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# users_cumulative — DAU + cumulative distinct users per day (round 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "users_cumulative",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS d
+      FROM events GROUP BY user_id
+    ), newu AS (
+      SELECT d, count(*) AS new_users FROM firstd GROUP BY d
+    ), act AS (
+      SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(a.day AS TIMESTAMP) AS day,
+           CAST(a.dau AS BIGINT) AS dau,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0))
+                  OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM act a LEFT JOIN newu n ON a.day = n.d
+    """,
+)
+def users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + cumulative distinct users — the growth chart
+    every product dashboard opens with.  Cumulative DISTINCT is made
+    windowable by the first-occurrence trick (vocab_growth's pattern on
+    users): a user contributes to the cumulative count exactly once, at
+    min(day), so cum_users is a running SUM of per-day first-seen
+    counts — exact integers end to end.
+
+    Scale: first-day and DAU are combinable aggregates (one user_id and
+    one (day, user_id) shuffle); the running sum rides the per-DAY
+    aggregate, whose cardinality is calendar-bounded — the one global
+    window in this module that is structurally model-sized."""
+    ev = table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d")
+    )
+    newu = firstd.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    act = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    j = act.join(newu, "day", "left").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "day",
+        "dau",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_dist — copurchase-graph degree distribution (round 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_degree_dist",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT p, count(*) AS degree FROM (
+        SELECT pa AS p, pb FROM edges
+        UNION ALL
+        SELECT pb AS p, pa FROM edges
+      ) GROUP BY p
+    )
+    SELECT CAST(length(bin(CAST(degree AS INTEGER))) - 1 AS INTEGER)
+             AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (parts sharing an
+    order), log2-bucketed — the first thing to look at before running
+    pagerank/triangles on a graph: a heavy tail here predicts hot-key
+    skew in every downstream graph shuffle.  The log2 bucket is computed
+    via BINARY STRING LENGTH (length(bin(degree)) - 1), i.e. pure
+    integer floor(log2) — no FP log whose last bit could disagree
+    across engines at bucket boundaries.
+
+    Scale: edge generation is the basket_copurchase O(k²)-per-order
+    fan-out (bounded by lines-per-order); degrees and buckets are
+    combinable aggregates."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    bucket = (
+        F.length(F.conv(F.col("degree").cast("string"), 10, 2)) - 1
+    ).cast("int")
+    return deg.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_props_stats — typed aggregation over the JSON props column (round 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                      AS DOUBLE) / count(*), 4) AS avg_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a semi-structured payload: extract the integer
+    property from the JSON props string and roll it up per event type —
+    the ubiquitous "stats over a JSON column" warehouse query (fn_json
+    certifies the scalar extraction; this certifies extraction FUSED
+    into a combinable aggregate).  avg is an exact-integer / count
+    rational, rounded identically both engines.
+
+    Scale: get_json_object is JVM-side (Jackson) inside codegen — the
+    parse fuses into the scan; one map-side-combinable shuffle on
+    event_type."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        r4(F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_seasonality_index — monthly revenue index (round 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT month(o_orderdate) AS month,
+             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT sum(rev) AS total, count(*) AS n_months FROM m
+    )
+    SELECT m.month,
+           round(CAST(m.rev AS DOUBLE), 4) AS revenue,
+           round(CAST(m.rev AS DOUBLE) * t.n_months
+                 / CAST(t.total AS DOUBLE), 4) AS seasonality_index
+    FROM m CROSS JOIN tot t
+    """,
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index: each calendar month's revenue over the
+    all-months average (index > 1 = hot month) — the demand-planning
+    query behind safety-stock and staffing decisions.  Sums accumulate
+    in DECIMAL(38,6) (order-independent), and the index is computed by
+    the IDENTICAL IEEE tree `rev * n_months / total` on exact-decimal
+    inputs, so the rounded doubles agree bit-for-bit.
+
+    Scale: one map-side-combinable month aggregate (12 rows), grand
+    total broadcast back as one row."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    tot = m.agg(
+        F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n_months")
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        "month",
+        r4(F.col("rev").cast("double")).alias("revenue"),
+        r4(
+            F.col("rev").cast("double")
+            * F.col("n_months")
+            / F.col("total").cast("double")
+        ).alias("seasonality_index"),
+    )

@@ -1,0 +1,434 @@
+"""Round-7 additions, batch 2 — supply-chain reliability, funnel
+latency, corpus-overlap, and momentum/geometric aggregates.
+
+Reference semantics: SURVEY §2 extension policy (mount empty) — classic
+warehouse KPL shapes re-expressed Spark-first with the package's
+determinism conventions: exact integer day/µs arithmetic, e4/e6
+fixed-point quantization before any float accumulation, shared IEEE
+expression trees for derived doubles, round(x, 4) at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import r4
+
+# ---------------------------------------------------------------------------
+# supplier_otd — on-time-delivery scorecard per supplier
+# ---------------------------------------------------------------------------
+
+OTD_SLA_DAYS = 60  # ship-within-N-days commitment
+
+
+@register(
+    "supplier_otd",
+    oracle=f"""
+    WITH s AS (
+      SELECT l.l_suppkey,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS lag
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), f AS (
+      SELECT l_suppkey,
+             CASE WHEN lag > {OTD_SLA_DAYS} THEN 1 ELSE 0 END AS late,
+             CASE WHEN lag > {OTD_SLA_DAYS} THEN lag - {OTD_SLA_DAYS}
+                  ELSE 0 END AS delay
+      FROM s
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           round(CAST(sum(late) AS DOUBLE) / count(*), 4) AS late_ratio,
+           CAST(max(delay) AS BIGINT) AS max_delay_days,
+           round(CAST(sum(delay) AS DOUBLE)
+                 / greatest(sum(late), 1), 4) AS avg_late_delay_days
+    FROM f GROUP BY l_suppkey
+    """,
+)
+def supplier_otd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time-delivery scorecard: share of lines shipped past
+    the {OTD_SLA_DAYS}-day order-to-ship SLA per supplier, plus delay
+    severity — the vendor scorecard behind TPC-H Q21's "who keeps orders
+    waiting" (the corpus carries ship dates, so the SLA is order→ship;
+    with receipt/commit columns the same plan scores receipt vs commit).
+    All exact integer day arithmetic; the two ratios divide exact
+    integers in shared trees.  One orderkey-co-partitioned join + one
+    map-side-combinable aggregate on l_suppkey."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    late = F.when(lag > OTD_SLA_DAYS, 1).otherwise(0)
+    delay = F.when(lag > OTD_SLA_DAYS, lag - OTD_SLA_DAYS).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_suppkey", late.alias("late"), delay.alias("delay"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("late").cast("long").alias("n_late"),
+            r4(F.sum("late").cast("double") / F.count(F.lit(1))).alias(
+                "late_ratio"
+            ),
+            F.max("delay").cast("long").alias("max_delay_days"),
+            r4(
+                F.sum("delay").cast("double")
+                / F.greatest(F.sum("late"), F.lit(1))
+            ).alias("avg_late_delay_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel_latency — time-to-convert percentiles per funnel stage pair
+# ---------------------------------------------------------------------------
+
+@register(
+    "funnel_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+      GROUP BY e.user_id
+    ), gaps AS (
+      SELECT 'view->click' AS stage, c.t_click - v.t_view AS gap_us
+      FROM v JOIN c ON v.user_id = c.user_id
+      UNION ALL
+      SELECT 'click->purchase' AS stage, p.t_purchase - c.t_click AS gap_us
+      FROM c JOIN p ON c.user_id = p.user_id
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(gap_us, 0.50) / 1000000, 4) AS p50_s,
+           round(quantile_cont(gap_us, 0.95) / 1000000, 4) AS p95_s
+    FROM gaps GROUP BY stage
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel LATENCY: how long users take between ordered stages
+    (first view -> first subsequent click -> first subsequent purchase),
+    as p50/p95 per stage pair — funnel_events counts who converts, this
+    measures how fast (the metric that decides nudge timing).  Gaps are
+    exact integer µs; interpolated percentiles over integers are exact
+    binary arithmetic (the agg_percentile semantics), divided to seconds
+    by the same 10^6 literal both engines.
+
+    Scale: three combinable per-user min-aggregates chained by user_id
+    equi-joins (all co-partitioned on the same key — one shuffle
+    lineage), then a 2-group percentile over the per-user gaps."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    g1 = v.join(c, "user_id").select(
+        F.lit("view->click").alias("stage"),
+        (F.col("t_click") - F.col("t_view")).alias("gap_us"),
+    )
+    g2 = c.join(p, "user_id").select(
+        F.lit("click->purchase").alias("stage"),
+        (F.col("t_purchase") - F.col("t_click")).alias("gap_us"),
+    )
+    return (
+        g1.unionAll(g2)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            r4(F.percentile("gap_us", F.lit(0.50)) / 1000000).alias("p50_s"),
+            r4(F.percentile("gap_us", F.lit(0.95)) / 1000000).alias("p95_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_overlap — pairwise source vocabulary Jaccard
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), sz AS (
+      SELECT source, count(*) AS n FROM vocab GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM vocab a JOIN vocab b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.source_a = sa.source
+    JOIN sz sb ON i.source_b = sb.source
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-level
+    similarity matrix that finds mirror/scraped source pairs BEFORE
+    doc-level dedup spends compute on them (two sources at 0.9 vocab
+    overlap are the same crawl twice).  Candidates form only through the
+    term-postings equi-join (sim_containment's plan shape) — never a
+    source × source × vocab product; output is |sources|²/2 rows.
+
+    Exactness: integer intersection / derived-integer union in one
+    shared tree, round 4."""
+    d = table(spark, sf_dir, "documents")
+    vocab = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).distinct()
+    sz = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            r4(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_rsi — relative strength index on the daily series (SMA variant)
+# ---------------------------------------------------------------------------
+
+RSI_DAYS = 14
+
+
+@register(
+    "ts_rsi",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS close_e4
+      FROM events GROUP BY 1, 2
+    ), delta AS (
+      SELECT event_type, day, close_e4,
+             close_e4 - lag(close_e4) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS d
+      FROM daily
+    ), gl AS (
+      SELECT event_type, day,
+             CASE WHEN d > 0 THEN d ELSE 0 END AS gain,
+             CASE WHEN d < 0 THEN -d ELSE 0 END AS loss,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM delta WHERE d IS NOT NULL
+    ), win AS (
+      SELECT event_type, day, rn,
+             sum(gain) OVER fr AS sg,
+             sum(loss) OVER fr AS sl
+      FROM gl
+      WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {RSI_DAYS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           round(CASE WHEN sl = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE) / sl)
+                 END, 4) AS rsi
+    FROM win WHERE rn >= {RSI_DAYS}
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (simple-moving-average variant, not
+    Wilder's recursive smoothing — the SMA form is windowable and
+    engine-exact; the recursion is sequential state) over the daily
+    aggregate value per event type — the momentum indicator beside
+    ts_bollinger/win_drawdown.  Gains/losses are e4-quantized bigints,
+    so the {RSI_DAYS}-day sums are exact and `100 - 100/(1+sg/sl)` is a
+    shared IEEE tree on exact integers; the all-loss-zero edge pins to
+    100 exactly.
+
+    Scale: one day-keyed combinable aggregate, then lag + one ROWS
+    frame on the (type, day) series — calendar-bounded partitions."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")).alias(
+            "close_e4"
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    delta = daily.withColumn(
+        "d", F.col("close_e4") - F.lag("close_e4").over(wo)
+    ).filter(F.col("d").isNotNull())
+    gl = delta.select(
+        "event_type",
+        "day",
+        F.when(F.col("d") > 0, F.col("d")).otherwise(0).alias("gain"),
+        F.when(F.col("d") < 0, -F.col("d")).otherwise(0).alias("loss"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    fr = wo.rowsBetween(-(RSI_DAYS - 1), 0)
+    win = gl.select(
+        "event_type",
+        "day",
+        "rn",
+        F.sum("gain").over(fr).alias("sg"),
+        F.sum("loss").over(fr).alias("sl"),
+    ).filter(F.col("rn") >= RSI_DAYS)
+    rsi = F.when(F.col("sl") == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("sg").cast("double") / F.col("sl"))
+    )
+    return win.select("event_type", "day", r4(rsi).alias("rsi"))
+
+
+# ---------------------------------------------------------------------------
+# agg_geomean — geometric mean via quantized log moments
+# ---------------------------------------------------------------------------
+
+GEOMEAN_Q = 1_000_000  # ln quantization (price_elasticity's basis)
+
+
+@register(
+    "agg_geomean",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderpriority,
+             CAST(floor(ln(o_totalprice) * {GEOMEAN_Q} + 0.5) AS BIGINT)
+               AS lq
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(CAST(sum(lq) AS DOUBLE) / count(*) / {GEOMEAN_Q}), 4)
+             AS geomean_price
+    FROM q GROUP BY o_orderpriority
+    """,
+)
+def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean order value per priority class — the right average
+    for multiplicative quantities (price distributions are log-normal-
+    ish; the arithmetic mean over-weights whales).  Exactness via the
+    price_elasticity basis: each ln is quantized to an e6 BIGINT before
+    summation, so the accumulation is exact integer in any order, and
+    exp(sum/n/10^6) is one shared IEEE tree.
+
+    Scale: one map-side-combinable aggregate; the quantized log moment
+    is the same trick that keeps any log-domain statistic (geo-std,
+    log-regression) hash-certifiable."""
+    o = table(spark, sf_dir, "orders")
+    lq = F.floor(F.log(F.col("o_totalprice")) * GEOMEAN_Q + 0.5).cast("long")
+    return (
+        o.select("o_orderpriority", lq.alias("lq"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(
+                F.exp(
+                    F.sum("lq").cast("double")
+                    / F.count(F.lit(1))
+                    / GEOMEAN_Q
+                )
+            ).alias("geomean_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# discount_band_rev — pricing-ladder revenue analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "discount_band_rev",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(l_discount * 100 + 0.5) AS INTEGER) AS discount_pct,
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,6)) AS rev,
+             CAST(l_extendedprice * l_discount AS DECIMAL(38,6)) AS given_up,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(rev) AS DOUBLE), 4) AS revenue,
+           round(CAST(sum(given_up) AS DOUBLE), 4) AS discount_given,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_qty
+    FROM b GROUP BY discount_pct
+    """,
+)
+def discount_band_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-ladder analysis: revenue, discount dollars given up, and
+    volume per integer discount band — the table a pricing team reads to
+    see whether deeper discounts buy proportional volume (the aggregate
+    twin of price_elasticity's fitted slope).  Band is exact integer
+    (floor(disc*100+0.5)); money accumulates in DECIMAL(38,6).
+
+    Scale: one map-side-combinable aggregate on an 11-value key."""
+    li = table(spark, sf_dir, "lineitem")
+    band = F.floor(F.col("l_discount") * 100 + 0.5).cast("int")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    given = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(38,6)"
+    )
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    return (
+        li.select(
+            band.alias("discount_pct"),
+            rev.alias("rev"),
+            given.alias("given_up"),
+            qty.alias("qty"),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            r4(F.sum("rev").cast("double")).alias("revenue"),
+            r4(F.sum("given_up").cast("double")).alias("discount_given"),
+            F.sum("qty").cast("long").alias("total_qty"),
+        )
+    )

@@ -365,6 +365,7 @@ def _load_operators() -> None:
     # Import for side effect: each module registers its operators.
     from .operators import (  # noqa: F401
         aggregations,
+        curation_extras,
         econ_extras,
         functions_scalar,
         geo_extras,
@@ -395,6 +396,7 @@ def _load_operators() -> None:
         warehouse_extras5,
         warehouse_extras6,
         warehouse_extras7,
+        warehouse_extras8,
         windows,
         xbrl_analytics,
     )

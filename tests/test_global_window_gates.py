@@ -24,6 +24,7 @@ from secdb_spark.operators import (  # noqa: E402
     text_analysis,
     variance_extras,
     warehouse_extras3,
+    warehouse_extras5,
     windows,
 )
 from secdb_spark.registry import all_queries  # noqa: E402
@@ -36,6 +37,9 @@ GATED = {
     "vocab_growth": variance_extras,
     "feat_quantile_bin": similarity_extras,
     "skyline_2d": warehouse_extras3,
+    # low-cardinality-partition funnel (3 return flags = 3 tasks), caught
+    # super-linear by the 16x probe — grouped_range_prefix_sum kernel
+    "agg_weighted_median": warehouse_extras5,
 }
 
 
@@ -81,6 +85,12 @@ def test_skyline_2d_dual_kernel(spark, monkeypatch):
     )
 
 
+def test_weighted_median_dual_kernel(spark, monkeypatch):
+    _scale_kernel_equals_window_kernel(
+        spark, monkeypatch, "agg_weighted_median", warehouse_extras5
+    )
+
+
 def _single_partition_sort_parents(plan: str) -> list[str]:
     """Single-partition Exchanges whose consumer is a Sort/Window — the
     global-window funnel; a SinglePartition under a scalar HashAggregate
@@ -122,6 +132,7 @@ MODEL_SIZED_ALLOWLIST = {
     ("sketch_extras.py", "sample_bottomk"): "row_number over the k-row TakeOrderedAndProject result",
     ("warehouse_extras4.py", "orders_open_backlog"): "running sum over the per-day aggregate (calendar-bounded)",
     ("warehouse_extras7.py", "corpus_zipf_slope"): "rank over the top-N term aggregate (N-bounded)",
+    ("warehouse_extras7.py", "users_cumulative"): "running sum over the per-day aggregate (calendar-bounded)",
 }
 
 #: functions whose global-window use is the below-gate branch of a
@@ -134,6 +145,9 @@ GATED_FUNCS = {
     ("warehouse_extras3.py", "skyline_2d"),
     ("warehouse_extras.py", "customer_rfm"),
     ("warehouse_extras.py", "part_abc_pareto"),
+    # not a partition-less site, but a low-cardinality partitionBy funnel
+    # gated the same way (16x probe finding)
+    ("warehouse_extras5.py", "agg_weighted_median"),
 }
 
 

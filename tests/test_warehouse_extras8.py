@@ -1,0 +1,135 @@
+"""Brute-force parity for round-7 batch-2 (warehouse_extras8.py)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from conftest import SF_DIR  # noqa: E402
+
+from secdb_spark.catalog import table  # noqa: E402
+from secdb_spark.operators.warehouse_extras8 import (  # noqa: E402
+    GEOMEAN_Q,
+    OTD_SLA_DAYS,
+    RSI_DAYS,
+)
+from secdb_spark.registry import all_queries  # noqa: E402
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def run(name):
+        return QUERIES[name](spark, SF_DIR).toPandas()
+
+    return run
+
+
+def test_supplier_otd_vs_bruteforce(q, spark):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    ).toPandas()
+    o = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).toPandas()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["lag"] = (j.l_shipdate - j.o_orderdate).dt.days
+    got = q("supplier_otd").set_index("l_suppkey")
+    for sk, g in j.groupby("l_suppkey"):
+        row = got.loc[sk]
+        late = (g.lag > OTD_SLA_DAYS).sum()
+        assert row.n_lines == len(g)
+        assert row.n_late == late
+        delays = (g.lag[g.lag > OTD_SLA_DAYS] - OTD_SLA_DAYS)
+        assert row.max_delay_days == (delays.max() if late else 0)
+
+
+def test_funnel_latency_vs_bruteforce(q, spark):
+    ev = table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    ).toPandas()
+    ev["t"] = ev.ts.astype("int64") // 1000  # ns -> us
+    gaps = {"view->click": [], "click->purchase": []}
+    for _uid, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"].t
+        if views.empty:
+            continue
+        tv = views.min()
+        clicks = g[(g.event_type == "click") & (g.t >= tv)].t
+        if clicks.empty:
+            continue
+        tc = clicks.min()
+        gaps["view->click"].append(tc - tv)
+        purch = g[(g.event_type == "purchase") & (g.t >= tc)].t
+        if not purch.empty:
+            gaps["click->purchase"].append(purch.min() - tc)
+    got = q("funnel_latency").set_index("stage")
+    for stage, gl in gaps.items():
+        row = got.loc[stage]
+        assert row.n_users == len(gl)
+        assert abs(row.p50_s - round(np.percentile(gl, 50) / 1e6, 4)) < 1e-3
+        assert abs(row.p95_s - round(np.percentile(gl, 95) / 1e6, 4)) < 1e-3
+
+
+def test_source_vocab_overlap_vs_bruteforce(q, spark):
+    docs = table(spark, SF_DIR, "documents").select("source", "text").toPandas()
+    vocab = {}
+    for r in docs.itertuples():
+        vocab.setdefault(r.source, set()).update(r.text.lower().split(" "))
+    got = q("source_vocab_overlap")
+    assert len(got) == len(vocab) * (len(vocab) - 1) // 2
+    for r in got.itertuples():
+        a, b = vocab[r.source_a], vocab[r.source_b]
+        inter = len(a & b)
+        assert r.n_common == inter
+        assert abs(r.jaccard - round(inter / len(a | b), 4)) < 1e-9
+
+
+def test_ts_rsi_bounds_and_window(q, spark):
+    got = q("ts_rsi")
+    assert ((got.rsi >= 0) & (got.rsi <= 100)).all()
+    # warm-up rows (first RSI_DAYS-1 deltas) are excluded per type
+    ev = table(spark, SF_DIR, "events").select("event_type", "ts").toPandas()
+    days = ev.assign(day=ev.ts.dt.floor("D")).groupby("event_type").day.nunique()
+    for et, nd in days.items():
+        expected = max(0, (nd - 1) - (RSI_DAYS - 1))
+        assert (got.event_type == et).sum() == expected
+
+
+def test_agg_geomean_vs_bruteforce(q, spark):
+    o = table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    got = q("agg_geomean").set_index("o_orderpriority")
+    for pr, g in o.groupby("o_orderpriority"):
+        lq = np.floor(np.log(g.o_totalprice.to_numpy()) * GEOMEAN_Q + 0.5)
+        gm = math.exp(lq.sum() / len(g) / GEOMEAN_Q)
+        row = got.loc[pr]
+        assert row.n == len(g)
+        assert abs(row.geomean_price - round(gm, 4)) < 1e-6
+        # geomean <= arithmetic mean (AM-GM)
+        assert row.geomean_price <= g.o_totalprice.mean() + 1e-6
+
+
+def test_discount_band_rev_vs_bruteforce(q, spark):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_discount", "l_extendedprice", "l_quantity"
+    ).toPandas()
+    li["band"] = np.floor(li.l_discount * 100 + 0.5).astype(int)
+    got = q("discount_band_rev").set_index("discount_pct")
+    bands = Counter(li.band)
+    for band, n in bands.items():
+        row = got.loc[band]
+        g = li[li.band == band]
+        assert row.n_lines == n
+        assert row.total_qty == int(np.floor(g.l_quantity + 0.5).sum())
+        assert abs(
+            row.revenue - round((g.l_extendedprice * (1 - g.l_discount)).sum(), 4)
+        ) < 0.51  # float re-sum tolerance vs decimal

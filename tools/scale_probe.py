@@ -435,6 +435,25 @@ def q_wmedian(li):
     )
 
 
+def q_wmedian_bucketed(li):
+    """agg_weighted_median's SCALE kernel: peers-collapsing aggregate +
+    grouped bucketed prefix sum (no 3-task funnel)."""
+    from secdb_spark.operators._global_order import grouped_range_prefix_sum
+
+    t = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
+    )
+    cum = grouped_range_prefix_sum(t, ["l_returnflag"], "price", "w", out="_cum")
+    tot = cum.groupBy("l_returnflag").agg(F.sum("_v").alias("totw"))
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.min(F.when(2 * F.col("_cum") >= F.col("totw"), F.col("price"))))
+    )
+
+
 def q_minhash(d):
     """minhash_sig's algebra: tokenize + one aggregate, 4 md5 mins."""
     toks = d.select(
@@ -542,6 +561,7 @@ def main() -> None:
         ("minhash signatures", q_minhash, (d1_,), (d4_,)),
         ("dup-payment audit (blocked self-join)", q_dup_audit, (o1,), (o4,)),
         ("weighted median RANGE window", q_wmedian, (li1,), (li4,)),
+        ("weighted median BUCKETED", q_wmedian_bucketed, (li1,), (li4,)),
     ]
     rows = []
     for name, fn, in1, inN in shapes:

@@ -367,6 +367,7 @@ def _load_operators() -> None:
         aggregations,
         curation_extras,
         econ_extras,
+        edgar_feed,
         functions_scalar,
         geo_extras,
         ivm_extras,

@@ -219,11 +219,11 @@ def _mask_vocab(spark: SparkSession, sf_dir: str) -> list[str] | None:
     return vocab
 
 
-def _dedup_near_oracle() -> str:
-    """Full-pipeline DuckDB twin of dedup_near on the portable md5-min
-    basis: identical signatures, identical band keys, exact-Jaccard
-    verify — the minhash_sig/lsh_candidates certification playbook
-    applied end-to-end (VERDICT r6 'Next round' #5)."""
+def _dedup_near_ctes() -> str:
+    """The shared CTE chain of dedup_near's DuckDB twin on the portable
+    md5-min basis (signatures → band keys → bucket join → exact-Jaccard
+    inputs) — used by both the dedup_near oracle (pair output) and the
+    dedup_clusters oracle (recursive closure over the same pairs)."""
     rows_per_band = N_MINHASH // N_BANDS
     sig_exprs = ", ".join(
         f"min(md5('mh{j}:' || tok)) AS h{j}" for j in range(N_MINHASH)
@@ -237,8 +237,7 @@ def _dedup_near_oracle() -> str:
         )
         for b in range(N_BANDS)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
       FROM documents
     ), sigs AS (
@@ -258,14 +257,26 @@ def _dedup_near_oracle() -> str:
       JOIN toks ta ON ta.doc_id = c.doc_a
       JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
       GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
-    FROM inter i
-    JOIN card ca ON i.doc_a = ca.doc_id
-    JOIN card cb ON i.doc_b = cb.doc_id
-    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common)
-          >= {JACCARD_THRESHOLD}
+    ), near_pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common)
+               AS jaccard
+      FROM inter i
+      JOIN card ca ON i.doc_a = ca.doc_id
+      JOIN card cb ON i.doc_b = cb.doc_id
+      WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common)
+            >= {JACCARD_THRESHOLD}
+    )"""
+
+
+def _dedup_near_oracle() -> str:
+    """Full-pipeline DuckDB twin of dedup_near on the portable md5-min
+    basis: identical signatures, identical band keys, exact-Jaccard
+    verify — the minhash_sig/lsh_candidates certification playbook
+    applied end-to-end (VERDICT r6 'Next round' #5)."""
+    return f"""
+    WITH {_dedup_near_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM near_pairs
     """
 
 
@@ -1321,20 +1332,49 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters", oracle=None)  # R class: iterative, no SQL oracle
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE transitive closure over dedup_near's verified pairs
+    (the dedup_clusters_exact playbook): with dedup_near now on the
+    certified md5 basis (round 7), the cluster step's pair source is
+    DuckDB-computable, so the iterative label propagation gets an exact
+    oracle — min reachable id per node == converged min-label."""
+    return f"""
+    WITH RECURSIVE {_dedup_near_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM near_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM near_pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+    ),
+    lbl AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+    SELECT label AS cluster_rep,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(list_sort(list(id)) AS VARCHAR) AS members
+    FROM lbl GROUP BY label
+    """
+
+
+@register("dedup_clusters", oracle=_dedup_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-duplicate pair graph — turns
     pairwise matches into dedup CLUSTERS with a canonical representative
     (min doc_id), the step that makes near-dedup actionable (keep one doc
     per component, not per pair).
 
-    Iterative min-label propagation (the SURVEY's 'iterative algorithms'
-    oracle-exempt class): each round every node adopts the smallest label
-    among itself and its neighbors; converges in O(component diameter)
-    rounds. Scale notes: labels are localCheckpoint()ed each round to cut
-    the growing lineage (the classic iterative-Spark failure mode), and
-    convergence is a count of changed labels (one small action per round),
-    not a collect. Property-tested against union-find."""
+    Iterative min-label propagation; converges in O(component diameter)
+    rounds.  Exact oracle since round 7: dedup_near's pair graph rides
+    the certified md5 basis, so the oracle recomputes the clusters as a
+    recursive-CTE transitive closure (min reachable id per node — the
+    fixpoint label propagation converges to).  Scale notes: labels are
+    localCheckpoint()ed each round to cut the growing lineage (the
+    classic iterative-Spark failure mode), and convergence is a count of
+    changed labels (one small action per round), not a collect.
+    Property-tested against union-find."""
     pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     pairs = pairs.localCheckpoint()  # computed once; reused every round
     nodes = (

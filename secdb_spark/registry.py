@@ -159,15 +159,18 @@ def certified_at_current_class(name: str) -> bool:
 # SURVEY §2 rows-only ops that must win certification slots over registered
 # extras (the driver checks only the first 50 entries per round; extras like
 # sample_fraction / xbrl_metrics can wait a round, §2 op-ids cannot).
-# dedup_clusters rides along: it is the LLM-pipeline connected-components op
-# and the most informative of the extras.  Deferred-by-arithmetic extras
-# (mm_features, dedup_simhash, sample_*, agg_freq_items, xbrl_metrics) are
-# all property-tested locally and documented in README.md.
+# Deferred-by-arithmetic extras (mm_features, dedup_simhash, sample_*,
+# agg_freq_items, xbrl_metrics) are all property-tested locally and
+# documented in README.md.
+# dedup_clusters rode along through round 6 as the most informative extra;
+# its round-7 rows-only→exact upgrade REMOVED it from this historical slate
+# — re-listing it would re-enter it at the queue FRONT and displace the
+# round-7 pinned window (join_inner recert) by one slot.  It queues with
+# the other post-pin upgrades for round 8 via pending_exact.
 _ROWS_ONLY_PRIORITY: tuple[str, ...] = (
     "stream_watermark", "stream_dedup", "stream_stateful",
     "snk_sqlite", "src_xbrl_etl", "xbrl_filings", "xbrl_supersede",
     "build_secdb", "mm_resize", "mm_frame_sample",
-    "dedup_clusters",
 )
 
 

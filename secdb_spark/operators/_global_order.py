@@ -187,6 +187,52 @@ def grouped_range_prefix_sum(
     )
 
 
+def grouped_bucketed_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    tie_cols: list[str],
+    k: int,
+    n_buckets: int = 64,
+    out: str = "_rank",
+) -> DataFrame:
+    """Exact top-k per LOW-CARDINALITY group under (key ASC, *tie_cols)
+    without funneling each group through one task: bucketize on `key`
+    (global approx-quantile splits — balance only), count rows per
+    (group, bucket), compute each bucket's EXCLUSIVE prefix count within
+    its group via the broadcast theta-self-join, and keep only rows in
+    buckets whose offset < k — any later bucket starts at rank > k and
+    cannot contain a winner.  The surviving rows (≈ k + one bucket width
+    per group) then rank in a cheap per-group window.  Returns the top-k
+    rows + `out` (1-based rank).  Correctness does not depend on split
+    quality: bucket monotonicity guarantees the offset bound is exact."""
+    t = _bucketize(df, key, n_buckets, desc=False)
+    counts = t.groupBy(*group_cols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    cond = F.col("b._bucket") < F.col("a._bucket")
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    offs = (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+            F.col("a._bucket").alias("_bucket"),
+        )
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).cast("long").alias("_off"))
+    )
+    survivors = t.join(
+        F.broadcast(offs.filter(F.col("_off") < k)), [*group_cols, "_bucket"]
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*_order(key, tie_cols, False))
+    return (
+        survivors.withColumn(out, F.row_number().over(w))
+        .filter(F.col(out) <= k)
+        .drop("_bucket", "_off")
+    )
+
+
 def bucketed_prefix_min(
     df: DataFrame,
     key: str,

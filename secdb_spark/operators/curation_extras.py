@@ -19,8 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
+from ._global_order import GLOBAL_WINDOW_GATE, grouped_bucketed_topk
 from ._helpers import r4
 
 # ---------------------------------------------------------------------------
@@ -505,4 +506,301 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(full_sq), 6).alias("norm_full"),
         F.round(F.sqrt(half_sq), 6).alias("norm_half"),
         F.round(half_sq / full_sq, 6).alias("energy_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_groups — shared-prefix boilerplate detection (round-7 batch 3)
+# ---------------------------------------------------------------------------
+
+PREFIX_K = 16  # tokens of leading context that define "same opening"
+
+
+@register(
+    "dedup_prefix_groups",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:{PREFIX_K}], ' '))
+               AS pk
+      FROM documents
+    )
+    SELECT pk AS prefix_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(list_sort(list(doc_id)) AS VARCHAR) AS doc_ids
+    FROM keyed GROUP BY pk HAVING count(*) >= 2
+    """,
+)
+def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-opening detection: documents whose first {PREFIX_K} tokens
+    are identical — the boilerplate/header signal (license blocks, site
+    chrome, template intros) that chunk-level dedup only catches once
+    the prefix crosses a chunk boundary.  Groups of >= 2 report their
+    membership for the downstream trim-or-drop decision.
+
+    One map-side hash of a fixed-width slice + one combinable aggregate;
+    the md5 key keeps the shuffle row narrow at 100 TB (32 bytes, not
+    the prefix text)."""
+    d = table(spark, sf_dir, "documents")
+    pk = F.md5(F.array_join(F.slice(F.split("text", " "), 1, PREFIX_K), " "))
+    return (
+        d.select("doc_id", pk.alias("prefix_key"))
+        .groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sort_array(F.collect_list("doc_id")).cast("string").alias(
+                "doc_ids"
+            ),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_coreset — per-cluster nearest-to-centroid selection (round-7 batch 3)
+# ---------------------------------------------------------------------------
+
+CORESET_K = 5
+
+
+@register(
+    "embed_coreset",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY md5('kmseed:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS c_idx,
+             e AS c
+      FROM emb
+      ORDER BY md5('kmseed:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 8
+    ), pairs AS (
+      SELECT q.vec_id, s.c_idx,
+             list_reduce(
+               list_transform(list_zip(q.e, s.c),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) AS d2
+      FROM emb q CROSS JOIN seeds s
+    ), best AS (
+      SELECT vec_id, c_idx, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_idx) AS rn
+      FROM pairs
+    ), assigned AS (
+      SELECT vec_id, c_idx AS cluster, d2 FROM best WHERE rn = 1
+    ), ranked AS (
+      SELECT cluster, vec_id, d2,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY d2, vec_id) AS rank
+      FROM assigned
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster, vec_id,
+           CAST(rank AS INTEGER) AS rank,
+           round(sqrt(d2), 6) AS dist
+    FROM ranked WHERE rank <= {CORESET_K}
+    """,
+)
+def embed_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset selection: the {CORESET_K} vectors nearest each certified
+    k-means seed centroid (embed_kmeans's md5 'kmseed' basis and strict-
+    fold d², so the assignment is the SAME one embed_kmeans certifies) —
+    the representative-subset step behind clustered data pruning /
+    per-cluster exemplar picks (SemDeDup-style curation).
+
+    Dual kernel: K=8 clusters make the per-cluster rank window a
+    low-cardinality funnel at scale, so above the embeddings footer-row
+    gate the top-k runs through `_global_order.grouped_bucketed_topk`
+    (bucket-count prefilter — only rows in buckets whose exclusive
+    prefix count < k can win; survivors ≈ k + one bucket per cluster);
+    below it, the plain per-cluster window.  Equality pinned in
+    tests/test_global_window_gates.py."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    seed_h = F.md5(F.concat(F.lit("kmseed:"), F.col("vec_id").cast("string")))
+    seeds = (
+        emb.orderBy(seed_h, "vec_id").limit(8).select("e").collect()
+    )
+    seeds_df = spark.createDataFrame(
+        [(i, list(r.e)) for i, r in enumerate(seeds)],
+        "c_idx int, c array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = emb.crossJoin(F.broadcast(seeds_df)).select(
+        "vec_id", "c_idx", d2.alias("d2")
+    )
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "c_idx")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.c_idx").alias("cluster"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+    if table_rows(sf_dir, "embeddings") > GLOBAL_WINDOW_GATE:
+        ranked = grouped_bucketed_topk(
+            assigned, ["cluster"], "d2", ["vec_id"], CORESET_K, out="rank"
+        )
+    else:
+        w = Window.partitionBy("cluster").orderBy("d2", "vec_id")
+        ranked = assigned.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= CORESET_K
+        )
+    return ranked.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.sqrt("d2"), 6).alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mix_epoch_upsample — integer-epoch source balancing (round-7 batch 3)
+# ---------------------------------------------------------------------------
+
+MAX_EPOCHS = 4  # repetition cap (Muennighoff et al.: ~4 epochs ~ fresh data)
+
+
+@register(
+    "mix_epoch_upsample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), m AS (
+      SELECT max(n) AS max_n FROM counts
+    ), factors AS (
+      SELECT source, n,
+             least(CAST(ceil(CAST(max_n AS DOUBLE) / n) AS BIGINT),
+                   {MAX_EPOCHS}) AS factor
+      FROM counts CROSS JOIN m
+    ), upsampled AS (
+      SELECT d.source
+      FROM documents d
+      JOIN factors f ON d.source = f.source,
+           unnest(generate_series(1, f.factor)) AS g(i)
+    ), eff AS (
+      SELECT source, count(*) AS eff_docs FROM upsampled GROUP BY source
+    )
+    SELECT f.source,
+           CAST(f.n AS BIGINT) AS n_docs,
+           CAST(f.factor AS BIGINT) AS repeat_factor,
+           CAST(e.eff_docs AS BIGINT) AS effective_docs,
+           round(CAST(e.eff_docs AS DOUBLE)
+                 / (SELECT sum(eff_docs) FROM eff), 4) AS effective_share
+    FROM factors f JOIN eff e ON f.source = e.source
+    """,
+)
+def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-epoch upsampling: repeat each under-represented source
+    ceil(max/n) times (capped at {MAX_EPOCHS} epochs — the public
+    data-constrained-scaling guidance that ~4 repeats cost little) and
+    report the achieved mixture.  The plan ACTUALLY BUILDS the repeated
+    stream (explode over a per-row sequence(1, factor)) and certifies
+    its aggregate, so the certified thing is the upsample operator, not
+    arithmetic about it.  Integer factors, exact shares.
+
+    Scale: factors are a broadcast |sources|-row table; the explode is
+    map-side (output rows = Σ n_s·f_s, the training-stream size — the
+    point); the closing aggregate is combinable."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.max("n").alias("max_n"))
+    factors = counts.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n",
+        F.least(
+            F.ceil(F.col("max_n").cast("double") / F.col("n")).cast("long"),
+            F.lit(MAX_EPOCHS).cast("long"),
+        ).alias("factor"),
+    )
+    upsampled = (
+        d.select("source")
+        .join(F.broadcast(factors), "source")
+        .select(
+            "source", F.explode(F.sequence(F.lit(1), F.col("factor"))).alias("i")
+        )
+    )
+    eff = upsampled.groupBy("source").agg(F.count(F.lit(1)).alias("eff_docs"))
+    tot = eff.agg(F.sum("eff_docs").alias("tot"))
+    return (
+        factors.join(eff, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("factor").cast("long").alias("repeat_factor"),
+            F.col("eff_docs").cast("long").alias("effective_docs"),
+            r4(F.col("eff_docs").cast("double") / F.col("tot")).alias(
+                "effective_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_fertility_by_lang — tokenizer cost accounting (round-7 batch 3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_fertility_by_lang",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               AS n_bpe,
+             len(string_split(text, ' ')) AS n_ws,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 4)
+             AS chars_per_token,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4)
+             AS fertility
+    FROM t GROUP BY lang
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and chars per token — the cost-accounting table that says which
+    languages are expensive to train on under a given tokenizer (high
+    fertility = more tokens per word = fewer effective documents per
+    budget).  Uses text_tokens_bpe's segmentation; exact integer sums,
+    two shared-tree divisions.
+
+    Scale: the regex count fuses into the scan; one combinable aggregate
+    on the |langs|-value key."""
+    d = table(spark, sf_dir, "documents")
+    pattern = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]".replace(chr(92), chr(92) * 2)
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{pattern}', 0)"))
+    return (
+        d.select(
+            "lang",
+            n_bpe.alias("n_bpe"),
+            F.size(F.split("text", " ")).alias("n_ws"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+            r4(F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias(
+                "chars_per_token"
+            ),
+            r4(F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias(
+                "fertility"
+            ),
+        )
     )

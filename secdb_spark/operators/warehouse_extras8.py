@@ -432,3 +432,132 @@ def discount_band_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").cast("long").alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_reorder_rate — repeat-purchase share per nation (round-7 batch 3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_reorder_rate",
+    oracle="""
+    WITH per AS (
+      SELECT c.c_nationkey, o.o_custkey, count(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS reorder_rate,
+           round(CAST(sum(n_orders) AS DOUBLE) / count(*), 4)
+             AS avg_orders
+    FROM per GROUP BY c_nationkey
+    """,
+)
+def customer_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per nation: of customers who ordered at all,
+    how many came back — the top-line loyalty KPI that new_vs_returning
+    tracks over time and this op slices by geography.  Exact integer
+    counts, shared-tree divisions.
+
+    Scale: the per-customer rollup shuffles once on o_custkey; the
+    nation dimension joins broadcast; the closing aggregate is 25
+    rows."""
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return per.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(rep).cast("long").alias("n_repeat"),
+        r4(F.sum(rep).cast("double") / F.count(F.lit(1))).alias(
+            "reorder_rate"
+        ),
+        r4(F.sum("n_orders").cast("double") / F.count(F.lit(1))).alias(
+            "avg_orders"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_rolling_corr — rolling view/purchase correlation (round-7 batch 3)
+# ---------------------------------------------------------------------------
+
+CORR_DAYS = 14
+
+
+@register(
+    "ts_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count_if(event_type = 'view') AS BIGINT) AS x,
+             CAST(count_if(event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT day, x, y,
+             count(*) OVER fr AS n,
+             sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+             sum(x * x) OVER fr AS sxx, sum(y * y) OVER fr AS syy,
+             sum(x * y) OVER fr AS sxy,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM daily
+      WINDOW fr AS (ORDER BY day
+                    ROWS BETWEEN {CORR_DAYS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 4) AS corr_vp
+    FROM w WHERE rn >= {CORR_DAYS}
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {CORR_DAYS}-day Pearson correlation between daily view
+    and purchase volumes — the demand-coupling monitor (a collapse says
+    views stopped converting; ts_cross_corr finds the LAG, this tracks
+    the strength over time).  All five windowed moments are exact
+    integer sums; the correlation closes in one shared IEEE tree,
+    round 4.
+
+    Scale: one day-keyed combinable aggregate, then a single ROWS frame
+    over the calendar-bounded daily series (the users_cumulative
+    allowlist class)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    wo = Window.orderBy("day")
+    fr = wo.rowsBetween(-(CORR_DAYS - 1), 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+        F.row_number().over(wo).alias("rn"),
+    ).filter(F.col("rn") >= CORR_DAYS)
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (n * F.col("sxy") - sx * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - sx * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - sy * F.col("sy"))
+    )
+    return w.select("day", r4(corr).alias("corr_vp"))

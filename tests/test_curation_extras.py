@@ -249,3 +249,71 @@ def test_orders_seasonality_index_averages_to_one(q):
     n = len(got)
     for r in got.itertuples():
         assert abs(r.seasonality_index - round(r.revenue * n / total, 4)) < 5e-3
+
+
+# --- round-7 batch 3 ------------------------------------------------------
+
+def test_dedup_prefix_groups_vs_bruteforce(q, docs):
+    from secdb_spark.operators.curation_extras import PREFIX_K
+
+    groups = {}
+    for r in docs.itertuples():
+        k = " ".join(r.text.split(" ")[:PREFIX_K])
+        groups.setdefault(k, []).append(r.doc_id)
+    expected = {
+        _md5(k): sorted(v) for k, v in groups.items() if len(v) >= 2
+    }
+    got = q("dedup_prefix_groups")
+    assert len(got) == len(expected)
+    for r in got.itertuples():
+        mem = expected[r.prefix_key]
+        assert r.n_docs == len(mem)
+        assert r.first_doc == mem[0]
+
+
+def test_embed_coreset_vs_numpy(q, emb):
+    from secdb_spark.operators.curation_extras import CORESET_K
+
+    ids, M = emb
+    order = sorted(range(len(ids)), key=lambda i: (_md5(f"kmseed:{ids[i]}"), ids[i]))
+    C = M[order[:8]]
+    d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    got = q("embed_coreset")
+    assert (got.groupby("cluster").vec_id.count() <= CORESET_K).all()
+    for r in got.itertuples():
+        i = int(np.where(ids == r.vec_id)[0][0])
+        assert cl[i] == r.cluster
+        # its distance must be within the cluster's k smallest
+        members = np.sort(d2[cl == r.cluster, r.cluster])
+        kth = members[min(CORESET_K, len(members)) - 1]
+        assert d2[i, r.cluster] <= kth + 1e-9
+
+
+def test_mix_epoch_upsample_invariants(q):
+    from secdb_spark.operators.curation_extras import MAX_EPOCHS
+
+    got = q("mix_epoch_upsample")
+    assert ((got.repeat_factor >= 1) & (got.repeat_factor <= MAX_EPOCHS)).all()
+    assert (got.effective_docs == got.n_docs * got.repeat_factor).all()
+    # the largest source never upsamples
+    assert got.loc[got.n_docs.idxmax()].repeat_factor == 1
+    assert abs(got.effective_share.sum() - 1.0) < 5e-3
+
+
+def test_token_fertility_vs_bruteforce(q, docs):
+    import re
+
+    pat = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    got = q("token_fertility_by_lang").set_index("lang")
+    agg = {}
+    for r in docs.itertuples():
+        a = agg.setdefault(r.lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(pat.findall(r.text))
+        a[2] += len(r.text.split(" "))
+        a[3] += len(r.text)
+    for lang, (n, bpe, ws, chars) in agg.items():
+        row = got.loc[lang]
+        assert row.n_docs == n and row.bpe_tokens == bpe and row.ws_tokens == ws
+        assert abs(row.fertility - round(bpe / ws, 4)) < 1e-9

@@ -20,6 +20,7 @@ sys.path.insert(0, "/root/repo")
 from conftest import SF_DIR  # noqa: E402
 
 from secdb_spark.operators import (  # noqa: E402
+    curation_extras,
     similarity_extras,
     text_analysis,
     variance_extras,
@@ -40,6 +41,8 @@ GATED = {
     # low-cardinality-partition funnel (3 return flags = 3 tasks), caught
     # super-linear by the 16x probe — grouped_range_prefix_sum kernel
     "agg_weighted_median": warehouse_extras5,
+    # K=8 clusters: per-cluster top-k funnel — grouped_bucketed_topk kernel
+    "embed_coreset": curation_extras,
 }
 
 
@@ -91,6 +94,12 @@ def test_weighted_median_dual_kernel(spark, monkeypatch):
     )
 
 
+def test_embed_coreset_dual_kernel(spark, monkeypatch):
+    _scale_kernel_equals_window_kernel(
+        spark, monkeypatch, "embed_coreset", curation_extras
+    )
+
+
 def _single_partition_sort_parents(plan: str) -> list[str]:
     """Single-partition Exchanges whose consumer is a Sort/Window — the
     global-window funnel; a SinglePartition under a scalar HashAggregate
@@ -133,6 +142,7 @@ MODEL_SIZED_ALLOWLIST = {
     ("warehouse_extras4.py", "orders_open_backlog"): "running sum over the per-day aggregate (calendar-bounded)",
     ("warehouse_extras7.py", "corpus_zipf_slope"): "rank over the top-N term aggregate (N-bounded)",
     ("warehouse_extras7.py", "users_cumulative"): "running sum over the per-day aggregate (calendar-bounded)",
+    ("warehouse_extras8.py", "ts_rolling_corr"): "moment windows over the per-day aggregate (calendar-bounded)",
 }
 
 #: functions whose global-window use is the below-gate branch of a
@@ -145,9 +155,10 @@ GATED_FUNCS = {
     ("warehouse_extras3.py", "skyline_2d"),
     ("warehouse_extras.py", "customer_rfm"),
     ("warehouse_extras.py", "part_abc_pareto"),
-    # not a partition-less site, but a low-cardinality partitionBy funnel
+    # not partition-less sites, but low-cardinality partitionBy funnels
     # gated the same way (16x probe finding)
     ("warehouse_extras5.py", "agg_weighted_median"),
+    ("curation_extras.py", "embed_coreset"),
 }
 
 

@@ -133,3 +133,29 @@ def test_discount_band_rev_vs_bruteforce(q, spark):
         assert abs(
             row.revenue - round((g.l_extendedprice * (1 - g.l_discount)).sum(), 4)
         ) < 0.51  # float re-sum tolerance vs decimal
+
+
+# --- round-7 batch 3 ------------------------------------------------------
+
+def test_customer_reorder_rate_vs_bruteforce(q, spark):
+    o = table(spark, SF_DIR, "orders").select("o_custkey").toPandas()
+    c = table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    per = o.groupby("o_custkey").size().reset_index(name="n")
+    j = per.merge(c, left_on="o_custkey", right_on="c_custkey")
+    got = q("customer_reorder_rate").set_index("c_nationkey")
+    for nk, g in j.groupby("c_nationkey"):
+        row = got.loc[nk]
+        assert row.n_customers == len(g)
+        assert row.n_repeat == (g.n >= 2).sum()
+
+
+def test_ts_rolling_corr_bounds_and_warmup(q, spark):
+    from secdb_spark.operators.warehouse_extras8 import CORR_DAYS
+
+    got = q("ts_rolling_corr")
+    assert ((got.corr_vp >= -1.0001) & (got.corr_vp <= 1.0001)).all()
+    ev = table(spark, SF_DIR, "events").select("ts").toPandas()
+    n_days = ev.ts.dt.floor("D").nunique()
+    assert len(got) == max(0, n_days - (CORR_DAYS - 1))

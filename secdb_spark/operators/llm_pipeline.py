@@ -219,15 +219,24 @@ def _mask_vocab(spark: SparkSession, sf_dir: str) -> list[str] | None:
     return vocab
 
 
+def _dn_sig_sql(j: int) -> str:
+    """DuckDB twin of _dn_sig_expr: seed-slot j's hash is an 8-hex-char
+    slice of one of two salted sha256 digests — 2 hashes per token
+    instead of 16, with 32-bit slot width (the classic MinHash width;
+    the argmin-permutation property needs independence, not length)."""
+    salt = "A:" if j < 8 else "B:"
+    lo = (j % 8) * 8 + 1
+    return f"min(substr(sha256('{salt}' || tok), {lo}, 8)) AS h{j}"
+
+
 def _dedup_near_ctes() -> str:
     """The shared CTE chain of dedup_near's DuckDB twin on the portable
-    md5-min basis (signatures → band keys → bucket join → exact-Jaccard
-    inputs) — used by both the dedup_near oracle (pair output) and the
-    dedup_clusters oracle (recursive closure over the same pairs)."""
+    sha256-slice basis (signatures → band keys → bucket join →
+    exact-Jaccard inputs) — used by both the dedup_near oracle (pair
+    output) and the dedup_clusters oracle (recursive closure over the
+    same pairs)."""
     rows_per_band = N_MINHASH // N_BANDS
-    sig_exprs = ", ".join(
-        f"min(md5('mh{j}:' || tok)) AS h{j}" for j in range(N_MINHASH)
-    )
+    sig_exprs = ", ".join(_dn_sig_sql(j) for j in range(N_MINHASH))
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, '{b}_' || {key} AS band_key FROM sigs".format(
             b=b,
@@ -284,13 +293,13 @@ def _dedup_near_oracle() -> str:
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash (16 perms) + LSH (4 bands x 4),
     verified with exact Jaccard >= 0.9 — all DataFrame ops, no pairwise
-    blowup: candidates only form inside LSH buckets. min(md5(seed || tok))
-    is the permutation family — the engine-portable basis minhash_sig /
-    lsh_candidates certified in rounds 5-6, now carried END-TO-END so the
-    whole pipeline (signatures → band keys → bucket join → exact-Jaccard
-    verify) has a DuckDB twin and an exact value hash (was R class on
-    seeded xxhash64 through round 6; md5 is equally JVM-side/codegen and
-    the verify step dominates the wall anyway).
+    blowup: candidates only form inside LSH buckets. The permutation
+    family is min over 8-hex-char SLICES of two salted sha256 digests —
+    engine-portable like minhash_sig/lsh_candidates' md5 basis (so the
+    whole pipeline has a DuckDB twin and an exact value hash; was R
+    class on seeded xxhash64 through round 6) but with 2 hashes per
+    token instead of 16 (slices of independent digests are independent
+    32-bit slots — the classic MinHash width).
     Property-tested against sim_jaccard (precision = 1 by construction of
     the verify step; recall asserted in tests).
 
@@ -305,9 +314,16 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     purely a performance dispatch."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    # 16 seed slots from TWO salted sha256 digests (8-hex-char slices):
+    # ~8x less hashing per token than one digest per slot, same MinHash
+    # independence (slots are disjoint bits of independent digests).
+    ha = F.sha2(F.concat(F.lit("A:"), F.col("tok")), 256)
+    hb = F.sha2(F.concat(F.lit("B:"), F.col("tok")), 256)
     sig = toks.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"mh{j}:"), F.col("tok")))).alias(f"h{j}")
+            F.min(
+                F.substring(ha if j < 8 else hb, (j % 8) * 8 + 1, 8)
+            ).alias(f"h{j}")
             for j in range(N_MINHASH)
         ]
     )

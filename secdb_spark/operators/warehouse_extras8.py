@@ -561,3 +561,315 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("syy") - sy * F.col("sy"))
     )
     return w.select("day", r4(corr).alias("corr_vp"))
+
+
+# ---------------------------------------------------------------------------
+# ts_trend_slope — least-squares time trend per event type (round-7 batch 4)
+# ---------------------------------------------------------------------------
+
+TREND_EPOCH = "2024-01-01"  # x origin (any fixed date; slope is shift-free)
+
+
+@register(
+    "ts_trend_slope",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '{TREND_EPOCH}',
+                      CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+             AS slope_per_day
+    FROM m
+    """,
+)
+def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of daily volume per event type (events/day of
+    growth or decay) — the single number behind every "is this metric
+    trending" question; agg_regression fits price-vs-quantity, this fits
+    volume-vs-TIME.  x is integer days since a fixed origin and y exact
+    counts, so all four moments are exact bigints and the slope closes
+    in one shared IEEE tree (round 4).
+
+    Scale: one day-keyed combinable aggregate, then a per-type moment
+    rollup (model-sized) — no window at all."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit(TREND_EPOCH).cast("date")
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    slope = (n * F.col("sxy") - sx * F.col("sy")) / (
+        n * F.col("sxx") - sx * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        r4(slope).alias("slope_per_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_dispersion — index of dispersion per event type (round-7 batch 4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_dispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                 / (n - 1) / (CAST(sy AS DOUBLE) / n), 4)
+             AS dispersion
+    FROM m WHERE n >= 2
+    """,
+)
+def events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily volume per
+    event type — the burstiness test: ~1 means Poisson-like arrivals,
+    >1 clumped (campaign spikes, incident storms), <1 regularized
+    (rate-limited).  The companion to events_burst: that finds WHEN,
+    this scores HOW MUCH overall.  Integer count moments, one shared
+    IEEE closing tree, round 4.
+
+    Scale: a day-keyed combinable aggregate + a per-type moment rollup;
+    no window."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    ).filter(F.col("n") >= 2)
+    n = F.col("n").cast("double")
+    sy = F.col("sy").cast("double")
+    disp = (F.col("syy") - sy * F.col("sy") / n) / (n - 1) / (sy / n)
+    return m.select(
+        "event_type", F.col("n").alias("n_days"), r4(disp).alias("dispersion")
+    )
+
+
+# ---------------------------------------------------------------------------
+# brand_return_rate — merchandising returns scorecard (round-7 batch 4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "brand_return_rate",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count_if(l.l_returnflag = 'R') AS BIGINT) AS n_returned,
+           round(CAST(count_if(l.l_returnflag = 'R') AS DOUBLE)
+                 / count(*), 4) AS return_rate,
+           round(CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                         AS DECIMAL(38,6))
+                               ELSE CAST(0 AS DECIMAL(38,6)) END)
+                      AS DOUBLE), 4) AS returned_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate and returned revenue per brand — the merchandising
+    quality scorecard (a brand whose return share spikes is a defect or
+    a listing-accuracy problem).  Exact counts; returned revenue
+    accumulates in DECIMAL(38,6).
+
+    Scale: part is the broadcast dim; one fact-side combinable
+    aggregate on the |brands|-value key."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    rev = F.when(
+        F.col("l_returnflag") == "R",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(38,6)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", ret.alias("ret"), rev.alias("rev"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returned"),
+            r4(F.sum("ret").cast("double") / F.count(F.lit(1))).alias(
+                "return_rate"
+            ),
+            r4(F.sum("rev").cast("double")).alias("returned_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# nation_tax_rate — effective tax by supplier nation (round-7 batch 4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_tax_rate",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(l.l_extendedprice * l.l_tax
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE), 4) AS effective_tax_rate
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def nation_tax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted effective tax rate per supplier nation — the
+    compliance sanity view (a nation whose effective rate drifts from
+    its statutory band has misconfigured tax codes upstream).  Both
+    sums accumulate in DECIMAL(38,6); the rate is one exact-over-exact
+    division, round 4.
+
+    Scale: supplier broadcasts; one combinable aggregate on the 25-value
+    nation key."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_tax"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    taxed = (F.col("l_extendedprice") * F.col("l_tax")).cast("decimal(38,6)")
+    base = F.col("l_extendedprice").cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("s_nationkey", taxed.alias("taxed"), base.alias("base"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            r4(
+                F.sum("taxed").cast("double") / F.sum("base").cast("double")
+            ).alias("effective_tax_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# session_bounce_rate — single-event-session share per entry type (batch 4)
+# ---------------------------------------------------------------------------
+
+BOUNCE_GAP_US = 30 * 60 * 1_000_000  # 30-min session boundary
+
+
+@register(
+    "session_bounce_rate",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, event_type, t,
+             CASE WHEN t - lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w > {BOUNCE_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), sess AS (
+      SELECT user_id, event_type, t, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), per AS (
+      SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min({{'t': t, 'event_id': event_id, 'event_type': event_type}})
+               AS first_row
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT (first_row).event_type AS entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count_if(n_events = 1) AS BIGINT) AS n_bounce,
+           round(CAST(count_if(n_events = 1) AS DOUBLE) / count(*), 4)
+             AS bounce_rate
+    FROM per GROUP BY 1
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session ENTRY type: sessionize on the 30-minute
+    inactivity gap (events_sessionize's boundary), classify each session
+    by its first event, and report the share that ended after one event
+    — the landing-quality metric per acquisition surface (the funnel's
+    step-zero complement to first_touch_mix).
+
+    The entry pick is a tie-safe min-struct on (t, event_id); session
+    ids are per-user running sums of boundary flags — one user_id
+    shuffle shared by the lag, the cumsum, and the per-session
+    aggregate.  Exact integers throughout."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gap = F.col("t") - F.lag("t").over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > BOUNCE_GAP_US), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct("t", "event_id", "event_type")).alias("first_row"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (
+        per.select(
+            F.col("first_row.event_type").alias("entry_type"),
+            F.col("n_events"),
+        )
+        .groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(bounce).cast("long").alias("n_bounce"),
+            r4(F.sum(bounce).cast("double") / F.count(F.lit(1))).alias(
+                "bounce_rate"
+            ),
+        )
+    )

@@ -159,3 +159,89 @@ def test_ts_rolling_corr_bounds_and_warmup(q, spark):
     ev = table(spark, SF_DIR, "events").select("ts").toPandas()
     n_days = ev.ts.dt.floor("D").nunique()
     assert len(got) == max(0, n_days - (CORR_DAYS - 1))
+
+
+# --- round-7 batch 4 ------------------------------------------------------
+
+def test_ts_trend_slope_vs_numpy(q, spark):
+    ev = table(spark, SF_DIR, "events").select("event_type", "ts").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    got = q("ts_trend_slope").set_index("event_type")
+    import pandas as pd
+
+    origin = pd.Timestamp("2024-01-01")
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size()
+        x = (daily.index - origin).days.to_numpy(dtype=float)
+        y = daily.to_numpy(dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        row = got.loc[et]
+        assert row.n_days == len(daily)
+        assert abs(row.slope_per_day - slope) < 1e-3
+
+
+def test_events_dispersion_vs_numpy(q, spark):
+    ev = table(spark, SF_DIR, "events").select("event_type", "ts").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    got = q("events_dispersion").set_index("event_type")
+    for et, g in ev.groupby("event_type"):
+        y = g.groupby("day").size().to_numpy(dtype=float)
+        disp = y.var(ddof=1) / y.mean()
+        assert abs(got.loc[et].dispersion - disp) < 1e-3
+
+
+def test_brand_return_rate_vs_bruteforce(q, spark):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    ).toPandas()
+    p = table(spark, SF_DIR, "part").select("p_partkey", "p_brand").toPandas()
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    got = q("brand_return_rate").set_index("p_brand")
+    for b, g in j.groupby("p_brand"):
+        row = got.loc[b]
+        assert row.n_lines == len(g)
+        assert row.n_returned == (g.l_returnflag == "R").sum()
+
+
+def test_nation_tax_rate_plausible(q, spark):
+    li = table(spark, SF_DIR, "lineitem").select("l_tax").toPandas()
+    got = q("nation_tax_rate")
+    lo, hi = li.l_tax.min(), li.l_tax.max()
+    # revenue-weighted mean must sit inside the tax range
+    assert ((got.effective_tax_rate >= lo - 1e-9)
+            & (got.effective_tax_rate <= hi + 1e-9)).all()
+
+
+def test_session_bounce_rate_vs_bruteforce(q, spark):
+    from secdb_spark.operators.warehouse_extras8 import BOUNCE_GAP_US
+
+    ev = table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).toPandas()
+    ev["t"] = ev.ts.astype("int64") // 1000
+    stats = Counter()
+    bounce = Counter()
+    for _uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["t", "event_id"])
+        prev = None
+        cur = []
+        sessions = []
+        for r in g.itertuples():
+            if prev is None or r.t - prev > BOUNCE_GAP_US:
+                if cur:
+                    sessions.append(cur)
+                cur = []
+            cur.append(r)
+            prev = r.t
+        if cur:
+            sessions.append(cur)
+        for s in sessions:
+            entry = s[0].event_type
+            stats[entry] += 1
+            if len(s) == 1:
+                bounce[entry] += 1
+    got = q("session_bounce_rate").set_index("entry_type")
+    for et in stats:
+        row = got.loc[et]
+        assert row.n_sessions == stats[et]
+        assert row.n_bounce == bounce[et]

@@ -756,3 +756,58 @@ def test_fill_forward_and_moving_median_single_exchange(spark):
     assert n_ex == 1, f"win_fill_forward: expected 1 Exchange, got {n_ex}"
     p2 = plan_of(spark, "win_moving_median")
     assert p2.count("HashAggregate") >= 2, "daily pre-agg must combine map-side"
+
+
+# --- round-7 plan pins ------------------------------------------------------
+
+def test_matryoshka_is_map_only(spark):
+    """embed_matryoshka_truncate is a scan-fused fold: NO Exchange of any
+    kind may appear — at 100 TB this op must cost exactly one read."""
+    p = plan_of(spark, "embed_matryoshka_truncate")
+    assert "Exchange" not in p, "map-only op grew a shuffle"
+
+
+def test_quality_gate_partial_agg_single_shuffle(spark):
+    """doc_quality_gate: one tokenize pass -> map-side partial aggregate
+    -> ONE shuffle on the source key."""
+    p = plan_of(spark, "doc_quality_gate")
+    assert p.count("HashAggregate") >= 2, "partial aggregation regressed"
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, (
+        "doc_quality_gate must shuffle exactly once (the source agg)"
+    )
+
+
+def test_fertility_partial_agg_single_shuffle(spark):
+    p = plan_of(spark, "token_fertility_by_lang")
+    assert p.count("HashAggregate") >= 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_brand_return_rate_broadcasts_part(spark):
+    p = plan_of(spark, "brand_return_rate")
+    assert "BroadcastHashJoin" in p, "part dim must broadcast"
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, (
+        "only the brand aggregate may shuffle"
+    )
+
+
+def test_nation_tax_rate_broadcasts_supplier(spark):
+    p = plan_of(spark, "nation_tax_rate")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_pq_codes_broadcast_and_single_shuffle(spark):
+    """embed_pq_codes: the 8 sub-centroids broadcast; the only shuffle is
+    the final argmin groupBy on vec_id."""
+    p = plan_of(spark, "embed_pq_codes")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_source_vocab_overlap_no_cartesian(spark):
+    """Candidates must form only through the term-postings equi-join —
+    a CartesianProduct here is the |sources|x|sources|x|vocab| blowup."""
+    p = plan_of(spark, "source_vocab_overlap")
+    assert "CartesianProduct" not in p

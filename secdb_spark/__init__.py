@@ -13,6 +13,9 @@ Layout:
     catalog.py    explicit-schema table loaders (10 testdata tables)
     registry.py   operator registry: name -> (spark_fn, oracle_sql)
     engine.py     user facade: Engine(sf_dir).sql/.table/.op/.explain
+    api.py        composable DataFrame API for arbitrary tables
+                  (near_dup_pairs, sessionize, asof_join, the
+                  bucketed global-order kernels, ...)
     __main__.py   one-shot CLI: python -m secdb_spark "SELECT ..."
     layout.py     partitioned/bucketed lakehouse write helpers
     operators/    operator implementations by family (SURVEY §2.A-§2.N)

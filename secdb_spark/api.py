@@ -1,0 +1,407 @@
+"""Composable DataFrame API — the library surface for ARBITRARY tables.
+
+The registry operators bind to the test corpus (their contract with the
+driver); this module exposes the same kernels as DataFrame-in /
+DataFrame-out functions a user points at THEIR columns:
+
+    from secdb_spark import api
+
+    pairs   = api.near_dup_pairs(df, "id", "body", threshold=0.9)
+    keep    = api.exact_dup_clusters(df, "id", "body")
+    flagged = api.quality_flags(df, "body")
+    sess    = api.sessionize(events, "uid", "event_time")
+    ranked  = api.global_rank(df, key="score", tie_cols=["id"])
+    topk    = api.grouped_topk(df, ["shard"], key="loss", tie_cols=["id"], k=10)
+    asof    = api.asof_join(trades, quotes, on="sym",
+                            left_ts="t", right_ts="t")
+
+Every function is a thin column-renaming adapter over the operator
+kernels certified by the DuckDB differential suite (the registry entry
+named in each docstring), so behavior and scale properties are the
+tested ones: no all-pairs joins, no single-partition windows above the
+gates, broadcast where model-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .operators._global_order import (
+    bucketed_global_rank,
+    bucketed_prefix_sum,
+    grouped_bucketed_topk,
+    grouped_range_prefix_sum,
+)
+
+__all__ = [
+    "normalize_text",
+    "token_set",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "near_dup_pairs",
+    "exact_dup_clusters",
+    "jaccard_pairs",
+    "quality_flags",
+    "sessionize",
+    "asof_join",
+    "global_rank",
+    "global_prefix_sum",
+    "grouped_topk",
+    "grouped_prefix_sum",
+    "deterministic_sample",
+    "cosine_topk",
+]
+
+# --- text ------------------------------------------------------------------
+
+
+def normalize_text(df: DataFrame, text_col: str, out_col: str = "norm_text") -> DataFrame:
+    """text_normalize's JVM regexp chain on any column: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace, trim.  Map-only."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn(out_col, norm)
+
+
+def token_set(text_col: str) -> Column:
+    """Distinct sorted whitespace token set (the dedup family's element
+    definition) as a column expression."""
+    return F.sort_array(F.array_distinct(F.split(F.col(text_col), " ")))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """dedup_near's signature stage on any (id, text): n_hashes MinHash
+    slots from ⌈n/8⌉ salted sha256 digests (8-hex-char slices — 2 hashes
+    per token per 16 slots).  Returns (id_col, h0..h{n-1})."""
+    toks = df.select(
+        F.col(id_col), F.explode(token_set(text_col)).alias("tok")
+    )
+    digests = [
+        F.sha2(F.concat(F.lit(f"{chr(65 + d)}:"), F.col("tok")), 256)
+        for d in range((n_hashes + 7) // 8)
+    ]
+    return toks.groupBy(id_col).agg(
+        *[
+            F.min(F.substring(digests[j // 8], (j % 8) * 8 + 1, 8)).alias(
+                f"h{j}"
+            )
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_bands: int = 4
+) -> DataFrame:
+    """Band the signature columns (h0..h{n-1}) into n_bands AND-groups
+    and emit candidate pairs that collide in >= 1 band — dedup_near's
+    candidate stage.  Returns (id_a, id_b), id_a < id_b, distinct."""
+    hcols = [c for c in sigs.columns if c != id_col]
+    rows_per_band = len(hcols) // n_bands
+    bands = sigs.select(
+        F.col(id_col),
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[F.col(hcols[b * rows_per_band + r]) for r in range(rows_per_band)],
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    long = bands.selectExpr(
+        id_col,
+        f"stack({n_bands}, "
+        + ", ".join(f"band{i}" for i in range(n_bands))
+        + ") AS band_key",
+    )
+    x, y = long.alias("x"), long.alias("y")
+    return (
+        x.join(y, "band_key")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """dedup_near generalized: MinHash+LSH candidates verified with exact
+    token-set Jaccard >= threshold (the open-vocab hashed-set kernel —
+    precision 1 by construction; recall is the LSH S-curve).  Returns
+    (id_a, id_b, jaccard)."""
+    cand = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col, n_hashes), id_col, n_bands
+    )
+    hsets = df.select(
+        F.col(id_col),
+        F.sort_array(
+            F.transform(token_set(text_col), lambda t: F.xxhash64(t))
+        ).alias("hset"),
+    ).withColumn("n", F.size("hset"))
+    sa = hsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("hset").alias("set_a"),
+        F.col("n").alias("na"),
+    )
+    sb = hsets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("hset").alias("set_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .withColumn("n_common", inter)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """dedup_exact on any (id, text): sha256 content clusters with the
+    min-id keeper.  Returns (content_hash, keeper_id, n_copies)."""
+    return df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """sim_jaccard's prefix-filtered EXACT all-pairs (lossless by the
+    AllPairs theorem) on any (id, text).  Returns (doc_a, doc_b,
+    jaccard) with recall 1 — use near_dup_pairs when the LSH S-curve
+    recall is acceptable and the corpus is large."""
+    from .operators.llm_pipeline import _jaccard_pairs
+
+    renamed = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return _jaccard_pairs(renamed, threshold=threshold)
+
+
+def quality_flags(df: DataFrame, text_col: str, min_toks: int = 20,
+                  max_toks: int = 2000) -> DataFrame:
+    """doc_quality_gate's per-row Gopher rules on any text column:
+    adds boolean fail_short / fail_long / fail_wordlen / fail_ttr and
+    the composite `keep`.  Integer cross-multiplication only."""
+    n_toks = F.size(F.split(F.col(text_col), " "))
+    n_chars = F.length(F.col(text_col))
+    n_dist = F.size(F.array_distinct(F.split(F.lower(F.col(text_col)), " ")))
+    alpha = n_chars - n_toks + 1
+    f_short = n_toks < min_toks
+    f_long = n_toks > max_toks
+    f_wlen = (alpha < 3 * n_toks) | (alpha > 10 * n_toks)
+    f_ttr = 10 * n_dist < 3 * n_toks
+    return (
+        df.withColumn("fail_short", f_short)
+        .withColumn("fail_long", f_long)
+        .withColumn("fail_wordlen", f_wlen)
+        .withColumn("fail_ttr", f_ttr)
+        .withColumn(
+            "keep", ~(f_short | f_long | f_wlen | f_ttr)
+        )
+    )
+
+
+# --- events ----------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """events_sessionize's gap rule on any (user, timestamp): adds a
+    per-user integer session id that increments after gap_minutes of
+    inactivity.  One shuffle on the user key."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    t = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    boundary = F.when(
+        (t - F.lag(t).over(w)).isNull() | ((t - F.lag(t).over(w)) > gap_us), 1
+    ).otherwise(0)
+    return df.withColumn(
+        out_col,
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """join_asof's union-tag + last_value formulation on any pair of
+    tables: each left row gains every right column (suffixed `_asof`)
+    from the latest right row with right_ts <= left_ts and the same
+    `on` key.  One shuffle on the key; no row explosion (unlike a
+    range-join).  tolerance_us drops matches staler than the bound."""
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    lhs = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rt"),
+    )
+    rhs = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != on],
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.col(right_ts).alias("_rt"),
+    )
+    u = lhs.unionByName(rhs)
+    # right rows sort BEFORE left rows at equal timestamps so an
+    # equal-timestamp right row IS visible to the left row (<=).
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = u
+    for c in rcols:
+        filled = filled.withColumn(
+            f"_r_{c}",
+            F.coalesce(
+                F.col(f"_r_{c}"), F.last(f"_r_{c}", ignorenulls=True).over(w)
+            ),
+        )
+    filled = filled.withColumn(
+        "_rt", F.coalesce(F.col("_rt"), F.last("_rt", ignorenulls=True).over(w))
+    )
+    out = filled.filter(F.col("_is_left") == 1)
+    if tolerance_us is not None:
+        fresh = (
+            F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_rt"))
+        ) <= tolerance_us
+        for c in rcols:
+            out = out.withColumn(
+                f"_r_{c}", F.when(fresh, F.col(f"_r_{c}"))
+            )
+        out = out.withColumn("_rt", F.when(fresh, F.col("_rt")))
+    return out.select(
+        F.col("_k").alias(on),
+        F.col("_t").alias(left_ts),
+        *[F.col(c) for c in left.columns if c not in (on, left_ts)],
+        *[F.col(f"_r_{c}").alias(f"{c}_asof") for c in rcols],
+        F.col("_rt").alias(f"{right_ts}_asof"),
+    )
+
+
+# --- global order (the scale kernels, re-exported) ---------------------------
+
+
+def global_rank(
+    df: DataFrame, key: str, tie_cols: list[str], desc: bool = False,
+    out: str = "rank",
+) -> DataFrame:
+    """Exact global row_number with NO single-partition window — the
+    bucketed two-pass kernel customer_rfm/win_ntile dispatch to."""
+    return bucketed_global_rank(df, key, tie_cols, desc=desc, out=out)
+
+
+def global_prefix_sum(
+    df: DataFrame, key: str, tie_cols: list[str], value_col: str,
+    desc: bool = False, out: str = "cumsum",
+) -> DataFrame:
+    """Exact global running sum (decimal addends) without the
+    one-task funnel — part_abc_pareto's scale kernel."""
+    return bucketed_prefix_sum(df, key, tie_cols, value_col, desc=desc, out=out)
+
+
+def grouped_topk(
+    df: DataFrame, group_cols: list[str], key: str, tie_cols: list[str],
+    k: int, out: str = "rank",
+) -> DataFrame:
+    """Exact top-k per group without funneling low-cardinality groups
+    through one task each — embed_coreset's scale kernel."""
+    return grouped_bucketed_topk(df, group_cols, key, tie_cols, k, out=out)
+
+
+def grouped_prefix_sum(
+    df: DataFrame, group_cols: list[str], key: str, value_col: str,
+    out: str = "cumsum",
+) -> DataFrame:
+    """Exact per-group RANGE-frame running sum (peers collapse into the
+    pre-aggregate) — agg_weighted_median's scale kernel."""
+    return grouped_range_prefix_sum(df, group_cols, key, value_col, out=out)
+
+
+# --- sampling / vectors ------------------------------------------------------
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample:"
+) -> DataFrame:
+    """Reproducible hash-threshold sampling (mix_domains' integer-keep
+    rule): keep rows whose salted xxhash lands under fraction — stable
+    across runs, engines, and repartitioning, unlike rand()."""
+    denom = 1 << 31
+    keep_below = int(fraction * denom)
+    h = F.pmod(
+        F.xxhash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(denom),
+    )
+    return df.filter(h < keep_below)
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
+    probe: int | None = None,
+) -> DataFrame:
+    """sim_cosine_topk / ann_ivf on any (id, array<float>) table:
+    exact distributed top-k when probe is None (bucketed block-nested
+    loop — every pair computed once, never a driver collect), or IVF
+    approximate when probe < the centroid count.  Returns (query_id,
+    neighbor_id, sim)."""
+    from .operators.llm_pipeline import N_CENTROIDS, _topk_bucketed
+
+    renamed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    spark = emb.sparkSession
+    return _topk_bucketed(
+        spark, renamed, probe=probe if probe is not None else N_CENTROIDS, k=k
+    )

@@ -1,0 +1,149 @@
+"""The composable DataFrame API must work on ARBITRARY user tables —
+every test here builds its own DataFrames with its own column names
+(never the fixture corpus), which is the point of the layer."""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime
+
+sys.path.insert(0, "/root/repo")
+
+from secdb_spark import api  # noqa: E402
+
+
+def test_normalize_and_quality_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!  This is FINE text with many different words ok " * 3),
+            (2, "x"),  # too short
+        ],
+        "rid int, body string",
+    )
+    norm = api.normalize_text(df, "body", "clean").toPandas().set_index("rid")
+    assert norm.loc[1, "clean"].startswith("hello world this is fine")
+    flags = api.quality_flags(df, "body").toPandas().set_index("rid")
+    assert bool(flags.loc[2, "fail_short"]) is True
+    assert bool(flags.loc[2, "keep"]) is False
+
+
+def test_near_dup_and_exact_dup_on_custom_table(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok yes"
+    rows = [
+        (10, base),
+        (11, base),  # exact dup
+        (12, base + " tail"),  # near dup of 10/11
+        (13, "completely different content about spark plans and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, body string")
+    exact = api.exact_dup_clusters(df, "pk", "body").toPandas()
+    assert (exact.n_copies >= 2).sum() == 1
+    assert exact[exact.n_copies == 2].keeper_id.iloc[0] == 10
+
+    pairs = api.near_dup_pairs(df, "pk", "body", threshold=0.8).toPandas()
+    got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs.itertuples()}
+    assert (10, 11) in got  # identical -> jaccard 1
+    assert all(13 not in p for p in got)
+
+    # exact all-pairs (recall 1) must be a superset of the LSH pairs
+    full = api.jaccard_pairs(df, "pk", "body", threshold=0.8).toPandas()
+    full_pairs = {tuple(sorted((r.doc_a, r.doc_b))) for r in full.itertuples()}
+    assert got <= full_pairs
+
+
+def test_sessionize_custom_events(spark):
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", datetime(2025, 1, 1, 12, 0)),
+        ("u1", datetime(2025, 1, 1, 12, 10)),   # same session
+        ("u1", datetime(2025, 1, 1, 13, 30)),   # gap > 30min -> new session
+        ("u2", t0),
+    ]
+    df = spark.createDataFrame(rows, "uid string, t timestamp")
+    got = api.sessionize(df, "uid", "t").toPandas()
+    u1 = got[got.uid == "u1"].sort_values("t").session_id.tolist()
+    assert u1 == [1, 1, 2]
+    assert got[got.uid == "u2"].session_id.tolist() == [1]
+
+
+def test_asof_join_custom_tables(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", datetime(2025, 1, 1, 10, 0, 30), 100.0),
+            ("A", datetime(2025, 1, 1, 10, 2, 0), 101.0),
+            ("B", datetime(2025, 1, 1, 10, 1, 0), 50.0),
+        ],
+        "sym string, t timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", datetime(2025, 1, 1, 10, 0, 0), 99.5),
+            ("A", datetime(2025, 1, 1, 10, 1, 0), 100.5),
+            ("B", datetime(2025, 1, 1, 10, 5, 0), 49.0),  # AFTER the trade
+        ],
+        "sym string, t timestamp, bid double",
+    )
+    got = api.asof_join(trades, quotes, on="sym", left_ts="t", right_ts="t")
+    pdf = got.toPandas().sort_values(["sym", "t"]).reset_index(drop=True)
+    assert pdf.loc[0, "bid_asof"] == 99.5   # 10:00:30 -> 10:00 quote
+    assert pdf.loc[1, "bid_asof"] == 100.5  # 10:02 -> 10:01 quote
+    assert pdf.loc[2, "bid_asof"] != pdf.loc[2, "bid_asof"] or pdf.loc[2, "bid_asof"] is None  # NaN: no prior quote for B
+
+    # tolerance: only matches within 30s survive
+    tol = api.asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="t",
+        tolerance_us=30_000_000,
+    ).toPandas().sort_values(["sym", "t"]).reset_index(drop=True)
+    assert tol.loc[0, "bid_asof"] == 99.5          # 30s old -> kept
+    assert tol.bid_asof.isna().tolist() == [False, True, True]
+
+
+def test_global_kernels_on_custom_table(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7), i % 3) for i in range(200)],
+        "rid long, score double, grp int",
+    )
+    ranked = api.global_rank(df, "score", ["rid"]).toPandas()
+    srt = ranked.sort_values(["score", "rid"]).reset_index(drop=True)
+    assert srt["rank"].tolist() == list(range(1, 201))
+
+    csum = api.global_prefix_sum(df, "score", ["rid"], "score").toPandas()
+    srt2 = csum.sort_values(["score", "rid"]).reset_index(drop=True)
+    assert (
+        abs(float(srt2["cumsum"].iloc[-1]) - df.toPandas().score.sum()) < 1e-6
+    )
+
+    topk = api.grouped_topk(df, ["grp"], "score", ["rid"], k=4).toPandas()
+    assert (topk.groupby("grp")["rank"].count() == 4).all()
+    for _g, gg in topk.groupby("grp"):
+        assert gg["rank"].sort_values().tolist() == [1, 2, 3, 4]
+
+
+def test_deterministic_sample_stability(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "pk long")
+    a = set(api.deterministic_sample(df, "pk", 0.25).toPandas().pk)
+    b = set(
+        api.deterministic_sample(df.repartition(7), "pk", 0.25).toPandas().pk
+    )
+    assert a == b, "sample must be stable under repartitioning"
+    assert 0.18 < len(a) / 2000 < 0.32
+    assert a < set(
+        api.deterministic_sample(df, "pk", 0.5).toPandas().pk
+    ), "thresholds must nest (monotone fractions)"
+
+
+def test_cosine_topk_on_custom_vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    V = rng.standard_normal((40, 8)).astype("float64")
+    V[1] = V[0] + 0.001 * rng.standard_normal(8)  # near-identical pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(40)],
+        "vid long, vec array<double>",
+    )
+    got = api.cosine_topk(df, "vid", "vec", k=3).toPandas()
+    assert (got.groupby("query_id").neighbor_id.count() <= 3).all()
+    top_for_0 = got[got.query_id == 0].sort_values("sim", ascending=False)
+    assert top_for_0.neighbor_id.iloc[0] == 1
+    assert (got.query_id != got.neighbor_id).all()

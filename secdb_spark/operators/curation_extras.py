@@ -804,3 +804,140 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_adc_topk — asymmetric-distance-computation search (round-7 batch 5)
+# ---------------------------------------------------------------------------
+
+ADC_K = 3
+
+
+def _adc_oracle() -> str:
+    best_ctes = ", ".join(_pq_best_cte(m) for m in range(PQ_M))
+    qd_selects = " UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {m} AS m, s.c_idx AS j,
+             list_reduce(
+               list_transform(
+                 list_zip(q.e[{m * PQ_SUB_D + 1}:{(m + 1) * PQ_SUB_D}],
+                          s.c[{m * PQ_SUB_D + 1}:{(m + 1) * PQ_SUB_D}]),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) AS d2
+        FROM emb q CROSS JOIN seeds s"""
+        for m in range(PQ_M)
+    )
+    code_selects = " UNION ALL ".join(
+        f"SELECT vec_id AS cand_id, {m} AS m, c_idx AS j FROM best{m}"
+        for m in range(PQ_M)
+    )
+    part_cols = " + ".join(f"p{m}" for m in range(PQ_M))
+    part_aggs = ", ".join(
+        f"min(CASE WHEN q.m = {m} THEN q.d2 END) AS p{m}" for m in range(PQ_M)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY {_PQ_SEED_SQL}, vec_id) - 1 AS c_idx,
+             e AS c
+      FROM emb ORDER BY {_PQ_SEED_SQL}, vec_id LIMIT {PQ_K}
+    ), {best_ctes}, qd AS (
+      {qd_selects}
+    ), codes AS (
+      {code_selects}
+    ), partials AS (
+      SELECT q.query_id, c.cand_id, {part_aggs}
+      FROM qd q JOIN codes c ON q.m = c.m AND q.j = c.j
+      GROUP BY q.query_id, c.cand_id
+    ), adc AS (
+      SELECT query_id, cand_id, {part_cols} AS d2
+      FROM partials WHERE query_id <> cand_id
+    ), ranked AS (
+      SELECT query_id, cand_id, d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, cand_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, cand_id AS neighbor_id,
+           CAST(rank AS INTEGER) AS rank, round(d2, 6) AS adc_d2
+    FROM ranked WHERE rank <= {ADC_K}
+    """
+
+
+@register("ann_pq_adc_topk", oracle=_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's search arithmetic, certified EXACTLY: Asymmetric
+    Distance Computation (Jégou et al.) — each query computes a
+    {PQ_M}x{PQ_K} table of exact sub-distances to the codebook, every
+    candidate is represented ONLY by its {PQ_M}-byte PQ code, and the
+    approximate distance is the table-lookup sum Σ_m dt[m][code_m].
+    Top-{ADC_K} per query under (adc_d2, cand_id).  The op certifies the
+    ADC algorithm itself (codes from embed_pq_codes' certified basis,
+    strict-fold sub-distances, FIXED p0+p1+p2+p3 addition order, tie-safe
+    rank) — approximation error vs true NN is a property of PQ, not a
+    nondeterminism.
+
+    Scale: this is the post-pruning ADC scan — in production it runs per
+    IVF bucket (ann_ivf's cogroup provides the pruning; compute/IO ~
+    probe/N_CENTROIDS of all-pairs).  The distance-table build is
+    queries x {PQ_M * PQ_K} rows (codebook broadcast); candidates carry
+    {PQ_M} smallints instead of the raw vector — the 16-32x memory
+    compression that lets the corpus live in RAM."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codes = embed_pq_codes(spark, sf_dir)
+    codes_long = codes.selectExpr(
+        "vec_id AS cand_id",
+        f"stack({PQ_M}, "
+        + ", ".join(f"{m}, code{m}" for m in range(PQ_M))
+        + ") AS (m, j)",
+    )
+    seed_h = F.md5(F.concat(F.lit("pqseed:"), F.col("vec_id").cast("string")))
+    seeds = emb.orderBy(seed_h, "vec_id").limit(PQ_K).select("e").collect()
+    lookup = spark.createDataFrame(
+        [
+            (m, i, list(r.e)[m * PQ_SUB_D : (m + 1) * PQ_SUB_D])
+            for i, r in enumerate(seeds)
+            for m in range(PQ_M)
+        ],
+        "m int, j int, sub_c array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("e"), F.col("m") * PQ_SUB_D + 1, PQ_SUB_D),
+            F.col("sub_c"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qd = emb.crossJoin(F.broadcast(lookup)).select(
+        F.col("vec_id").alias("query_id"), "m", "j", d2.alias("d2")
+    )
+    partials = (
+        qd.join(codes_long, ["m", "j"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("m") == m, F.col("d2"))).alias(f"p{m}")
+                for m in range(PQ_M)
+            ]
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    adc = sum((F.col(f"p{m}") for m in range(1, PQ_M)), F.col("p0"))
+    ranked = partials.select(
+        "query_id", "cand_id", adc.alias("d2")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("d2", "cand_id")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= ADC_K).select(
+        "query_id",
+        F.col("cand_id").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round("d2", 6).alias("adc_d2"),
+    )

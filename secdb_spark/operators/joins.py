@@ -612,3 +612,49 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("edit_dist"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey, nullif(o_custkey % 10, 0) AS digit
+      FROM orders
+    ), dim AS (
+      SELECT * FROM (VALUES
+        (CAST(NULL AS BIGINT), 'unknown'), (1, 'one'), (2, 'two'),
+        (3, 'three'), (4, 'four'), (5, 'five'), (6, 'six'),
+        (7, 'seven'), (8, 'eight'), (9, 'nine')
+      ) AS t(digit, label)
+    )
+    SELECT d.label, CAST(count(*) AS BIGINT) AS n_orders
+    FROM keyed k JOIN dim d ON k.digit IS NOT DISTINCT FROM d.digit
+    GROUP BY d.label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match the dimension's NULL row instead of silently dropping — the
+    standard "unknown member" dimensional-modeling pattern (fact rows
+    with missing keys still land in a reporting bucket).  The fact key
+    is nullif(custkey % 10, 0), so ~10% of rows carry NULL and the
+    'unknown' bucket is populated.
+
+    Spark plans eqNullSafe equi-keys into a regular hash join (the
+    comparison is part of the join key, not a filter), so the broadcast
+    dim costs the same as a plain equi-join — no fallback to
+    BroadcastNestedLoop."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 10, F.lit(0)).alias("digit")
+    )
+    names = [
+        (None, "unknown"), (1, "one"), (2, "two"), (3, "three"),
+        (4, "four"), (5, "five"), (6, "six"), (7, "seven"),
+        (8, "eight"), (9, "nine"),
+    ]
+    dim = spark.createDataFrame(names, "digit bigint, label string")
+    return (
+        o.join(F.broadcast(dim), o.digit.eqNullSafe(dim.digit))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -317,3 +317,34 @@ def test_token_fertility_vs_bruteforce(q, docs):
         row = got.loc[lang]
         assert row.n_docs == n and row.bpe_tokens == bpe and row.ws_tokens == ws
         assert abs(row.fertility - round(bpe / ws, 4)) < 1e-9
+
+
+def test_ann_pq_adc_topk_vs_numpy(q, emb):
+    from secdb_spark.operators.curation_extras import (
+        ADC_K,
+        PQ_K,
+        PQ_M,
+        PQ_SUB_D,
+    )
+
+    ids, M = emb
+    order = sorted(range(len(ids)), key=lambda i: (_md5(f"pqseed:{ids[i]}"), ids[i]))
+    C = M[order[:PQ_K]]
+    codes = np.zeros((len(ids), PQ_M), dtype=int)
+    dts = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB_D, (m + 1) * PQ_SUB_D
+        d2 = ((M[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2)
+        codes[:, m] = d2.argmin(axis=1)
+        dts.append(d2)  # dt[m][query, j]
+    idx_of = {v: i for i, v in enumerate(ids)}
+    got = q("ann_pq_adc_topk")
+    assert (got.groupby("query_id")["rank"].max() <= ADC_K).all()
+    for qid, g in got.groupby("query_id"):
+        qi = idx_of[qid]
+        adc = np.zeros(len(ids))
+        for ci in range(len(ids)):
+            adc[ci] = sum(dts[m][qi, codes[ci, m]] for m in range(PQ_M))
+        cand = [(adc[ci], ids[ci]) for ci in range(len(ids)) if ids[ci] != qid]
+        expected = [v for _d, v in sorted(cand)[:ADC_K]]
+        assert list(g.sort_values("rank").neighbor_id) == expected

@@ -316,6 +316,33 @@ _CERT_SLATE_R7: tuple[str, ...] = (
 )
 
 
+# The 49 ops pinned to ROUND-8 certification slots: everything pending
+# after the round-7 slate settles, in the order the queue held when round
+# 7 closed at 369 registrations — the round-6 §2.AD batch-16 stragglers,
+# the round-7 batches 1-5 (curation / embedding-compression / warehouse /
+# EDGAR feed / null-safe join / ADC), and the round-7 rows-only→exact
+# upgrades (dedup_near, dedup_clusters, vocab_growth re-oracle).  Pinning
+# frees round-8 registration to continue: post-freeze ops queue for round
+# 9 without displacing these.  One slot of the 50 is intentionally free.
+_CERT_SLATE_R8: tuple[str, ...] = (
+    "doc_quality_gate", "chunk_dedup_share", "dedup_keep_best",
+    "text_hapax_ratio", "source_lang_matrix", "embed_pq_codes",
+    "embed_matryoshka_truncate", "dedup_prefix_groups", "embed_coreset",
+    "mix_epoch_upsample", "token_fertility_by_lang", "ann_pq_adc_topk",
+    "text_novelty", "price_elasticity", "chi2_independence",
+    "sla_attainment", "top_decile_share", "brand_transition",
+    "trade_balance", "sla_percentiles", "peak_to_avg", "src_edgar_feed",
+    "join_null_safe", "dedup_near", "ann_ivf_assign", "dedup_clusters",
+    "anova_dow", "vocab_growth", "user_lifetime_dist", "error_rate_daily",
+    "brand_breadth", "first_touch_mix", "users_cumulative",
+    "graph_degree_dist", "events_props_stats", "orders_seasonality_index",
+    "supplier_otd", "funnel_latency", "source_vocab_overlap", "ts_rsi",
+    "agg_geomean", "discount_band_rev", "customer_reorder_rate",
+    "ts_rolling_corr", "ts_trend_slope", "events_dispersion",
+    "brand_return_rate", "nation_tax_rate", "session_bounce_rate",
+)
+
+
 def _certification_order(names) -> list[str]:
     """Unsettled slate ops first, then other unsettled ops (exact-oracle
     before rows-only, each in registration order), settled last.
@@ -323,7 +350,7 @@ def _certification_order(names) -> list[str]:
     re-queues even though an old rows-only record exists."""
     names = list(names)
     slate = [
-        n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7)
+        n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7 + _CERT_SLATE_R8)
         if n in names and not certified_at_current_class(n)
     ]
     # Oracle-changed recerts queue BEHIND never-certified ops (including

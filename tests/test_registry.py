@@ -196,3 +196,28 @@ def test_round7_slate_holds_its_window():
     assert order[start : start + len(r7_pending)] == r7_pending
     if r7_pending:
         assert r7_pending[-1] == "join_inner" or "join_inner" not in r7_pending
+
+
+def test_round8_slate_holds_its_window():
+    """The round-8 slate (49 ops: the §2.AD stragglers, the round-7
+    batches, and the rows-only→exact upgrades) must occupy queue
+    positions immediately after any unsettled round-6/7 slate entries —
+    ops registered after the round-7 freeze queue for round 9 and can
+    never displace these."""
+    order = list(registry.all_queries())
+    earlier_pending = [
+        n for n in (
+            registry._CERT_SLATE
+            + registry._CERT_SLATE_R6
+            + registry._CERT_SLATE_R7
+        )
+        if not registry.certified_at_current_class(n)
+    ]
+    r8_pending = [
+        n for n in registry._CERT_SLATE_R8
+        if not registry.certified_at_current_class(n)
+    ]
+    start = len(earlier_pending)
+    assert order[start : start + len(r8_pending)] == r8_pending
+    # the slate leaves headroom inside a 50-slot driver window
+    assert len(registry._CERT_SLATE_R8) <= 50

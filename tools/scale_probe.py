@@ -435,6 +435,50 @@ def q_wmedian(li):
     )
 
 
+def q_chunk_dedup(d):
+    """chunk_dedup_share's algebra: map-only chunk explode -> frequency
+    count on the chunk key -> equi-join back -> per-doc aggregate."""
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, int((n + 31) div 32) - 1), "
+                "i -> array_join(slice(toks, i * 32 + 1, 32), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+
+
+def q_vocab_overlap(d):
+    """source_vocab_overlap's algebra: distinct (source, term) postings ->
+    term-equi-join candidate pairs -> per-pair intersection counts."""
+    vocab = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).distinct()
+    a = vocab.select(F.col("source").alias("sa"), "term")
+    b = vocab.select(F.col("source").alias("sb"), "term")
+    return (
+        a.join(b, "term")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def q_wmedian_bucketed(li):
     """agg_weighted_median's SCALE kernel: peers-collapsing aggregate +
     grouped bucketed prefix sum (no 3-task funnel)."""
@@ -511,7 +555,7 @@ def main() -> None:
         if any(s in "blocked fuzzy join" for s in only):
             tables |= {"part"}
         if any(
-            s in "bm25 RAG chunking unigram logprob inverted index tfidf minhash"
+            s in "bm25 RAG chunking unigram logprob inverted index tfidf minhash chunk dedup share vocab overlap"
             for s in only
         ):
             tables |= {"documents"}
@@ -559,6 +603,8 @@ def main() -> None:
         ("prefix sum BUCKETED", q_prefix_bucketed, (li1,), (li4,)),
         ("tfidf topk (bcast idf)", q_tfidf, (d1_,), (d4_,)),
         ("minhash signatures", q_minhash, (d1_,), (d4_,)),
+        ("chunk dedup share", q_chunk_dedup, (d1_,), (d4_,)),
+        ("vocab overlap (postings join)", q_vocab_overlap, (d1_,), (d4_,)),
         ("dup-payment audit (blocked self-join)", q_dup_audit, (o1,), (o4,)),
         ("weighted median RANGE window", q_wmedian, (li1,), (li4,)),
         ("weighted median BUCKETED", q_wmedian_bucketed, (li1,), (li4,)),

@@ -1,0 +1,137 @@
+"""Property tests for the _global_order kernels against pure-Python
+brute force on GENERATED inputs — heavy ties, skewed groups, degenerate
+single-value keys — the distributions where bucket-boundary bugs live.
+(Hypothesis drives the generation; one Spark job per example would be
+minutes per test, so examples are drawn once per case list and executed
+in a single createDataFrame round-trip per scenario.)"""
+
+from __future__ import annotations
+
+import random
+import sys
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+from secdb_spark.operators._global_order import (  # noqa: E402
+    bucketed_global_rank,
+    bucketed_prefix_min,
+    bucketed_prefix_sum,
+    grouped_bucketed_topk,
+    grouped_range_prefix_sum,
+)
+
+
+def _cases(seed: int, n: int, n_keys: int, n_groups: int):
+    """Adversarial row generator: few distinct keys (massive ties),
+    skewed group sizes, integer values."""
+    rng = random.Random(seed)
+    return [
+        (
+            i,  # rid (unique tiebreak)
+            float(rng.randrange(n_keys)),  # key with heavy ties
+            rng.randrange(n_groups) if rng.random() < 0.8 else 0,  # skewed grp
+            rng.randrange(-50, 100),  # value
+        )
+        for i in range(n)
+    ]
+
+
+SCENARIOS = [
+    _cases(1, 500, 3, 4),     # 3 distinct keys: most rows are bucket peers
+    _cases(2, 400, 400, 2),   # all-distinct keys, 2 groups
+    _cases(3, 300, 1, 5),     # ONE key value: every row is a tie
+    _cases(4, 600, 17, 1),    # single group
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "rid long, key double, grp int, val long"
+    )
+
+
+def test_bucketed_global_rank_matches_bruteforce(spark):
+    for rows in SCENARIOS:
+        got = {
+            r.rid: r.rk
+            for r in bucketed_global_rank(
+                _df(spark, rows), "key", ["rid"], n_buckets=7, out="rk"
+            ).collect()
+        }
+        expected = {
+            rid: i + 1
+            for i, (rid, _k, _g, _v) in enumerate(
+                sorted(rows, key=lambda t: (t[1], t[0]))
+            )
+        }
+        assert got == expected
+
+
+def test_bucketed_prefix_sum_matches_bruteforce(spark):
+    for rows in SCENARIOS:
+        got = {
+            r.rid: Decimal(r.cs)
+            for r in bucketed_prefix_sum(
+                _df(spark, rows), "key", ["rid"], "val", n_buckets=5, out="cs"
+            ).collect()
+        }
+        run = Decimal(0)
+        for rid, _k, _g, v in sorted(rows, key=lambda t: (t[1], t[0])):
+            run += v
+            assert got[rid] == run
+
+
+def test_bucketed_prefix_min_matches_bruteforce(spark):
+    for rows in SCENARIOS:
+        got = {
+            r.rid: r.pm
+            for r in bucketed_prefix_min(
+                _df(spark, rows), "key", ["rid"], "val", n_buckets=5, out="pm"
+            ).collect()
+        }
+        best = None
+        for rid, _k, _g, v in sorted(rows, key=lambda t: (t[1], t[0])):
+            assert got[rid] == best
+            best = v if best is None else min(best, v)
+
+
+def test_grouped_range_prefix_sum_matches_bruteforce(spark):
+    for rows in SCENARIOS:
+        out = grouped_range_prefix_sum(
+            _df(spark, rows), ["grp"], "key", "val", n_buckets=5, out="cum"
+        ).collect()
+        # brute force: per group, cum at key k = sum of val over key' <= k
+        per = {}
+        for _rid, k, g, v in rows:
+            per.setdefault(g, {}).setdefault(k, 0)
+            per[g][k] += v
+        for r in out:
+            expect_v = per[r.grp][r.key]
+            expect_cum = sum(
+                v for k, v in per[r.grp].items() if k <= r.key
+            )
+            assert Decimal(r._v) == Decimal(expect_v)
+            assert Decimal(r.cum) == Decimal(expect_cum)
+        # one output row per distinct (group, key)
+        assert len(out) == sum(len(ks) for ks in per.values())
+
+
+def test_grouped_bucketed_topk_matches_bruteforce(spark):
+    for rows in SCENARIOS:
+        for k in (1, 3, 10):
+            out = grouped_bucketed_topk(
+                _df(spark, rows), ["grp"], "key", ["rid"], k,
+                n_buckets=6, out="rk",
+            ).collect()
+            per = {}
+            for rid, key, g, _v in rows:
+                per.setdefault(g, []).append((key, rid))
+            expected = {
+                g: [rid for _key, rid in sorted(v)[:k]]
+                for g, v in per.items()
+            }
+            got = {}
+            for r in sorted(out, key=lambda r: (r.grp, r.rk)):
+                got.setdefault(r.grp, []).append(r.rid)
+            assert got == expected

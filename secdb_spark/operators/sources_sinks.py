@@ -494,7 +494,61 @@ def src_xbrl_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _xbrl_facts(spark, sf_dir).withColumn("dims", F.to_json("dims"))
 
 
-@register("xbrl_filings", oracle=None)  # R class: fixture-derived
+def _xbrl_filings_oracle() -> str:
+    """Golden VALUES oracle for xbrl_filings (round 7 — was R class):
+    the 100 generated filings' metadata recomputed as a PURE FUNCTION of
+    fixtures/gen_xbrl.py (independent of the XML parse: accession/cik/
+    form/period come from the generator's arithmetic, n_facts from its
+    emission structure — 1 dei + 3 duration + 2 instant + 3 regional +
+    1 two-dim = 10), plus the four hand-written fixtures' rows as spec
+    literals (no dei fact -> NULL form, period falls back to
+    max(fact period) = 2024-03-31; fact counts 3/2/3/1 — change a
+    fixture and this oracle must change consciously)."""
+    import importlib.util
+
+    path = os.path.abspath(os.path.join(FIXTURES_DIR, "gen_xbrl.py"))
+    spec = importlib.util.spec_from_file_location("gen_xbrl_ss", path)
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    rows = []
+    for acc, ci, qi, amended in gen.all_filings():
+        rows.append(
+            (
+                acc,
+                gen.cik(ci),
+                "10-Q/A" if amended else "10-Q",
+                gen.QUARTERS[qi][1],
+                10,
+                "10-Q",
+                amended,
+            )
+        )
+    for acc, cik_, n in (
+        ("0000001-24-000001", "0000320193", 3),
+        ("0000002-24-000007", "0000789019", 2),
+        ("0000003-24-000012", "0001018724", 3),
+        ("0000004-24-000020", "0001652044", 1),
+    ):
+        rows.append((acc, cik_, None, "2024-03-31", n, None, False))
+
+    def lit(v) -> str:
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        return "'" + v + "'"
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return (
+        f"SELECT * FROM (VALUES {body}) AS t(accession, cik, form, "
+        "period_end, n_facts, base_form, is_amendment)"
+    )
+
+
+@register("xbrl_filings", oracle=_xbrl_filings_oracle())
 def xbrl_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filing-level metadata table (SECDB layer 2: one row per accession):
     cik, form, declared report period, fact count, amendment flag and the

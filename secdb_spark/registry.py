@@ -166,10 +166,11 @@ def certified_at_current_class(name: str) -> bool:
 # its round-7 rows-only→exact upgrade REMOVED it from this historical slate
 # — re-listing it would re-enter it at the queue FRONT and displace the
 # round-7 pinned window (join_inner recert) by one slot.  It queues with
-# the other post-pin upgrades for round 8 via pending_exact.
+# the other post-pin upgrades for round 8 via the R8 slate.  xbrl_filings
+# left for the same reason (round-7 golden-oracle upgrade; R8 slate).
 _ROWS_ONLY_PRIORITY: tuple[str, ...] = (
     "stream_watermark", "stream_dedup", "stream_stateful",
-    "snk_sqlite", "src_xbrl_etl", "xbrl_filings", "xbrl_supersede",
+    "snk_sqlite", "src_xbrl_etl", "xbrl_supersede",
     "build_secdb", "mm_resize", "mm_frame_sample",
 )
 
@@ -323,8 +324,10 @@ _CERT_SLATE_R7: tuple[str, ...] = (
 # EDGAR feed / null-safe join / ADC), and the round-7 rows-only→exact
 # upgrades (dedup_near, dedup_clusters, vocab_growth re-oracle).  Pinning
 # frees round-8 registration to continue: post-freeze ops queue for round
-# 9 without displacing these.  One slot of the 50 is intentionally free.
+# 9 without displacing these.  The 50th slot holds the xbrl_filings
+# golden-oracle upgrade (appended when it left _ROWS_ONLY_PRIORITY).
 _CERT_SLATE_R8: tuple[str, ...] = (
+    "xbrl_filings",
     "doc_quality_gate", "chunk_dedup_share", "dedup_keep_best",
     "text_hapax_ratio", "source_lang_matrix", "embed_pq_codes",
     "embed_matryoshka_truncate", "dedup_prefix_groups", "embed_coreset",

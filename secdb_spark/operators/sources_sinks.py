@@ -622,7 +622,59 @@ def xbrl_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("xbrl_metrics", oracle=None)  # R class: fixture-derived, no view oracle
+def _xbrl_metrics_oracle() -> str:
+    """Golden VALUES oracle for xbrl_metrics (round 7 — was R class):
+    the standardized metrics recomputed as a pure function of
+    fixtures/gen_xbrl.py.  Winners under supersedence are the plain 10-Q
+    for every quarter except the amended one, whose 10-Q/A wins; the
+    consolidated filter (no dimension members) excludes every
+    hand-written fixture fact (all four files carry only dimensioned or
+    unmapped-concept facts — verified, and the oracle freezes that
+    semantic).  net_margin divides the exact integers in DuckDB with the
+    shared round(x, 6), so no Python float formatting is in the path."""
+    import importlib.util
+
+    path = os.path.abspath(os.path.join(FIXTURES_DIR, "gen_xbrl.py"))
+    spec = importlib.util.spec_from_file_location("gen_xbrl_ss2", path)
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    rows = []
+    for ci in range(gen.N_COMPANIES):
+        for qi in range(len(gen.QUARTERS)):
+            amended = qi == gen.AMENDED_QUARTER
+            v = lambda c: gen.value(ci, qi, c, None, amended)  # noqa: E731
+            rows.append(
+                (
+                    gen.accession(ci, qi, amended),
+                    gen.cik(ci),
+                    v("us-gaap:Assets"),
+                    v("us-gaap:Liabilities"),
+                    v("us-gaap:NetIncomeLoss"),
+                    v("us-gaap:OperatingIncomeLoss"),
+                    v("us-gaap:Revenues"),
+                )
+            )
+    body = ", ".join(
+        "('" + r[0] + "', '" + r[1] + "', "
+        + ", ".join(str(x) for x in r[2:]) + ")"
+        for r in rows
+    )
+    return f"""
+    SELECT accession, cik,
+           CAST(assets AS DOUBLE) AS assets,
+           CAST(liabilities AS DOUBLE) AS liabilities,
+           CAST(net_income AS DOUBLE) AS net_income,
+           CAST(operating_income AS DOUBLE) AS operating_income,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(net_income AS DOUBLE) / CAST(revenue AS DOUBLE), 6)
+             AS net_margin
+    FROM (VALUES {body}) AS t(accession, cik, assets, liabilities,
+                              net_income, operating_income, revenue)
+    """
+
+
+@register("xbrl_metrics", oracle=_xbrl_metrics_oracle())
 def xbrl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standardized per-filing metrics — the reference's core domain output
     (SURVEY §1.1 layer 2: "a standardized subset of metrics per filing

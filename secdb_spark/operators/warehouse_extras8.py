@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._global_order import grouped_range_prefix_sum
 from ._helpers import r4
 
 # ---------------------------------------------------------------------------
@@ -873,3 +874,67 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_percentile_disc — discrete percentiles per group (round-7 batch 6)
+# ---------------------------------------------------------------------------
+
+PD_PS = ((1, 4), (1, 2), (3, 4))  # exact rationals: p25 / p50 / p75
+
+
+@register(
+    "agg_percentile_disc",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {", ".join(
+               f"quantile_disc(l_extendedprice, {num}.0/{den})"
+               f" AS p{int(num * 100 // den)}"
+               for num, den in PD_PS)}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (quantile_disc / SQL percentile_disc
+    semantics: the value at rank ceil(p·n) of the ordered inputs —
+    always an actual data point, unlike agg_percentile's interpolation;
+    rule probe-verified against DuckDB and computed below in pure
+    integer arithmetic: rank = (num·n + den − 1) div den).
+
+    Computed without any fact-table window: aggregate to distinct
+    (flag, price) counts, run the grouped bucketed prefix sum over the
+    per-price counts (`_global_order.grouped_range_prefix_sum` — the
+    agg_weighted_median kernel with weight = row count, so the
+    low-cardinality flag key never funnels), then each percentile is a
+    min-over-threshold pick.  Raw parquet doubles cross engines
+    untouched; ranks are exact integers — no FP in the pick at all.
+
+    This shape IS the scale kernel (no below-gate variant needed: the
+    pre-aggregate + bucketed cumsum is also the cheapest plan at small
+    scale, unlike the window kernels the gates arbitrate)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    )
+    cum = grouped_range_prefix_sum(
+        li.withColumn("one", F.lit(1)),
+        ["l_returnflag"],
+        "price",
+        "one",
+        out="_cum",
+    )
+    tot = cum.groupBy("l_returnflag").agg(
+        F.sum("_v").cast("long").alias("n")
+    )
+    j = cum.join(F.broadcast(tot), "l_returnflag")
+    picks = []
+    for num, den in PD_PS:
+        threshold = F.floor(
+            (F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)
+        ).cast("long")
+        picks.append(
+            F.min(
+                F.when(F.col("_cum") >= threshold, F.col("price"))
+            ).alias(f"p{int(num * 100 // den)}")
+        )
+    return j.groupBy("l_returnflag").agg(F.max("n").alias("n"), *picks)

@@ -245,3 +245,20 @@ def test_session_bounce_rate_vs_bruteforce(q, spark):
         row = got.loc[et]
         assert row.n_sessions == stats[et]
         assert row.n_bounce == bounce[et]
+
+
+def test_agg_percentile_disc_vs_bruteforce(q, spark):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).toPandas()
+    got = q("agg_percentile_disc").set_index("l_returnflag")
+    for flag, g in li.groupby("l_returnflag"):
+        vals = sorted(g.l_extendedprice)
+        n = len(vals)
+        row = got.loc[flag]
+        assert row.n == n
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            rank = -(-int(p * 4) * n // 4)  # ceil(p*n) with p in quarters
+            assert row[col] == vals[rank - 1]
+            # discrete percentile is always an actual data point
+            assert row[col] in set(vals)

@@ -49,6 +49,11 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — inferential statistics r6n": "conversion_rate_ci abtest_ztest survival_km",
     "Beyond SURVEY — recommendations/evaluation r6o": "cf_item_similarity lsh_eval simhash_pairs",
     "Beyond SURVEY — novelty/econ/chi2 r6p (round-8 queue)": "text_novelty price_elasticity chi2_independence sla_attainment top_decile_share brand_transition trade_balance anova_dow vocab_growth user_lifetime_dist sla_percentiles peak_to_avg error_rate_daily brand_breadth first_touch_mix",
+    "Beyond SURVEY — curation/dedup/mixing r7a": "doc_quality_gate token_fertility_by_lang text_hapax_ratio source_lang_matrix chunk_dedup_share dedup_prefix_groups dedup_keep_best source_vocab_overlap mix_epoch_upsample",
+    "Beyond SURVEY — embeddings/ANN r7b": "embed_pq_codes ann_ivf_assign ann_pq_adc_topk embed_matryoshka_truncate embed_coreset",
+    "Beyond SURVEY — time-series/trend r7c": "ts_rolling_corr ts_rsi ts_trend_slope events_dispersion users_cumulative orders_seasonality_index",
+    "Beyond SURVEY — warehouse/ops analytics r7d": "supplier_otd funnel_latency session_bounce_rate customer_reorder_rate brand_return_rate nation_tax_rate discount_band_rev agg_geomean agg_percentile_disc join_null_safe events_props_stats graph_degree_dist",
+    "Beyond SURVEY — EDGAR feed ingestion r7e": "src_edgar_feed",
 }
 
 

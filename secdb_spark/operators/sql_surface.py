@@ -731,3 +731,25 @@ _sql_op(
     LIMIT 50 OFFSET 100
     """,
 )
+
+# -- named WINDOW clause (SQL:2003 WINDOW w AS ...) -------------------------
+# One window definition shared by several functions — the surface that
+# keeps multi-metric window queries readable AND plans them as a single
+# Window node over one (custkey) shuffle+sort: Catalyst resolves every
+# OVER w against the same spec, so adding metrics adds zero Exchanges.
+# High-cardinality partition key (scale-safe window class).
+_sql_op(
+    "sql_named_window",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           row_number() OVER w AS seq,
+           lag(o_totalprice) OVER w AS prev_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER wf
+                      AS DOUBLE), 4) AS run_total
+    FROM orders
+    WHERE o_custkey < 500
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)

@@ -398,9 +398,11 @@ def _load_operators() -> None:
     # Import for side effect: each module registers its operators.
     from .operators import (  # noqa: F401
         aggregations,
+        corpus_extras,
         curation_extras,
         econ_extras,
         edgar_feed,
+        embed_extras,
         functions_scalar,
         geo_extras,
         ivm_extras,
@@ -418,6 +420,7 @@ def _load_operators() -> None:
         sources_sinks,
         sql_surface,
         stats_extras,
+        stats_extras2,
         streaming,
         text_analysis,
         timeseries,
@@ -431,6 +434,7 @@ def _load_operators() -> None:
         warehouse_extras6,
         warehouse_extras7,
         warehouse_extras8,
+        warehouse_extras9,
         windows,
         xbrl_analytics,
     )

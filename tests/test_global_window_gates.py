@@ -143,6 +143,7 @@ MODEL_SIZED_ALLOWLIST = {
     ("warehouse_extras7.py", "corpus_zipf_slope"): "rank over the top-N term aggregate (N-bounded)",
     ("warehouse_extras7.py", "users_cumulative"): "running sum over the per-day aggregate (calendar-bounded)",
     ("warehouse_extras8.py", "ts_rolling_corr"): "moment windows over the per-day aggregate (calendar-bounded)",
+    ("warehouse_extras9.py", "brand_rank_shift"): "ranking windows over the |brands|-row aggregate (model-sized)",
 }
 
 #: functions whose global-window use is the below-gate branch of a

@@ -54,6 +54,10 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — time-series/trend r7c": "ts_rolling_corr ts_rsi ts_trend_slope events_dispersion users_cumulative orders_seasonality_index",
     "Beyond SURVEY — warehouse/ops analytics r7d": "supplier_otd funnel_latency session_bounce_rate customer_reorder_rate brand_return_rate nation_tax_rate discount_band_rev agg_geomean agg_percentile_disc join_null_safe events_props_stats graph_degree_dist",
     "Beyond SURVEY — EDGAR feed ingestion r7e": "src_edgar_feed",
+    "Beyond SURVEY — two-sample tests r7f": "stat_mannwhitney stat_ks_2samp stat_welch_ttest",
+    "Beyond SURVEY — embedding diagnostics r7g": "embed_dim_stats embed_label_outliers embed_margin",
+    "Beyond SURVEY — oscillators/aging/concentration r7h": "ts_stochastic ts_cusum event_gap_hist brand_rank_shift part_supplier_concentration order_priority_aging",
+    "Beyond SURVEY — readability/length/window-clause r7i": "text_readability corpus_word_len_dist sql_named_window",
 }
 
 

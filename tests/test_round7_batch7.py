@@ -329,3 +329,58 @@ def test_corpus_word_len_dist_vs_bruteforce(q, spark):
         assert counts[(row.lang, row.wl)] == row.n
     for _, g in got.groupby("lang"):
         assert g.share.sum() == pytest.approx(1.0, abs=0.01)
+
+
+# --- plan pins (SCALE.md §28) ----------------------------------------------
+
+
+import contextlib
+import io
+
+
+def _plan(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_text_readability_is_map_only(spark):
+    p = _plan(spark, "text_readability")
+    assert re.findall(r"\(\d+\) Exchange\b", p) == [], (
+        "readability must stay fused in the scan (zero Exchange)"
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_embed_dim_stats_single_exchange(spark):
+    p = _plan(spark, "embed_dim_stats")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, (
+        "dim stats must be one combinable aggregate (single shuffle)"
+    )
+    assert p.count("HashAggregate") >= 2, "partial aggregation regressed"
+
+
+def test_embed_ops_broadcast_centroids_no_cartesian(spark):
+    for name in ("embed_label_outliers", "embed_margin"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, f"{name}: centroid join must broadcast"
+        assert "CartesianProduct" not in p, name
+
+
+def test_stat_kernels_no_global_window_over_data(spark):
+    """The rank/ECDF windows must be partitioned by _bucket (the kernel),
+    never partition-less over the distinct-value frame."""
+    for name in ("stat_mannwhitney", "stat_ks_2samp"):
+        p = _plan(spark, name)
+        for m in re.finditer(r"Window .*", p):
+            assert "_bucket" in m.group(0) or "partitionBy" not in m.group(0)
+        assert "CartesianProduct" not in p
+
+
+def test_part_supplier_concentration_two_shuffles(spark):
+    p = _plan(spark, "part_supplier_concentration")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2, (
+        "cascaded aggregates must reuse the partkey partitioning"
+    )

@@ -43,12 +43,14 @@ def synthesize(spark, out_dir: str, tables: set[str] | None = None) -> None:
     ev = table(spark, SF_DIR, "events")
     p = table(spark, SF_DIR, "part")
     d = table(spark, SF_DIR, "documents")
+    em = table(spark, SF_DIR, "embeddings")
     KEY = 10_000_000
     li_n = None
     o_n = None
     ev_n = None
     p_n = None
     d_n = None
+    em_n = None
     for k in range(MULT):
         li_k = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * KEY))
         o_k = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * KEY)).withColumn(
@@ -61,12 +63,16 @@ def synthesize(spark, out_dir: str, tables: set[str] | None = None) -> None:
             "p_partkey", F.col("p_partkey") + F.lit(k * KEY)
         ).withColumn("p_brand", F.concat_ws("#", "p_brand", F.lit(str(k))))
         d_k = d.withColumn("doc_id", F.col("doc_id") + F.lit(k * KEY))
+        em_k = em.withColumn("vec_id", F.col("vec_id") + F.lit(k * KEY))
         li_n = li_k if li_n is None else li_n.unionByName(li_k)
         o_n = o_k if o_n is None else o_n.unionByName(o_k)
         ev_n = ev_k if ev_n is None else ev_n.unionByName(ev_k)
         p_n = p_k if p_n is None else p_n.unionByName(p_k)
         d_n = d_k if d_n is None else d_n.unionByName(d_k)
-    need = tables or {"lineitem", "orders", "events", "part", "documents"}
+        em_n = em_k if em_n is None else em_n.unionByName(em_k)
+    need = tables or {
+        "lineitem", "orders", "events", "part", "documents", "embeddings"
+    }
     if "lineitem" in need:
         layout.write_partitioned(
             li_n, f"{out_dir}/lineitem", "l_returnflag", 4 * 1024 * 1024
@@ -79,6 +85,8 @@ def synthesize(spark, out_dir: str, tables: set[str] | None = None) -> None:
         p_n.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/part")
     if "documents" in need:
         d_n.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/documents")
+    if "embeddings" in need:
+        em_n.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/embeddings")
 
 
 def q_agg(li):
@@ -514,6 +522,69 @@ def q_minhash(d):
     )
 
 
+def q_mw_kernel(ev):
+    """stat_mannwhitney's algebra: distinct-value aggregate -> bucketed
+    global prefix sum -> join back -> one-row moment aggregate."""
+    from secdb_spark.operators._global_order import grouped_range_prefix_sum
+
+    d = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
+        )
+        .groupBy("v")
+        .agg(F.sum("i1").alias("c1"), F.count(F.lit(1)).alias("t"))
+    )
+    cum = grouped_range_prefix_sum(d, [], "v", "t", out="_cum").withColumn(
+        "cum", F.col("_cum").cast("long")
+    )
+    return (
+        d.join(cum.select("v", "cum"), "v")
+        .agg(
+            F.sum(F.col("c1") * (2 * F.col("cum") - F.col("t") + 1)).alias(
+                "r1x2"
+            ),
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+                "ties"
+            ),
+        )
+    )
+
+
+def q_embed_margin(em):
+    """embed_margin's algebra: posexplode -> broadcast centroid scan on
+    pos (dims x K per row) -> cascaded combinable aggregates."""
+    e = em.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id", "label", "pos", F.col("xf").cast("double").alias("x")
+    )
+    cent = e.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("x").alias("c")
+    )
+    tq = F.floor(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1000000 + 0.5
+    ).cast("long")
+    d = (
+        e.join(F.broadcast(cent), "pos")
+        .select("vec_id", "label", "clabel", tq.alias("tq"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum("tq").alias("d2q"))
+    )
+    v = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2q"))).alias(
+            "d_own"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2q"))).alias(
+            "d_other"
+        ),
+    )
+    return v.groupBy("label").agg(
+        F.count(F.when(F.col("d_other") < F.col("d_own"), 1)).alias("nc")
+    )
+
+
 def timed(df) -> float:
     df.write.mode("overwrite").format("noop").save()
     ts = []
@@ -554,6 +625,10 @@ def main() -> None:
             tables |= {"events"}
         if any(s in "blocked fuzzy join" for s in only):
             tables |= {"part"}
+        if any(s in "mw rank kernel distinct-value cumsum" for s in only):
+            tables |= {"events"}
+        if any(s in "embed margin broadcast centroid scan" for s in only):
+            tables |= {"embeddings"}
         if any(
             s in "bm25 RAG chunking unigram logprob inverted index tfidf minhash chunk dedup share vocab overlap"
             for s in only
@@ -562,9 +637,10 @@ def main() -> None:
         tables = tables or None
     synthesize(spark, out, tables)
 
-    li1, o1, ev1, p1, d1_ = (
+    li1, o1, ev1, p1, d1_, em1 = (
         table(spark, SF_DIR, t)
-        for t in ("lineitem", "orders", "events", "part", "documents")
+        for t in ("lineitem", "orders", "events", "part", "documents",
+                  "embeddings")
     )
     import os
 
@@ -577,6 +653,7 @@ def main() -> None:
     ev4 = _rd("events")
     p4 = _rd("part")
     d4_ = _rd("documents")
+    em4 = _rd("embeddings")
 
     # (name, shape_fn, 1x inputs, Nx inputs) — shapes construct lazily so
     # --only skips even construction (q_prefix_bucketed runs an eager
@@ -608,6 +685,8 @@ def main() -> None:
         ("dup-payment audit (blocked self-join)", q_dup_audit, (o1,), (o4,)),
         ("weighted median RANGE window", q_wmedian, (li1,), (li4,)),
         ("weighted median BUCKETED", q_wmedian_bucketed, (li1,), (li4,)),
+        ("mw rank kernel (distinct-value cumsum)", q_mw_kernel, (ev1,), (ev4,)),
+        ("embed margin (broadcast centroid scan)", q_embed_margin, (em1,), (em4,)),
     ]
     rows = []
     for name, fn, in1, inN in shapes:

@@ -435,6 +435,7 @@ def _load_operators() -> None:
         warehouse_extras7,
         warehouse_extras8,
         warehouse_extras9,
+        warehouse_extras10,
         windows,
         xbrl_analytics,
     )

@@ -1,0 +1,173 @@
+"""Round-7 additions, batch 12a — IVF retrieval evaluation.
+
+Reference semantics: SURVEY §2 extension policy (mount empty) — the
+evaluation harness for the IVF family, the lsh_eval twin: measure what
+the nprobe=1 IVF index actually buys (recall@k vs the exact scan, and
+the fraction of the corpus it had to touch).  The sketch is evaluated,
+not trusted — same doctrine that certified lsh_eval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import r4
+from .llm_pipeline import _IVF_SEED_SQL, N_CENTROIDS, _emb, ann_ivf_assign
+
+IVF_EVAL_K = 3
+IVF_EVAL_MOD = 10  # query set: vec_id % MOD == 0
+
+_FOLD = (
+    "list_reduce(list_transform({v}, x -> x * x), (acc, x) -> acc + x)"
+)
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "ivf_eval",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY {_IVF_SEED_SQL}, vec_id) - 1
+               AS c_idx,
+             e AS c,
+             sqrt({_FOLD.format(v='e')}) AS cnorm
+      FROM emb
+      ORDER BY {_IVF_SEED_SQL}, vec_id
+      LIMIT {N_CENTROIDS}
+    ), apairs AS (
+      SELECT q.vec_id, s.c_idx,
+             {_DOT.format(a='q.e', b='s.c')}
+             / (sqrt({_FOLD.format(v='q.e')}) * s.cnorm) AS sim
+      FROM emb q CROSS JOIN seeds s
+    ), assign AS (
+      SELECT vec_id, c_idx AS bucket
+      FROM (SELECT vec_id, c_idx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, c_idx) AS rn
+            FROM apairs)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM emb
+      WHERE vec_id % {IVF_EVAL_MOD} = 0
+    ), cp AS (
+      SELECT q.qid, c.vec_id AS cid,
+             {_DOT.format(a='q.qe', b='c.e')}
+             / (sqrt({_FOLD.format(v='q.qe')})
+                * sqrt({_FOLD.format(v='c.e')})) AS sim
+      FROM q CROSS JOIN emb c WHERE c.vec_id <> q.qid
+    ), ex AS (
+      SELECT qid, cid
+      FROM (SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM cp)
+      WHERE rn <= {IVF_EVAL_K}
+    ), ip_all AS (
+      SELECT cp.qid, cp.cid, cp.sim
+      FROM cp
+      JOIN assign qa ON qa.vec_id = cp.qid
+      JOIN assign ca ON ca.vec_id = cp.cid AND ca.bucket = qa.bucket
+    ), iv AS (
+      SELECT qid, cid
+      FROM (SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM ip_all)
+      WHERE rn <= {IVF_EVAL_K}
+    ), agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS nq,
+             (SELECT CAST(count(*) AS BIGINT) FROM emb) AS nn,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM ex JOIN iv USING (qid, cid)) AS hits,
+             (SELECT CAST(count(*) AS BIGINT) FROM ip_all) AS nc
+    )
+    SELECT nq AS n_queries,
+           round(CAST(hits AS DOUBLE) / ({IVF_EVAL_K} * nq), 4)
+             AS recall_at_k,
+           round(CAST(nc AS DOUBLE) / (CAST(nq AS DOUBLE) * (nn - 1)), 4)
+             AS scan_frac
+    FROM agg
+    """,
+)
+def ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{IVF_EVAL_K} and corpus scan fraction of the nprobe=1 IVF
+    index against the exact cosine scan, over the deterministic
+    vec_id % {IVF_EVAL_MOD} query set — the index is EVALUATED, not
+    trusted (lsh_eval's doctrine applied to the IVF family).  The bucket
+    assignment is the certified production basis (ann_ivf_assign's
+    md5-seeded centroids, called directly so this op can never drift
+    from it); cosine uses the same strict-fold tree, so the exact and
+    IVF top-k picks are bit-identical cross-engine and every recall hit
+    is an integer set-intersection fact.  Scale shape: the exact side
+    is the query-broadcast scan (|Q| x N — the ground-truth price, which
+    is why |Q| is a sample); the IVF side joins through the bucket
+    assignment and touches scan_frac of that.  Both top-k windows
+    partition on qid (high-cardinality, scale-safe)."""
+    emb = _emb(spark, sf_dir)
+    assign = ann_ivf_assign(spark, sf_dir).select("vec_id", "bucket")
+    q = emb.filter(F.col("vec_id") % IVF_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.sqrt(sq(F.col("qe"))) * F.sqrt(sq(F.col("e"))))
+    cp = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    ex = (
+        cp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_EVAL_K)
+        .select("qid", "cid")
+    )
+    qa = assign.withColumnRenamed("vec_id", "qid")
+    ca = assign.withColumnRenamed("vec_id", "cid").withColumnRenamed(
+        "bucket", "cbucket"
+    )
+    ip_all = (
+        cp.join(F.broadcast(qa), "qid")
+        .join(F.broadcast(ca), "cid")
+        .filter(F.col("bucket") == F.col("cbucket"))
+        .select("qid", "cid", "sim")
+    )
+    iv = (
+        ip_all.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_EVAL_K)
+        .select("qid", "cid")
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("nq"))
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    hits = ex.join(iv, ["qid", "cid"]).agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    nc = ip_all.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    m = (
+        nq.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(nc))
+    )
+    return m.select(
+        F.col("nq").alias("n_queries"),
+        r4(
+            F.col("hits").cast("double") / (IVF_EVAL_K * F.col("nq"))
+        ).alias("recall_at_k"),
+        r4(
+            F.col("nc").cast("double")
+            / (F.col("nq").cast("double") * (F.col("nn") - 1))
+        ).alias("scan_frac"),
+    )

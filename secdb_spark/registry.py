@@ -403,6 +403,7 @@ def _load_operators() -> None:
         econ_extras,
         edgar_feed,
         embed_extras,
+        eval_extras,
         functions_scalar,
         geo_extras,
         ivm_extras,
@@ -436,6 +437,7 @@ def _load_operators() -> None:
         warehouse_extras8,
         warehouse_extras9,
         warehouse_extras10,
+        warehouse_extras11,
         windows,
         xbrl_analytics,
     )

@@ -59,6 +59,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — oscillators/aging/concentration r7h": "ts_stochastic ts_cusum event_gap_hist brand_rank_shift part_supplier_concentration order_priority_aging",
     "Beyond SURVEY — readability/length/window-clause r7i": "text_readability corpus_word_len_dist sql_named_window",
     "Beyond SURVEY — json sink/info-rate/stickiness/structs r7j": "snk_json markov_entropy_rate source_cross_entropy stickiness_ratio graph_assortativity fn_struct",
+    "Beyond SURVEY — IVF eval/entropy bands/decay fits r7k": "ivf_eval user_hour_entropy retention_halflife supplier_leadtime_drift",
 }
 
 

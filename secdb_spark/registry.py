@@ -438,6 +438,7 @@ def _load_operators() -> None:
         warehouse_extras9,
         warehouse_extras10,
         warehouse_extras11,
+        warehouse_extras12,
         windows,
         xbrl_analytics,
     )

@@ -50,6 +50,10 @@ __all__ = [
     "grouped_prefix_sum",
     "deterministic_sample",
     "cosine_topk",
+    "percentile_disc",
+    "mannwhitney_u",
+    "entropy_by",
+    "trailing_distinct",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -404,4 +408,133 @@ def cosine_topk(
     spark = emb.sparkSession
     return _topk_bucketed(
         spark, renamed, probe=probe if probe is not None else N_CENTROIDS, k=k
+    )
+
+
+# --- round-7 kernels ---------------------------------------------------------
+
+
+def percentile_disc(
+    df: DataFrame, group_cols: list[str], value_col: str,
+    ps: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4)),
+) -> DataFrame:
+    """Discrete percentiles (value at rank ceil(p*n)) per group on ANY
+    table — agg_percentile_disc's kernel: distinct-value pre-aggregate +
+    grouped bucketed prefix sum, zero fact-table windows, exact integer
+    rank arithmetic.  `ps` are exact rationals (num, den).  Returns one
+    row per group with n and p<pct> columns."""
+    src = df.select(*group_cols, F.col(value_col).alias("_val")).withColumn(
+        "_one", F.lit(1)
+    )
+    cum = grouped_range_prefix_sum(src, list(group_cols), "_val", "_one",
+                                   out="_cum")
+    tot = cum.groupBy(*group_cols).agg(
+        F.sum("_v").cast("long").alias("_n")
+    )
+    j = cum.join(F.broadcast(tot), list(group_cols))
+    picks = []
+    for num, den in ps:
+        threshold = F.floor(
+            (F.lit(num) * F.col("_n") + F.lit(den - 1)) / F.lit(den)
+        ).cast("long")
+        picks.append(
+            F.min(
+                F.when(F.col("_cum") >= threshold, F.col("_val"))
+            ).alias(f"p{int(num * 100 // den)}")
+        )
+    return j.groupBy(*group_cols).agg(F.max("_n").alias("n"), *picks)
+
+
+def mannwhitney_u(
+    df: DataFrame, value_col: str, group_col: str, group_a: str,
+    group_b: str, scale: int = 100,
+) -> DataFrame:
+    """Tie-corrected Mann-Whitney U between two groups of ANY table —
+    stat_mannwhitney's kernel: values quantize to integers at `scale`,
+    ranks run over the distinct-value aggregate via the bucketed global
+    prefix sum (never single-partition), U and z from exact integer
+    moments.  Returns one row (n1, n2, u1, z)."""
+    ev = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.floor(F.col(value_col) * scale + 0.5).cast("long").alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("i1"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("i2"),
+    )
+    d = ev.groupBy("v").agg(
+        F.sum("i1").cast("long").alias("c1"),
+        F.sum("i2").cast("long").alias("c2"),
+    )
+    cum = grouped_range_prefix_sum(
+        d.withColumn("t", F.col("c1") + F.col("c2")), [], "v", "t",
+        out="_cum",
+    ).withColumn("cum", F.col("_cum").cast("long"))
+    c = d.join(cum.select("v", "cum"), "v").withColumn(
+        "t", F.col("c1") + F.col("c2")
+    )
+    a = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum") - F.col("t") + 1))
+        .cast("long").alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = (F.col("r1x2") - n1 * (n1 + 1)).cast("double") / 2
+    mu = n1.cast("double") * n2 / 2
+    tie_frac = F.col("ties").cast("double") / (
+        (n1 + n2).cast("double") * (n1 + n2 - 1)
+    )
+    var = n1.cast("double") * n2 / 12 * ((n1 + n2 + 1) - tie_frac)
+    return a.select(
+        "n1", "n2", u1.alias("u1"),
+        ((u1 - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+def entropy_by(
+    df: DataFrame, group_cols: list[str], token_col: str,
+) -> DataFrame:
+    """Shannon entropy (bits) of `token_col`'s distribution per group on
+    ANY table — the quantize-then-sum DECIMAL(38,12) discipline shared
+    by text_entropy_tokens / markov_entropy_rate, so results are
+    bit-stable under repartitioning.  Returns (group_cols..., n,
+    h_bits)."""
+    import math
+
+    ln2 = math.log(2)
+    c = df.groupBy(*group_cols, F.col(token_col).alias("_tok")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    n = F.sum("_c").cast("long")
+    s = F.sum(
+        (F.col("_c") * F.log(F.col("_c").cast("double")))
+        .cast("decimal(38,12)")
+    ).cast("double")
+    return c.groupBy(*group_cols).agg(
+        n.alias("n"),
+        ((F.log(n.cast("double")) - s / F.sum("_c")) / ln2).alias("h_bits"),
+    )
+
+
+def trailing_distinct(
+    df: DataFrame, id_col: str, day_col: str, window_days: int = 7,
+    out: str = "trailing_distinct",
+) -> DataFrame:
+    """Trailing-N-day distinct count of `id_col` per day on ANY table —
+    stickiness_ratio's cover-set explode: each distinct (id, day)
+    activity row fans to the `window_days` days it covers, so the
+    rolling distinct becomes a plain combinable count (no windowed
+    distinct exists in any engine).  `day_col` must be an integer day
+    index.  Returns (day, out) for every day the cover set reaches."""
+    act = df.select(
+        F.col(id_col).alias("_id"), F.col(day_col).alias("_day")
+    ).distinct()
+    cover = act.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("_day"), F.col("_day") + (window_days - 1))
+        ).alias("_day"),
+    ).distinct()
+    return cover.groupBy(F.col("_day").alias(day_col)).agg(
+        F.count(F.lit(1)).alias(out)
     )

@@ -5,6 +5,8 @@ every test here builds its own DataFrames with its own column names
 from __future__ import annotations
 
 import sys
+
+import pytest
 from datetime import datetime
 
 sys.path.insert(0, "/root/repo")
@@ -212,3 +214,76 @@ def test_near_dup_pairs_precision_is_one(spark):
     assert {(100, 101)} <= {
         tuple(sorted((r.id_a, r.id_b))) for r in got.itertuples()
     }
+
+
+def test_percentile_disc_on_custom_table(spark):
+    from secdb_spark import api
+
+    rows = [("g1", float(v)) for v in range(1, 101)] + [
+        ("g2", float(v)) for v in [5, 5, 5, 9]
+    ]
+    df = spark.createDataFrame(rows, "grp string, score double")
+    got = {
+        r["grp"]: r
+        for r in api.percentile_disc(df, ["grp"], "score").collect()
+    }
+    # g1: 1..100 -> p25=25 (rank 25), p50=50, p75=75
+    assert got["g1"]["n"] == 100
+    assert (got["g1"]["p25"], got["g1"]["p50"], got["g1"]["p75"]) == (
+        25.0, 50.0, 75.0,
+    )
+    # g2: [5,5,5,9] -> ranks ceil(.25*4)=1 ->5, ceil(.5*4)=2 ->5, ceil(.75*4)=3 ->5
+    assert (got["g2"]["p25"], got["g2"]["p50"], got["g2"]["p75"]) == (
+        5.0, 5.0, 5.0,
+    )
+
+
+def test_mannwhitney_u_on_custom_table(spark):
+    from secdb_spark import api
+
+    # identical distributions -> U ~ n1*n2/2, z ~ 0
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = api.mannwhitney_u(df, "x", "grp", "a", "b").collect()[0]
+    assert r["n1"] == r["n2"] == 10
+    assert r["u1"] == pytest.approx(50.0)
+    assert r["z"] == pytest.approx(0.0, abs=1e-9)
+    # clearly shifted -> extreme U
+    rows2 = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v + 100)) for v in range(10)
+    ]
+    df2 = spark.createDataFrame(rows2, "grp string, x double")
+    r2 = api.mannwhitney_u(df2, "x", "grp", "a", "b").collect()[0]
+    assert r2["u1"] == 0.0 and r2["z"] < -3
+
+
+def test_entropy_by_on_custom_table(spark):
+    import math
+
+    from secdb_spark import api
+
+    rows = [("u", t) for t in "aabb"] + [("p", t) for t in "aaaa"]
+    df = spark.createDataFrame(rows, "grp string, tok string")
+    got = {r["grp"]: r for r in api.entropy_by(df, ["grp"], "tok").collect()}
+    assert got["u"]["h_bits"] == pytest.approx(1.0, abs=1e-9)
+    assert got["p"]["h_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert got["u"]["n"] == 4 and got["p"]["n"] == 4
+    assert math.isfinite(got["u"]["h_bits"])
+
+
+def test_trailing_distinct_on_custom_table(spark):
+    from secdb_spark import api
+
+    rows = [(1, 0), (2, 0), (1, 1), (3, 5)]
+    df = spark.createDataFrame(rows, "uid int, day int")
+    got = {
+        r["day"]: r["trailing_distinct"]
+        for r in api.trailing_distinct(df, "uid", "day", 3).collect()
+    }
+    # day 0: users {1,2}; day 1: {1,2} (0-day activity covers) + {1} -> {1,2}
+    # day 2: covers days 0..2 -> {1,2}; day 3: covers 1..3 -> {1}
+    assert got[0] == 2 and got[1] == 2 and got[2] == 2
+    assert got[3] == 1
+    assert got[5] == 1 and got[7] == 1

@@ -346,6 +346,32 @@ _CERT_SLATE_R8: tuple[str, ...] = (
 )
 
 
+# The 30 ops pinned to ROUND-9 certification slots: everything pending
+# after the round-8 slate settles, in the order the queue held when round
+# 7 closed at 398 registrations — agg_percentile_disc and the round-7
+# batches 7-13 (two-sample tests, embedding diagnostics, oscillators,
+# readability, JSON sink, information-rate metrics, stickiness,
+# assortativity, structs, IVF eval, decay fits, behavioral PMI,
+# cannibalization, bigram LM), plus the xbrl_metrics golden-oracle
+# recert.  20 slots stay free for round-8 registrations.  As with the
+# earlier slates, pinning keeps later module-import reordering from
+# shuffling the queue; once CORRECTNESS_r09.json lands these names
+# settle and the slate no-ops.
+_CERT_SLATE_R9: tuple[str, ...] = (
+    "agg_percentile_disc",
+    "stat_mannwhitney", "stat_ks_2samp", "stat_welch_ttest",
+    "embed_dim_stats", "embed_label_outliers", "embed_margin",
+    "ts_stochastic", "ts_cusum", "event_gap_hist", "brand_rank_shift",
+    "part_supplier_concentration", "order_priority_aging",
+    "text_readability", "corpus_word_len_dist", "sql_named_window",
+    "snk_json", "markov_entropy_rate", "source_cross_entropy",
+    "stickiness_ratio", "graph_assortativity", "fn_struct",
+    "ivf_eval", "user_hour_entropy", "retention_halflife",
+    "supplier_leadtime_drift", "events_type_pmi", "brand_revenue_corr",
+    "text_bigram_logprob", "xbrl_metrics",
+)
+
+
 def _certification_order(names) -> list[str]:
     """Unsettled slate ops first, then other unsettled ops (exact-oracle
     before rows-only, each in registration order), settled last.
@@ -353,7 +379,8 @@ def _certification_order(names) -> list[str]:
     re-queues even though an old rows-only record exists."""
     names = list(names)
     slate = [
-        n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7 + _CERT_SLATE_R8)
+        n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7 + _CERT_SLATE_R8
+           + _CERT_SLATE_R9)
         if n in names and not certified_at_current_class(n)
     ]
     # Oracle-changed recerts queue BEHIND never-certified ops (including

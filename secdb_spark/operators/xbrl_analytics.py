@@ -355,3 +355,181 @@ def xbrl_region_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# xbrl_peer_rank — quarterly revenue league table across the cohort
+# ---------------------------------------------------------------------------
+
+def _peer_rank_gold() -> list[tuple]:
+    rows = []
+    for qi in range(len(_GEN.QUARTERS)):
+        revs = [
+            (_cons_value(ci, qi, "us-gaap:Revenues"), _GEN.cik(ci))
+            for ci in range(_GEN.N_COMPANIES)
+        ]
+        total = sum(r for r, _ in revs)
+        for rank, (rev, cik) in enumerate(
+            sorted(revs, key=lambda t: (-t[0], t[1])), start=1
+        ):
+            rows.append((cik, _QE[qi], rev, rank, _bp(rev, total)))
+    return rows
+
+
+@register(
+    "xbrl_peer_rank",
+    oracle=_values_sql(
+        _peer_rank_gold(), "cik, period_end, revenue, peer_rank, share_bp"
+    ),
+)
+def xbrl_peer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly revenue league table across the filing cohort
+    (post-supersedence): rank within each quarter (revenue DESC, cik
+    tiebreak) and share of cohort revenue in exact basis points — the
+    cross-company standardized-metric query SECDB's layer-2 exists for,
+    certified against generator ground truth.
+
+    Scale: the ranking window runs per period over the |companies|-row
+    consolidated aggregate (model-sized: one row per filer per
+    quarter)."""
+    facts = _xbrl_supersede_facts(spark, sf_dir).filter(
+        (F.col("concept") == "us-gaap:Revenues")
+        & (F.size("dims") == 0)
+        & F.col("cik").isin(*GEN_CIKS)
+    )
+    rows = facts.select(
+        "cik", "period_end", F.col("value_num").cast("long").alias("revenue")
+    )
+    wp = Window.partitionBy("period_end")
+    w = wp.orderBy(F.col("revenue").desc(), F.col("cik"))
+    total = F.sum("revenue").over(wp)
+    return rows.select(
+        "cik",
+        "period_end",
+        "revenue",
+        F.row_number().over(w).cast("long").alias("peer_rank"),
+        F.floor(F.col("revenue").cast("double") * 10000 / total + 0.5)
+        .cast("long")
+        .alias("share_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# xbrl_half_growth — H2-vs-H1 consolidated growth per company
+# ---------------------------------------------------------------------------
+
+def _half_growth_gold() -> list[tuple]:
+    rows = []
+    for ci in range(_GEN.N_COMPANIES):
+        h1 = sum(_cons_value(ci, qi, "us-gaap:Revenues") for qi in (0, 1))
+        h2 = sum(_cons_value(ci, qi, "us-gaap:Revenues") for qi in (2, 3))
+        rows.append((_GEN.cik(ci), h1, h2, _bp(h2 - h1, h1)))
+    return rows
+
+
+@register(
+    "xbrl_half_growth",
+    oracle=_values_sql(
+        _half_growth_gold(), "cik, rev_h1, rev_h2, growth_bp"
+    ),
+)
+def xbrl_half_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-year revenue growth per company (H2 = Q3+Q4 vs H1 = Q1+Q2,
+    post-supersedence — so the Q2 amendment lands in the H1 base, which
+    is exactly the aggregation-after-supersedence discipline this golden
+    oracle pins): growth in exact basis points.
+
+    Scale: one conditional-sum aggregate per cik over the consolidated
+    filing rows (model-sized), no windows."""
+    h1_ends = {_QE[0], _QE[1]}
+    facts = _xbrl_supersede_facts(spark, sf_dir).filter(
+        (F.col("concept") == "us-gaap:Revenues")
+        & (F.size("dims") == 0)
+        & F.col("cik").isin(*GEN_CIKS)
+    )
+    v = F.col("value_num").cast("long")
+    g = facts.groupBy("cik").agg(
+        F.sum(F.when(F.col("period_end").isin(*h1_ends), v))
+        .cast("long")
+        .alias("rev_h1"),
+        F.sum(F.when(~F.col("period_end").isin(*h1_ends), v))
+        .cast("long")
+        .alias("rev_h2"),
+    )
+    return g.select(
+        "cik",
+        "rev_h1",
+        "rev_h2",
+        F.floor(
+            (F.col("rev_h2") - F.col("rev_h1")).cast("double")
+            * 10000
+            / F.col("rev_h1")
+            + 0.5
+        )
+        .cast("long")
+        .alias("growth_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# xbrl_region_hhi — regional revenue concentration per filing
+# ---------------------------------------------------------------------------
+
+def _region_hhi_gold() -> list[tuple]:
+    rows = []
+    for ci in range(_GEN.N_COMPANIES):
+        for qi in range(len(_GEN.QUARTERS)):
+            vals = [_region_value(ci, qi, r) for r in _GEN.REGIONS]
+            total = sum(vals)
+            sumsq = sum(v * v for v in vals)
+            hhi = math.floor(
+                float(sumsq) * 10000 / (float(total) * total) + 0.5
+            )
+            rows.append((_GEN.cik(ci), _QE[qi], total, hhi))
+    return rows
+
+
+@register(
+    "xbrl_region_hhi",
+    oracle=_values_sql(
+        _region_hhi_gold(), "cik, period_end, total_revenue, hhi_bp"
+    ),
+)
+def xbrl_region_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional revenue concentration (Herfindahl, basis points) per
+    filing from the seg:Region dimensioned contexts — the geographic
+    concentration screen beside xbrl_region_mix's share table.  The
+    square sum runs in DECIMAL(38,0) (region values reach ~2e10, so
+    BIGINT squares would overflow); the final bp conversion is the
+    shared float(sumsq)*1e4/(float(total)*total) IEEE tree on both the
+    Spark and the Python-golden side.
+
+    Scale: one combinable aggregate per (cik, period) over exactly
+    |regions| dimensioned rows each."""
+    facts = _xbrl_supersede_facts(spark, sf_dir).filter(
+        (F.col("concept") == "us-gaap:Revenues")
+        & (F.size("dims") == 1)
+        & F.col("dims")["seg:Region"].isNotNull()
+        & F.col("cik").isin(*GEN_CIKS)
+    )
+    v = F.col("value_num").cast("long")
+    g = facts.groupBy("cik", "period_end").agg(
+        F.sum(v).cast("long").alias("total_revenue"),
+        F.sum(v.cast("decimal(38,0)") * v).alias("sumsq"),
+    )
+    return g.select(
+        "cik",
+        "period_end",
+        "total_revenue",
+        F.floor(
+            F.col("sumsq").cast("double")
+            * 10000
+            / (
+                F.col("total_revenue").cast("double")
+                * F.col("total_revenue")
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("hhi_bp"),
+    )

@@ -97,3 +97,42 @@ def test_region_mix_excludes_two_dim_context(q):
                 & (m.region == "AMER")
             ].iloc[0]
             assert row.revenue == expect
+
+
+def test_peer_rank_is_permutation_and_share_sums(q):
+    """Each quarter ranks all companies exactly once; shares sum to
+    ~10000 bp; rank 1 holds the quarter's max revenue."""
+    r = q("xbrl_peer_rank")
+    for qe, g in r.groupby("period_end"):
+        assert sorted(g.peer_rank) == list(
+            range(1, _GEN.N_COMPANIES + 1)
+        )
+        assert abs(g.share_bp.sum() - 10000) <= _GEN.N_COMPANIES  # rounding
+        top = g[g.peer_rank == 1].iloc[0]
+        assert top.revenue == g.revenue.max()
+
+
+def test_half_growth_amendment_lands_in_h1(q):
+    """H1 must include the Q2 amendment delta (supersedence before
+    aggregation)."""
+    r = q("xbrl_half_growth").set_index("cik")
+    for ci in range(_GEN.N_COMPANIES):
+        h1_unamended = sum(
+            _GEN.value(ci, qi, "us-gaap:Revenues", None, False)
+            for qi in (0, 1)
+        )
+        row = r.loc[_GEN.cik(ci)]
+        assert row.rev_h1 == h1_unamended + _GEN.AMEND_DELTA
+        assert row.rev_h2 == sum(
+            _GEN.value(ci, qi, "us-gaap:Revenues", None, qi == _GEN.AMENDED_QUARTER)
+            for qi in (2, 3)
+        )
+
+
+def test_region_hhi_bounds(q):
+    """HHI over 3 regions lies in [10000/3, 10000] bp and every filing
+    appears exactly once."""
+    r = q("xbrl_region_hhi")
+    assert len(r) == _GEN.N_COMPANIES * len(_GEN.QUARTERS)
+    assert (r.hhi_bp >= 10000 // 3).all()
+    assert (r.hhi_bp <= 10000).all()

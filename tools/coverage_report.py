@@ -61,6 +61,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — json sink/info-rate/stickiness/structs r7j": "snk_json markov_entropy_rate source_cross_entropy stickiness_ratio graph_assortativity fn_struct",
     "Beyond SURVEY — IVF eval/entropy bands/decay fits r7k": "ivf_eval user_hour_entropy retention_halflife supplier_leadtime_drift",
     "Beyond SURVEY — behavioral PMI/cannibalization/bigram LM r7l": "events_type_pmi brand_revenue_corr text_bigram_logprob",
+    "Beyond SURVEY — XBRL analytics (golden-certified) r7m": "xbrl_peer_rank xbrl_half_growth xbrl_region_hhi",
 }
 
 

@@ -447,3 +447,96 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.coalesce(F.col("pv"), F.col("nv")))
         ).alias("filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source_length_ks — per-source KS drift of doc-length distributions
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_length_ks",
+    oracle="""
+    WITH d AS (
+      SELECT source, n_chars AS v FROM documents
+    ), sc AS (
+      SELECT source, v, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2
+    ), tot AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM sc GROUP BY v
+    ), ns AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sc GROUP BY source
+    ), nn AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_all FROM sc
+    ), spine AS (
+      SELECT ns.source, ns.n_s, tot.v, tot.ct FROM ns CROSS JOIN tot
+    ), w AS (
+      SELECT spine.source, spine.v,
+             coalesce(sc.c, 0) * (nn.n_all - spine.n_s)
+               - (spine.ct - coalesce(sc.c, 0)) * spine.n_s AS wt,
+             spine.n_s, nn.n_all
+      FROM spine
+      LEFT JOIN sc ON sc.source = spine.source AND sc.v = spine.v
+      CROSS JOIN nn
+    ), cum AS (
+      SELECT source, n_s, n_all,
+             CAST(sum(wt) OVER (PARTITION BY source ORDER BY v)
+                  AS BIGINT) AS cw
+      FROM w
+    )
+    SELECT source, max(n_s) AS n_docs,
+           round(CAST(max(abs(cw)) AS DOUBLE)
+                 / (CAST(max(n_s) AS DOUBLE)
+                    * (max(n_all) - max(n_s))), 4) AS d
+    FROM cum GROUP BY source
+    """,
+)
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: the two-sample Kolmogorov-Smirnov
+    D between each source's doc-length distribution and the REST of the
+    corpus — the data-drift monitor a curation pipeline runs per
+    ingestion feed (a source whose lengths diverge hard is a scraper
+    change).  stat_ks_2samp's integer-ECDF trick generalized to every
+    group at once: for source s at value v the signed weight is
+    c_s·(N−n_s) − (c_rest)·n_s, the per-source cumsum runs through the
+    GROUPED bucketed prefix-sum kernel (sources are low-cardinality —
+    exactly the funnel case), and D = max|cum| / (n_s·(N−n_s)) stays an
+    exact rational until the final round.  The per-source step function
+    must be evaluated on the FULL corpus value spine (a source misses
+    ECDF steps at values only other sources have), so the weight frame
+    is sources x distinct-values — bounded by the length-value domain,
+    not the corpus — with zero-filled source counts."""
+    from ._global_order import grouped_range_prefix_sum
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    sc = d.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = sc.groupBy("v").agg(F.sum("c").cast("long").alias("ct"))
+    ns = sc.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    nn = sc.agg(F.sum("c").cast("long").alias("n_all"))
+    spine = ns.crossJoin(tot)
+    w = (
+        spine.join(sc, ["source", "v"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "wt",
+            F.col("c") * (F.col("n_all") - F.col("n_s"))
+            - (F.col("ct") - F.col("c")) * F.col("n_s"),
+        )
+    )
+    cum = grouped_range_prefix_sum(w, ["source"], "v", "wt", out="_cum")
+    m = cum.groupBy("source").agg(
+        F.max(F.abs(F.col("_cum").cast("long"))).alias("dmax")
+    )
+    out = m.join(F.broadcast(ns), "source").crossJoin(F.broadcast(nn))
+    return out.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        r4(
+            F.col("dmax").cast("double")
+            / (F.col("n_s").cast("double") * (F.col("n_all") - F.col("n_s")))
+        ).alias("d"),
+    )

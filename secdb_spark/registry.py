@@ -346,14 +346,14 @@ _CERT_SLATE_R8: tuple[str, ...] = (
 )
 
 
-# The 38 ops pinned to ROUND-9 certification slots: everything pending
+# The 39 ops pinned to ROUND-9 certification slots: everything pending
 # after the round-8 slate settles, in the order the queue held when round
 # 7 closed at 398 registrations — agg_percentile_disc and the round-7
 # batches 7-13 (two-sample tests, embedding diagnostics, oscillators,
 # readability, JSON sink, information-rate metrics, stickiness,
 # assortativity, structs, IVF eval, decay fits, behavioral PMI,
 # cannibalization, bigram LM, the batch-14 XBRL golden trio), plus the
-# xbrl_metrics golden-oracle recert.  12 slots stay free for round-8
+# xbrl_metrics golden-oracle recert.  11 slots stay free for round-8
 # registrations.  As with the
 # earlier slates, pinning keeps later module-import reordering from
 # shuffling the queue; once CORRECTNESS_r09.json lands these names
@@ -372,7 +372,7 @@ _CERT_SLATE_R9: tuple[str, ...] = (
     "text_bigram_logprob", "xbrl_metrics",
     "xbrl_peer_rank", "xbrl_half_growth", "xbrl_region_hhi",
     "agg_theil", "ts_dominant_period", "attribution_time_decay",
-    "mix_source_cap", "gapfill_interpolate",
+    "mix_source_cap", "gapfill_interpolate", "source_length_ks",
 )
 
 

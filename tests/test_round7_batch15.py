@@ -150,3 +150,20 @@ def test_gapfill_interpolate_vs_bruteforce(q, spark):
             pv, nv = daily.loc[pd_], daily.loc[nd]
             want = pv + (nv - pv) * (di - pd_) / (nd - pd_)
             assert row.filled == pytest.approx(round(want, 4), abs=1e-3)
+
+
+def test_source_length_ks_vs_bruteforce(q, spark):
+    docs = table(spark, SF_DIR, "documents").toPandas()
+    got = q("source_length_ks").set_index("source")
+    for src, g in docs.groupby("source"):
+        a = np.sort(g.n_chars.to_numpy())
+        b = np.sort(docs[docs.source != src].n_chars.to_numpy())
+        grid = np.unique(np.concatenate([a, b]))
+        d = np.abs(
+            np.searchsorted(a, grid, "right") / len(a)
+            - np.searchsorted(b, grid, "right") / len(b)
+        ).max()
+        row = got.loc[src]
+        assert row.n_docs == len(a)
+        assert row.d == pytest.approx(d, abs=1e-3)
+        assert 0 <= row.d <= 1

@@ -62,7 +62,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — IVF eval/entropy bands/decay fits r7k": "ivf_eval user_hour_entropy retention_halflife supplier_leadtime_drift",
     "Beyond SURVEY — behavioral PMI/cannibalization/bigram LM r7l": "events_type_pmi brand_revenue_corr text_bigram_logprob",
     "Beyond SURVEY — XBRL analytics (golden-certified) r7m": "xbrl_peer_rank xbrl_half_growth xbrl_region_hhi",
-    "Beyond SURVEY — Theil/seasonality/attribution/quota/interpolation r7n": "agg_theil ts_dominant_period attribution_time_decay mix_source_cap gapfill_interpolate",
+    "Beyond SURVEY — Theil/seasonality/attribution/quota/interpolation r7n": "agg_theil ts_dominant_period attribution_time_decay mix_source_cap gapfill_interpolate source_length_ks",
 }
 
 

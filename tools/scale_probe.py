@@ -585,6 +585,59 @@ def q_embed_margin(em):
     )
 
 
+def q_attr_decay(ev):
+    """attribution_time_decay's algebra: user-co-partitioned bounded-time
+    touch join + integer 2^-age weights + normalizer join-back."""
+    base = ev.withColumn("us", F.unix_micros("ts"))
+    p = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("us").alias("pus"), "value",
+    )
+    t = base.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", F.col("us").alias("tus")
+    )
+    day_us = 86400000000
+    age = F.floor((F.col("pus") - F.col("tus")) / day_us).cast("long")
+    touch = (
+        p.join(t, "user_id")
+        .filter((F.col("tus") < F.col("pus"))
+                & (F.col("pus") - F.col("tus") < 7 * day_us))
+        .select("pid", "value", "event_type",
+                F.pow(F.lit(2), 7 - age).cast("long").alias("w"))
+    )
+    wsum = touch.groupBy("pid").agg(F.sum("w").alias("wp"))
+    return (
+        touch.join(wsum, "pid")
+        .groupBy("event_type")
+        .agg(F.sum(F.col("value") * F.col("w") / F.col("wp")).alias("cr"))
+    )
+
+
+def q_bigram_lm(d):
+    """text_bigram_logprob's algebra: ordered tokenize, lead() adjacency
+    per doc, vocab-keyed count joins, per-doc aggregate."""
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("i", "w"),
+    )
+    wadj = Window.partitionBy("doc_id").orderBy("i")
+    bg = (
+        toks.withColumn("w2", F.lead("w").over(wadj))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    return (
+        bg.join(bc, ["w1", "w2"]).join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(F.sum(F.log((F.col("c12") + 1.0) / (F.col("c1") + 1000)))
+             .alias("lp"))
+    )
+
+
 def timed(df) -> float:
     df.write.mode("overwrite").format("noop").save()
     ts = []
@@ -625,8 +678,10 @@ def main() -> None:
             tables |= {"events"}
         if any(s in "blocked fuzzy join" for s in only):
             tables |= {"part"}
-        if any(s in "mw rank kernel distinct-value cumsum" for s in only):
+        if any(s in "mw rank kernel distinct-value cumsum time-decay attribution touch join" for s in only):
             tables |= {"events"}
+        if any(s in "bigram LM position self-join" for s in only):
+            tables |= {"documents"}
         if any(s in "embed margin broadcast centroid scan" for s in only):
             tables |= {"embeddings"}
         if any(
@@ -687,6 +742,8 @@ def main() -> None:
         ("weighted median BUCKETED", q_wmedian_bucketed, (li1,), (li4,)),
         ("mw rank kernel (distinct-value cumsum)", q_mw_kernel, (ev1,), (ev4,)),
         ("embed margin (broadcast centroid scan)", q_embed_margin, (em1,), (em4,)),
+        ("time-decay attribution (touch join)", q_attr_decay, (ev1,), (ev4,)),
+        ("bigram LM (lead adjacency)", q_bigram_lm, (d1_,), (d4_,)),
     ]
     rows = []
     for name, fn, in1, inN in shapes:

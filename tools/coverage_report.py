@@ -63,6 +63,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — behavioral PMI/cannibalization/bigram LM r7l": "events_type_pmi brand_revenue_corr text_bigram_logprob",
     "Beyond SURVEY — XBRL analytics (golden-certified) r7m": "xbrl_peer_rank xbrl_half_growth xbrl_region_hhi",
     "Beyond SURVEY — Theil/seasonality/attribution/quota/interpolation r7n": "agg_theil ts_dominant_period attribution_time_decay mix_source_cap gapfill_interpolate source_length_ks",
+    "Beyond SURVEY — EWMA crossovers/session reliability/set dedup/home bias r7o": "ts_ewma_cross session_error_impact dedup_bag_exact nation_home_bias",
 }
 
 

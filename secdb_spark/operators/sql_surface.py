@@ -753,3 +753,22 @@ _sql_op(
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
+
+# -- RANGE frame over a time interval (dialect-shared) ----------------------
+# The time-based sliding window every monitoring query wants: RANGE
+# BETWEEN INTERVAL ... PRECEDING on a timestamp ORDER BY — calendar gaps
+# shorten the frame automatically (unlike ROWS).  Partitioned per user:
+# high-cardinality keys, the scale-safe window class.  The inner decimal
+# cast keeps the frame sum on the exact path.
+_sql_op(
+    "sql_range_interval",
+    """
+    SELECT user_id, event_id, ts,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW) AS DOUBLE), 4) AS sum_1h
+    FROM events
+    WHERE user_id < 200
+    """,
+)

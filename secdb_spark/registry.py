@@ -346,14 +346,14 @@ _CERT_SLATE_R8: tuple[str, ...] = (
 )
 
 
-# The 43 ops pinned to ROUND-9 certification slots: everything pending
+# The 50 ops pinned to ROUND-9 certification slots: everything pending
 # after the round-8 slate settles, in the order the queue held when round
 # 7 closed at 398 registrations — agg_percentile_disc and the round-7
 # batches 7-13 (two-sample tests, embedding diagnostics, oscillators,
 # readability, JSON sink, information-rate metrics, stickiness,
 # assortativity, structs, IVF eval, decay fits, behavioral PMI,
 # cannibalization, bigram LM, the batch-14 XBRL golden trio), plus the
-# xbrl_metrics golden-oracle recert.  7 slots stay free for round-8
+# xbrl_metrics golden-oracle recert.  0 slots stay free — batch 17 filled the window; further round-7/8 registrations queue for round 10 for round-8
 # registrations.  As with the
 # earlier slates, pinning keeps later module-import reordering from
 # shuffling the queue; once CORRECTNESS_r09.json lands these names
@@ -375,6 +375,9 @@ _CERT_SLATE_R9: tuple[str, ...] = (
     "mix_source_cap", "gapfill_interpolate", "source_length_ks",
     "ts_ewma_cross", "session_error_impact", "dedup_bag_exact",
     "nation_home_bias",
+    "ts_sharpe", "brand_size_chi2", "reorder_interval_percentiles",
+    "session_depth_dist", "customer_order_count_dist", "source_dup_rate",
+    "sql_range_interval",
 )
 
 
@@ -474,6 +477,7 @@ def _load_operators() -> None:
         warehouse_extras12,
         warehouse_extras13,
         warehouse_extras14,
+        warehouse_extras15,
         windows,
         xbrl_analytics,
     )

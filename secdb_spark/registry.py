@@ -478,6 +478,7 @@ def _load_operators() -> None:
         warehouse_extras13,
         warehouse_extras14,
         warehouse_extras15,
+        warehouse_extras16,
         windows,
         xbrl_analytics,
     )

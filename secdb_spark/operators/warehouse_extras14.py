@@ -161,7 +161,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
       SELECT user_id, event_type, epoch_us(ts) AS us, event_id
       FROM events
     ), g AS (
-      SELECT user_id, event_type, us,
+      SELECT user_id, event_type, us, event_id,
              CASE WHEN us - lag(us) OVER (PARTITION BY user_id
                                           ORDER BY us, event_id)
                        > {SESSION_GAP_US}
@@ -171,10 +171,10 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
       FROM e
     ), s AS (
       SELECT user_id, event_type,
-             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, rn2)
+             CAST(sum(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id)
                   AS BIGINT) AS sid
-      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                         ORDER BY us) AS rn2 FROM g)
+      FROM g
     ), per AS (
       SELECT user_id, sid,
              max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)

@@ -243,7 +243,7 @@ SD_GAP_US = 30 * 60 * 1_000_000
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS us, event_id FROM events
     ), g AS (
-      SELECT user_id, us,
+      SELECT user_id, us, event_id,
              CASE WHEN us - lag(us) OVER (PARTITION BY user_id
                                           ORDER BY us, event_id)
                        > {SD_GAP_US}
@@ -254,9 +254,8 @@ SD_GAP_US = 30 * 60 * 1_000_000
     ), s AS (
       SELECT user_id,
              CAST(sum(new_s) OVER (PARTITION BY user_id
-                                   ORDER BY us, rn2) AS BIGINT) AS sid
-      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                         ORDER BY us) AS rn2 FROM g)
+                                   ORDER BY us, event_id) AS BIGINT) AS sid
+      FROM g
     ), per AS (
       SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth
       FROM s GROUP BY user_id, sid

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import bucketed_global_rank, ntile_from_rank
-from ._helpers import r4
+from ._helpers import dsum_scaled, r4
 from .llm_pipeline import _emb
 
 # ---------------------------------------------------------------------------
@@ -57,7 +57,9 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch split/order yields exactly the batch answer — the streaming
     family's batch-equivalence doctrine extended to deletes.  State
     size is |keys|; each merge shuffles state+batch on the key."""
+    import atexit
     import os
+    import shutil
     import tempfile
     import uuid as _uuid
 
@@ -80,6 +82,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") + F.col("seq"), 4).alias("val"),
     )
     stage = tempfile.mkdtemp(prefix=f"secdb_cdc_{_uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     typed.repartition(3).write.mode("overwrite").parquet(
         os.path.join(stage, "in")
     )
@@ -115,7 +118,9 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("stream_cdc_apply: stream did not drain in 120s")
     final = spark.read.parquet(f"{state_base}/v{latest_version[-1]}")
     return final.filter(F.col("op") != "D").select(
         "o_orderkey", F.col("val").alias("latest_value")
@@ -286,9 +291,7 @@ def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery — no single-partition window over customers); the share
     windows run over the 10-row decile aggregate."""
     cr = table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-        ).cast("long").alias("revq")
+        dsum_scaled(F.col("o_totalprice"), 2).cast("long").alias("revq")
     )
     n = cr.agg(F.count(F.lit(1)).alias("n"))
     ranked = bucketed_global_rank(

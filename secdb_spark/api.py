@@ -108,6 +108,14 @@ def lsh_candidate_pairs(
     and emit candidate pairs that collide in >= 1 band — dedup_near's
     candidate stage.  Returns (id_a, id_b), id_a < id_b, distinct."""
     hcols = [c for c in sigs.columns if c != id_col]
+    if n_bands <= 0 or len(hcols) % n_bands != 0:
+        # rows_per_band = 0 would make every band key a constant — an
+        # all-pairs cross join; a non-divisible split would silently
+        # drop signature columns and lower recall.  Fail loudly instead.
+        raise ValueError(
+            f"n_bands={n_bands} must evenly divide the "
+            f"{len(hcols)} signature columns"
+        )
     rows_per_band = len(hcols) // n_bands
     bands = sigs.select(
         F.col(id_col),
@@ -303,18 +311,23 @@ def asof_join(
         .orderBy("_t", "_is_left")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    filled = u
-    for c in rcols:
-        filled = filled.withColumn(
-            f"_r_{c}",
-            F.coalesce(
-                F.col(f"_r_{c}"), F.last(f"_r_{c}", ignorenulls=True).over(w)
-            ),
-        )
-    filled = filled.withColumn(
-        "_rt", F.coalesce(F.col("_rt"), F.last("_rt", ignorenulls=True).over(w))
+    # Fill the right payload as ONE struct, not per column: a per-column
+    # last-ignorenulls fill could stitch a frankenrow from different
+    # right rows when right columns contain NULLs (a NULL field in the
+    # latest row would fall through to a STALE row's value).  The struct
+    # is non-null whenever the right ROW exists, so its fields travel
+    # together and NULL fields stay NULL.
+    rrow = F.when(
+        F.col("_is_left") == 0,
+        F.struct(*[F.col(f"_r_{c}") for c in rcols], F.col("_rt")),
+    )
+    filled = u.withColumn(
+        "_rrow", F.last(rrow, ignorenulls=True).over(w)
     )
     out = filled.filter(F.col("_is_left") == 1)
+    for c in rcols:
+        out = out.withColumn(f"_r_{c}", F.col(f"_rrow._r_{c}"))
+    out = out.withColumn("_rt", F.col("_rrow._rt")).drop("_rrow")
     if tolerance_us is not None:
         fresh = (
             F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_rt"))
@@ -394,13 +407,24 @@ def cosine_topk(
     emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
     probe: int | None = None,
 ) -> DataFrame:
-    """sim_cosine_topk / ann_ivf on any (id, array<float>) table:
-    exact distributed top-k when probe is None (bucketed block-nested
-    loop — every pair computed once, never a driver collect), or IVF
-    approximate when probe < the centroid count.  Returns (query_id,
-    neighbor_id, sim)."""
+    """sim_cosine_topk / ann_ivf on any (integer_id, array<float>)
+    table: exact distributed top-k when probe is None (bucketed
+    block-nested loop — every pair computed once, never a driver
+    collect), or IVF approximate when probe < the centroid count.
+    Returns (query_id, neighbor_id, sim).  The id column must be an
+    integral type (the Arrow kernel schemas carry bigint ids); map
+    string/UUID ids to a surrogate long first."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from .operators.llm_pipeline import N_CENTROIDS, _topk_bucketed
 
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"cosine_topk: id column '{id_col}' must be integral "
+            f"(got {id_type.simpleString()}); map string/UUID ids to a "
+            "surrogate long first"
+        )
     renamed = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
@@ -431,7 +455,13 @@ def percentile_disc(
     tot = cum.groupBy(*group_cols).agg(
         F.sum("_v").cast("long").alias("_n")
     )
-    j = cum.join(F.broadcast(tot), list(group_cols))
+    # group_cols=[] means GLOBAL percentiles: the one-row total arrives
+    # via a broadcast cross join (an empty join on-list is a pyspark
+    # error, not an implicit cross join)
+    if group_cols:
+        j = cum.join(F.broadcast(tot), list(group_cols))
+    else:
+        j = cum.crossJoin(F.broadcast(tot))
     picks = []
     for num, den in ps:
         threshold = F.floor(

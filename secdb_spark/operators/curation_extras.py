@@ -364,6 +364,23 @@ PQ_SUB_D = 16   # dims per subspace (4 x 16 = the 64-dim corpus)
 PQ_K = 8        # sub-centroids per subspace
 _PQ_SEED_SQL = "md5('pqseed:' || CAST(vec_id AS VARCHAR))"
 
+#: (spark app id, sf_dir) -> collected PQ seed rows; the md5-ordered
+#: full-table sort+limit is a real Spark job, and embed_pq_codes /
+#: ann_pq_adc_topk need the IDENTICAL seed set — one collect, not two.
+_PQ_SEED_CACHE: dict = {}
+
+
+def _pq_seeds(spark, sf_dir, emb):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_SEED_CACHE:
+        seed_h = F.md5(
+            F.concat(F.lit("pqseed:"), F.col("vec_id").cast("string"))
+        )
+        _PQ_SEED_CACHE[key] = (
+            emb.orderBy(seed_h, "vec_id").limit(PQ_K).select("e").collect()
+        )
+    return _PQ_SEED_CACHE[key]
+
 
 def _pq_best_cte(m: int) -> str:
     lo, hi = m * PQ_SUB_D + 1, (m + 1) * PQ_SUB_D
@@ -418,10 +435,7 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    seed_h = F.md5(F.concat(F.lit("pqseed:"), F.col("vec_id").cast("string")))
-    seeds = (
-        emb.orderBy(seed_h, "vec_id").limit(PQ_K).select("e").collect()
-    )
+    seeds = _pq_seeds(spark, sf_dir, emb)
     seeds_df = spark.createDataFrame(
         [(i, list(r.e)) for i, r in enumerate(seeds)],
         "c_idx int, c array<double>",
@@ -893,8 +907,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"{m}, code{m}" for m in range(PQ_M))
         + ") AS (m, j)",
     )
-    seed_h = F.md5(F.concat(F.lit("pqseed:"), F.col("vec_id").cast("string")))
-    seeds = emb.orderBy(seed_h, "vec_id").limit(PQ_K).select("e").collect()
+    seeds = _pq_seeds(spark, sf_dir, emb)
     lookup = spark.createDataFrame(
         [
             (m, i, list(r.e)[m * PQ_SUB_D : (m + 1) * PQ_SUB_D])

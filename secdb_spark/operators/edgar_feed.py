@@ -129,4 +129,4 @@ def src_edgar_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.extend(parse_feed(path))
             yield pd.DataFrame(out, columns=FEED_COLS)
 
-    return manifest.repartition(1).mapInPandas(parse, FEED_SCHEMA)
+    return manifest.repartition(8).mapInPandas(parse, FEED_SCHEMA)

@@ -287,3 +287,52 @@ def test_trailing_distinct_on_custom_table(spark):
     assert got[0] == 2 and got[1] == 2 and got[2] == 2
     assert got[3] == 1
     assert got[5] == 1 and got[7] == 1
+
+
+def test_asof_join_null_right_columns_no_frankenrow(spark):
+    """A NULL field in the LATEST right row must stay NULL — not fall
+    through to a stale row's value (the per-column-fill frankenrow)."""
+    from datetime import datetime as dt
+
+    quotes = spark.createDataFrame(
+        [
+            ("k", dt(2024, 1, 1, 10), 10.0, 5.0),
+            ("k", dt(2024, 1, 1, 11), 20.0, None),
+        ],
+        "sym string, qt timestamp, price double, qty double",
+    )
+    trades = spark.createDataFrame(
+        [("k", dt(2024, 1, 1, 12))], "sym string, tt timestamp"
+    )
+    row = api.asof_join(
+        trades, quotes, on="sym", left_ts="tt", right_ts="qt"
+    ).collect()[0]
+    assert row["price_asof"] == 20.0
+    assert row["qty_asof"] is None  # NOT 5.0 from the stale row
+
+
+def test_percentile_disc_global_group(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "score double"
+    )
+    row = api.percentile_disc(df, [], "score").collect()[0]
+    assert row["n"] == 100
+    assert (row["p25"], row["p50"], row["p75"]) == (25.0, 50.0, 75.0)
+
+
+def test_lsh_candidate_pairs_rejects_bad_band_split(spark):
+    sigs = spark.createDataFrame(
+        [(1, "a", "b", "c")], "id int, h0 string, h1 string, h2 string"
+    )
+    with pytest.raises(ValueError):
+        api.lsh_candidate_pairs(sigs, "id", n_bands=2)  # 3 % 2 != 0
+    with pytest.raises(ValueError):
+        api.lsh_candidate_pairs(sigs, "id", n_bands=6)  # rows_per_band 0
+
+
+def test_cosine_topk_rejects_non_integral_ids(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "doc string, vec array<float>"
+    )
+    with pytest.raises(TypeError):
+        api.cosine_topk(df, "doc", "vec")

@@ -479,6 +479,7 @@ def _load_operators() -> None:
         warehouse_extras14,
         warehouse_extras15,
         warehouse_extras16,
+        warehouse_extras17,
         windows,
         xbrl_analytics,
     )

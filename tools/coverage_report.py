@@ -65,7 +65,7 @@ SURVEY_SECTIONS = {
     "Beyond SURVEY — Theil/seasonality/attribution/quota/interpolation r7n": "agg_theil ts_dominant_period attribution_time_decay mix_source_cap gapfill_interpolate source_length_ks",
     "Beyond SURVEY — EWMA crossovers/session reliability/set dedup/home bias r7o": "ts_ewma_cross session_error_impact dedup_bag_exact nation_home_bias",
     "Beyond SURVEY — Sharpe/GOF/percentiles/distributions r7p": "ts_sharpe brand_size_chi2 reorder_interval_percentiles session_depth_dist customer_order_count_dist source_dup_rate sql_range_interval",
-    "Beyond SURVEY — streaming CDC/kNN eval/Lorenz r7q (round-10 queue)": "stream_cdc_apply knn_label_eval customer_lorenz_deciles",
+    "Beyond SURVEY — streaming CDC/kNN eval/Lorenz r7q (round-10 queue)": "stream_cdc_apply knn_label_eval customer_lorenz_deciles gap_expfit_ks greedy_budget_pick fn_business_days",
 }
 
 

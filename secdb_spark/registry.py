@@ -480,6 +480,7 @@ def _load_operators() -> None:
         warehouse_extras15,
         warehouse_extras16,
         warehouse_extras17,
+        warehouse_extras18,
         windows,
         xbrl_analytics,
     )

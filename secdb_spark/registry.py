@@ -481,6 +481,7 @@ def _load_operators() -> None:
         warehouse_extras16,
         warehouse_extras17,
         warehouse_extras18,
+        warehouse_extras19,
         windows,
         xbrl_analytics,
     )

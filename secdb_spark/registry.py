@@ -482,6 +482,7 @@ def _load_operators() -> None:
         warehouse_extras17,
         warehouse_extras18,
         warehouse_extras19,
+        warehouse_extras20,
         windows,
         xbrl_analytics,
     )

@@ -54,6 +54,8 @@ __all__ = [
     "mannwhitney_u",
     "entropy_by",
     "trailing_distinct",
+    "ks_drift",
+    "gapfill",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -567,4 +569,134 @@ def trailing_distinct(
     ).distinct()
     return cover.groupBy(F.col("_day").alias(day_col)).agg(
         F.count(F.lit(1)).alias(out)
+    )
+
+
+def ks_drift(
+    df: DataFrame, group_col: str, value_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov D of `value_col` against
+    the REST of the table, on ANY table — source_length_ks's
+    integer-ECDF kernel generalized: signed weights
+    c_g·(N−n_g) − c_rest·n_g on the FULL value spine (zero-filled
+    group counts, so no group misses the other groups' ECDF steps),
+    grouped bucketed prefix sum, D = max|cum| / (n_g·(N−n_g)) — exact
+    rational until the final double.  Returns (group, n, ks_d).
+    Groups must be low-cardinality (the drift-monitor case); values
+    may be any orderable type."""
+    d = df.select(
+        F.col(group_col).alias("_kg"), F.col(value_col).alias("_kv")
+    )
+    sc = d.groupBy("_kg", "_kv").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    tot = sc.groupBy("_kv").agg(F.sum("_c").cast("long").alias("_ct"))
+    ns = sc.groupBy("_kg").agg(F.sum("_c").cast("long").alias("_n"))
+    nn = sc.agg(F.sum("_c").cast("long").alias("_na"))
+    spine = ns.crossJoin(tot)
+    w = (
+        spine.join(sc, ["_kg", "_kv"], "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "_wt",
+            F.col("_c") * (F.col("_na") - F.col("_n"))
+            - (F.col("_ct") - F.col("_c")) * F.col("_n"),
+        )
+    )
+    cum = grouped_range_prefix_sum(w, ["_kg"], "_kv", "_wt", out="_cum")
+    m = cum.groupBy("_kg").agg(
+        F.max(F.abs(F.col("_cum").cast("long"))).alias("_dmax")
+    )
+    return (
+        m.join(F.broadcast(ns), "_kg")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("_kg").alias(group_col),
+            F.col("_n").alias("n"),
+            (
+                F.col("_dmax").cast("double")
+                / (F.col("_n").cast("double") * (F.col("_na") - F.col("_n")))
+            ).alias("ks_d"),
+        )
+    )
+
+
+def gapfill(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    value_col: str,
+    method: str = "ffill",
+) -> DataFrame:
+    """Calendar gap-fill of a per-day series on ANY table, per group:
+    densify `day_col` (an integer day index) to every day in each
+    group's [min, max] span, then fill `value_col` by `method` —
+    'zero' (missing→0), 'ffill' (previous observation carried forward:
+    rollup_gapfill's kernel), or 'linear' (interpolate between the
+    surrounding observations: gapfill_interpolate's kernel).  The day
+    spine explodes from the per-group min/max aggregate (spine-sized,
+    never data-sized); the fill windows run over per-day rows — safe
+    while days-per-group is calendar-bounded, which is the definition
+    of a per-day series.  Returns group_cols + [day_col, value_col,
+    'is_observed']."""
+    if method not in ("zero", "ffill", "linear"):
+        raise ValueError(f"unknown gapfill method: {method!r}")
+    d = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(day_col).alias("_day"),
+        F.col(value_col).alias("_val"),
+    )
+    span = d.groupBy(*group_cols).agg(
+        F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+    )
+    spine = span.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_day"),
+    )
+    j = spine.join(d, [*group_cols, "_day"], "left").withColumn(
+        "is_observed", F.col("_val").isNotNull()
+    )
+    if method == "zero":
+        filled = j.withColumn("_out", F.coalesce(F.col("_val"), F.lit(0.0)))
+    else:
+        wprev = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        prev_v = F.last("_val", ignorenulls=True).over(wprev)
+        if method == "ffill":
+            filled = j.withColumn("_out", prev_v)
+        else:  # linear
+            wnext = (
+                Window.partitionBy(*group_cols)
+                .orderBy("_day")
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            prev_d = F.last(
+                F.when(F.col("_val").isNotNull(), F.col("_day")),
+                ignorenulls=True,
+            ).over(wprev)
+            next_v = F.first("_val", ignorenulls=True).over(wnext)
+            next_d = F.first(
+                F.when(F.col("_val").isNotNull(), F.col("_day")),
+                ignorenulls=True,
+            ).over(wnext)
+            frac = (
+                (F.col("_day") - prev_d).cast("double")
+                / (next_d - prev_d).cast("double")
+            )
+            filled = j.withColumn(
+                "_out",
+                F.when(F.col("_val").isNotNull(), F.col("_val").cast("double"))
+                .when(
+                    prev_v.isNotNull() & next_v.isNotNull(),
+                    prev_v + frac * (next_v - prev_v),
+                )
+                .otherwise(F.coalesce(prev_v, next_v).cast("double")),
+            )
+    return filled.select(
+        *group_cols,
+        F.col("_day").alias(day_col),
+        F.col("_out").alias(value_col),
+        "is_observed",
     )

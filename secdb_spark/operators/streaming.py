@@ -431,3 +431,86 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.round("value", 4).alias("last_value"),
     )
+
+
+@register(
+    "stream_topk_windowed",
+    oracle="""
+    WITH cnt AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT window_start, CAST(sum(n) AS BIGINT) AS n_total
+      FROM cnt GROUP BY 1
+    ), rk AS (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS r
+      FROM cnt
+    )
+    SELECT t.window_start, r.event_type AS top_type, r.n AS top_n,
+           t.n_total
+    FROM tot t JOIN rk r ON t.window_start = r.window_start AND r.r = 1
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "trending now" streaming query: per 1-hour tumbling window,
+    the most frequent event type and its count beside the window total
+    (batch form — window assignment and per-window argmax are identical
+    in micro-batch; in production this is the windowed agg + a
+    foreachBatch argmax over the per-window aggregate).  The argmax is
+    a min-by-struct over the (window × type) aggregate — no Window
+    function, no second data-sized shuffle; ties break on type name.
+    State-store footprint in streaming: |windows-in-horizon| × |types|
+    rows."""
+    ev = table(spark, sf_dir, "events")
+    cnt = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return (
+        cnt.groupBy("window_start")
+        .agg(
+            F.min(F.struct((-F.col("n")).alias("neg_n"), "event_type")).alias("m"),
+            F.sum("n").cast("long").alias("n_total"),
+        )
+        .select(
+            "window_start",
+            F.col("m.event_type").alias("top_type"),
+            (-F.col("m.neg_n")).cast("long").alias("top_n"),
+            "n_total",
+        )
+    )
+
+
+@register(
+    "stream_hopping_uniques",
+    oracle="""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+             AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+    FROM events, generate_series(0, 3) AS t(k)
+    GROUP BY 1
+    """,
+)
+def stream_hopping_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users (1-hour window, 15-min hop) — the
+    live concurrent-audience metric.  Batch form of the hopping
+    windowed COUNT DISTINCT: Spark's Expand replicates each event into
+    its 4 covering windows (the oracle writes that expansion out
+    explicitly), then one shuffle on (window, user) feeds the exact
+    distinct; in streaming the same plan runs against the state store,
+    whose footprint is |windows-in-horizon| × |active users| — the op
+    you swap to agg_hll_sketch when that product stops fitting."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("uniq_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "uniq_users")
+    )

@@ -336,3 +336,77 @@ def test_cosine_topk_rejects_non_integral_ids(spark):
     )
     with pytest.raises(TypeError):
         api.cosine_topk(df, "doc", "vec")
+
+
+def test_ks_drift_on_custom_table(spark):
+    # group A ~ uniform small values, group B ~ shifted: KS must be large;
+    # group C identical to A's distribution: KS near 0 vs the pooled rest.
+    rows = (
+        [("A", v) for v in [1, 2, 3, 4, 5] * 10]
+        + [("B", v) for v in [101, 102, 103, 104, 105] * 10]
+    )
+    df = spark.createDataFrame(rows, "grp string, x int")
+    got = api.ks_drift(df, "grp", "x").toPandas().set_index("grp")
+    # A and B are disjoint and equal-sized: D = 1 exactly for both
+    assert got.loc["A", "ks_d"] == pytest.approx(1.0)
+    assert got.loc["B", "ks_d"] == pytest.approx(1.0)
+    assert int(got.loc["A", "n"]) == 50
+
+    # brute-force parity on an asymmetric mixture
+    import numpy as np
+
+    rng = [("P", int(v)) for v in range(20)] + [
+        ("Q", int(v)) for v in list(range(10, 25)) * 2
+    ]
+    df2 = spark.createDataFrame(rng, "grp string, x int")
+    got2 = api.ks_drift(df2, "grp", "x").toPandas().set_index("grp")
+    pv = sorted(v for g, v in rng if g == "P")
+    qv = sorted(v for g, v in rng if g == "Q")
+
+    def ecdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    spine = sorted({v for _, v in rng})
+    d_exp = max(abs(ecdf(pv, x) - ecdf(qv, x)) for x in spine)
+    assert got2.loc["P", "ks_d"] == pytest.approx(d_exp, abs=1e-9)
+    assert got2.loc["Q", "ks_d"] == pytest.approx(d_exp, abs=1e-9)
+
+
+def test_gapfill_methods_on_custom_table(spark):
+    rows = [
+        ("s1", 0, 10.0),
+        ("s1", 3, 40.0),
+        ("s1", 5, 20.0),
+        ("s2", 7, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, d int, y double")
+
+    z = (
+        api.gapfill(df, ["series"], "d", "y", method="zero")
+        .toPandas().set_index(["series", "d"]).sort_index()
+    )
+    assert z.loc[("s1", 1), "y"] == 0.0
+    assert z.loc[("s1", 3), "y"] == 40.0
+    assert len(z.loc["s1"]) == 6  # days 0..5 densified
+    assert len(z.loc["s2"]) == 1
+
+    f = (
+        api.gapfill(df, ["series"], "d", "y", method="ffill")
+        .toPandas().set_index(["series", "d"]).sort_index()
+    )
+    assert f.loc[("s1", 1), "y"] == 10.0
+    assert f.loc[("s1", 2), "y"] == 10.0
+    assert f.loc[("s1", 4), "y"] == 40.0
+
+    li = (
+        api.gapfill(df, ["series"], "d", "y", method="linear")
+        .toPandas().set_index(["series", "d"]).sort_index()
+    )
+    assert li.loc[("s1", 1), "y"] == pytest.approx(20.0)
+    assert li.loc[("s1", 2), "y"] == pytest.approx(30.0)
+    assert li.loc[("s1", 4), "y"] == pytest.approx(30.0)
+    assert bool(li.loc[("s1", 3), "is_observed"]) is True
+    assert bool(li.loc[("s1", 2), "is_observed"]) is False
+
+    with pytest.raises(ValueError):
+        api.gapfill(df, ["series"], "d", "y", method="nearest")

@@ -487,6 +487,43 @@ def q_vocab_overlap(d):
     )
 
 
+def q_spearman_ranks(li):
+    """spearman_corr's algebra: distinct-value spines per axis (grouped
+    bucketed prefix sum -> integer 2·midranks) joined BACK to the full
+    fact table on (group, value) twice, then one combinable moment
+    aggregate.  The join-back is the row-sized step — it must scale
+    linearly; the spine work is distinct-value-sized."""
+    from secdb_spark.operators._global_order import grouped_range_prefix_sum
+
+    base = li.select("l_returnflag", "l_quantity", "l_extendedprice")
+
+    def midrank2(col, out):
+        dd = base.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        cum = grouped_range_prefix_sum(dd, ["l_returnflag"], col, "c", out="_cw")
+        return cum.select(
+            "l_returnflag", col,
+            (2 * F.col("_cw").cast("long") - F.col("_v").cast("long") + 1
+             ).alias(out),
+        )
+
+    rx = midrank2("l_quantity", "r2x")
+    ry = midrank2("l_extendedprice", "r2y")
+    rows_r = (
+        base.join(rx, ["l_returnflag", "l_quantity"])
+        .join(ry, ["l_returnflag", "l_extendedprice"])
+    )
+    x = F.col("r2x").cast("decimal(19,0)")
+    y = F.col("r2y").cast("decimal(19,0)")
+    return rows_r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+
+
 def q_wmedian_bucketed(li):
     """agg_weighted_median's SCALE kernel: peers-collapsing aggregate +
     grouped bucketed prefix sum (no 3-task funnel)."""
@@ -667,7 +704,7 @@ def main() -> None:
     tables = None
     if only:
         tables = set()
-        if any(s in "basket copurchase pairs agg fact-fact join prefix sum" for s in only):
+        if any(s in "basket copurchase pairs agg fact-fact join prefix sum spearman ranks spine join-back" for s in only):
             tables |= {"lineitem"}
         if any(s in "fact-fact join cdc upsert" for s in only):
             tables |= {"orders"}
@@ -738,6 +775,7 @@ def main() -> None:
         ("chunk dedup share", q_chunk_dedup, (d1_,), (d4_,)),
         ("vocab overlap (postings join)", q_vocab_overlap, (d1_,), (d4_,)),
         ("dup-payment audit (blocked self-join)", q_dup_audit, (o1,), (o4,)),
+        ("spearman ranks (spine join-back)", q_spearman_ranks, (li1,), (li4,)),
         ("weighted median RANGE window", q_wmedian, (li1,), (li4,)),
         ("weighted median BUCKETED", q_wmedian_bucketed, (li1,), (li4,)),
         ("mw rank kernel (distinct-value cumsum)", q_mw_kernel, (ev1,), (ev4,)),

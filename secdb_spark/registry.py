@@ -483,6 +483,7 @@ def _load_operators() -> None:
         warehouse_extras18,
         warehouse_extras19,
         warehouse_extras20,
+        warehouse_extras21,
         windows,
         xbrl_analytics,
     )

@@ -435,6 +435,7 @@ def _load_operators() -> None:
     from .operators import (  # noqa: F401
         aggregations,
         corpus_extras,
+        corpus_extras2,
         curation_extras,
         econ_extras,
         edgar_feed,

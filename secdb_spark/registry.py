@@ -485,6 +485,7 @@ def _load_operators() -> None:
         warehouse_extras19,
         warehouse_extras20,
         warehouse_extras21,
+        warehouse_extras22,
         windows,
         xbrl_analytics,
     )

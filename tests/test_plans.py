@@ -811,3 +811,61 @@ def test_source_vocab_overlap_no_cartesian(spark):
     a CartesianProduct here is the |sources|x|sources|x|vocab| blowup."""
     p = plan_of(spark, "source_vocab_overlap")
     assert "CartesianProduct" not in p
+
+
+def test_round7_batch20_25_no_cartesian_pairs(spark):
+    """The new pairwise generators (JS divergence, dup matrix, Theil-Sen
+    day pairs, kNN reciprocity) must pair through equi-joins — a
+    CartesianProduct is the all-pairs blowup their docstrings rule out."""
+    for name in (
+        "source_js_divergence",
+        "cross_source_dup_matrix",
+        "knn_reciprocity",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian appeared"
+
+
+def test_spearman_midranks_partial_agg_and_no_row_window(spark):
+    """spearman_corr: the moment aggregate must combine map-side, and no
+    window may run over row-sized input (the midrank spine is the only
+    windowed frame, and it is distinct-value-sized)."""
+    p = plan_of(spark, "spearman_corr")
+    assert p.count("HashAggregate") >= 2, "partial aggregation regressed"
+    assert "CartesianProduct" not in p
+
+
+def test_audit_round_prices_single_shuffle(spark):
+    """One combinable aggregate over the scan — exactly one Exchange."""
+    p = plan_of(spark, "audit_round_prices")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 1
+
+
+def test_term_burstiness_is_take_ordered(spark):
+    """The top-k must be an ORDER-BY-complete TakeOrderedAndProject,
+    never a global Sort + bare Limit."""
+    p = plan_of(spark, "term_burstiness")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_stopword_coverage_head_list_broadcast(spark):
+    """The k-row head list must re-enter as a broadcast — a shuffle join
+    against the 50-row frame would shuffle the vocabulary for nothing."""
+    p = plan_of(spark, "corpus_stopword_coverage")
+    assert "BroadcastHashJoin" in p
+
+
+def test_graph_kcore_no_cartesian_and_partial_agg(spark):
+    """Each peel round is degree-count + semi-join filtering; no round
+    may degenerate into a cartesian."""
+    p = plan_of(spark, "graph_kcore")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_asof_forward_single_user_shuffle(spark):
+    """join_asof_forward: the union-tag kernel needs exactly one shuffle
+    (user_id) — a second data-sized Exchange means the frame flip
+    introduced a re-sort."""
+    p = plan_of(spark, "join_asof_forward")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 1

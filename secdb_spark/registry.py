@@ -456,6 +456,7 @@ def _load_operators() -> None:
         similarity_extras,
         sketch_extras,
         sources_sinks,
+        sources_sinks2,
         sql_surface,
         stats_extras,
         stats_extras2,

@@ -487,6 +487,35 @@ def q_vocab_overlap(d):
     )
 
 
+def q_kcore_peel(li, o):
+    """graph_kcore's algebra: distinct bipartite edges -> 4 unrolled
+    peel rounds (degree count + two-sided semi-join filter).  Each round
+    is one shuffle on the node key; live sets shrink monotonically, so
+    the first round bounds every later one."""
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), o["o_custkey"].cast("string")).alias("a"),
+            F.concat(F.lit("s"), li["l_suppkey"].cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    u = und
+    for _ in range(4):
+        live = (
+            u.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= 10)
+            .select(F.col("a").alias("node"))
+        )
+        u = (
+            u.join(live.select(F.col("node").alias("a")), "a")
+            .join(live.select(F.col("node").alias("b")), "b")
+            .select("a", "b")
+        )
+    return u.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+
+
 def q_spearman_ranks(li):
     """spearman_corr's algebra: distinct-value spines per axis (grouped
     bucketed prefix sum -> integer 2·midranks) joined BACK to the full
@@ -704,9 +733,9 @@ def main() -> None:
     tables = None
     if only:
         tables = set()
-        if any(s in "basket copurchase pairs agg fact-fact join prefix sum spearman ranks spine join-back" for s in only):
+        if any(s in "basket copurchase pairs agg fact-fact join prefix sum spearman ranks spine join-back kcore peel rounds semi-join" for s in only):
             tables |= {"lineitem"}
-        if any(s in "fact-fact join cdc upsert" for s in only):
+        if any(s in "fact-fact join cdc upsert kcore peel rounds semi-join" for s in only):
             tables |= {"orders"}
         if any(
             s in "window sessionize funnel rollup interval sweep markov "
@@ -776,6 +805,7 @@ def main() -> None:
         ("vocab overlap (postings join)", q_vocab_overlap, (d1_,), (d4_,)),
         ("dup-payment audit (blocked self-join)", q_dup_audit, (o1,), (o4,)),
         ("spearman ranks (spine join-back)", q_spearman_ranks, (li1,), (li4,)),
+        ("kcore peel (4 rounds semi-join)", q_kcore_peel, (li1, o1), (li4, o4)),
         ("weighted median RANGE window", q_wmedian, (li1,), (li4,)),
         ("weighted median BUCKETED", q_wmedian_bucketed, (li1,), (li4,)),
         ("mw rank kernel (distinct-value cumsum)", q_mw_kernel, (ev1,), (ev4,)),

@@ -487,6 +487,7 @@ def _load_operators() -> None:
         warehouse_extras20,
         warehouse_extras21,
         warehouse_extras22,
+        warehouse_extras23,
         windows,
         xbrl_analytics,
     )

@@ -488,6 +488,7 @@ def _load_operators() -> None:
         warehouse_extras21,
         warehouse_extras22,
         warehouse_extras23,
+        warehouse_extras24,
         windows,
         xbrl_analytics,
     )

@@ -381,6 +381,29 @@ _CERT_SLATE_R9: tuple[str, ...] = (
 )
 
 
+# Round-10 slate: the 38 post-R9 registrations of the round-7
+# continuation session (batches 19-29 + ingestion/streaming additions),
+# in registration order; 12 slots stay free for later batches.  As with
+# the earlier slates, entries no-op once a green record lands.
+_CERT_SLATE_R10: tuple[str, ...] = (
+    "stream_cdc_apply", "knn_label_eval", "customer_lorenz_deciles",
+    "gap_expfit_ks", "greedy_budget_pick", "fn_business_days",
+    "source_js_divergence", "cross_source_dup_matrix",
+    "customer_migration_matrix", "event_trigram_transitions",
+    "spearman_corr", "assoc_cramers_v", "priority_mix_drift",
+    "embed_cluster_purity", "pack_fill_stats", "ts_hurst",
+    "stream_topk_windowed", "stream_hopping_uniques",
+    "ts_theilsen_slope", "changepoint_binary", "audit_round_prices",
+    "term_burstiness",
+    "length_pareto_ks", "corpus_stopword_coverage", "knn_reciprocity",
+    "join_asof_forward", "graph_kcore", "purchase_acceleration",
+    "src_schema_evolution", "src_csv_corrupt_audit", "snk_csv_quoting",
+    "ts_rolling_slope", "heavy_user_concentration", "key_gap_audit",
+    "doc_opening_diversity",
+    "mix_unique_mass", "trade_repeat_rate", "embed_quantize_error",
+)
+
+
 def _certification_order(names) -> list[str]:
     """Unsettled slate ops first, then other unsettled ops (exact-oracle
     before rows-only, each in registration order), settled last.
@@ -389,7 +412,7 @@ def _certification_order(names) -> list[str]:
     names = list(names)
     slate = [
         n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7 + _CERT_SLATE_R8
-           + _CERT_SLATE_R9)
+           + _CERT_SLATE_R9 + _CERT_SLATE_R10)
         if n in names and not certified_at_current_class(n)
     ]
     # Oracle-changed recerts queue BEHIND never-certified ops (including

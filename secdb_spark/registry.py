@@ -512,6 +512,7 @@ def _load_operators() -> None:
         warehouse_extras22,
         warehouse_extras23,
         warehouse_extras24,
+        warehouse_extras25,
         windows,
         xbrl_analytics,
     )

@@ -513,6 +513,7 @@ def _load_operators() -> None:
         warehouse_extras23,
         warehouse_extras24,
         warehouse_extras25,
+        warehouse_extras26,
         windows,
         xbrl_analytics,
     )

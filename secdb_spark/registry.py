@@ -514,6 +514,7 @@ def _load_operators() -> None:
         warehouse_extras24,
         warehouse_extras25,
         warehouse_extras26,
+        warehouse_extras27,
         windows,
         xbrl_analytics,
     )

@@ -483,6 +483,7 @@ def _load_operators() -> None:
         sql_surface,
         stats_extras,
         stats_extras2,
+        stats_extras3,
         streaming,
         text_analysis,
         timeseries,

@@ -516,6 +516,7 @@ def _load_operators() -> None:
         warehouse_extras25,
         warehouse_extras26,
         warehouse_extras27,
+        warehouse_extras28,
         windows,
         xbrl_analytics,
     )

@@ -517,6 +517,7 @@ def _load_operators() -> None:
         warehouse_extras26,
         warehouse_extras27,
         warehouse_extras28,
+        warehouse_extras29,
         windows,
         xbrl_analytics,
     )

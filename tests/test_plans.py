@@ -869,3 +869,85 @@ def test_asof_forward_single_user_shuffle(spark):
     introduced a re-sort."""
     p = plan_of(spark, "join_asof_forward")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 1
+
+
+def test_round7_batch32_35_no_cartesian(spark):
+    """Batches 32-35: every pairing op must stay on equi/banded joins —
+    snaive day-shift self-joins, LSH sweep band buckets, reciprocity
+    pair fold, GROUPS-frame emulation."""
+    for name in (
+        "forecast_snaive_mase",
+        "lsh_band_sweep",
+        "trade_reciprocity",
+        "win_groups_frame",
+        "abtest_cuped",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian appeared"
+
+
+def test_win_groups_frame_bounded_exchanges(spark):
+    """dense_rank and the rank-RANGE frame must share the (priority,
+    month) shuffle — at most the scan exchange plus one window exchange."""
+    p = plan_of(spark, "win_groups_frame")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2
+
+
+def test_win_exclude_current_two_exchanges_max(spark):
+    """Daily pre-aggregate (event_type, day) then the event_type window:
+    two data shuffles ceiling, both calendar/model-bounded."""
+    p = plan_of(spark, "win_exclude_current")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 3
+    assert "CartesianProduct" not in p
+
+
+def test_audit_benford2_total_reenters_broadcast(spark):
+    """The one-row grand total must re-enter as a broadcast, and the
+    digit aggregate must combine map-side."""
+    p = plan_of(spark, "audit_benford2")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_abtest_srm_partial_agg(spark):
+    """Distinct-users + variant counts must combine map-side."""
+    p = plan_of(spark, "abtest_srm")
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_stat_levene_medians_broadcast(spark):
+    """The 5-row group medians must re-join the fact scan as a
+    broadcast; a shuffle join on the 5-value key would funnel."""
+    p = plan_of(spark, "stat_levene")
+    assert "BroadcastHashJoin" in p
+
+
+def test_quality_band_mix_freq_broadcast(spark):
+    """The vocabulary-frequency side must broadcast into tf (the
+    text_unigram_logprob economics: no token-keyed shuffle of tf)."""
+    p = plan_of(spark, "quality_band_mix")
+    assert "BroadcastHashJoin" in p
+
+
+def test_trade_reciprocity_dims_broadcast(spark):
+    """All four dimension joins of the flow star must be broadcasts;
+    the only data-sized Exchange is the fact-key join + flow groupBy."""
+    p = plan_of(spark, "trade_reciprocity")
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_ts_pacf_partial_agg(spark):
+    """All 18 lag moments must come from ONE map-side-combinable
+    aggregate over the lagged daily frame."""
+    p = plan_of(spark, "ts_pacf")
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_parquet_stats_audit_is_distributed_footer_read(spark):
+    """The footer read must fan out through MapInPandas (never a
+    driver-side loop materializing stats), then fold combinable."""
+    p = plan_of(spark, "src_parquet_stats_audit")
+    assert "MapInPandas" in p
+    assert p.count("HashAggregate") >= 2

@@ -518,6 +518,7 @@ def _load_operators() -> None:
         warehouse_extras27,
         warehouse_extras28,
         warehouse_extras29,
+        warehouse_extras30,
         windows,
         xbrl_analytics,
     )

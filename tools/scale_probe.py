@@ -704,6 +704,64 @@ def q_bigram_lm(d):
     )
 
 
+
+
+def q_lsh_sweep(d):
+    """lsh_band_sweep's algebra: 8 md5-min sigs -> 4 bandings stacked ->
+    banded equi-self-join.  Candidates scale with duplicate density."""
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    seeds = [f"sw{i}:" for i in range(8)]
+    sigs = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.col("term")))).alias(f"sig{i}")
+            for i, s in enumerate(seeds)
+        ]
+    )
+    rows = []
+    for b, r in [(1, 8), (2, 4), (4, 2), (8, 1)]:
+        for band in range(b):
+            cat = ", ".join(f"sig{band * r + j}" for j in range(r))
+            rows.append(f"'b{b}r{r}', {band}, concat({cat})")
+    bands = sigs.select(
+        "doc_id",
+        F.expr(f"stack({len(rows)}, {', '.join(rows)}) AS (config, band, sig)"),
+    )
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.config") == F.col("b.config"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy("a.config")
+        .count()
+    )
+
+
+def q_groups_frame(o):
+    """win_groups_frame's algebra: dense_rank + rank-RANGE frame sharing
+    one (priority, month) shuffle."""
+    base = o.select(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("o_orderpriority", "mon").orderBy("d")
+    ranked = base.withColumn("dr", F.dense_rank().over(wr))
+    frame = (
+        Window.partitionBy("o_orderpriority", "mon")
+        .orderBy("dr")
+        .rangeBetween(-1, 1)
+    )
+    return ranked.select(F.sum("cents").over(frame).alias("fs"))
+
+
 def timed(df) -> float:
     df.write.mode("overwrite").format("noop").save()
     ts = []
@@ -742,6 +800,10 @@ def main() -> None:
                  "attribution conversion" for s in only
         ):
             tables |= {"events"}
+        if any(s in "groups frame dense_rank range cdc upsert" for s in only):
+            tables |= {"orders"}
+        if any(s in "lsh band sweep banded self-join" for s in only):
+            tables |= {"documents"}
         if any(s in "blocked fuzzy join" for s in only):
             tables |= {"part"}
         if any(s in "mw rank kernel distinct-value cumsum time-decay attribution touch join" for s in only):
@@ -812,6 +874,8 @@ def main() -> None:
         ("embed margin (broadcast centroid scan)", q_embed_margin, (em1,), (em4,)),
         ("time-decay attribution (touch join)", q_attr_decay, (ev1,), (ev4,)),
         ("bigram LM (lead adjacency)", q_bigram_lm, (d1_,), (d4_,)),
+        ("lsh band sweep (banded self-join)", q_lsh_sweep, (d1_,), (d4_,)),
+        ("groups frame (dense_rank+range)", q_groups_frame, (o1,), (o4,)),
     ]
     rows = []
     for name, fn, in1, inN in shapes:

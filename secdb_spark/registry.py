@@ -519,6 +519,7 @@ def _load_operators() -> None:
         warehouse_extras28,
         warehouse_extras29,
         warehouse_extras30,
+        warehouse_extras31,
         windows,
         xbrl_analytics,
     )

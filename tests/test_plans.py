@@ -951,3 +951,26 @@ def test_parquet_stats_audit_is_distributed_footer_read(spark):
     p = plan_of(spark, "src_parquet_stats_audit")
     assert "MapInPandas" in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_join_hint_merge_is_sort_merge(spark):
+    """The MERGE hint must survive into the physical plan: a
+    SortMergeJoin on the fact-fact key, NOT a broadcast pick."""
+    p = plan_of(spark, "join_hint_merge")
+    assert "SortMergeJoin" in p, "merge hint did not pin SMJ"
+
+
+def test_dedup_savings_single_text_scan(spark):
+    """Two branches (docs + keeper agg) may each scan the base table —
+    formatted explain prints each scan node twice, so ceiling is 4; a
+    fifth scan means a third pass appeared.  Join must stay equi."""
+    p = plan_of(spark, "dedup_savings_report")
+    assert p.count("Scan parquet") <= 4
+    assert "CartesianProduct" not in p
+
+
+def test_weekend_lift_partial_agg(spark):
+    """Both the distinct-days and the per-type conditional aggregates
+    must combine map-side."""
+    p = plan_of(spark, "weekend_lift")
+    assert p.count("HashAggregate") >= 2

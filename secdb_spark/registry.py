@@ -520,6 +520,7 @@ def _load_operators() -> None:
         warehouse_extras29,
         warehouse_extras30,
         warehouse_extras31,
+        warehouse_extras32,
         windows,
         xbrl_analytics,
     )

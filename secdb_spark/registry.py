@@ -521,6 +521,7 @@ def _load_operators() -> None:
         warehouse_extras30,
         warehouse_extras31,
         warehouse_extras32,
+        warehouse_extras33,
         windows,
         xbrl_analytics,
     )

@@ -522,6 +522,7 @@ def _load_operators() -> None:
         warehouse_extras31,
         warehouse_extras32,
         warehouse_extras33,
+        warehouse_extras34,
         windows,
         xbrl_analytics,
     )

@@ -581,9 +581,11 @@ def ks_drift(
     c_g·(N−n_g) − c_rest·n_g on the FULL value spine (zero-filled
     group counts, so no group misses the other groups' ECDF steps),
     grouped bucketed prefix sum, D = max|cum| / (n_g·(N−n_g)) — exact
-    rational until the final double.  Returns (group, n, ks_d).
-    Groups must be low-cardinality (the drift-monitor case); values
-    may be any orderable type."""
+    rational until the final double.  Returns (group, n, ks_d); a group
+    with an empty complement (single-group table, or a group holding
+    every row) has no "rest" distribution to test against and returns
+    ks_d NULL explicitly.  Groups must be low-cardinality (the
+    drift-monitor case); values may be any orderable type."""
     d = df.select(
         F.col(group_col).alias("_kg"), F.col(value_col).alias("_kv")
     )
@@ -612,9 +614,10 @@ def ks_drift(
         .select(
             F.col("_kg").alias(group_col),
             F.col("_n").alias("n"),
-            (
+            F.when(
+                F.col("_na") > F.col("_n"),
                 F.col("_dmax").cast("double")
-                / (F.col("_n").cast("double") * (F.col("_na") - F.col("_n")))
+                / (F.col("_n").cast("double") * (F.col("_na") - F.col("_n"))),
             ).alias("ks_d"),
         )
     )
@@ -637,13 +640,15 @@ def gapfill(
     never data-sized); the fill windows run over per-day rows — safe
     while days-per-group is calendar-bounded, which is the definition
     of a per-day series.  Returns group_cols + [day_col, value_col,
-    'is_observed']."""
+    'is_observed']; value_col is cast to double up front so the output
+    schema is identical across all three methods (switching method
+    must never silently change the result schema)."""
     if method not in ("zero", "ffill", "linear"):
         raise ValueError(f"unknown gapfill method: {method!r}")
     d = df.select(
         *[F.col(c) for c in group_cols],
         F.col(day_col).alias("_day"),
-        F.col(value_col).alias("_val"),
+        F.col(value_col).cast("double").alias("_val"),
     )
     span = d.groupBy(*group_cols).agg(
         F.min("_day").alias("_lo"), F.max("_day").alias("_hi")

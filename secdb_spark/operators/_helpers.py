@@ -54,6 +54,26 @@ def sql_dsum_scaled(expr: str, scale: int) -> str:
     return f"CAST(sum(CAST(floor(({expr}) * {10 ** scale} + 0.5) AS BIGINT)) AS BIGINT)"
 
 
+def he4(col: Column) -> Column:
+    """Tie-safe half-up e4 quantization of a shared-IEEE double
+    expression, presented as double. `round(x, 4)` diverges between
+    engines when x's shortest decimal repr ties at the 5th decimal
+    (Spark rounds the DECIMAL repr HALF_UP; DuckDB rounds the binary
+    value — e.g. 24255.51/8 prints 3031.93875 but sits below the tie:
+    Spark→3031.9388, DuckDB→3031.9387). `floor(x*1e4 + 0.5)` runs the
+    SAME IEEE ops on the SAME double in both engines, so the quantized
+    integer — and the presented int/1e4 double — is bit-identical by
+    construction. Use this instead of r4 whenever the rounded value is
+    a raw ratio (sum/count, diff/count shapes) that can land exactly on
+    a 4-dp tie; pair with sql_he4 in the oracle."""
+    return F.floor(col * 10000 + F.lit(0.5)).cast("long") / 10000.0
+
+
+def sql_he4(expr: str) -> str:
+    """DuckDB twin of he4 (identical floor+0.5 e4 fixed-point)."""
+    return f"(CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT) / 10000.0)"
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB-side twin of dsum()."""
     return f"CAST(sum(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"

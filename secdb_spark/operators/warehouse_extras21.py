@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import he4, r4, sql_he4
 
 DEC6 = "decimal(38,6)"
 DEC12 = "decimal(38,12)"
@@ -163,9 +163,9 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gains
     )
     SELECT event_type, n AS n_days, k AS split_after,
-           di AS split_day_idx, round(gain, 4) AS sse_gain,
-           round(mean_left, 4) AS mean_left,
-           round(mean_right, 4) AS mean_right
+           di AS split_day_idx, {sql_he4('gain')} AS sse_gain,
+           {sql_he4('mean_left')} AS mean_left,
+           {sql_he4('mean_right')} AS mean_right
     FROM best WHERE r = 1
     """,
 )
@@ -178,7 +178,11 @@ def changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sse_left(k) = s2_k − s1_k²/k and its right mirror need no second
     scan — and the argmax tie-breaks on the earliest split.  Everything
     beyond the daily groupBy runs over the |types|·|days| aggregate;
-    the prefix windows are calendar-bounded."""
+    the prefix windows are calendar-bounded.  The presented means/gain
+    are he4-quantized (floor(x*1e4+0.5) on the shared IEEE tree, not
+    round()): mean_left = s1/rn is a raw ratio that can land exactly on
+    a 4-dp tie (24255.51/8 at sf0.01), where round() diverges between
+    engines."""
     ev = table(spark, sf_dir, "events")
     anchor = F.lit(TS_ANCHOR).cast("timestamp")
     daily = ev.groupBy(
@@ -225,9 +229,9 @@ def changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"),
             F.col("k").alias("split_after"),
             F.col("di").alias("split_day_idx"),
-            r4(F.col("gain")).alias("sse_gain"),
-            r4(F.col("mean_left")).alias("mean_left"),
-            r4(F.col("mean_right")).alias("mean_right"),
+            he4(F.col("gain")).alias("sse_gain"),
+            he4(F.col("mean_left")).alias("mean_left"),
+            he4(F.col("mean_right")).alias("mean_right"),
         )
     )
 

@@ -404,6 +404,29 @@ _CERT_SLATE_R10: tuple[str, ...] = (
 )
 
 
+# Round-11 slate: the 34 registrations left beyond the round-10 window
+# when round 8 opened (round-7 continuation batches 30-40 + the
+# stats/warehouse stragglers), in registration order — pinned NOW so the
+# whole backlog is slate-addressed (round-8 judge directive: every
+# registered op holds a numbered slot; the backlog can only drain).
+# 16 slots stay free: round-8 widening is capped at that budget so the
+# certification queue shrinks for the first time.  As with the earlier
+# slates, entries no-op once a green record lands.
+_CERT_SLATE_R11: tuple[str, ...] = (
+    "abtest_srm", "abtest_cuped", "stat_levene", "anomaly_robust_z",
+    "part_price_dispersion", "customer_brand_loyalty", "fiscal_445_rollup",
+    "trade_matrix", "first_session_conversion", "win_groups_frame",
+    "win_exclude_current", "audit_benford2", "forecast_snaive_mase",
+    "lsh_band_sweep", "quality_band_mix", "trade_reciprocity", "ts_pacf",
+    "src_parquet_stats_audit", "geo_dense_clusters", "winback_rate",
+    "brand_nation_lift", "ship_lag_percentiles", "weekend_lift",
+    "dedup_savings_report", "join_hint_merge", "join_asof_native",
+    "decile_lift_table", "part_sourcing_breadth", "rollup_calendar_grains",
+    "embed_angle_hist", "price_volume_mix", "langid_confusion",
+    "ecdf_lookup", "minhash_jaccard_calibration",
+)
+
+
 def _certification_order(names) -> list[str]:
     """Unsettled slate ops first, then other unsettled ops (exact-oracle
     before rows-only, each in registration order), settled last.
@@ -412,7 +435,7 @@ def _certification_order(names) -> list[str]:
     names = list(names)
     slate = [
         n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7 + _CERT_SLATE_R8
-           + _CERT_SLATE_R9 + _CERT_SLATE_R10)
+           + _CERT_SLATE_R9 + _CERT_SLATE_R10 + _CERT_SLATE_R11)
         if n in names and not certified_at_current_class(n)
     ]
     # Oracle-changed recerts queue BEHIND never-certified ops (including

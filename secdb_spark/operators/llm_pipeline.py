@@ -21,6 +21,7 @@ Scale design notes:
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import reduce
 
 import pandas as pd
 
@@ -293,7 +294,10 @@ def _dedup_near_oracle() -> str:
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash (16 perms) + LSH (4 bands x 4),
     verified with exact Jaccard >= 0.9 — all DataFrame ops, no pairwise
-    blowup: candidates only form inside LSH buckets. The permutation
+    blowup: candidates only form inside LSH buckets, each candidate pair
+    is generated EXACTLY ONCE (first-matching-band join: equi on band b
+    plus "bands j<b differ" residuals), so no pair-dedup shuffle exists
+    anywhere in the plan. The permutation
     family is min over 8-hex-char SLICES of two salted sha256 digests —
     engine-portable like minhash_sig/lsh_candidates' md5 basis (so the
     whole pipeline has a DuckDB twin and an exact value hash; was R
@@ -319,40 +323,66 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independence (slots are disjoint bits of independent digests).
     ha = F.sha2(F.concat(F.lit("A:"), F.col("tok")), 256)
     hb = F.sha2(F.concat(F.lit("B:"), F.col("tok")), 256)
-    sig = toks.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(ha if j < 8 else hb, (j % 8) * 8 + 1, 8)
-            ).alias(f"h{j}")
-            for j in range(N_MINHASH)
+    slices = [
+        F.substring(ha if j < 8 else hb, (j % 8) * 8 + 1, 8)
+        for j in range(N_MINHASH)
+    ]
+    vocab = _mask_vocab(spark, sf_dir)
+    if vocab is not None:
+        # Closed-vocab corpora hash each DISTINCT token once and join the
+        # slices back (broadcast: the dictionary fits MASK_MAX_VOCAB), so
+        # the sha256 pair runs |vocab| times instead of once per token
+        # OCCURRENCE — ~1 s off the sf0.1 bench signature stage.  Values
+        # are identical (the digest is a pure function of the token), so
+        # the DuckDB twin is untouched.
+        vsig = toks.select("tok").distinct().select(
+            "tok", *[s.alias(f"s{j}") for j, s in enumerate(slices)]
+        )
+        sig_src = toks.join(F.broadcast(vsig), "tok")
+        sig_cols = [F.min(f"s{j}").alias(f"h{j}") for j in range(N_MINHASH)]
+    else:
+        sig_src = toks
+        sig_cols = [
+            F.min(s).alias(f"h{j}") for j, s in enumerate(slices)
         ]
-    )
+    sig = sig_src.groupBy("doc_id").agg(*sig_cols)
     rows_per_band = N_MINHASH // N_BANDS
+    # Band keys as LONGs (xxhash64 of the slice concat): primitive join
+    # keys beat ~36-char strings, and a 2^-64 key collision can only ADD
+    # a candidate, which the exact-Jaccard verify rejects — the output
+    # set is unchanged (Spark-side only; the oracle keeps string keys).
     bands = sig.select(
         "doc_id",
         *[
-            F.concat_ws(
-                "_",
-                F.lit(str(band)),
-                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
+            F.xxhash64(
+                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
             ).alias(f"band{band}")
             for band in range(N_BANDS)
         ],
     )
-    band_long = bands.selectExpr(
-        "doc_id",
-        f"stack({N_BANDS}, "
-        + ", ".join(f"band{i}" for i in range(N_BANDS))
-        + ") AS band_key",
-    )
-    pairs_raw = (
-        band_long.alias("x")
-        .join(band_long.alias("y"), "band_key")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    # FIRST-MATCHING-BAND candidate join: for band b, equi-join on
+    # band_b with the residual predicate "band_j differs for all j < b".
+    # Each candidate pair is emitted at exactly one band (its first
+    # hash-equal band), so the raw candidate stream is duplicate-free BY
+    # CONSTRUCTION and the N_BANDS-way pair multiplicity — and the
+    # multi-million-row distinct() shuffle that used to absorb it —
+    # disappears.  A band-j key collision merely moves a pair's emission
+    # earlier; it still reaches the exact verify exactly once.
+    x, y = bands.alias("x"), bands.alias("y")
+    band_joins = []
+    for b in range(N_BANDS):
+        cond = (F.col(f"x.band{b}") == F.col(f"y.band{b}")) & (
+            F.col("x.doc_id") < F.col("y.doc_id")
         )
-    )
+        for j in range(b):
+            cond = cond & (F.col(f"x.band{j}") != F.col(f"y.band{j}"))
+        band_joins.append(
+            x.join(y, cond).select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+        )
+    pairs_raw = reduce(DataFrame.unionAll, band_joins)
 
     def verify(joined: DataFrame, inter_sz) -> DataFrame:
         # Exact Jaccard (keeps precision = 1): union size derived
@@ -376,7 +406,6 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         )
 
-    vocab = _mask_vocab(spark, sf_dir)
     if vocab is not None:
         # Dictionary bitmask kernel: the dictionary is already in hand
         # (bounded collect in _mask_vocab), so idx assignment is a literal
@@ -422,22 +451,18 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if table_rows(sf_dir, "documents") <= MASK_BROADCAST_DOCS:
             # VERIFY-FIRST kernel: the per-doc masks are tiny (n_words
-            # longs + a count), so broadcast them onto the RAW band-join
-            # pairs — the whole candidate explosion (pair multiplicity
-            # <= N_BANDS) stays inside one whole-stage-codegen stage with
-            # ZERO shuffles, and only pairs that already passed the exact
-            # verify reach the final pair-dedup shuffle.  On the bench
-            # corpus this replaces a 26M-row distinct + two 6.5M-row
-            # shuffle joins with a ~4M-row distinct (2.1x end-to-end).
-            # jaccard is deterministic per pair (integer bit math), so
-            # distinct() on (doc_a, doc_b, jaccard) == per-pair dedup.
+            # longs + a count), so broadcast them onto the band-join
+            # pairs — the whole candidate stream (already duplicate-free
+            # via first-matching-band) stays inside one
+            # whole-stage-codegen stage with ZERO shuffles; there is no
+            # pair-dedup shuffle left at all.
             joined = pairs_raw.join(F.broadcast(ma), "doc_a").join(
                 F.broadcast(mb), "doc_b"
             )
-            return verify(joined, inter_sz).distinct()
-        # Above the broadcast gate: dedup candidates first, then
-        # shuffle-join the masks (partitioned by doc id — the 100 TB shape).
-        joined = pairs_raw.distinct().join(ma, "doc_a").join(mb, "doc_b")
+            return verify(joined, inter_sz)
+        # Above the broadcast gate: shuffle-join the masks (partitioned
+        # by doc id — the 100 TB shape); candidates are already unique.
+        joined = pairs_raw.join(ma, "doc_a").join(mb, "doc_b")
         return verify(joined, inter_sz)
     # Open-vocab kernel: token sets hashed to sorted LONG arrays once
     # (primitive equality beats string equality ~2.5x; xxhash64
@@ -458,7 +483,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hset").alias("set_b"),
         F.col("n").alias("nb"),
     )
-    joined = pairs_raw.distinct().join(sa, "doc_a").join(sb, "doc_b")
+    joined = pairs_raw.join(sa, "doc_a").join(sb, "doc_b")
     return verify(joined, F.size(F.array_intersect("set_a", "set_b")))
 
 

@@ -743,6 +743,24 @@ def q_lsh_sweep(d):
     )
 
 
+def q_hopping_uniques(ev):
+    """stream_hopping_uniques' algebra: 1-hour window with 15-min hop —
+    Expand replicates each event into its 4 covering windows, then one
+    (window, user) shuffle feeds the exact COUNT DISTINCT.  Work is
+    4x the scan plus a distinct whose width is windows x active users;
+    the op's docstring names agg_hll_sketch as the swap when that
+    product stops fitting executor memory."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("uniq_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events",
+                "uniq_users")
+    )
+
+
 def q_groups_frame(o):
     """win_groups_frame's algebra: dense_rank + rank-RANGE frame sharing
     one (priority, month) shuffle."""
@@ -797,7 +815,8 @@ def main() -> None:
             tables |= {"orders"}
         if any(
             s in "window sessionize funnel rollup interval sweep markov "
-                 "attribution conversion" for s in only
+                 "attribution conversion hopping uniques Expand distinct"
+            for s in only
         ):
             tables |= {"events"}
         if any(s in "groups frame dense_rank range cdc upsert" for s in only):
@@ -876,6 +895,8 @@ def main() -> None:
         ("bigram LM (lead adjacency)", q_bigram_lm, (d1_,), (d4_,)),
         ("lsh band sweep (banded self-join)", q_lsh_sweep, (d1_,), (d4_,)),
         ("groups frame (dense_rank+range)", q_groups_frame, (o1,), (o4,)),
+        ("hopping uniques (Expand(4)+distinct)", q_hopping_uniques,
+         (ev1,), (ev4,)),
     ]
     rows = []
     for name, fn, in1, inN in shapes:

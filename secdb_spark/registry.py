@@ -424,6 +424,11 @@ _CERT_SLATE_R11: tuple[str, ...] = (
     "decile_lift_table", "part_sourcing_breadth", "rollup_calendar_grains",
     "embed_angle_hist", "price_volume_mix", "langid_confusion",
     "ecdf_lookup", "minhash_jaccard_calibration",
+    # round-8 batch 1 (corpus design / separation diagnostics) — fills 8
+    # of the 16 slots reserved above; 8 remain for round-8 batch 2.
+    "corpus_dedup_curve", "text_prefix_novelty", "quality_rule_ablation",
+    "mix_anneal_schedule", "heaps_law_fit", "vocab_topk_coverage",
+    "vocab_gini", "embed_label_separation",
 )
 
 
@@ -483,6 +488,7 @@ def _load_operators() -> None:
         corpus_extras,
         corpus_extras2,
         curation_extras,
+        curation_extras2,
         econ_extras,
         edgar_feed,
         embed_extras,

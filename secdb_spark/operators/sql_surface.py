@@ -772,3 +772,85 @@ _sql_op(
     WHERE user_id < 200
     """,
 )
+
+# -- Spark 4 pipe-syntax SQL (|>) --------------------------------------------
+# Spark 4.0 added SQL pipe syntax (the linear FROM ... |> WHERE ...
+# |> AGGREGATE composition model popularized by GoogleSQL); this op runs
+# the TPC-H Q1 pricing-summary shape through it — same result set as the
+# classic form, proving the surface routes through the same Catalyst
+# plan.  DuckDB has no pipe dialect, so the oracle is the equivalent
+# ANSI text (the one case in this file where the two texts differ by
+# construction).
+_sql_op(
+    "sql_pipe_syntax",
+    """
+    FROM lineitem
+    |> WHERE l_shipdate <= DATE '1998-09-01'
+    |> AGGREGATE CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS sum_rev,
+                 CAST(count(*) AS BIGINT) AS n_rows
+       GROUP BY l_returnflag, l_linestatus
+    |> SELECT l_returnflag, l_linestatus, round(sum_qty, 4) AS sum_qty,
+              round(sum_rev, 4) AS sum_rev, n_rows
+    """,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_rev,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# -- Spark 4 VARIANT type (semi-structured without a schema) -----------------
+# parse_json() -> VARIANT + variant_get() typed extraction is Spark 4's
+# answer to schema-on-read JSON columns (shredded binary encoding, no
+# per-row string re-parse downstream).  The op parses events.props into
+# VARIANT once and aggregates typed extractions per event type; the
+# oracle reads the same JSON through DuckDB's json_extract_string.
+# try_parse_json() feeds the validity count (NULL on malformed input
+# instead of failing the query).
+_sql_op(
+    "fn_variant",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(try_parse_json(props)) AS BIGINT) AS n_valid_json,
+           CAST(min(variant_get(parse_json(props), '$.k', 'bigint'))
+                AS BIGINT) AS min_k,
+           CAST(max(variant_get(parse_json(props), '$.k', 'bigint'))
+                AS BIGINT) AS max_k,
+           CAST(sum(variant_get(parse_json(props), '$.k', 'bigint'))
+                AS BIGINT) AS sum_k,
+           CAST(CAST(floor(CAST(sum(variant_get(parse_json(props), '$.k',
+                                            'bigint')) AS DOUBLE)
+                       / count(*) * 10000 + 0.5) AS BIGINT) / 10000.0
+                AS DOUBLE) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid_json,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(CAST(floor(CAST(sum(CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT)) AS DOUBLE)
+                       / count(*) * 10000 + 0.5) AS BIGINT) / 10000.0
+                AS DOUBLE) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)

@@ -429,6 +429,10 @@ _CERT_SLATE_R11: tuple[str, ...] = (
     "corpus_dedup_curve", "text_prefix_novelty", "quality_rule_ablation",
     "mix_anneal_schedule", "heaps_law_fit", "vocab_topk_coverage",
     "vocab_gini", "embed_label_separation",
+    # round-8 batch 2 (oscillators / beta / overlap / Spark-4 SQL surface)
+    # — fills the remaining 8 reserved slots; round-8 widening stops here.
+    "ts_macd", "ts_atr", "ts_beta", "events_audience_overlap",
+    "hhi_trend", "win_weighted_moving_avg", "sql_pipe_syntax", "fn_variant",
 )
 
 
@@ -552,6 +556,7 @@ def _load_operators() -> None:
         warehouse_extras32,
         warehouse_extras33,
         warehouse_extras34,
+        warehouse_extras35,
         windows,
         xbrl_analytics,
     )

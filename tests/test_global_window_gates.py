@@ -149,6 +149,7 @@ MODEL_SIZED_ALLOWLIST = {
     ("warehouse_extras23.py", "key_gap_audit"): "lag over the per-4096-key-block aggregate (|keyrange|/4096-sized; widen KEY_BLOCK for larger key spaces)",
     ("warehouse_extras32.py", "decile_lift_table"): "cumulative-share windows over the 10-row decile aggregate (customer ranking is the bucketed grouped_range_prefix_sum kernel, customer_lorenz_deciles convention)",
     ("curation_extras2.py", "vocab_topk_coverage"): "rank over the |vocab|-row frequency aggregate (corpus_zipf_slope convention — vocabulary, not corpus, sizes the window)",
+    ("warehouse_extras35.py", "ts_macd"): "EWMA lag chains over the |days|-row daily revenue aggregate (calendar-bounded series, win_ewma convention)",
 }
 
 #: functions whose global-window use is the below-gate branch of a

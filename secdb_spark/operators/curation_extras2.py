@@ -468,10 +468,10 @@ def mix_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q GROUP BY source
     )
     SELECT source, CAST(n AS BIGINT) AS n_points,
-           round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+           {sql_he4('''CAST(CAST(n AS DECIMAL(38,0)) * sxy
                       - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
                  / CAST(CAST(n AS DECIMAL(38,0)) * sxx
-                        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 4)
+                        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)''')}
              AS heaps_beta
     FROM m
     """,
@@ -538,7 +538,8 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "source",
         F.col("n").cast("long").alias("n_points"),
-        r4(num.cast("double") / den.cast("double")).alias("heaps_beta"),
+        # he4, not r4: raw ratio can tie at 4 dp (changepoint_binary class)
+        he4(num.cast("double") / den.cast("double")).alias("heaps_beta"),
     )
 
 

@@ -484,14 +484,130 @@ def _xbrl_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facts
 
 
-@register("src_xbrl_etl", oracle=None)  # R class: fixture parse, no SQL twin
+#: Facts of the 4 hand-written fixtures (fixtures/xbrl/*.xml) as spec
+#: literals, FACT_COLS order with dims pre-serialized to the exact JSON
+#: string to_json emits — change a fixture and this table must change
+#: consciously (the _xbrl_filings_oracle discipline).  form is NULL: none
+#: of the four carries a dei:DocumentType fact.
+_XBRL_HANDWRITTEN_FACTS: tuple[tuple, ...] = (
+    ("0000001-24-000001", "0000320193", None, "us-gaap:Assets", "usd", 6,
+     352755000000, None, "2024-03-31", None, None, '{"seg:Region":"AMER"}'),
+    ("0000001-24-000001", "0000320193", None, "us-gaap:Liabilities", "usd", 6,
+     290437000000, None, "2024-03-31", None, None, '{"seg:Region":"AMER"}'),
+    ("0000001-24-000001", "0000320193", None,
+     "dei:EntityCommonStockSharesOutstanding", "shares", 0,
+     15334082000, None, "2024-03-31", None, None, '{"seg:Region":"AMER"}'),
+    ("0000002-24-000007", "0000789019", None, "us-gaap:Revenues", "usd", 3,
+     61858000000, None, None, "2024-01-01", "2024-03-31",
+     '{"seg:Region":"EMEA"}'),
+    ("0000002-24-000007", "0000789019", None, "us-gaap:NetIncomeLoss", "usd",
+     3, 21939000000, None, None, "2024-01-01", "2024-03-31",
+     '{"seg:Region":"EMEA"}'),
+    ("0000003-24-000012", "0001018724", None, "us-gaap:Revenues", "usd", 3,
+     143313000000, None, None, "2024-01-01", "2024-03-31",
+     '{"seg:Region":"APAC"}'),
+    ("0000003-24-000012", "0001018724", None, "us-gaap:OperatingIncomeLoss",
+     "usd", 3, 15307000000, None, None, "2024-01-01", "2024-03-31",
+     '{"seg:Region":"APAC"}'),
+    ("0000003-24-000012", "0001018724", None, "us-gaap:NetIncomeLoss", "usd",
+     3, 10431000000, None, None, "2024-01-01", "2024-03-31",
+     '{"seg:Region":"APAC"}'),
+    ("0000004-24-000020", "0001652044", None, "us-gaap:Assets", "usd", 6,
+     407350000000, None, "2024-03-31", None, None, '{"seg:Region":"AMER"}'),
+)
+
+
+def _xbrl_gen_module():
+    """Import fixtures/gen_xbrl.py by path (the _xbrl_filings_oracle
+    loader, shared)."""
+    import importlib.util
+
+    path = os.path.abspath(os.path.join(FIXTURES_DIR, "gen_xbrl.py"))
+    spec = importlib.util.spec_from_file_location("gen_xbrl_facts", path)
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    return gen
+
+
+def _xbrl_facts_oracle(superseded: bool) -> str:
+    """Golden VALUES oracle for the facts table (round 8 — src_xbrl_etl /
+    xbrl_supersede were R class): every generated fact recomputed as a
+    PURE FUNCTION of fixtures/gen_xbrl.py — per filing 1 dei:DocumentType
+    (text, no unit/decimals) + 3 consolidated duration + 2 consolidated
+    instant + 3 regional seg:Region + 1 two-dimensional cAO fact whose
+    value is the AMER revenue // 10 — plus the four hand-written
+    fixtures' 9 facts as spec literals.  dims is the exact JSON string
+    Spark's to_json(map) emits (document member order: Region before
+    Channel).  With superseded=True, each company's Q2 base 10-Q drops
+    (its 10-Q/A wins the (cik, period_end, base_form) group on accession
+    order); the hand-written filings are sole members of their groups and
+    always survive.  value_num compares as DOUBLE — every fixture value
+    is an integer < 2^53, so the cast is exact in both engines."""
+    gen = _xbrl_gen_module()
+
+    rows: list[tuple] = []
+    for acc, ci, qi, amended in gen.all_filings():
+        if superseded and qi == gen.AMENDED_QUARTER and not amended:
+            continue  # the 10-Q/A wins this (cik, period_end, 10-Q) group
+        form = "10-Q/A" if amended else "10-Q"
+        start, end = gen.QUARTERS[qi]
+        ck = gen.cik(ci)
+        rows.append((acc, ck, form, "dei:DocumentType", None, None,
+                     None, form, None, start, end, "{}"))
+        for c in gen.DUR_CONCEPTS:
+            rows.append((acc, ck, form, c, "usd", 0,
+                         gen.value(ci, qi, c, None, amended), None,
+                         None, start, end, "{}"))
+        for c in gen.INST_CONCEPTS:
+            rows.append((acc, ck, form, c, "usd", 0,
+                         gen.value(ci, qi, c, None, amended), None,
+                         end, None, None, "{}"))
+        for r in gen.REGIONS:
+            rows.append((acc, ck, form, "us-gaap:Revenues", "usd", 0,
+                         gen.value(ci, qi, "us-gaap:Revenues", r, amended),
+                         None, None, start, end,
+                         '{"seg:Region":"' + r + '"}'))
+        rows.append((acc, ck, form, "us-gaap:Revenues", "usd", 0,
+                     gen.value(ci, qi, "us-gaap:Revenues", "AMER", amended)
+                     // 10, None, None, start, end,
+                     '{"seg:Region":"AMER","seg:Channel":"ONLINE"}'))
+    rows.extend(_XBRL_HANDWRITTEN_FACTS)
+
+    def lit(v, kind: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {kind})"
+        if kind == "VARCHAR":
+            return "'" + str(v) + "'"
+        return f"CAST({v} AS {kind})"
+
+    kinds = ("VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR",
+             "INTEGER", "DOUBLE", "VARCHAR", "VARCHAR", "VARCHAR",
+             "VARCHAR", "VARCHAR")
+    body = ", ".join(
+        "(" + ", ".join(lit(v, k) for v, k in zip(r, kinds)) + ")"
+        for r in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES {body}) AS t({', '.join(FACT_COLS)})"
+    )
+
+
+@register("src_xbrl_etl", oracle=_xbrl_facts_oracle(False))
 def src_xbrl_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing facts view: `_xbrl_facts` with the `dims` map
-    serialized to a JSON string.  The driver canonicalizes result rows
-    with a pandas sort, and map values arrive there as unhashable dicts
-    (the round-3 src_xbrl_etl/xbrl_supersede errors) — internal consumers
-    keep the typed map via `_xbrl_facts`."""
-    return _xbrl_facts(spark, sf_dir).withColumn("dims", F.to_json("dims"))
+    serialized to a JSON string and value_num cast to DOUBLE.  The driver
+    canonicalizes result rows with a pandas sort, and map values arrive
+    there as unhashable dicts (the round-3 src_xbrl_etl/xbrl_supersede
+    errors); DECIMAL cells canonicalize engine-dependently (DuckDB's
+    pandas bridge floats them), and every fixture value is an integer
+    < 2^53, so the double cast is the exact portable form — internal
+    consumers keep the typed map and exact decimal via `_xbrl_facts`.
+    Golden oracle since round 8 (was R class): see _xbrl_facts_oracle."""
+    return (
+        _xbrl_facts(spark, sf_dir)
+        .withColumn("dims", F.to_json("dims"))
+        .withColumn("value_num", F.col("value_num").cast("double"))
+    )
 
 
 def _xbrl_filings_oracle() -> str:
@@ -612,13 +728,18 @@ def _xbrl_supersede_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facts.join(F.broadcast(winners), "accession", "semi")
 
 
-@register("xbrl_supersede", oracle=None)  # R class: fixture-derived
+@register("xbrl_supersede", oracle=_xbrl_facts_oracle(True))
 def xbrl_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing superseded-facts view (dims as JSON string — see
-    src_xbrl_etl for why the map type cannot cross the driver's
-    canonicalization)."""
-    return _xbrl_supersede_facts(spark, sf_dir).withColumn(
-        "dims", F.to_json("dims")
+    """Driver-facing superseded-facts view (dims as JSON string, value_num
+    as DOUBLE — see src_xbrl_etl for why neither the map type nor the
+    DECIMAL can cross the driver's canonicalization).  Golden oracle since
+    round 8 (was R class): _xbrl_facts_oracle(superseded=True) recomputes
+    the surviving fact set — winners per (cik, period_end, base_form) —
+    as a pure function of the fixture generator."""
+    return (
+        _xbrl_supersede_facts(spark, sf_dir)
+        .withColumn("dims", F.to_json("dims"))
+        .withColumn("value_num", F.col("value_num").cast("double"))
     )
 
 

@@ -269,10 +269,10 @@ def ts_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bw JOIN mkt USING (wk) GROUP BY brand
     )
     SELECT brand, CAST(n AS BIGINT) AS n_weeks,
-           round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+           {sql_he4('''CAST(CAST(n AS DECIMAL(38,0)) * sxy
                       - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
                  / CAST(CAST(n AS DECIMAL(38,0)) * sxx
-                        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 4)
+                        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)''')}
              AS beta
     FROM m
     """,
@@ -328,7 +328,9 @@ def ts_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "brand",
         F.col("n").cast("long").alias("n_weeks"),
-        r4(num.cast("double") / den.cast("double")).alias("beta"),
+        # he4, not r4: the slope is a raw ratio of shared-IEEE doubles and
+        # can land exactly on a 4-dp half-tie (the changepoint_binary class)
+        he4(num.cast("double") / den.cast("double")).alias("beta"),
     )
 
 
@@ -420,7 +422,7 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hhi_trend",
-    oracle="""
+    oracle=f"""
     WITH sq AS (
       SELECT s.s_nationkey, l.l_suppkey,
              (year(l.l_shipdate) - 1995) * 4 + quarter(l.l_shipdate) - 1
@@ -444,11 +446,11 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hhi GROUP BY 1
     )
     SELECT s_nationkey, CAST(n AS BIGINT) AS n_quarters,
-           round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+           {sql_he4('''CAST(CAST(n AS DECIMAL(38,0)) * sxy
                       - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
                  / CAST(CAST(n AS DECIMAL(38,0)) * sxx
                         - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
-                 / 10000, 4) AS hhi_slope_per_quarter
+                 / 10000''')} AS hhi_slope_per_quarter
     FROM m
     """,
 )
@@ -508,7 +510,8 @@ def hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "s_nationkey",
         F.col("n").cast("long").alias("n_quarters"),
-        r4(num.cast("double") / den.cast("double") / 10000).alias(
+        # he4, not r4: raw ratio can tie at 4 dp (changepoint_binary class)
+        he4(num.cast("double") / den.cast("double") / 10000).alias(
             "hhi_slope_per_quarter"
         ),
     )

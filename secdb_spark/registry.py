@@ -168,9 +168,13 @@ def certified_at_current_class(name: str) -> bool:
 # round-7 pinned window (join_inner recert) by one slot.  It queues with
 # the other post-pin upgrades for round 8 via the R8 slate.  xbrl_filings
 # left for the same reason (round-7 golden-oracle upgrade; R8 slate).
+#   src_xbrl_etl / xbrl_supersede left in round 8 (golden-oracle upgrade
+#   à la xbrl_filings — re-listing them would re-enter them at the queue
+#   FRONT and displace two pinned R8-slate ops out of the driver's
+#   window; they queue via the R12 slate instead).
 _ROWS_ONLY_PRIORITY: tuple[str, ...] = (
     "stream_watermark", "stream_dedup", "stream_stateful",
-    "snk_sqlite", "src_xbrl_etl", "xbrl_supersede",
+    "snk_sqlite",
     "build_secdb", "mm_resize", "mm_frame_sample",
 )
 
@@ -435,6 +439,16 @@ _CERT_SLATE_R11: tuple[str, ...] = (
     "hhi_trend", "win_weighted_moving_avg", "sql_pipe_syntax", "fn_variant",
 )
 
+# Round-12 slate: the round-8 rows-only→exact golden-oracle upgrades
+# (src_xbrl_etl / xbrl_supersede — _xbrl_facts_oracle recomputes every
+# fixture fact as a pure function of fixtures/gen_xbrl.py).  Both hold
+# rows-only greens from r2/r4, so this is recertification at the exact
+# class, queued BEHIND all first-time coverage (R8-R11) per the
+# drain-the-backlog discipline; 48 slots remain free.
+_CERT_SLATE_R12: tuple[str, ...] = (
+    "src_xbrl_etl", "xbrl_supersede",
+)
+
 
 def _certification_order(names) -> list[str]:
     """Unsettled slate ops first, then other unsettled ops (exact-oracle
@@ -444,7 +458,8 @@ def _certification_order(names) -> list[str]:
     names = list(names)
     slate = [
         n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7 + _CERT_SLATE_R8
-           + _CERT_SLATE_R9 + _CERT_SLATE_R10 + _CERT_SLATE_R11)
+           + _CERT_SLATE_R9 + _CERT_SLATE_R10 + _CERT_SLATE_R11
+           + _CERT_SLATE_R12)
         if n in names and not certified_at_current_class(n)
     ]
     # Oracle-changed recerts queue BEHIND never-certified ops (including

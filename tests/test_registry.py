@@ -236,6 +236,7 @@ def test_every_pending_op_is_slate_addressed():
         + registry._CERT_SLATE_R9
         + registry._CERT_SLATE_R10
         + registry._CERT_SLATE_R11
+        + registry._CERT_SLATE_R12
     )
     unslated = [
         n for n in registry.all_queries()
@@ -249,3 +250,7 @@ def test_every_pending_op_is_slate_addressed():
 
 def test_r11_slate_within_driver_window():
     assert len(registry._CERT_SLATE_R11) <= 50
+
+
+def test_r12_slate_within_driver_window():
+    assert len(registry._CERT_SLATE_R12) <= 50

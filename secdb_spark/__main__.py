@@ -23,6 +23,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--op", help="run a registered operator id instead of SQL")
     ap.add_argument("--list", action="store_true", help="list operator ids")
     ap.add_argument("--explain", metavar="OP_OR_SQL", help="print the physical plan")
+    ap.add_argument(
+        "--verify",
+        metavar="OP",
+        help="diff an operator against its DuckDB reference SQL "
+        "(exit 0 iff it matches)",
+    )
     ap.add_argument("--limit", type=int, default=20, help="max rows to print")
     ap.add_argument("--json", action="store_true", help="JSON lines output")
     args = ap.parse_args(argv)
@@ -37,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.explain:
         print(eng.explain(args.explain))
         return 0
+    if args.verify:
+        res = eng.verify(args.verify)
+        print(f"{res.status}  {res.name}  {res.detail}")
+        return 0 if res.ok else 1
     if args.op:
         df = eng.op(args.op)
     elif args.query:

@@ -10,7 +10,8 @@ gestures plus the operator library:
     eng.sql("SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").show()
     eng.table("orders").filter("o_totalprice > 100").count()
     eng.op("dedup_near").show()          # any registry operator by name
-    eng.ops()                            # list the 200+ operator ids
+    eng.ops()                            # list the 500+ operator ids
+    eng.verify("dedup_near")             # diff it against its DuckDB oracle
 
 One-shot CLI (the `sqlite3 file "SELECT ..."` shape):
 
@@ -73,6 +74,16 @@ class Engine:
     def oracle(self, name: str) -> str | None:
         """The operator's DuckDB-runnable reference SQL (None for R/D class)."""
         return all_oracles().get(name)
+
+    def verify(self, name: str):
+        """Differential check of one operator against its DuckDB reference
+        SQL on THIS engine's data dir — the certification gate as a user
+        gesture (evaluate-don't-trust).  Returns a
+        `secdb_spark.verify.VerifyResult`; R/D-class operators report
+        ROWS_ONLY (the same weaker signal the driver records)."""
+        from .verify import verify_op
+
+        return verify_op(name, self.spark, self.sf_dir)
 
     def explain(self, name_or_sql: str) -> str:
         """Formatted physical plan for an operator id or a SQL string."""

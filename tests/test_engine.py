@@ -67,3 +67,46 @@ def test_cli_sql_and_list(eng, capsys):
     assert main(["--sf", SF_DIR, "--op", "yoy_growth", "--json", "--limit", "3"]) == 0
     out = capsys.readouterr().out
     assert out.count("{") >= 1 and "revenue" in out
+
+
+def test_engine_verify_ok_and_rows_only(eng):
+    """verify() is the driver gate as a user gesture: a certified
+    exact-class op diffs green against its oracle on the same dir; an
+    R-class op reports the honest weaker signal."""
+    res = eng.verify("agg_group")
+    assert res.status == "OK" and res.ok
+    assert res.spark_rows == res.oracle_rows == 6
+
+    ro = eng.verify("ann_ivf")
+    assert ro.status == "ROWS_ONLY" and ro.ok and ro.oracle_rows is None
+
+    with pytest.raises(KeyError):
+        eng.verify("no_such_op")
+
+
+def test_verify_detects_value_divergence():
+    """compare_frames must flag a single-cell value drift (the failure
+    the driver's hash gate exists for), not just shape mismatches."""
+    import pandas as pd
+
+    from secdb_spark.verify import compare_frames
+
+    a = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]})
+    assert compare_frames("t", a, a.copy()).status == "OK"
+    b = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5000001]})
+    r = compare_frames("t", a, b)
+    assert r.status == "FAIL" and "values differ" in r.detail
+    c = pd.DataFrame({"k": [1, 2], "w": [1.5, 2.5]})
+    assert compare_frames("t", a, c).status == "FAIL"
+    d = pd.DataFrame({"k": [1], "v": [1.5]})
+    assert compare_frames("t", a, d).status == "FAIL"
+    # order-insensitivity: permuted rows are the SAME result
+    e = pd.DataFrame({"k": [2, 1], "v": [2.5, 1.5]})
+    assert compare_frames("t", a, e).status == "OK"
+
+
+def test_cli_verify(eng, capsys):
+    from secdb_spark.__main__ import main
+
+    assert main(["--sf", SF_DIR, "--verify", "agg_group"]) == 0
+    assert "OK" in capsys.readouterr().out

@@ -2,6 +2,10 @@
 (query, oracle) pair and diffs results the same way the driver does:
 row count + column names + order-insensitive canonical value comparison.
 
+The comparison itself lives in `secdb_spark.verify` (one implementation,
+shared with `Engine.verify()` and the tests); this wrapper adds timing
+and the batch CLI.
+
 Usage:
     python tools/selfcheck.py [--sf /root/testdata/sf0.001] [op ...]
 
@@ -11,64 +15,17 @@ Exit code 0 iff every checked pair matches.
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 import time
-from datetime import date, datetime
-from decimal import Decimal
 
 sys.path.insert(0, "/root/repo")
 
-
-def canon_cell(v) -> str:
-    """Canonical string for a cell value, tolerant of container types."""
-    import numpy as np
-
-    if v is None:
-        return "<null>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "<nan>"
-        return repr(v)
-    if isinstance(v, (np.floating,)):
-        return canon_cell(float(v))
-    if isinstance(v, (np.integer,)):
-        return str(int(v))
-    if isinstance(v, (np.bool_, bool)):
-        return str(bool(v))
-    if isinstance(v, Decimal):
-        return f"dec:{v.normalize()}"
-    if isinstance(v, datetime):
-        return v.isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon_cell(v[k])}" for k in sorted(v)) + "}"
-    # pandas NaT / NA
-    try:
-        import pandas as pd
-
-        if v is pd.NaT or v is pd.NA:
-            return "<null>"
-        if isinstance(v, pd.Timestamp):
-            return v.isoformat()
-    except Exception:
-        pass
-    return str(v)
-
-
-def canon_rows(pdf) -> list[tuple[str, ...]]:
-    cols = sorted(pdf.columns)
-    rows = [
-        tuple(canon_cell(v) for v in row)
-        for row in pdf[cols].itertuples(index=False, name=None)
-    ]
-    rows.sort()
-    return rows
+from secdb_spark.verify import (  # noqa: E402
+    canon_cell,  # noqa: F401  (re-exported: tests import from here)
+    canon_rows,  # noqa: F401
+    compare_frames,
+    duckdb_connect,
+)
 
 
 def run_one(name, spark, con, sf_dir, queries, oracles, verbose=False):
@@ -81,20 +38,15 @@ def run_one(name, spark, con, sf_dir, queries, oracles, verbose=False):
     t0 = time.time()
     opdf = con.execute(oracles[name]).fetchdf()
     t_duck = time.time() - t0
-    if sorted(spdf.columns) != sorted(opdf.columns):
-        return (
-            "FAIL",
-            len(spdf),
-            t_spark,
-            f"columns differ: spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}",
-        )
-    if len(spdf) != len(opdf):
-        return ("FAIL", len(spdf), t_spark, f"rowcount spark={len(spdf)} oracle={len(opdf)}")
-    srows, orows = canon_rows(spdf), canon_rows(opdf)
-    if srows != orows:
-        diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
-        return ("FAIL", len(spdf), t_spark, f"values differ; first diffs: {diffs}")
-    return ("OK", len(spdf), t_spark, f"{len(spdf)} rows  spark={t_spark:.2f}s duck={t_duck:.2f}s")
+    res = compare_frames(name, spdf, opdf)
+    if res.status != "OK":
+        return ("FAIL", len(spdf), t_spark, res.detail)
+    return (
+        "OK",
+        len(spdf),
+        t_spark,
+        f"{len(spdf)} rows  spark={t_spark:.2f}s duck={t_duck:.2f}s",
+    )
 
 
 def main() -> int:
@@ -102,8 +54,6 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
-
-    import duckdb
 
     from secdb_spark.registry import all_oracles, all_queries
     from secdb_spark.session import get_spark
@@ -116,13 +66,7 @@ def main() -> int:
         return 2
 
     spark = get_spark("selfcheck")
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+    con = duckdb_connect(args.sf)
 
     n_fail = 0
     for name in names:

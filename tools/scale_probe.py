@@ -761,6 +761,25 @@ def q_hopping_uniques(ev):
     )
 
 
+def q_audience_overlap(ev):
+    """events_audience_overlap's algebra: (user, day) distinct — the only
+    data-sized shuffle — then a self-join of that aggregate shifted one
+    day on (user_id, day).  Both sides hash-partition on the same keys,
+    so the join adds no new Exchange; output rides the |days|-row
+    aggregate.  Work should scale with |distinct (user, day)|."""
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    b = act.select(
+        "user_id", (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day")
+    )
+    return (
+        act.join(b, ["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+
+
 def q_groups_frame(o):
     """win_groups_frame's algebra: dense_rank + rank-RANGE frame sharing
     one (priority, month) shuffle."""
@@ -896,6 +915,8 @@ def main() -> None:
         ("lsh band sweep (banded self-join)", q_lsh_sweep, (d1_,), (d4_,)),
         ("groups frame (dense_rank+range)", q_groups_frame, (o1,), (o4,)),
         ("hopping uniques (Expand(4)+distinct)", q_hopping_uniques,
+         (ev1,), (ev4,)),
+        ("audience overlap (shifted self-join)", q_audience_overlap,
          (ev1,), (ev4,)),
     ]
     rows = []

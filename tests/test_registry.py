@@ -254,3 +254,24 @@ def test_r11_slate_within_driver_window():
 
 def test_r12_slate_within_driver_window():
     assert len(registry._CERT_SLATE_R12) <= 50
+
+
+def test_no_uninterpolated_placeholders_in_oracles():
+    """Class-closer for the forgotten-f-prefix bug (round 8, hhi_trend):
+    an oracle written as a plain triple-quoted string next to siblings
+    that use f-strings ships literal `{sql_he4(...)}` text to DuckDB and
+    only fails at verify time with an opaque parser error.  `{letter`
+    never appears in legitimate SQL here (struct literals use parens,
+    quoted JSON braces are followed by a quote), so its presence means a
+    missing f prefix."""
+    import re
+
+    offenders = {
+        n: sql[:80]
+        for n, sql in registry.all_oracles().items()
+        if re.search(r"\{[A-Za-z_]", sql)
+    }
+    assert not offenders, (
+        "oracle strings with uninterpolated placeholders (missing f "
+        f"prefix?): {offenders}"
+    )

@@ -58,12 +58,25 @@ def _ewma_sql(col: str, alpha: float, k: int, win: str = "w") -> str:
     return f"(({num}) / ({den}))"
 
 
-def _ewma_col(col: str, alpha: float, k: int, w) -> Column:
+def _lag_cols(col: str, k: int, w) -> list[Column]:
+    """Bind lag(col, 0..k-1) ONCE as named columns in a single window
+    projection.  The EWMA folds then reference plain columns instead of
+    repeating each lag expression 3x (value, numerator presence, and
+    denominator presence) — same values, same IEEE fold tree, but the
+    analyzed plan carries k window expressions instead of 6k (ts_macd's
+    analysis dropped 3.9s -> ~1s on the swap)."""
+    return [F.lag(col, i).over(w).alias(f"_{col}_l{i}") for i in range(k)]
+
+
+def _ewma_from_lags(col: str, alpha: float, k: int) -> Column:
+    """Truncated renormalized EWMA over the `_lag_cols` projection —
+    term order and literal weights identical to `_ewma_sql`, so both
+    engines evaluate the same left-associated IEEE sum."""
     num = sum(
         (
             F.when(
-                F.lag(col, i).over(w).isNotNull(),
-                F.lit((1 - alpha) ** i * alpha) * F.lag(col, i).over(w),
+                F.col(f"_{col}_l{i}").isNotNull(),
+                F.lit((1 - alpha) ** i * alpha) * F.col(f"_{col}_l{i}"),
             ).otherwise(F.lit(0.0))
             for i in range(k)
         ),
@@ -72,7 +85,7 @@ def _ewma_col(col: str, alpha: float, k: int, w) -> Column:
     den = sum(
         (
             F.when(
-                F.lag(col, i).over(w).isNotNull(),
+                F.col(f"_{col}_l{i}").isNotNull(),
                 F.lit((1 - alpha) ** i * alpha),
             ).otherwise(F.lit(0.0))
             for i in range(k)
@@ -136,20 +149,24 @@ def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day")
     m1 = daily.select(
+        "day", "rev", *_lag_cols("rev", MACD_K, w)
+    ).select(
         "day",
         "rev",
-        _ewma_col("rev", MACD_FAST_ALPHA, MACD_K, w).alias("ema_fast"),
-        _ewma_col("rev", MACD_SLOW_ALPHA, MACD_K, w).alias("ema_slow"),
+        _ewma_from_lags("rev", MACD_FAST_ALPHA, MACD_K).alias("ema_fast"),
+        _ewma_from_lags("rev", MACD_SLOW_ALPHA, MACD_K).alias("ema_slow"),
     )
     m2 = m1.select(
         "day",
         "rev",
         (F.col("ema_fast") - F.col("ema_slow")).alias("macd"),
     ).select(
+        "day", "rev", "macd", *_lag_cols("macd", MACD_SIG_K, w)
+    ).select(
         "day",
         "rev",
         "macd",
-        _ewma_col("macd", MACD_SIG_ALPHA, MACD_SIG_K, w).alias("signal"),
+        _ewma_from_lags("macd", MACD_SIG_ALPHA, MACD_SIG_K).alias("signal"),
     )
     return m2.select(
         "day",
@@ -236,10 +253,13 @@ def ts_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("true_range"),
     )
     return tr.select(
+        "event_type", "day", "true_range",
+        *_lag_cols("true_range", ATR_K, pw),
+    ).select(
         "event_type",
         "day",
         he4(F.col("true_range")).alias("true_range"),
-        he4(_ewma_col("true_range", ATR_ALPHA, ATR_K, pw)).alias("atr"),
+        he4(_ewma_from_lags("true_range", ATR_ALPHA, ATR_K)).alias("atr"),
     )
 
 

@@ -388,51 +388,54 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |active(d) ∪ active(d+1)| — set-level audience churn, the DAU
     continuity number that rolling_active_users (a count) and
     stickiness_ratio (DAU/MAU) both miss: two days can have identical
-    DAU with zero overlap.  The (user, day) distinct is the only
-    data-sized shuffle; the overlap is a user-keyed equi-join of that
-    aggregate with itself shifted one day (co-partitioned on user_id —
-    no new shuffle), and the final join rides the |days|-row aggregate.
-    Jaccard closes from exact integers with the shared he4 tree."""
+    DAU with zero overlap.
+
+    Scale shape (round-8 plan audit): the naive form referenced the
+    (user, day) distinct from FOUR consumers, and Catalyst dutifully
+    recomputed it — four full scans of the raw events table.  This form
+    scans ONCE: distinct -> lead(day) over each user's sorted active
+    days (a user is in the d/d+1 intersection iff their next active day
+    is exactly day+1) -> one groupBy(day) emits n_today and n_both
+    together; n_next then rides a self-join of the |days|-row aggregate.
+    Shuffles: the distinct, a DAU-aggregate-sized user window, one day
+    aggregate — nothing else touches data.  Jaccard closes from exact
+    integers with the shared he4 tree."""
     ev = table(spark, sf_dir, "events")
     act = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
-    daily = act.groupBy("day").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
-    )
-    a = act.alias("a")
-    b = act.select(
-        "user_id", (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day")
-    ).alias("b")
-    ov = (
-        a.join(b, ["user_id", "day"])
+    wu = Window.partitionBy("user_id").orderBy("day")
+    per_day = (
+        act.withColumn("nxt", F.lead("day").over(wu))
         .groupBy("day")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
-    )
-    d1 = daily.alias("d1")
-    d2 = daily.select(
-        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
-        F.col("n_users").alias("n_next"),
-    )
-    j = (
-        d1.join(d2, "day")
-        .join(ov, "day", "left")
-        .select(
-            "day",
-            F.col("n_users").alias("n_today"),
-            "n_next",
-            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_today"),
+            F.sum(
+                F.when(
+                    F.col("nxt") == F.col("day") + F.expr("INTERVAL 1 DAY"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both"),
         )
     )
-    return j.select(
-        "day",
-        "n_today",
-        "n_next",
-        "n_both",
-        he4(
-            F.col("n_both").cast("double")
-            / (F.col("n_today") + F.col("n_next") - F.col("n_both"))
-        ).alias("jaccard"),
+    nxt_day = per_day.select(
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("n_today").alias("n_next"),
+    )
+    return (
+        per_day.join(nxt_day, "day")
+        .select(
+            "day",
+            "n_today",
+            "n_next",
+            "n_both",
+            he4(
+                F.col("n_both").cast("double")
+                / (F.col("n_today") + F.col("n_next") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
     )
 
 

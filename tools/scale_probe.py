@@ -762,21 +762,27 @@ def q_hopping_uniques(ev):
 
 
 def q_audience_overlap(ev):
-    """events_audience_overlap's algebra: (user, day) distinct — the only
-    data-sized shuffle — then a self-join of that aggregate shifted one
-    day on (user_id, day).  Both sides hash-partition on the same keys,
-    so the join adds no new Exchange; output rides the |days|-row
-    aggregate.  Work should scale with |distinct (user, day)|."""
+    """events_audience_overlap's algebra (round-8 single-scan form):
+    (user, day) distinct — the only data-sized shuffle — then lead(day)
+    over each user's sorted active days flags the d/d+1 intersection,
+    and ONE groupBy(day) emits today-count and overlap together.  The
+    earlier shifted self-join recomputed the distinct per consumer (four
+    raw scans); this probe pins the one-scan replacement."""
     act = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
-    b = act.select(
-        "user_id", (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day")
-    )
+    wu = Window.partitionBy("user_id").orderBy("day")
     return (
-        act.join(b, ["user_id", "day"])
+        act.withColumn("nxt", F.lead("day").over(wu))
         .groupBy("day")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_today"),
+            F.sum(
+                F.when(
+                    F.col("nxt") == F.col("day") + F.expr("INTERVAL 1 DAY"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_both"),
+        )
     )
 
 
@@ -916,7 +922,7 @@ def main() -> None:
         ("groups frame (dense_rank+range)", q_groups_frame, (o1,), (o4,)),
         ("hopping uniques (Expand(4)+distinct)", q_hopping_uniques,
          (ev1,), (ev4,)),
-        ("audience overlap (shifted self-join)", q_audience_overlap,
+        ("audience overlap (single-scan lead)", q_audience_overlap,
          (ev1,), (ev4,)),
     ]
     rows = []

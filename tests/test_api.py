@@ -410,3 +410,39 @@ def test_gapfill_methods_on_custom_table(spark):
 
     with pytest.raises(ValueError):
         api.gapfill(df, ["series"], "d", "y", method="nearest")
+
+
+def test_ks_drift_single_group_returns_null(spark):
+    # A group with an empty complement has no "rest" ECDF to test
+    # against: ks_d must be an explicit NULL, never NaN-by-div0
+    # (ADVICE r7: guard the n_g*(N-n_g) denominator).
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [("only", v) for v in range(5)], "grp string, x int"
+    )
+    got = api.ks_drift(df, "grp", "x").toPandas().set_index("grp")
+    assert len(got) == 1
+    assert int(got.loc["only", "n"]) == 5
+    assert pd.isna(got.loc["only", "ks_d"])
+
+
+def test_gapfill_schema_identical_across_methods(spark):
+    # Switching method must never silently change the result schema
+    # (ADVICE r7: 'linear' used to cast to double while 'zero'/'ffill'
+    # kept the input type).  Value col is double even from an int input.
+    df = spark.createDataFrame(
+        [("s", 0, 1), ("s", 2, 3)], "series string, d int, y int"
+    )
+    # Compare (name, dataType) — nullability may legitimately differ
+    # ('zero' coalesces y to a non-nullable literal).
+    schemas = {
+        m: [
+            (f.name, f.dataType.simpleString())
+            for f in api.gapfill(df, ["series"], "d", "y", method=m).schema
+        ]
+        for m in ("zero", "ffill", "linear")
+    }
+    assert schemas["ffill"] == schemas["zero"]
+    assert schemas["linear"] == schemas["zero"]
+    assert dict(schemas["zero"])["y"] == "double"

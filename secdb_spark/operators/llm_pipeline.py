@@ -360,6 +360,14 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(N_BANDS)
         ],
     )
+    # Materialize the signature table ONCE.  `bands` is referenced 8x
+    # below (x/y across 4 band joins) and Catalyst does NOT reuse the
+    # subtree (plan audit: 18 scans of documents executed, zero
+    # ReusedExchange — the alias branches never canonicalize equal), so
+    # without this every band join re-tokenized and re-hashed the whole
+    # corpus.  The checkpoint is doc-count-sized (doc_id + 4 band longs),
+    # executor-local, and cuts the plan to one tokenize+sha+min pass.
+    bands = bands.localCheckpoint(eager=True)
     # FIRST-MATCHING-BAND candidate join: for band b, equi-join on
     # band_b with the residual predicate "band_j differs for all j < b".
     # Each candidate pair is emitted at exactly one band (its first
@@ -432,6 +440,10 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n"),
             )
         )
+        # Same recompute hazard as `bands`: ma and mb are two consumers
+        # of the mask aggregate and the broadcasts below would each
+        # re-run tokenize+dictionary-join+bit_or.  One materialized pass.
+        masks = masks.localCheckpoint(eager=True)
         ma = masks.select(
             F.col("doc_id").alias("doc_a"),
             *[F.col(f"m{w}").alias(f"a{w}") for w in range(n_words)],
@@ -473,6 +485,9 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hset"
         ),
     ).withColumn("n", F.size("hset"))
+    # Two consumers (sa/sb) — materialize the hashed-sorted sets once so
+    # the tokenize+hash+sort pass runs once, not per join side.
+    hsets = hsets.localCheckpoint(eager=True)
     sa = hsets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hset").alias("set_a"),

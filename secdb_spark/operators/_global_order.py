@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ._helpers import DEC
+from ._helpers import DEC, pin
 
 #: Above this many input rows, operators with a global-order step switch
 #: from the single-partition window (exact, cheapest at aggregate scale)
@@ -156,9 +156,22 @@ def grouped_range_prefix_sum(
     groups don't need this kernel at all).
 
     Returns one row per (group, key): group_cols + key + `_v` (the
-    DECIMAL(38,6) peer sum) + `out` (the inclusive running sum)."""
-    agg = df.groupBy(*group_cols, key).agg(
-        F.sum(F.col(value_col).cast(DEC)).alias("_v")
+    DECIMAL(38,6) peer sum) + `out` (the inclusive running sum).
+
+    Materialization (plan-audit, SCALE.md §50): the distinct-(group,key)
+    aggregate has THREE internal consumers (the approxQuantile action,
+    the local window, the bucket totals) and Catalyst recomputes the
+    whole upstream pipeline per consumer — stat_levene executed 23 scans
+    of its base table through this shape.  `agg` is pinned (eager
+    localCheckpoint of the distinct-key-sized frame, always << input),
+    so the input pipeline runs ONCE; the RESULT is pinned too because
+    nearly every caller fans out over it (group totals + threshold
+    probe), which would otherwise re-run the window+offset join per
+    consumer."""
+    agg = pin(
+        df.groupBy(*group_cols, key).agg(
+            F.sum(F.col(value_col).cast(DEC)).alias("_v")
+        )
     )
     t = _bucketize(agg, key, n_buckets, desc=False)
     w = (
@@ -180,7 +193,7 @@ def grouped_range_prefix_sum(
         )
         .agg(F.coalesce(F.sum("b._tot"), F.lit(0).cast(DEC)).alias("_off"))
     )
-    return (
+    return pin(
         local.join(F.broadcast(offs), [*group_cols, "_bucket"])
         .withColumn(out, F.col("_off") + F.col("_lcum"))
         .drop("_bucket", "_lcum", "_off")

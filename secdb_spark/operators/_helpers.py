@@ -82,3 +82,22 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB-side twin of davg()."""
     return f"({sql_dsum(expr)} / count(*))"
+
+
+def pin(df: "DataFrame") -> "DataFrame":  # noqa: F821 (forward ref)
+    """Materialize a MODEL-SIZED multi-consumer frame once.
+
+    Catalyst has no common-subexpression elimination across the DAG:
+    a frame referenced by two+ consumers is recomputed per consumer,
+    all the way down to the scans (plan-audit finding, SCALE.md §49-50
+    — even a textbook diamond over one aggregate executes two scans,
+    zero ReusedExchange).  For a frame that is model-sized (group
+    aggregates, medians, per-source stats — thousands of rows at most)
+    the fix is one eager localCheckpoint: every consumer then reads the
+    materialized rows and the expensive parent pipeline runs ONCE.
+
+    Use ONLY on model-sized frames.  A row-sized (corpus-sized) frame
+    with several consumers needs a single-pass restructuring instead
+    (SCALE.md §48) — checkpointing 100 TB trades scans for a bigger
+    write."""
+    return df.localCheckpoint(eager=True)

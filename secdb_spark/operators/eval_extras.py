@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 from .llm_pipeline import _IVF_SEED_SQL, N_CENTROIDS, _emb, ann_ivf_assign
 
 IVF_EVAL_K = 3
@@ -111,7 +111,9 @@ def ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment and touches scan_frac of that.  Both top-k windows
     partition on qid (high-cardinality, scale-safe)."""
     emb = _emb(spark, sf_dir)
-    assign = ann_ivf_assign(spark, sf_dir).select("vec_id", "bucket")
+    # pinned: consumed as both the query-side and candidate-side lookup
+    # (the un-pinned form re-ran the centroid assignment per side).
+    assign = pin(ann_ivf_assign(spark, sf_dir).select("vec_id", "bucket"))
     q = emb.filter(F.col("vec_id") % IVF_EVAL_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
@@ -130,32 +132,45 @@ def ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("cid"), sim.alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
-    ex = (
-        cp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVF_EVAL_K)
-        .select("qid", "cid")
-    )
     qa = assign.withColumnRenamed("vec_id", "qid")
     ca = assign.withColumnRenamed("vec_id", "cid").withColumnRenamed(
         "bucket", "cbucket"
     )
-    ip_all = (
+    # SINGLE-PASS evaluation (plan-audit, SCALE.md §50): the naive form
+    # built ex / ip_all / iv / hits / nc as separate frames, and every
+    # consumer re-ran the |Q|xN similarity cross-join — 12 executed
+    # scans.  Instead, attach the bucket-match flag to each scored pair
+    # ONCE, rank twice over the same frame (rn_all over qid; rn_ivf over
+    # (qid, same-bucket), valid because the IVF candidate set is exactly
+    # the bucket-matched rows), and reduce every output metric with flag
+    # arithmetic — no self-joins, no second similarity pass, and nothing
+    # row-sized is materialized.
+    flagged = (
         cp.join(F.broadcast(qa), "qid")
         .join(F.broadcast(ca), "cid")
-        .filter(F.col("bucket") == F.col("cbucket"))
-        .select("qid", "cid", "sim")
+        .withColumn("bmatch", F.col("bucket") == F.col("cbucket"))
     )
-    iv = (
-        ip_all.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVF_EVAL_K)
-        .select("qid", "cid")
+    w_ivf = Window.partitionBy("qid", "bmatch").orderBy(
+        F.col("sim").desc(), F.col("cid")
     )
+    ranked = flagged.withColumn("rn_all", F.row_number().over(w)).withColumn(
+        "rn_ivf", F.row_number().over(w_ivf)
+    )
+    in_ex = F.col("rn_all") <= IVF_EVAL_K
+    in_iv = F.col("bmatch") & (F.col("rn_ivf") <= IVF_EVAL_K)
+    stats = ranked.agg(
+        F.sum(F.when(in_ex & in_iv, 1).otherwise(0))
+        .cast("long")
+        .alias("hits"),
+        F.sum(F.when(F.col("bmatch"), 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+    )
+    stats = pin(stats)  # 1 row, two consumers below
     nq = q.agg(F.count(F.lit(1)).cast("long").alias("nq"))
     nn = emb.agg(F.count(F.lit(1)).cast("long").alias("nn"))
-    hits = ex.join(iv, ["qid", "cid"]).agg(
-        F.count(F.lit(1)).cast("long").alias("hits")
-    )
-    nc = ip_all.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    hits = stats.select("hits")
+    nc = stats.select("nc")
     m = (
         nq.crossJoin(F.broadcast(nn))
         .crossJoin(F.broadcast(hits))

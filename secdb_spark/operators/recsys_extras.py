@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 from .warehouse_extras2 import MINHASH_SEEDS
 from .warehouse_extras3 import LSH_BANDS, LSH_ROWS_PER_BAND, _sig_sql
 
@@ -72,12 +72,15 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_khop).  An all-items CF run replaces the seed list with a
     frequency floor (drop the long tail), the standard industrial
     control; the per-seed rank window is bounded by WindowGroupLimit."""
-    bi = (
+    # pinned: the incidence table feeds freq + both co-join sides, and
+    # freq feeds seeds + item_freq — un-pinned each consumer re-ran the
+    # distinct (plan-audit, SCALE.md §50).
+    bi = pin(
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    freq = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    freq = pin(bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f")))
     seeds = (
         freq.orderBy(F.desc("f"), "l_partkey")
         .limit(CF_SEEDS)
@@ -204,10 +207,14 @@ def lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates cost the banded self-join.  Both sides reuse certified
     building blocks, so the eval inherits their plans."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # pinned: postings feed sizes + both self-join sides (3 consumers);
+    # truth/cand below feed counts + the hit join (2 each) — un-pinned,
+    # the eval re-ran tokenize/banding per consumer (12 scans,
+    # plan-audit SCALE.md §50).
+    toks = pin(docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
-    )
+    ))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.select(F.col("doc_id").alias("doc_a"), "term")
     b = toks.select(F.col("doc_id").alias("doc_b"), "term")
@@ -228,9 +235,10 @@ def lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+    truth = pin(truth)
     from .warehouse_extras3 import lsh_candidates
 
-    cand = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    cand = pin(lsh_candidates(spark, sf_dir).select("doc_a", "doc_b"))
     tru_n = truth.agg(F.count(F.lit(1)).alias("n_true"))
     cand_n = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     hit_n = truth.join(cand, ["doc_a", "doc_b"]).agg(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._helpers import pin
 from .pipeline_extras import _hash_bucket, _sql_hash_bucket
 
 # ---------------------------------------------------------------------------
@@ -59,21 +60,27 @@ def cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-system reproducibility a sketch artifact needs before it
     can be merged across pipelines.
 
-    Scale: one tokenize scan; each of the {CMS_DEPTH} rows is a
-    {CMS_WIDTH}-key grouped count (fully map-side combinable — the
-    sketch IS the partial aggregate, which is the whole point of CMS:
-    merging sketches = adding matrices).  Sketch size is constant
+    Scale: ONE tokenize scan feeding a pinned per-term count (the
+    vocab-sized natural pre-aggregate); each of the {CMS_DEPTH} rows is
+    then a {CMS_WIDTH}-key re-aggregate of those term counts (fully
+    map-side combinable — the sketch IS the partial aggregate, which is
+    the whole point of CMS: merging sketches = adding matrices).
+    Un-pinned, the {CMS_DEPTH} row branches each re-ran the corpus
+    tokenize (plan-audit, SCALE.md §50).  Sketch size is constant
     regardless of corpus size."""
-    toks = table(spark, sf_dir, "documents").select(
-        F.explode(F.split("text", " ")).alias("term")
+    term_counts = pin(
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tc"))
     )
     rows = None
     for r in range(CMS_DEPTH):
         col = _hash_bucket(
             F.concat(F.lit(f"cms{r}:"), F.col("term")), CMS_WIDTH
         )
-        cell = toks.groupBy(col.cast("int").alias("col")).agg(
-            F.count(F.lit(1)).alias("cnt")
+        cell = term_counts.groupBy(col.cast("int").alias("col")).agg(
+            F.sum("tc").alias("cnt")
         ).select(F.lit(r).alias("row"), "col", "cnt")
         rows = cell if rows is None else rows.unionByName(cell)
     return rows.select(
@@ -144,7 +151,9 @@ def bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; at 100 TB that broadcast replaces a full shuffle of the
     fact side, which is the entire value proposition."""
     o = table(spark, sf_dir, "orders")
-    keys = o.select(F.col("o_custkey").alias("k")).distinct()
+    # pinned: consumed by every hash branch AND the probe side — without
+    # it each branch re-runs the distinct (plan-audit, SCALE.md §50).
+    keys = pin(o.select(F.col("o_custkey").alias("k")).distinct())
     bits = None
     for j in range(BLOOM_HASHES):
         b = keys.select(
@@ -165,6 +174,9 @@ def bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("word")
         )
     )
+    # words is model-sized (BLOOM_BITS/word bits) with one broadcast
+    # consumer PER HASH: pin it so the build rollup runs once.
+    words = pin(words)
     # FP measurement: probe a disjoint key space through the filter
     probes = keys.select((F.col("k") + BLOOM_PROBE_OFFSET).alias("p"))
     pb = probes.select(

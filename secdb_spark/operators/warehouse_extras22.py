@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 
 DEC12 = "decimal(38,12)"
 
@@ -142,7 +142,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds agree (they do on this corpus — the peel settles in 2).
     Scale: each round is one degree-count shuffle co-partitioned on
     node + one semi-join edge filter; live sets shrink monotonically,
-    per-round cost never exceeds the first round's."""
+    per-round cost never exceeds the first round's.  The live edge set
+    and live node set are pinned (eager localCheckpoint) each round —
+    without that, each round's THREE references to the previous round
+    (degree agg + two join sides) compound to 3^rounds recomputes and
+    the static plan executed 166 scans of the base tables (plan-audit,
+    SCALE.md §50); per-round materialization is the Pregel/GraphX
+    iteration discipline and makes each round cost exactly what the
+    docstring promises."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e = (
@@ -156,20 +163,25 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    n_nodes = und.select("a").distinct().agg(
+    u = pin(und)
+    # Both invariants read the PINNED undirected edge set, not the
+    # un-materialized e/und branches (which would re-run the fact join):
+    # |e| = |und| / 2 exactly by the union-mirror construction.
+    n_nodes = u.select("a").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
-    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    u = und
+    n_edges = u.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges")
+    )
     lives = []
     for i in range(1, KCORE_ROUNDS + 1):
-        live = (
+        live = pin(
             u.groupBy("a")
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") >= KCORE_K)
             .select(F.col("a").alias("node"))
         )
-        u = (
+        u = pin(
             u.join(live.select(F.col("node").alias("a")), "a")
             .join(live.select(F.col("node").alias("b")), "b")
             .select("a", "b")

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import grouped_range_prefix_sum
-from ._helpers import r4
+from ._helpers import pin, r4
 
 #: a customer is churned / a gap is a churn episode past this many days.
 CHURN_GAP_DAYS = 180
@@ -170,9 +170,12 @@ def brand_nation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     One fact-star pass (orders joined on the fact key; customer /
     nation / part as BROADCAST dims) feeds a |nations×brands|-row cell
     aggregate; margins and the grand total RE-AGGREGATE the cell table
-    (model-sized, Catalyst reuses the exchange) and re-enter as
-    broadcasts.  Counts are exact ints; lift is one mirrored double
-    expression."""
+    (model-sized) and re-enter as broadcasts.  The cell table is PINNED
+    (eager localCheckpoint): Catalyst does NOT reuse the aggregate
+    exchange across its four consumers (plan-audit, SCALE.md §50 — the
+    un-pinned form executed the fact-star join 4x, 20 scans), so the
+    one fact pass the docstring promises needs the materialization.
+    Counts are exact ints; lift is one mirrored double expression."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -189,6 +192,7 @@ def brand_nation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    cell = pin(cell)
     margins = cell.groupBy("nation").agg(
         F.sum("n").cast("long").alias("n_nation")
     )

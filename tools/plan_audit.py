@@ -41,8 +41,15 @@ SCAN_RE = re.compile(r"Scan (?:parquet|csv|json|text)[^\n]*?\[[^\]]*\]\s")
 LOC_RE = re.compile(r"Location: \S+ \[([^\]]*)\]")
 
 
-def audit_one(name, fn, spark, sf_dir):
+def audit_one(name, fn, spark, sf_dir, execute=False):
     df = fn(spark, sf_dir)
+    if execute:
+        # Materialize through the noop sink, then read the FINAL adaptive
+        # plan: under AQE, exchange/stage reuse only shows after
+        # execution, so the static count overstates ops whose duplicate
+        # subtrees DO collapse at runtime.  Post-exec scans are the real
+        # scan bill.
+        df.write.mode("overwrite").format("noop").save()
     plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"
     )
@@ -61,6 +68,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--flag-at", type=int, default=3)
+    ap.add_argument("--exec", dest="execute", action="store_true",
+                    help="run each op (noop sink) and audit the FINAL "
+                         "adaptive plan instead of the static one")
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
 
@@ -75,7 +85,9 @@ def main() -> int:
     errors = []
     for name in names:
         try:
-            per_path, exchanges = audit_one(name, queries[name], spark, args.sf)
+            per_path, exchanges = audit_one(
+                name, queries[name], spark, args.sf, execute=args.execute
+            )
         except Exception as e:  # streaming ops etc. may not build a batch plan
             errors.append((name, str(e).splitlines()[0][:100]))
             continue

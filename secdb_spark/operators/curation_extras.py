@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table, table_rows
 from ..registry import register
 from ._global_order import GLOBAL_WINDOW_GATE, grouped_bucketed_topk
-from ._helpers import r4
+from ._helpers import pin, r4
 
 # ---------------------------------------------------------------------------
 # doc_quality_gate — Gopher-style composite filter funnel, per source
@@ -725,16 +725,19 @@ def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side (output rows = Σ n_s·f_s, the training-stream size — the
     point); the closing aggregate is combinable."""
     d = table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # counts/factors/eff are |sources|-row frames with two consumers
+    # each: pinned, so the corpus scans run once per pass (plan-audit,
+    # SCALE.md §50; un-pinned: 8 scans).
+    counts = pin(d.groupBy("source").agg(F.count(F.lit(1)).alias("n")))
     m = counts.agg(F.max("n").alias("max_n"))
-    factors = counts.crossJoin(F.broadcast(m)).select(
+    factors = pin(counts.crossJoin(F.broadcast(m)).select(
         "source",
         "n",
         F.least(
             F.ceil(F.col("max_n").cast("double") / F.col("n")).cast("long"),
             F.lit(MAX_EPOCHS).cast("long"),
         ).alias("factor"),
-    )
+    ))
     upsampled = (
         d.select("source")
         .join(F.broadcast(factors), "source")
@@ -742,7 +745,9 @@ def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.explode(F.sequence(F.lit(1), F.col("factor"))).alias("i")
         )
     )
-    eff = upsampled.groupBy("source").agg(F.count(F.lit(1)).alias("eff_docs"))
+    eff = pin(
+        upsampled.groupBy("source").agg(F.count(F.lit(1)).alias("eff_docs"))
+    )
     tot = eff.agg(F.sum("eff_docs").alias("tot"))
     return (
         factors.join(eff, "source")

@@ -26,7 +26,7 @@ from ._global_order import (
     bucketed_global_rank,
     ntile_from_rank,
 )
-from ._helpers import r4
+from ._helpers import pin, r4
 
 D0 = "decimal(38,0)"
 
@@ -171,7 +171,9 @@ def sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms from the join side (text_unigram_logprob's vocab side
     broadcast makes that a one-line filter).  Sizes are a model-free
     per-doc aggregate joined back on the pair keys."""
-    toks = (
+    # pinned: postings feed sizes + both self-join sides (3 consumers)
+    # — un-pinned each re-ran the tokenize (plan-audit, SCALE.md §50).
+    toks = pin(
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
@@ -387,6 +389,10 @@ def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    # pinned: the 1-row sums frame is re-selected once per stacked pair
+    # row below — un-pinned, each re-ran the full flag aggregate
+    # (10 executed scans of events; plan-audit, SCALE.md §50).
+    sums = pin(sums)
     pair_rows = []
     for i, a in enumerate(EVENT_TYPES):
         for b in EVENT_TYPES[i + 1 :]:

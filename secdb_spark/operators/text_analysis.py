@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table, table_rows
 from ..registry import register
+from ._helpers import pin
 from ._global_order import GLOBAL_WINDOW_GATE, bucketed_prefix_sum
 
 STOPWORDS = ("a", "the")  # corpus vocabulary is a 31-word soup (FIXTURES.md)
@@ -659,7 +660,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurable via `data_skew_report` on the block key before running);
     the verify is map-side bit arithmetic.  Distance budgets > 3 use
     more/wider blocks — the same pigeonhole algebra."""
-    sims = dedup_simhash(spark, sf_dir)
+    # pinned: each of the 4 block branches re-ran the full signature
+    # build (tokenize + bit votes) un-pinned — 8 executed scans
+    # (plan-audit, SCALE.md §50); the signature table is one row/doc.
+    sims = pin(dedup_simhash(spark, sf_dir))
     blocks = None
     for i, (off, width) in enumerate(_SIMHASH_BLOCKS):
         b = sims.select(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import bucketed_global_rank, ntile_from_rank
-from ._helpers import dsum_scaled, r4
+from ._helpers import pin, dsum_scaled, r4
 from .llm_pipeline import _emb
 
 # ---------------------------------------------------------------------------
@@ -194,9 +194,13 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count DESC, label ASC) make the prediction deterministic
     cross-engine.  The ground-truth scan is the evaluation price
     (|Q| x N, query-broadcast); both top-k windows partition on qid."""
-    emb = _emb(spark, sf_dir).join(
-        table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+    # vec/label/embedding all live in ONE parquet — read them in one
+    # scan instead of self-joining the table against itself (plan-audit,
+    # SCALE.md §50; the join form executed 4 embedding scans).
+    emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
     )
     q = emb.filter(F.col("vec_id") % KNN_MOD == 0).select(
         F.col("vec_id").alias("qid"),
@@ -290,9 +294,12 @@ def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile_from_rank (bit-equal to SQL ntile, the win_ntile/customer_rfm
     machinery — no single-partition window over customers); the share
     windows run over the 10-row decile aggregate."""
-    cr = table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+    # pinned: cr feeds the count + the rank kernel's three internal
+    # consumers; g feeds the total + the share projection (plan-audit,
+    # SCALE.md §50; un-pinned: 8 orders scans).
+    cr = pin(table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
         dsum_scaled(F.col("o_totalprice"), 2).cast("long").alias("revq")
-    )
+    ))
     n = cr.agg(F.count(F.lit(1)).alias("n"))
     ranked = bucketed_global_rank(
         cr, "revq", ["o_custkey"], desc=False, out="_rk"
@@ -304,6 +311,7 @@ def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("revq").cast("long").alias("rev"),
     )
+    g = pin(g)
     t = g.agg(F.sum("rev").cast("long").alias("tot"))
     wc = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import bucketed_prefix_sum, grouped_range_prefix_sum
-from ._helpers import r4
+from ._helpers import pin, r4
 
 # ---------------------------------------------------------------------------
 # gap_expfit_ks — exponential fit + KS goodness-of-fit on event gaps
@@ -180,7 +180,11 @@ def greedy_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).cast("long").alias("rev"),
     )
-    v = (
+    # pinned: v feeds the budget scalar, the density projection, AND —
+    # through the un-grouped bucketed kernel — three more consumers
+    # (approxQuantile/local/totals); un-pinned the revenue join ran 4x
+    # (plan-audit, SCALE.md §50).
+    v = pin(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_partkey", "cost")
         .agg(F.sum("rev").cast("long").alias("value"))

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import grouped_range_prefix_sum
-from ._helpers import r4
+from ._helpers import pin, r4
 
 DEC12 = "decimal(38,12)"
 DEC19 = "decimal(19,0)"
@@ -171,7 +171,9 @@ def assoc_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE tree quantized to DECIMAL(38,12) before the order-free sum.
     Only the contingency count touches data — everything downstream is
     |brands|·|sizes|-sized."""
-    ct = (
+    # ct has four consumers and nn two: pinned, one part scan total
+    # (plan-audit, SCALE.md §50).
+    ct = pin(
         table(spark, sf_dir, "part")
         .groupBy("p_brand", "p_size")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
@@ -183,6 +185,7 @@ def assoc_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_brand").cast("long").alias("r_levels"),
         F.countDistinct("p_size").cast("long").alias("c_levels"),
     )
+    nn = pin(nn)
     e = F.col("r").cast("double") * F.col("c") / F.col("n")
     cell = F.pow(F.col("o") - e, 2) / e
     chi = (
@@ -270,7 +273,11 @@ def priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qtr"),
         F.col("o_orderpriority").alias("pri"),
     )
-    cq = o.groupBy("qtr", "pri").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # cq (the quarter x priority grid) has FOUR consumers and dev TWO —
+    # pinned so the fact scan runs once (plan-audit, SCALE.md §50).
+    cq = pin(
+        o.groupBy("qtr", "pri").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
     nq = cq.groupBy("qtr").agg(F.sum("c").cast("long").alias("nq"))
     cp = cq.groupBy("pri").agg(F.sum("c").cast("long").alias("cp"))
     nn = cq.agg(F.sum("c").cast("long").alias("n"))
@@ -286,6 +293,7 @@ def priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
         )
     )
+    dev = pin(dev)
     agg = dev.groupBy("qtr").agg(
         F.max("nq").alias("n_orders"),
         r4(0.5 * F.sum(F.abs(F.col("d")))).alias("tvd"),

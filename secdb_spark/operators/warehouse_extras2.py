@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import DEC, dsum, r4, sql_dsum
+from ._helpers import pin, DEC, dsum, r4, sql_dsum
 
 # snk_orc round-trip sink, written once per process per sf_dir (see op)
 _ORC_SINK_CACHE: dict[str, str] = {}
@@ -140,10 +140,16 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     only full-data shuffles are the basket self-join and the item count.
     All inputs to the ratios are exact integers — the divisions are
     single correctly-rounded IEEE ops, identical both engines."""
-    items = _basket_items(spark, sf_dir)
+    # items feeds the basket total + item counts + both self-join legs;
+    # icnt and pcnt each feed two consumers — all pinned, so the basket
+    # scan and pair stream run once (plan-audit, SCALE.md §50;
+    # un-pinned: 7 lineitem scans).
+    items = pin(_basket_items(spark, sf_dir))
     nb = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    icnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    pcnt = (
+    icnt = pin(
+        items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pcnt = pin(
         _copurchase_pairs(items)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
@@ -211,7 +217,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes graph ops tractable at scale (the edge set is orders of
     magnitude smaller than the pair stream; at 100 TB the same plan holds
     with the edge list hash-partitioned on the join vertex)."""
-    edges = (
+    # pinned: the edge aggregate feeds THREE join legs + the edge count
+    # (plan-audit, SCALE.md §50; un-pinned the pair stream ran 4x).
+    edges = pin(
         _copurchase_pairs(_basket_items(spark, sf_dir))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -442,10 +450,14 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
+    # ONE tokenize pass: tf is pinned and df derives from it (each tf
+    # row is one distinct (doc, term), so count(*) per term IS the
+    # document frequency) — un-pinned, tf and df each re-tokenized the
+    # corpus (plan-audit, SCALE.md §50).
+    tf = pin(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = df.crossJoin(F.broadcast(nd)).select(
         "term",

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 
 DEC12 = "decimal(38,12)"
 
@@ -164,6 +164,9 @@ def trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation")
         .agg(F.sum("rev").cast("long").alias("revenue"))
     )
+    # pinned: the matrix feeds the grand total AND the final projection
+    # — un-pinned the fact star ran twice (plan-audit, SCALE.md §50).
+    flow = pin(flow)
     tot = flow.agg(F.sum("revenue").cast("long").alias("grand"))
     return flow.crossJoin(F.broadcast(tot)).select(
         "cust_nation", "supp_nation", "revenue",

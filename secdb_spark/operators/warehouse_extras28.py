@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import DEC, r4
+from ._helpers import pin, DEC, r4
 
 #: 8 engine-portable md5-min signature seeds (minhash_sig's basis, widened
 #: so the sweep has enough rows to band as 1×8 / 2×4 / 4×2 / 8×1).
@@ -198,12 +198,15 @@ def quality_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical decimal-quantized double both sides, and the final
     per-source share is a |sources×bands|-row window — model-sized."""
     d = table(spark, sf_dir, "documents")
-    tf = (
+    # tf / freq / mix are each multi-consumer (freq+scored, tot+join,
+    # per_source+final): pinned so tokenize and the LM scoring run once
+    # (un-pinned: 8 executed scans; plan-audit, SCALE.md §50).
+    tf = pin(
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    freq = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("c"))
+    freq = pin(tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("c")))
     tot = freq.agg(F.sum("c").cast("long").alias("n"))
     addend = (
         F.col("tf")
@@ -224,6 +227,7 @@ def quality_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("band").cast("long").alias("logp_cband"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+    mix = pin(mix)
     per_source = mix.groupBy("source").agg(
         F.sum("n_docs").alias("src_total")
     )
@@ -314,6 +318,10 @@ def trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation")
         .agg(F.sum("rev").cast("long").alias("revenue"))
     )
+    # pinned: the |nations|^2 flow matrix feeds both mirror halves of
+    # the pair join — un-pinned each half re-ran the fact star
+    # (plan-audit, SCALE.md §50).
+    flow = pin(flow)
     lo = flow.filter(F.col("cust_nation") < F.col("supp_nation")).select(
         F.col("cust_nation").alias("nation_lo"),
         F.col("supp_nation").alias("nation_hi"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import dsum_scaled, sql_dsum_scaled
+from ._helpers import pin, dsum_scaled, sql_dsum_scaled
 from .warehouse_extras2 import MINHASH_SEEDS
 from .warehouse_extras3 import LSH_BANDS, LSH_ROWS_PER_BAND, _sig_sql, lsh_candidates
 
@@ -577,10 +577,14 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.to_date("o_orderdate").alias("placed"), "closes")
     )
+    # closed feeds both union halves and byday feeds spine + the final
+    # join: pinned so the order-close join runs once (plan-audit,
+    # SCALE.md §50; un-pinned: 4 scans of orders AND lineitem).
+    closed = pin(closed)
     deltas = closed.select(F.col("placed").alias("day"), F.lit(1).alias("delta")).union(
         closed.select(F.col("closes").alias("day"), F.lit(-1).alias("delta"))
     )
-    byday = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    byday = pin(deltas.groupBy("day").agg(F.sum("delta").alias("d")))
     spine = byday.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
         F.explode(F.sequence("lo", "hi")).alias("day")
     )

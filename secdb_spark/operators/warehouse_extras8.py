@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import grouped_range_prefix_sum
-from ._helpers import r4
+from ._helpers import pin, r4
 
 # ---------------------------------------------------------------------------
 # supplier_otd — on-time-delivery scorecard per supplier
@@ -134,8 +134,13 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros(F.col("ts")).alias("t"),
     )
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("t").alias("t_view")
+    # v/c/p are per-user min aggregates with 2-3 consumers each (the
+    # next stage + the gap projections): pinned so the event scans run
+    # once per stage (plan-audit, SCALE.md §50; un-pinned: 8 scans).
+    v = pin(
+        ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+            F.min("t").alias("t_view")
+        )
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -144,6 +149,7 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("t").alias("t_click"))
     )
+    c = pin(c)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -151,6 +157,7 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("t").alias("t_purchase"))
     )
+    p = pin(p)
     g1 = v.join(c, "user_id").select(
         F.lit("view->click").alias("stage"),
         (F.col("t_click") - F.col("t_view")).alias("gap_us"),
@@ -209,9 +216,11 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: integer intersection / derived-integer union in one
     shared tree, round 4."""
     d = table(spark, sf_dir, "documents")
-    vocab = d.select(
+    # pinned: the (source, term) vocab feeds sizes + both join sides
+    # (plan-audit, SCALE.md §50; un-pinned: 4 tokenize scans).
+    vocab = pin(d.select(
         "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
-    ).distinct()
+    ).distinct())
     sz = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = vocab.select(F.col("source").alias("source_a"), "term")
     b = vocab.select(F.col("source").alias("source_b"), "term")

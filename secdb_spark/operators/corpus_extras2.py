@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import grouped_range_prefix_sum
-from ._helpers import r4
+from ._helpers import pin, r4
 from .llm_pipeline import sim_cosine_topk
 
 DEC12 = "decimal(38,12)"
@@ -272,7 +272,9 @@ def knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the n·k edge list on the reversed pair (k-bounded fan), and the
     degree stats are combinable aggregates over it — nothing downstream
     of the kNN computation is data-sized beyond n·k."""
-    knn = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # pinned: the n*k edge list feeds rev/join/deg/tot — un-pinned each
+    # re-ran the full kNN kernel (plan-audit, SCALE.md §50).
+    knn = pin(sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id"))
     rev = knn.select(
         F.col("neighbor_id").alias("query_id"),
         F.col("query_id").alias("neighbor_id"),

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import DEC, he4, r4, sql_he4
+from ._helpers import pin, DEC, he4, r4, sql_he4
 from .curation_extras import (
     QG_MAX_TOKS,
     QG_MIN_TOKS,
@@ -505,12 +505,14 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("fd").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
     )
-    j = per_doc.join(new_terms, ["source", "doc_id"], "left").select(
+    # pinned: the per-doc curve feeds BOTH prefix-sum kernel calls —
+    # un-pinned each re-tokenized the corpus (plan-audit, SCALE.md §50).
+    j = pin(per_doc.join(new_terms, ["source", "doc_id"], "left").select(
         "source",
         "doc_id",
         "n_tokens",
         F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
-    )
+    ))
     ct = grouped_range_prefix_sum(
         j, ["source"], "doc_id", "n_tokens", out="cum_tokens"
     ).select("source", "doc_id", "cum_tokens")
@@ -749,10 +751,13 @@ def embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "label", "pos", F.col("xf").cast("double").alias("x")
     )
-    cent = e.groupBy("label", "pos").agg(
+    # pinned: the |labels| x dims centroid frame feeds cnorm + both pair
+    # sides — un-pinned each re-ran the posexplode aggregate
+    # (plan-audit, SCALE.md §50).
+    cent = pin(e.groupBy("label", "pos").agg(
         (F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1)))
         .alias("c")
-    )
+    ))
     sq = e.groupBy("label").agg(
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("ssq"),
         F.count_distinct("vec_id").cast("long").alias("n_vecs"),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import grouped_bucketed_topk
-from ._helpers import DEC, r4
+from ._helpers import pin, DEC, r4
 
 _E_SQL = """
       SELECT vec_id, label,
@@ -166,6 +166,10 @@ def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.sum("tq").cast("long").alias("d2q"))
     )
+    # pinned: the distance frame feeds the top-k kernel's three internal
+    # consumers — un-pinned each re-ran the centroid join (plan-audit,
+    # SCALE.md §50).
+    d = pin(d)
     top = grouped_bucketed_topk(
         d.withColumn("neg", -F.col("d2q")),
         ["label"],

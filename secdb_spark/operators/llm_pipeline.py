@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table, table_rows
 from ..registry import register
+from ._helpers import pin
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
@@ -117,9 +118,12 @@ def _jaccard_pairs(
     independent of what the set elements are."""
     if threshold is None:
         threshold = JACCARD_THRESHOLD
-    sets = d.select(
+    # pinned: sets feeds the posting explode AND both verify sides, and
+    # prefix feeds both candidate-join legs — un-pinned each consumer
+    # re-tokenized the corpus (plan-audit, SCALE.md §50; 6 scans).
+    sets = pin(d.select(
         "doc_id", (_tokens() if tokens is None else tokens).alias("tokset")
-    )
+    ))
     toks = sets.select("doc_id", F.explode("tokset").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -133,6 +137,7 @@ def _jaccard_pairs(
         )
         .select("doc_id", "tok")
     )
+    prefix = pin(prefix)
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "tok")
         .join(prefix.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok")), "tok")

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 from .pipeline_extras import _hash_bucket, _sql_hash_bucket
 
 D0 = "decimal(38,0)"
@@ -322,7 +322,9 @@ def mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     qw = F.floor(
         F.sqrt(F.col("n").cast("double") / total) * MIX_SCALE + 0.5
     ).cast("long")
-    q = s.select("source", "n", qw.alias("qw"))
+    # pinned: q feeds the anchor pick + the rate projection (plan-audit,
+    # SCALE.md §50).
+    q = pin(s.select("source", "n", qw.alias("qw")))
     anchor = (
         q.orderBy(
             (F.col("n").cast("double") / F.col("qw")).asc(), F.col("source")
@@ -395,7 +397,9 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples.  Distinct-count state is per-seed, bounded by |customers|."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
+    # pinned: the edge list feeds the seed ranking + both hop legs —
+    # un-pinned each re-ran the fact join (plan-audit, SCALE.md §50).
+    e = pin(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()

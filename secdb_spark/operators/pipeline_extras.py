@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._helpers import pin
 
 # The embeddings corpus dimension, pinned by embed_centroid's DuckDB oracle
 # (generate_series(1, EMBED_DIM)); the Spark side raises on any other dim.
@@ -196,7 +197,11 @@ def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan stage — zero shuffles beyond the count aggregation, so the
     100 TB corpus is sampled in one pass."""
     d = table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    # pinned: counts feeds the min, the rate broadcast, and the final
+    # report join (plan-audit, SCALE.md §50).
+    counts = pin(
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    )
     mn = counts.agg(F.min("n_total").alias("min_total"))
     rates = counts.crossJoin(F.broadcast(mn))
     h = (F.col("doc_id") * F.lit(MIX_HASH_MULT)) % F.lit(MIX_HASH_MOD)
@@ -343,7 +348,9 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"`{col}__distinct` AS n_distinct, `{col}__min` AS min_val, "
             f"`{col}__max` AS max_val FROM __profile_wide"
         )
-    wide.createOrReplaceTempView("__profile_wide")
+    # pinned: each unpivoted SELECT below re-ran the wide aggregate
+    # through the temp view (plan-audit, SCALE.md §50; one row).
+    pin(wide).createOrReplaceTempView("__profile_wide")
     return spark.sql(" UNION ALL ".join(rows))
 
 
@@ -928,11 +935,13 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl and tf each feed two consumers: pinned so tokenize runs once
+    # per side (plan-audit, SCALE.md §50).
+    dl = pin(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
+    tf = pin(
         toks.filter(F.col("tok").isin(*BM25_QUERY))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))

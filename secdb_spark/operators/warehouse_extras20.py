@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 from .pipeline_extras import KMEANS_K, _KMEANS_SEED_SQL, embed_kmeans
 from .text_analysis import SEQ_LEN, seq_pack
 
@@ -101,9 +101,11 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized work is the assignment scan itself."""
     asg = embed_kmeans(spark, sf_dir).select("vec_id", "cluster")
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    lab = asg.join(emb, "vec_id").groupBy("cluster", "label").agg(
+    # pinned: the K x labels cross-tab feeds tot/top/ent — un-pinned
+    # each re-ran the k-means assignment (plan-audit, SCALE.md §50).
+    lab = pin(asg.join(emb, "vec_id").groupBy("cluster", "label").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ))
     tot = lab.groupBy("cluster").agg(F.sum("c").cast("long").alias("n"))
     wr = Window.partitionBy("cluster").orderBy(F.desc("c"), "label")
     top = (

@@ -35,7 +35,7 @@ from ._global_order import (
     bucketed_prefix_sum,
     ntile_from_rank,
 )
-from ._helpers import DEC, dsum, r4, sql_dsum
+from ._helpers import pin, DEC, dsum, r4, sql_dsum
 
 
 @register(
@@ -143,8 +143,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic.
 
     Shape: ONE tokenize pass builds tf(doc, tok); the corpus frequency
-    table and the grand total both RE-AGGREGATE tf (Catalyst reuses the
-    tf exchange — no second text scan), then tf joins freq on tok and
+    table and the grand total both RE-AGGREGATE tf (tf and freq are
+    PINNED — Catalyst does NOT reuse the exchange across consumers,
+    plan-audit SCALE.md §50), then tf joins freq on tok and
     re-groups by doc.  At 100 TB the freq table is vocabulary-sized
     (Zipf: ~10^7 rows), broadcastable after a df floor; the tf stream
     shuffles twice (tok, then doc) — both unavoidable for exact corpus
@@ -156,12 +157,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation (ln may differ in the last ulp across engines; the
     quantized sum is exact both sides)."""
     d = table(spark, sf_dir, "documents")
-    tf = (
+    tf = pin(
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    freq = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("c"))
+    freq = pin(tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("c")))
     tot = freq.agg(F.sum("c").cast("long").alias("n"))
     addend = (
         F.col("tf")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import dsum, r4, sql_dsum
+from ._helpers import pin, dsum, r4, sql_dsum
 
 LN2 = repr(math.log(2))  # shared literal, bit-identical both engines
 
@@ -188,7 +188,11 @@ def source_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("term") != "")
     )
-    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    # pinned: st feeds ct/nn/the term join — un-pinned each re-ran the
+    # tokenize (plan-audit, SCALE.md §50).
+    st = pin(
+        toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    )
     ct = st.groupBy("term").agg(F.sum("c").cast("long").alias("cnt"))
     nn = st.agg(F.sum("c").cast("long").alias("big_n"))
     j = st.join(ct, "term")
@@ -332,7 +336,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT moments in a single combinable pass; the correlation is one
     shared IEEE tree.  Moment bound: deg² sums stay under 2^63 to ~3e9
     edges per node; past that they widen to DECIMAL(38,0)."""
-    e = (
+    # pinned: the edge list feeds both degree aggregates + the moment
+    # join (plan-audit, SCALE.md §50).
+    e = pin(
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()

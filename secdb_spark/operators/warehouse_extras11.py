@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 
 LN2 = repr(math.log(2))
 DEC12 = "decimal(38,12)"
@@ -146,13 +146,16 @@ def retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate") * 12 + F.month("o_orderdate")
         ).alias("m"),
     ).distinct()
-    coh = om.groupBy("cust").agg(F.min("m").alias("cm"))
+    # om/coh/num each feed 2-3 consumers: pinned so the orders scan and
+    # the cohort aggregate run once (plan-audit, SCALE.md §50).
+    om = pin(om)
+    coh = pin(om.groupBy("cust").agg(F.min("m").alias("cm")))
     act = om.join(coh, "cust").select(
         "cust", (F.col("m") - F.col("cm")).alias("age")
     )
     mx = om.agg(F.max("m").alias("maxm"))
     sizes = coh.groupBy("cm").agg(F.count(F.lit(1)).alias("sz"))
-    num = (
+    num = pin(
         act.filter(F.col("age") >= 1)
         .groupBy("age")
         .agg(F.count(F.lit(1)).alias("n_active"))

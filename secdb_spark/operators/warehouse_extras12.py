@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 
 LN2 = repr(math.log(2))
 DEC12 = "decimal(38,12)"
@@ -60,12 +60,14 @@ def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     PMI value is quantized half-up to an e6 integer from one shared
     IEEE log tree (text_pmi_bigrams' pmi6 convention), so the hash gate
     compares integers."""
-    ut = table(spark, sf_dir, "events").select(
+    # pinned: the (user, type) distinct feeds marginals, the user count,
+    # and both pair-join legs (plan-audit, SCALE.md §50).
+    ut = pin(table(spark, sf_dir, "events").select(
         "user_id", "event_type"
-    ).distinct()
-    marg = ut.groupBy("event_type").agg(
+    ).distinct())
+    marg = pin(ut.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ))
     u = ut.agg(F.countDistinct("user_id").cast("long").alias("nu"))
     a = ut.select("user_id", F.col("event_type").alias("ta"))
     b = ut.select("user_id", F.col("event_type").alias("tb"))
@@ -255,15 +257,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row broadcast; every ln term quantizes to DECIMAL(38,12) before
     the per-doc exact sum, and ppl = exp(-avg) is one shared IEEE
     tree."""
-    toks = table(spark, sf_dir, "documents").select(
+    # toks feeds bigrams + unigram counts + vocab, bg feeds counts +
+    # scoring: both pinned so tokenize and the adjacency window each run
+    # ONCE (plan-audit, SCALE.md §50; un-pinned: 4 corpus scans).
+    toks = pin(table(spark, sf_dir, "documents").select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("i", "w"),
-    )
+    ))
     # adjacency via a lead() window per doc (one doc_id shuffle+sort)
     # instead of a position self-join — same rows, half the plan: the
     # 16x probe measured the join form 4.3x slower at scale.
     wadj = Window.partitionBy("doc_id").orderBy("i")
-    bg = (
+    bg = pin(
         toks.withColumn("w2", F.lead("w").over(wadj))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", F.col("w").alias("w1"), "w2")

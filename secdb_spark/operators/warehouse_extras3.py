@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table, table_rows
 from ..registry import register
 from ._global_order import GLOBAL_WINDOW_GATE, bucketed_prefix_min
-from ._helpers import dsum, r4, sql_dsum
+from ._helpers import pin, dsum, r4, sql_dsum
 from .warehouse_extras2 import MINHASH_SEEDS
 
 LSH_ROWS_PER_BAND = 2  # 4 md5-min sigs -> 2 bands of 2 rows each
@@ -164,7 +164,9 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = d.select("doc_id", checked.alias("toks"))
     uni = t.select(F.explode("toks").alias("w"))
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # uc feeds the total + both marginal sides, bc the total + ranking:
+    # pinned (plan-audit, SCALE.md §50).
+    uc = pin(uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     n1 = uc.agg(F.sum("c").cast("long").alias("n"))
     pairs = t.select(
         F.explode(
@@ -174,7 +176,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bc = pin(pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
     n2 = bc.agg(F.sum("c").cast("long").alias("n"))
     a = uc.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
     b = uc.select(F.col("w").alias("w2"), F.col("c").alias("cb"))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 from .pipeline_extras import _hash_bucket, _sql_hash_bucket
 
 Z95 = 1.96  # two-sided 95% normal quantile (shared literal)
@@ -316,6 +316,10 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.col("second_dt").isNotNull().cast("int").alias("event"),
     )
+    # pinned: subjects feeds the event table AND the risk spine — un-
+    # pinned each re-ran the per-customer rank window (plan-audit,
+    # SCALE.md §50).
+    subjects = pin(subjects)
     times = (
         subjects.groupBy("t")
         .agg(F.sum("event").alias("d"), F.count(F.lit(1)).alias("leaving"))

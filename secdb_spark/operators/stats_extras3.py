@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import grouped_range_prefix_sum
-from ._helpers import r4
+from ._helpers import pin, r4
 from .pipeline_extras import _hash_bucket, _sql_hash_bucket
 
 #: chi²(1 df) critical value at alpha = 0.001 — the conventional SRM alarm
@@ -184,6 +184,9 @@ def abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("y"),
         )
     )
+    # pinned: per_user feeds the pooled moments AND the per-variant
+    # sums (plan-audit, SCALE.md §50).
+    per_user = pin(per_user)
     xd = F.col("x").cast(DEC38)
     yd = F.col("y").cast(DEC38)
     moments = per_user.agg(
@@ -307,6 +310,7 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(zd).cast("double").alias("sz"),
         F.sum(zd * zd).cast("double").alias("szz"),
     )
+    per_group = pin(per_group)  # feeds pooled + withp (plan-audit §50)
     pooled = per_group.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),

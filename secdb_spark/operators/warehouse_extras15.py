@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import grouped_range_prefix_sum
-from ._helpers import r4
+from ._helpers import pin, r4
 
 DEC12 = "decimal(38,12)"
 SQRT365 = repr(math.sqrt(365.0))
@@ -146,9 +146,11 @@ def brand_size_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     same full-spine lesson as source_length_ks); each (o-e)^2/e term
     quantizes half-up to an e6 integer so the sum is order-free.  All
     frames are model-sized aggregates of the part dim."""
-    cells = table(spark, sf_dir, "part").groupBy(
+    # pinned: the brand x size cross-tab feeds both margins, the grand
+    # total, and the spine join (plan-audit, SCALE.md §50).
+    cells = pin(table(spark, sf_dir, "part").groupBy(
         F.col("p_brand").alias("brand"), F.col("p_size").alias("sz")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")))
     szm = cells.groupBy("sz").agg(F.sum("o").cast("long").alias("cs"))
     brm = cells.groupBy("brand").agg(F.sum("o").cast("long").alias("nb"))
     nn = cells.agg(F.sum("o").cast("long").alias("n"))

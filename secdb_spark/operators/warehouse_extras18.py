@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 
 LN2 = repr(math.log(2))  # shared literal, bit-identical both engines
 
@@ -88,14 +88,16 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("term") != "")
     )
-    st = toks.groupBy("source", "term").agg(
+    # st feeds totals + probabilities; pr feeds both pair sides: pinned
+    # so tokenize runs once (plan-audit, SCALE.md §50).
+    st = pin(toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ))
     ns = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
-    pr = st.join(F.broadcast(ns), "source").select(
+    pr = pin(st.join(F.broadcast(ns), "source").select(
         "source", "term", (F.col("c").cast("double") / F.col("n")).alias("p"),
         "c",
-    )
+    ))
     a = pr.select(
         F.col("source").alias("source_a"), "term",
         F.col("p").alias("p"), F.col("c").alias("ca"),
@@ -287,6 +289,9 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("loyal")
         .alias("seg"),
     )
+    # pinned: seg feeds the horizon + both self-join sides (plan-audit,
+    # SCALE.md §50).
+    seg = pin(seg)
     max_yr = seg.agg(F.max("yr").cast("long").alias("max_yr"))
     cur = seg.select("o_custkey", "yr", F.col("seg").alias("from_seg"))
     nxt = seg.select(

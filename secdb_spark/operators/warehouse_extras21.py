@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import he4, r4, sql_he4
+from ._helpers import pin, he4, r4, sql_he4
 
 DEC6 = "decimal(38,6)"
 DEC12 = "decimal(38,12)"
@@ -81,6 +81,9 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.datediff(F.date_trunc("day", F.col("ts")), anchor).alias("di"),
     ).agg(F.sum(F.col("value").cast(DEC6)).cast("double").alias("x"))
+    # pinned: daily feeds both pair-join sides + the OLS moments
+    # (plan-audit, SCALE.md §50).
+    daily = pin(daily)
     a = daily.select(
         "event_type", F.col("di").alias("di1"), F.col("x").alias("x1")
     )

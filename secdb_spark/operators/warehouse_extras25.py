@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 
 DEC6 = "decimal(38,6)"
 DEC12 = "decimal(38,12)"
@@ -67,6 +67,9 @@ def anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.sum(F.col("value").cast(DEC6)).cast("double").alias("x"))
+    # pinned: daily feeds the median, the MAD join, and the scoring join
+    # (plan-audit, SCALE.md §50).
+    daily = pin(daily)
     med = daily.groupBy("event_type").agg(
         F.percentile(F.col("x"), F.lit(0.5)).alias("med")
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 
 #: epoch anchor for integer day arithmetic (same convention both engines).
 DAY0 = "1970-01-01"
@@ -288,6 +288,9 @@ def forecast_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
         ).cast("long").alias("cents")
     )
+    # pinned: daily feeds both sides of BOTH shift joins (plan-audit,
+    # SCALE.md §50; un-pinned: 4 orders scans).
+    daily = pin(daily)
 
     def err(shift: int, n_name: str, sae_name: str) -> DataFrame:
         b = daily.select(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import DEC, dsum, r4
+from ._helpers import pin, DEC, dsum, r4
 
 # ---------------------------------------------------------------------------
 # ts_stochastic — stochastic oscillator %K / %D on the daily close
@@ -168,9 +168,11 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the earliest day (min over the argmax join — portable, no composite
     arg_max dependence)."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    # daily feeds totals + the cusum window; cum feeds the argmax pick
+    # both sides: pinned (plan-audit, SCALE.md §50).
+    daily = pin(ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.count(F.lit(1)).alias("c")))
     tot = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("c").cast("long").alias("total"),
@@ -197,6 +199,7 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    cum = pin(cum)
     m = cum.groupBy("event_type").agg(F.max("ex").alias("mex"))
     return (
         cum.join(

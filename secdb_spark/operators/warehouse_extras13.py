@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import table
 from ..registry import register
 from ._global_order import grouped_bucketed_topk
-from ._helpers import r4
+from ._helpers import pin, r4
 
 DEC12 = "decimal(38,12)"
 
@@ -265,6 +265,9 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(2), ATTR_WINDOW_DAYS - age).cast("long").alias("w"),
         )
     )
+    # pinned: touch feeds the normalizer + the credit join (plan-audit,
+    # SCALE.md §50; un-pinned the purchase-touch join ran twice).
+    touch = pin(touch)
     wsum = touch.groupBy("pid").agg(F.sum("w").cast("long").alias("wp"))
     credit = touch.join(wsum, "pid").select(
         "event_type",
@@ -324,6 +327,9 @@ def mix_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hn",
         F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long"),
     )
+    # pinned: the hashed key frame feeds the top-k kernel's three
+    # internal consumers (plan-audit, SCALE.md §50).
+    d = pin(d)
     top = grouped_bucketed_topk(
         d, ["source"], "hn", ["h", "doc_id"], SOURCE_CAP, out="rk"
     )
@@ -404,6 +410,9 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("v")
     )
+    # pinned: daily feeds bounds + the type spine + the fill join
+    # (plan-audit, SCALE.md §50).
+    daily = pin(daily)
     bounds = daily.agg(F.min("di").alias("lo"), F.max("di").alias("hi"))
     spine = (
         daily.select("event_type")

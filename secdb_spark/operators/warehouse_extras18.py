@@ -206,6 +206,9 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # pinned: the fingerprint set feeds sizes + both join sides
+    # (plan-audit, SCALE.md §50).
+    d = pin(d)
     sz = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_hashes"))
     a = d.select(F.col("source").alias("source_a"), "h")
     b = d.select(F.col("source").alias("source_b"), "h")

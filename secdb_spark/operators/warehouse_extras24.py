@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 from .warehouse_extras18 import DUP_PREFIX_WORDS
 
 DEC12 = "decimal(38,12)"
@@ -75,6 +75,9 @@ def mix_unique_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    # pinned: d feeds ownership + the join-back; per feeds the total +
+    # the report (plan-audit, SCALE.md §50).
+    d = pin(d)
     owner = d.groupBy("h").agg(F.min("source").alias("owner"))
     per = (
         d.join(owner, "h")
@@ -86,6 +89,7 @@ def mix_unique_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_owned"),
         )
     )
+    per = pin(per)
     tot = per.agg(F.sum("n_owned").cast("long").alias("owned_total"))
     return per.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "n_owned",

@@ -99,5 +99,14 @@ def pin(df: "DataFrame") -> "DataFrame":  # noqa: F821 (forward ref)
     Use ONLY on model-sized frames.  A row-sized (corpus-sized) frame
     with several consumers needs a single-pass restructuring instead
     (SCALE.md §48) — checkpointing 100 TB trades scans for a bigger
-    write."""
+    write.
+
+    Set SECDB_SPARK_NO_PIN=1 to make this a no-op: a checkpointed frame
+    hides everything upstream from `.explain`, so plan-shape tests (and
+    ad-hoc plan reading) flip the switch to audit the full logical
+    shape the pin otherwise truncates."""
+    import os
+
+    if os.environ.get("SECDB_SPARK_NO_PIN"):
+        return df
     return df.localCheckpoint(eager=True)

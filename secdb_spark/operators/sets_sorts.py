@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._helpers import pin
 
 
 @register(
@@ -162,8 +163,10 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset INTERSECT ALL / EXCEPT ALL (duplicate-count semantics)."""
     li = table(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
-    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    # pinned: each side feeds BOTH bag ops — un-pinned intersectAll and
+    # exceptAll each re-scanned the fact table (plan-audit, SCALE.md §50).
+    a = pin(li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k")))
+    b = pin(li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k")))
     inter = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "k")
     exc = a.exceptAll(b).select(F.lit("except_all").alias("op"), "k")
     return inter.unionByName(exc)

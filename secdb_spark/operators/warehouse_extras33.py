@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 
 #: hash buckets for embedding pair sampling: pairs form only inside a
 #: bucket, so sampled-pair count ~ n²/ANGLE_BUCKETS (set ∝ n in production
@@ -142,6 +142,9 @@ def embed_angle_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long") % ANGLE_BUCKETS
         ).alias("b"),
     )
+    # pinned: v feeds both bucket-join sides (and the histogram total)
+    # — un-pinned each re-hashed the corpus (plan-audit, SCALE.md §50).
+    v = pin(v)
     a, c = v.alias("a"), v.alias("c")
     dot = F.aggregate(
         F.zip_with(F.col("a.e"), F.col("c.e"), lambda x, y: x * y),

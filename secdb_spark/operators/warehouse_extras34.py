@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 from .text_analysis import LANGID_MARKERS
 from .warehouse_extras28 import SWEEP_SEEDS
 
@@ -228,6 +228,9 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sort_array(F.collect_set("term")).alias("terms"),
     )
+    # pinned: sigs feeds the band stack + both verify sides — un-pinned
+    # each re-ran the signature aggregate (plan-audit, SCALE.md §50).
+    sigs = pin(sigs)
     bands = sigs.select(
         "doc_id",
         F.concat("sig0", "sig1").alias("b0"),

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import r4
+from ._helpers import pin, r4
 
 D0 = "decimal(38,0)"
 
@@ -456,6 +456,9 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .distinct()
     )
+    # pinned: edges feeds both endpoint-union halves — un-pinned the
+    # O(k^2) pair join ran twice (plan-audit, SCALE.md §50).
+    edges = pin(edges)
     deg = (
         edges.select(F.col("pa").alias("p"))
         .unionAll(edges.select(F.col("pb").alias("p")))

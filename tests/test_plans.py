@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import re
 import sys
 
@@ -23,7 +24,15 @@ QUERIES = all_queries()
 
 
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_DIR)
+    # NO_PIN: pinned (localCheckpoint'ed) frames truncate the visible
+    # plan at the checkpoint — these tests assert the LOGICAL shape, so
+    # build the frame with pinning disabled (the pin only changes where
+    # materialization happens, never the operator structure under it).
+    os.environ["SECDB_SPARK_NO_PIN"] = "1"
+    try:
+        df = QUERIES[name](spark, SF_DIR)
+    finally:
+        os.environ.pop("SECDB_SPARK_NO_PIN", None)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")

@@ -34,7 +34,14 @@ sys.path.insert(0, "/root/repo")
 # Ops allowed to scan one table >= FLAG_AT times, each with the reason the
 # multi-pass is the DESIGN rather than a Catalyst recompute accident.
 # Keep entries justified — this list is the audit's contract.
-ALLOWED_MULTISCAN: dict[str, str] = {}
+ALLOWED_MULTISCAN: dict[str, str] = {
+    # SQL-surface contract ops run the CANONICAL TPC-H query text via
+    # spark.sql(); the repeated lineitem scans are the declared subquery
+    # semantics of the reference SQL (DuckDB plans the same text the
+    # same way), and rewriting the text would un-certify the surface.
+    "sql_tpch_q18": "canonical TPC-H text: IN-subquery re-scans lineitem",
+    "sql_tpch_q21": "canonical TPC-H text: EXISTS/NOT EXISTS re-scan l2/l3",
+}
 
 SCAN_RE = re.compile(r"Scan (?:parquet|csv|json|text)[^\n]*?\[[^\]]*\]\s")
 # file path appears in the plan detail section as Location: ...[path]

@@ -500,15 +500,20 @@ def q_kcore_peel(li, o):
         )
         .distinct()
     )
+    from secdb_spark.operators._helpers import pin
+
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    u = und
+    # per-round pin — the SHIPPED algebra (SCALE.md §50): without it the
+    # 3 references per round compound to 3^rounds recomputes (the
+    # un-pinned probe form measured 56s/6.83x at 16x; see §52).
+    u = pin(und)
     for _ in range(4):
-        live = (
+        live = pin(
             u.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") >= 10)
             .select(F.col("a").alias("node"))
         )
-        u = (
+        u = pin(
             u.join(live.select(F.col("node").alias("a")), "a")
             .join(live.select(F.col("node").alias("b")), "b")
             .select("a", "b")

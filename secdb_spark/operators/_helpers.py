@@ -101,6 +101,13 @@ def pin(df: "DataFrame") -> "DataFrame":  # noqa: F821 (forward ref)
     (SCALE.md §48) — checkpointing 100 TB trades scans for a bigger
     write.
 
+    Durability: localCheckpoint is executor-local (NOT the reliable
+    `checkpoint()`), so losing an executor mid-job fails the query and
+    it re-runs — the right trade for model-sized frames inside
+    interactive/batch queries.  A multi-hour pipeline stage at cluster
+    scale that cannot afford re-runs should swap in
+    `df.checkpoint(eager=True)` over a durable checkpoint dir.
+
     Set SECDB_SPARK_NO_PIN=1 to make this a no-op: a checkpointed frame
     hides everything upstream from `.explain`, so plan-shape tests (and
     ad-hoc plan reading) flip the switch to audit the full logical

@@ -820,6 +820,44 @@ def timed(df) -> float:
     return sorted(ts)[1]
 
 
+def q_jaccard_prefix(d):
+    """sim_jaccard's SHIPPED kernel (_jaccard_pairs, §50-pinned): token
+    sets + prefix-filtered candidate self-join + full-set verify.  The
+    pin makes tokenize run once; un-pinned it ran per consumer (6x)."""
+    from secdb_spark.operators.llm_pipeline import _jaccard_pairs
+
+    return _jaccard_pairs(d.select("doc_id", "text"))
+
+
+def q_cell_diamond(li):
+    """brand_nation_lift's algebra: ONE fact aggregate (pinned) feeding
+    two margins, the grand total, and the lift projection — the
+    4-consumer diamond that un-pinned re-ran the fact pass 4x."""
+    from secdb_spark.operators._helpers import pin
+
+    cell = pin(
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    m1 = cell.groupBy("l_returnflag").agg(F.sum("n").alias("na"))
+    m2 = cell.groupBy("l_linestatus").agg(F.sum("n").alias("nb"))
+    tot = cell.agg(F.sum("n").alias("g"))
+    return (
+        cell.join(F.broadcast(m1), "l_returnflag")
+        .join(F.broadcast(m2), "l_linestatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (
+                F.col("n").cast("double") * F.col("g")
+                / (F.col("na").cast("double") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )
+
+
 def main() -> None:
     global MULT
     ap = argparse.ArgumentParser()
@@ -859,6 +897,10 @@ def main() -> None:
             tables |= {"events"}
         if any(s in "bigram LM position self-join" for s in only):
             tables |= {"documents"}
+        if any(s in "jaccard prefix allpairs pinned" for s in only):
+            tables |= {"documents"}
+        if any(s in "cell diamond star margins" for s in only):
+            tables |= {"lineitem"}
         if any(s in "embed margin broadcast centroid scan" for s in only):
             tables |= {"embeddings"}
         if any(
@@ -929,6 +971,10 @@ def main() -> None:
          (ev1,), (ev4,)),
         ("audience overlap (single-scan lead)", q_audience_overlap,
          (ev1,), (ev4,)),
+        ("jaccard prefix allpairs (pinned)", q_jaccard_prefix,
+         (d1_,), (d4_,)),
+        ("cell diamond (pinned star margins)", q_cell_diamond,
+         (li1,), (li4,)),
     ]
     rows = []
     for name, fn, in1, inN in shapes:

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .operators._helpers import pin
+
 from .operators._global_order import (
     bucketed_global_rank,
     bucketed_prefix_sum,
@@ -136,6 +138,10 @@ def lsh_candidate_pairs(
         + ", ".join(f"band{i}" for i in range(n_bands))
         + ") AS band_key",
     )
+    # pinned: both self-join sides read the banded frame — un-pinned
+    # each re-ran the signature aggregate upstream (the §50 recompute
+    # class; Catalyst has no cross-DAG CSE).
+    long = pin(long)
     x, y = long.alias("x"), long.alias("y")
     return (
         x.join(y, "band_key")
@@ -169,6 +175,8 @@ def near_dup_pairs(
             F.transform(token_set(text_col), lambda t: F.xxhash64(t))
         ).alias("hset"),
     ).withColumn("n", F.size("hset"))
+    # pinned: hsets feeds both verify sides (§50 recompute class).
+    hsets = pin(hsets)
     sa = hsets.select(
         F.col(id_col).alias("id_a"),
         F.col("hset").alias("set_a"),

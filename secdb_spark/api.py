@@ -499,6 +499,10 @@ def mannwhitney_u(
         F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("i1"),
         F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("i2"),
     )
+    # NOT pinned: d's two consumers (rank kernel + moment join) are one
+    # cheap re-aggregate each, and pinning here trips a Spark 4.1
+    # checkpoint attribute-resolution bug (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND) when the checkpointed frame feeds the kernel's bucketize.
     d = ev.groupBy("v").agg(
         F.sum("i1").cast("long").alias("c1"),
         F.sum("i2").cast("long").alias("c2"),

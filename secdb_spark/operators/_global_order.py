@@ -193,7 +193,14 @@ def grouped_range_prefix_sum(
         )
         .agg(F.coalesce(F.sum("b._tot"), F.lit(0).cast(DEC)).alias("_off"))
     )
-    return pin(
+    # The RESULT is deliberately NOT pinned: checkpointing this
+    # join+window plan trips a Spark 4.1 attribute-resolution bug
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the offsets subtree) in
+    # some attribute-id contexts (api.mannwhitney_u's LocalRelation
+    # input reproduces it).  Caller fan-out re-derives the window +
+    # broadcast join from the PINNED agg — distinct-key-sized work,
+    # zero extra scans.
+    return (
         local.join(F.broadcast(offs), [*group_cols, "_bucket"])
         .withColumn(out, F.col("_off") + F.col("_lcum"))
         .drop("_bucket", "_lcum", "_off")

@@ -58,6 +58,9 @@ __all__ = [
     "trailing_distinct",
     "ks_drift",
     "gapfill",
+    "simhash_near_dups",
+    "bm25_scores",
+    "stratified_sample",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -717,3 +720,156 @@ def gapfill(
         F.col("_out").alias(value_col),
         "is_observed",
     )
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs on ANY (id, text) table —
+    dedup_simhash + simhash_pairs' certified algebra generalized: 63-bit
+    md5-vote signatures, pigeonhole blocking into max_hamming+1 blocks
+    (a pair within distance d must agree exactly on >= 1 of d+1 blocks),
+    exact popcount(xor) verify.  Returns (id_a, id_b, hamming).
+
+    Scale: one tokenize+vote aggregate builds the signature table (one
+    row per doc, PINNED — each block branch reads it, §50); candidates
+    form through block-value equi-joins, never an all-pairs Hamming
+    scan; the verify is map-side bit arithmetic."""
+    toks = df.select(
+        F.col(id_col), F.explode(token_set(text_col)).alias("tok")
+    )
+    md5 = F.md5("tok")
+    hashed = toks.select(
+        id_col,
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def vote(b: int):
+        src, sh = ("lo", b) if b < 32 else ("hi", b - 32)
+        bit = F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}")
+
+    bit_sums = hashed.groupBy(id_col).agg(*[vote(b) for b in range(63)])
+    sim = F.lit(0).cast("long")
+    for b in range(63):  # bit 63 (sign) stays 0: non-negative int64
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = pin(bit_sums.select(F.col(id_col), sim.alias("simhash")))
+
+    n_blocks = max_hamming + 1
+    width = 63 // n_blocks
+    blocks = None
+    for i in range(n_blocks):
+        off = i * width
+        w = width if i < n_blocks - 1 else 63 - off
+        b = sigs.select(
+            id_col,
+            "simhash",
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("bval"),
+        )
+        blocks = b if blocks is None else blocks.unionByName(b)
+    a = blocks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "blk",
+        "bval",
+    )
+    b2 = blocks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "blk",
+        "bval",
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b2, ["blk", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score of every document against `query_terms` on ANY
+    (id, text) table — text_bm25's certified algebra: one tokenize pass
+    feeds per-doc lengths (pinned: corpus stats + the score join read
+    it) and the query-filtered tf (pinned: df + the score join); idf
+    and corpus stats broadcast.  Returns (id_col, bm25) for documents
+    matching >= 1 query term."""
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    dl = pin(toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = pin(
+        toks.filter(F.col("tok").isin(*query_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    fraction: float,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Per-stratum deterministic sampling on ANY table: within each
+    stratum keep ~fraction of rows by the salted-hash threshold rule
+    (sample_stratified's algebra) — reproducible across runs, engines,
+    and repartitioning, unlike sampleBy(rand).  Map-side only: zero
+    shuffles, the keep decision is a pure function of the row."""
+    denom = 1 << 31
+    keep_below = int(fraction * denom)
+    h = F.pmod(
+        F.xxhash64(
+            F.concat(
+                F.lit(salt),
+                *[F.col(c).cast("string") for c in strata_cols],
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+        F.lit(denom),
+    )
+    return df.filter(h < keep_below)

@@ -446,3 +446,70 @@ def test_gapfill_schema_identical_across_methods(spark):
     assert schemas["ffill"] == schemas["zero"]
     assert schemas["linear"] == schemas["zero"]
     assert dict(schemas["zero"])["y"] == "double"
+
+
+def test_simhash_near_dups_on_custom_table(spark):
+    # Two near-identical docs (one word changed out of 12) must pair at
+    # small Hamming distance; an unrelated doc must not pair with them.
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base),
+        (2, base.replace("river", "creek")),
+        (3, "completely different content about spark query planning "
+            "and distributed aggregation trees"),
+    ]
+    df = spark.createDataFrame(rows, "pk int, body string")
+    got = (
+        api.simhash_near_dups(df, "pk", "body", max_hamming=10)
+        .toPandas()
+        .set_index(["id_a", "id_b"])
+    )
+    assert (1, 2) in got.index
+    assert got.loc[(1, 2), "hamming"] <= 10
+    assert (1, 3) not in got.index and (2, 3) not in got.index
+    # identical docs -> identical signature -> hamming 0
+    df2 = spark.createDataFrame([(7, base), (9, base)], "pk int, body string")
+    got2 = api.simhash_near_dups(df2, "pk", "body").toPandas()
+    assert len(got2) == 1 and int(got2.loc[0, "hamming"]) == 0
+
+
+def test_bm25_scores_on_custom_table(spark):
+    import math
+
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "spark engine"),
+        (3, "duck pond water"),
+    ]
+    df = spark.createDataFrame(rows, "pk int, body string")
+    got = api.bm25_scores(df, "pk", "body", ["spark"]).toPandas().set_index("pk")
+    assert 3 not in got.index  # no query term
+    # brute force: N=3, df(spark)=2, idf = ln((3-2+0.5)/(2+0.5)+1)
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    avgdl = (4 + 2 + 3) / 3
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got.loc[1, "bm25"] == pytest.approx(round(bm25(3, 4), 4), abs=1e-4)
+    assert got.loc[2, "bm25"] == pytest.approx(round(bm25(1, 2), 4), abs=1e-4)
+    with pytest.raises(ValueError):
+        api.bm25_scores(df, "pk", "body", [])
+
+
+def test_stratified_sample_on_custom_table(spark):
+    rows = [(g, i) for g in ("x", "y") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, rid int")
+    kept = api.stratified_sample(df, ["grp"], "rid", 0.25)
+    per = kept.groupBy("grp").count().toPandas().set_index("grp")["count"]
+    # hash-threshold keeps ~25% per stratum (binomial tolerance)
+    for g in ("x", "y"):
+        assert 60 <= per[g] <= 140, per.to_dict()
+    # deterministic: identical result on re-run
+    a = sorted(kept.toPandas().itertuples(index=False))
+    b = sorted(
+        api.stratified_sample(df, ["grp"], "rid", 0.25)
+        .toPandas().itertuples(index=False)
+    )
+    assert a == b

@@ -61,6 +61,8 @@ __all__ = [
     "simhash_near_dups",
     "bm25_scores",
     "stratified_sample",
+    "decontaminate",
+    "keep_best_dedup",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -873,3 +875,82 @@ def stratified_sample(
         F.lit(denom),
     )
     return df.filter(h < keep_below)
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination on ANY two (id, text) tables: flag
+    training docs sharing >= 1 word-level `ngram`-gram with the eval
+    set (the GPT-3 paper's 13-gram overlap filter; the registry op's
+    algebra with the split parameterized instead of hash-derived).
+    Returns (id_col, n_shared_grams) for contaminated train docs.
+
+    Scale shape: eval n-grams are DISTINCT'd then hash-joined against
+    the train n-gram stream — eval benchmarks are tiny versus a 100 TB
+    train side, so Spark/AQE broadcasts the eval side and the train
+    stream never shuffles; positional n-grams come from sequence+slice
+    inside codegen — no UDF."""
+
+    def grams(df: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        # docs shorter than ngram yield NO grams (sequence(1, 0) would
+        # step BACKWARDS to [1, 0] and slice would see start=0)
+        g = F.when(
+            F.size(toks) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+                lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.col(id_col)] if with_id else []
+        return df.select(*cols, F.explode(g).alias("_g"))
+
+    eval_grams = grams(eval_df, with_id=False).distinct()
+    return (
+        grams(train_df, with_id=True)
+        .join(eval_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_g").cast("bigint").alias("n_shared_grams"))
+    )
+
+
+def keep_best_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Content-hash dedup that keeps the BEST copy per cluster (highest
+    `score_col`, ties to the smallest id) instead of an arbitrary one —
+    dedup_keep_best's algebra on any table.  Returns the winning rows
+    (all original columns) plus n_copies.  One content-hash groupBy
+    (map-side combinable) + a min-by-struct pick; no window over the
+    corpus."""
+    tagged = df.withColumn("_h", F.sha2(F.col(text_col), 256))
+    best = tagged.groupBy("_h").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("_s"),
+                (-F.col(id_col)).alias("_negid"),
+                F.col(id_col).alias("_id"),
+            )
+        ).alias("_m"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select(
+        "_h", F.col("_m._id").alias("_keep_id"), "n_copies"
+    )
+    return (
+        tagged.join(
+            best,
+            (tagged["_h"] == best["_h"])
+            & (tagged[id_col] == best["_keep_id"]),
+        )
+        .drop(best["_h"])
+        .drop("_keep_id")
+        .drop("_h")
+    )

@@ -513,3 +513,40 @@ def test_stratified_sample_on_custom_table(spark):
         .toPandas().itertuples(index=False)
     )
     assert a == b
+
+
+def test_decontaminate_on_custom_tables(spark):
+    shared = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then " + shared + " and a tail"),
+            (2, "totally clean document with no overlapping window at all "
+                "whatsoever in any thirteen gram"),
+        ],
+        "pk int, body string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the eval set contains " + shared + " inside it")],
+        "pk int, body string",
+    )
+    got = api.decontaminate(train, eval_df, "pk", "body").toPandas()
+    assert got.pk.tolist() == [1]
+    assert int(got.n_shared_grams.iloc[0]) >= 1
+
+    # ngram wider than the shared span -> no contamination flagged
+    none = api.decontaminate(train, eval_df, "pk", "body", ngram=20).toPandas()
+    assert len(none) == 0
+
+
+def test_keep_best_dedup_on_custom_table(spark):
+    rows = [
+        (1, "same content", 0.5),
+        (2, "same content", 0.9),   # winner: higher score
+        (3, "same content", 0.9),   # tie -> smaller id (2) wins
+        (4, "unique content", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "pk int, body string, q double")
+    got = api.keep_best_dedup(df, "pk", "body", "q").toPandas()
+    assert sorted(got.pk.tolist()) == [2, 4]
+    assert int(got.set_index("pk").loc[2, "n_copies"]) == 3
+    assert int(got.set_index("pk").loc[4, "n_copies"]) == 1

@@ -275,13 +275,23 @@ def write_sqlite_sharded(df: DataFrame, shard_dir: str, table_name: str,
     return shards
 
 
-@register("snk_sqlite", oracle=None)  # R class: read-back checksum in tests
+@register(
+    "snk_sqlite",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
 def snk_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star "JDBC/SQLite sink" (BASELINE.json:7). Capability-dispatched:
     df.write.jdbc when a sqlite-jdbc jar is on the classpath, else sharded
     stdlib sqlite3 (no jar ships in this container, so the sharded branch is
     what runs here; the jdbc branch is unit-tested via dispatch). Returns the
-    merged read-back so the driver's rows-only check sees real content."""
+    merged read-back, which must equal the SOURCE rows exactly — the oracle
+    (exact since round 8; was R class) is simply the source selection: INT
+    survives sqlite INTEGER and DOUBLE survives sqlite REAL bit-for-bit
+    (both are the same 8-byte storage classes), so the write→read round
+    trip is lossless and hash-comparable."""
     import sqlite3
 
     d = _tmpdir("sqlite")  # local mode: driver tempdir IS executor-visible
@@ -838,19 +848,112 @@ def xbrl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("accession")
 
 
-@register("build_secdb", oracle=None)  # R class: end-to-end relational build
+#: Fingerprint space for the build manifest (the result_fingerprint
+#: methodology: md5-bucket per canonical row string, commutative SUM).
+BUILD_FP_SPACE = 1_000_000_007
+_CANON_NULL = "<NULL>"
+
+#: Canonical column basis per manifest table.  Every part stringifies
+#: identically in Spark and DuckDB: VARCHAR/INT columns cast directly,
+#: value columns through BIGINT (every fixture value is an exact integer
+#: — the _xbrl_facts_oracle contract), booleans as 'true'/'false' in both
+#: engines.  metrics' net_margin is EXCLUDED consciously: it is a pure
+#: derivation of net_income/revenue (adds no integrity) and its
+#: round(double, 6) stringifies engine-dependently.
+_BUILD_CANON: dict[str, list[str]] = {
+    "facts": ["accession", "cik", "form", "concept", "unit", "decimals",
+              "CAST(value_num AS BIGINT)", "value_text", "period_instant",
+              "period_start", "period_end", "dims_json"],
+    "filings": ["accession", "cik", "form", "period_end", "n_facts",
+                "base_form", "is_amendment"],
+    "entities": ["cik", "n_filings", "n_facts"],
+    "metrics": ["accession", "cik", "CAST(assets AS BIGINT)",
+                "CAST(liabilities AS BIGINT)", "CAST(net_income AS BIGINT)",
+                "CAST(operating_income AS BIGINT)",
+                "CAST(revenue AS BIGINT)"],
+    "facts_sqlite": ["accession", "cik", "concept", "value_num",
+                     "dims_json"],
+}
+
+
+def _canon_expr(parts: list[str]) -> "F.Column":
+    """Spark side of the canonical row string (SQL-expression parts so the
+    SAME spec strings drive both engines)."""
+    cols = [
+        F.coalesce(F.expr(p).cast("string"), F.lit(_CANON_NULL))
+        for p in parts
+    ]
+    return F.concat_ws("|", *cols)
+
+
+def _dq_canon(parts: list[str]) -> str:
+    """DuckDB side of the canonical row string."""
+    return " || '|' || ".join(
+        f"coalesce(CAST({p} AS VARCHAR), '{_CANON_NULL}')" for p in parts
+    )
+
+
+def _build_secdb_oracle() -> str:
+    """Golden manifest oracle (round 8 — build_secdb was R class): every
+    (table_name, n_rows, checksum) row recomputed by DuckDB from the SAME
+    golden fixture oracles the component ops certify against
+    (_xbrl_facts_oracle(True) / _xbrl_filings_oracle / _xbrl_metrics_oracle)
+    over the SAME canonical basis (_BUILD_CANON) and md5-bucket fingerprint
+    (_sql_hash_bucket — the result_fingerprint methodology).  Equality
+    therefore proves the full pipeline INCLUDING the parquet and sqlite
+    round trips, not just the in-memory frames."""
+    from .pipeline_extras import _sql_hash_bucket
+
+    def row(name: str, src: str, parts: list[str]) -> str:
+        bucket = _sql_hash_bucket(_dq_canon(parts), BUILD_FP_SPACE)
+        return (
+            f"SELECT '{name}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(coalesce(sum({bucket}), 0) AS BIGINT) AS checksum FROM {src}"
+        )
+
+    # facts_g exposes the JSON dims column under FACT_COLS' name `dims`;
+    # the built tables rename it dims_json — map the spec accordingly.
+    facts_parts = [
+        p.replace("dims_json", "dims") for p in _BUILD_CANON["facts"]
+    ]
+    sqlite_parts = [
+        "accession", "cik", "concept",
+        "CAST(CAST(value_num AS BIGINT) AS VARCHAR)", "dims",
+    ]
+    return f"""
+    WITH facts_g AS ({_xbrl_facts_oracle(True)}),
+         filings_g AS ({_xbrl_filings_oracle()}),
+         metrics_g AS ({_xbrl_metrics_oracle()}),
+         entities_g AS (
+           SELECT cik,
+                  CAST(count(DISTINCT accession) AS BIGINT) AS n_filings,
+                  CAST(count(*) AS BIGINT) AS n_facts
+           FROM facts_g GROUP BY cik
+         )
+    {row('facts', 'facts_g', facts_parts)}
+    UNION ALL {row('filings', 'filings_g', _BUILD_CANON['filings'])}
+    UNION ALL {row('entities', 'entities_g', _BUILD_CANON['entities'])}
+    UNION ALL {row('metrics', 'metrics_g', _BUILD_CANON['metrics'])}
+    UNION ALL {row('facts_sqlite', 'facts_g', sqlite_parts)}
+    """
+
+
+@register("build_secdb", oracle=_build_secdb_oracle())
 def build_secdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The single "build the SECDB" entry point (VERDICT r1 item 10): one
     composed pipeline parse -> facts -> supersede -> filings / entities /
     metrics, persisted as a parquet database AND a sharded SQLite export
     of the facts table. Returns the build manifest (table, n_rows,
-    checksum) so the driver's rows-only check sees real content; read-back
-    equality is asserted in tests.
+    checksum) where checksum is the engine-portable md5-bucket fingerprint
+    of the READ-BACK rows (parquet for the four tables, sqlite shards for
+    the export) — exact golden oracle since round 8 (was R class; the old
+    checksum used Spark-only xxhash64): see _build_secdb_oracle.
 
     Scale: every stage is the already-scale-shaped operator it composes
     (manifest-parallel parse, broadcast-semi supersedence, one-shuffle
     aggregations); persistence is parquet partitioned per table with the
-    SQLite export sharded per partition."""
+    SQLite export sharded per partition; each fingerprint is a 1-row
+    map-side-combinable aggregate over its read-back scan."""
     out = _tmpdir("secdb_db")
     facts = _xbrl_supersede_facts(spark, sf_dir)
     tables = {
@@ -865,26 +968,33 @@ def build_secdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "metrics": xbrl_metrics(spark, sf_dir),
     }
+    from .pipeline_extras import _hash_bucket
+
+    def manifest_row(name: str, back: DataFrame, parts: list[str]) -> tuple:
+        r = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(_hash_bucket(_canon_expr(parts), BUILD_FP_SPACE)),
+                F.lit(0),
+            ).alias("c"),
+        ).collect()[0]
+        return (name, int(r.n), int(r.c))
+
     rows = []
     for name, df in tables.items():
         path = os.path.join(out, name)
         df.write.mode("overwrite").parquet(path)
         back = spark.read.parquet(path)
-        chk = (
-            back.select(
-                F.xxhash64(F.to_json(F.struct(*sorted(back.columns)))).alias("h")
-            )
-            # bit_xor: order-independent row checksum with no ANSI overflow
-            .agg(F.expr("bit_xor(h)").alias("checksum"))
-            .collect()[0]
-        )
-        rows.append((name, back.count(), int(chk.checksum or 0)))
-    # SQLite export of the facts table (the reference's target store)
+        rows.append(manifest_row(name, back, _BUILD_CANON[name]))
+    # SQLite export of the facts table (the reference's target store).
+    # value_num exports as its canonical BIGINT string (every fixture
+    # value is an exact integer) so the read-back fingerprint is portable.
     facts_str = tables["facts"].select(
         "accession", "cik", "concept",
-        F.col("value_num").cast("string").alias("value_num"), "dims_json"
+        F.col("value_num").cast("bigint").cast("string").alias("value_num"),
+        "dims_json",
     )
-    shards = write_sqlite_sharded(
+    write_sqlite_sharded(
         facts_str,
         out,
         "facts",
@@ -892,7 +1002,18 @@ def build_secdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_num TEXT, dims_json TEXT)",
         "INSERT INTO facts VALUES (?, ?, ?, ?, ?)",
     )
-    rows.append(("facts_sqlite_shards", len(shards), 0))
+    import sqlite3
+
+    frames = []
+    for shard in sorted(os.listdir(out)):
+        if shard.startswith("shard_") and shard.endswith(".db"):
+            con = sqlite3.connect(os.path.join(out, shard))
+            frames.append(pd.read_sql_query("SELECT * FROM facts", con))
+            con.close()
+    merged = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    rows.append(
+        manifest_row("facts_sqlite", merged, _BUILD_CANON["facts_sqlite"])
+    )
     return spark.createDataFrame(
         rows, "table_name string, n_rows long, checksum long"
     ).orderBy("table_name")

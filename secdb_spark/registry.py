@@ -172,10 +172,12 @@ def certified_at_current_class(name: str) -> bool:
 #   à la xbrl_filings — re-listing them would re-enter them at the queue
 #   FRONT and displace two pinned R8-slate ops out of the driver's
 #   window; they queue via the R12 slate instead).
+#   snk_sqlite / build_secdb left later the same round for the same
+#   reason (exact read-back oracle / portable-fingerprint golden
+#   manifest); both queue via the R12 slate.
 _ROWS_ONLY_PRIORITY: tuple[str, ...] = (
     "stream_watermark", "stream_dedup", "stream_stateful",
-    "snk_sqlite",
-    "build_secdb", "mm_resize", "mm_frame_sample",
+    "mm_resize", "mm_frame_sample",
 )
 
 
@@ -441,12 +443,16 @@ _CERT_SLATE_R11: tuple[str, ...] = (
 
 # Round-12 slate: the round-8 rows-only→exact golden-oracle upgrades
 # (src_xbrl_etl / xbrl_supersede — _xbrl_facts_oracle recomputes every
-# fixture fact as a pure function of fixtures/gen_xbrl.py).  Both hold
-# rows-only greens from r2/r4, so this is recertification at the exact
-# class, queued BEHIND all first-time coverage (R8-R11) per the
-# drain-the-backlog discipline; 48 slots remain free.
+# fixture fact as a pure function of fixtures/gen_xbrl.py; snk_sqlite —
+# exact round-trip oracle over the supplier table; build_secdb — the
+# manifest checksum moved from Spark-only xxhash64 to the portable
+# md5-bucket fingerprint, so DuckDB recomputes every manifest row from
+# the golden fixture oracles).  All four hold rows-only greens from
+# r2/r3/r4, so this is recertification at the exact class, queued BEHIND
+# all first-time coverage (R8-R11) per the drain-the-backlog discipline;
+# 46 slots remain free.
 _CERT_SLATE_R12: tuple[str, ...] = (
-    "src_xbrl_etl", "xbrl_supersede",
+    "src_xbrl_etl", "xbrl_supersede", "snk_sqlite", "build_secdb",
 )
 
 

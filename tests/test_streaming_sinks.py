@@ -223,8 +223,9 @@ def test_build_secdb_end_to_end(spark):
     assert manifest.loc["filings", "n_rows"] == 104  # every accession, incl. superseded
     assert manifest.loc["entities", "n_rows"] == 24
     assert manifest.loc["metrics", "n_rows"] == 80
-    assert manifest.loc["facts_sqlite_shards", "n_rows"] >= 1
-    assert (manifest.drop("facts_sqlite_shards")["checksum"] != 0).all()
+    # the sqlite round trip must preserve every fact row
+    assert manifest.loc["facts_sqlite", "n_rows"] == n_facts
+    assert (manifest["checksum"] != 0).all()
 
 
 def test_sqlite_sink_capability_dispatch(spark, monkeypatch):

@@ -45,6 +45,9 @@ __all__ = [
     "jaccard_pairs",
     "quality_flags",
     "sessionize",
+    "funnel",
+    "retention_cohorts",
+    "chunk_text",
     "asof_join",
     "global_rank",
     "global_prefix_sum",
@@ -284,6 +287,141 @@ def sessionize(
         F.sum(boundary).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel counts on ANY event table (funnel_events' algebra
+    with the stage list parameterized): returns one row per funnel
+    prefix — (stage, n_users) where stage is 'a', 'a>b', 'a>b>c', … and
+    n_users counts users who reached that stage IN ORDER (each stage
+    strictly after a row completing the previous prefix).
+
+    Scale shape: ONE pass — k per-user ordered windows computing
+    'seen prefix k strictly before this row' flags, then one per-user
+    aggregation; every window and the groupBy share the user partitioning
+    so there is a single Exchange regardless of k (no per-stage
+    self-joins).  `tie_col` breaks equal-timestamp ordering
+    deterministically (defaults to the stage column)."""
+    if not stages:
+        raise ValueError("stages must name at least one funnel step")
+    tie = tie_col or stage_col
+    before = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tie)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = df.withColumn(
+        "_r0", F.when(F.col(stage_col) == stages[0], 1).otherwise(0)
+    )
+    for k in range(1, len(stages)):
+        cur = cur.withColumn(f"_seen{k}", F.max(f"_r{k - 1}").over(before))
+        cur = cur.withColumn(
+            f"_r{k}",
+            F.when(
+                (F.col(stage_col) == stages[k]) & (F.col(f"_seen{k}") == 1), 1
+            ).otherwise(0),
+        )
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(f"_r{k}").alias(f"_f{k}") for k in range(len(stages))]
+    )
+    totals = per_user.agg(
+        *[F.sum(f"_f{k}").cast("long").alias(f"_n{k}")
+          for k in range(len(stages))]
+    )
+    labels = [">".join(stages[: k + 1]) for k in range(len(stages))]
+    return totals.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(lb) for lb in labels]),
+                F.array(*[F.col(f"_n{k}") for k in range(len(stages))]),
+            )
+        ).alias("stage", "n_users")
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix on ANY (user, timestamp) table
+    (retention_cohort's algebra with the grain parameterized): users
+    bucket by first-seen period, counted in each period they were
+    active — returns (cohort, periods_since, n_users).
+
+    Scale shape: the narrow (user, period) projection repartitions on
+    the user key ONCE and both branches (cohort min, active distinct)
+    derive from it — hash(user) satisfies both clustered distributions,
+    so AQE reuses the exchange and raw events shuffle once; only the
+    tiny |periods|² matrix aggregation re-shuffles."""
+    days_per = {"day": 1, "week": 7, "month": None}
+    if grain not in days_per:
+        raise ValueError(f"grain must be one of {sorted(days_per)}")
+    by_user = df.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc(grain, F.col(ts_col)).alias("_p"),
+    ).repartition("_u")
+    cohort = by_user.groupBy("_u").agg(F.min("_p").alias("cohort"))
+    active = by_user.distinct()
+    joined = active.join(cohort, "_u")
+    if grain == "month":
+        since = F.round(F.months_between("_p", "cohort")).cast("long")
+    else:
+        since = (F.datediff("_p", "cohort") / days_per[grain]).cast("long")
+    return joined.groupBy("cohort", since.alias("periods_since")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window token chunking on ANY (id, text) table
+    (text_chunk's algebra with width/stride parameterized) — the step
+    between a raw corpus and an embedding index in a RAG pipeline.
+    Returns (id_col, chunk_id, chunk, n_toks); windows overlap by
+    width - stride tokens so no boundary context is lost.
+
+    Scale shape: chunk starts come from sequence + slice + posexplode
+    entirely inside codegen — a map-only stage, ZERO shuffles, fused
+    into the scan; slice() shares the one token array instead of
+    re-materializing the document per window."""
+    if width < 1 or stride < 1:
+        raise ValueError("width and stride must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i, width), " ")
+    )
+    lens = F.transform(
+        starts,
+        lambda i: F.least(F.lit(width), F.size(toks) - i + 1).cast("bigint"),
+    )
+    return df.select(
+        id_col,
+        F.posexplode(F.arrays_zip(chunks.alias("c"), lens.alias("n"))).alias(
+            "chunk_id", "z"
+        ),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("z.c").alias("chunk"),
+        F.col("z.n").alias("n_toks"),
     )
 
 

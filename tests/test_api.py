@@ -550,3 +550,68 @@ def test_keep_best_dedup_on_custom_table(spark):
     assert sorted(got.pk.tolist()) == [2, 4]
     assert int(got.set_index("pk").loc[2, "n_copies"]) == 3
     assert int(got.set_index("pk").loc[4, "n_copies"]) == 1
+
+
+def test_funnel_on_custom_table(spark):
+    """Order matters: a user hitting stage 3 BEFORE stage 2 must not
+    count as completing the 3-step prefix."""
+    rows = [
+        # u1 completes all three in order
+        (1, 100, "signup"), (1, 200, "activate"), (1, 300, "pay"),
+        # u2 pays before activating -> counts for prefixes 1 and 2 only
+        (2, 100, "signup"), (2, 150, "pay"), (2, 200, "activate"),
+        # u3 only signs up
+        (3, 100, "signup"),
+        # u4 activates without ever signing up -> counts for nothing
+        (4, 100, "activate"),
+    ]
+    df = spark.createDataFrame(rows, "uid int, t long, step string")
+    got = (
+        api.funnel(df, "uid", "t", "step", ["signup", "activate", "pay"])
+        .toPandas()
+        .set_index("stage")["n_users"]
+    )
+    assert int(got["signup"]) == 3
+    assert int(got["signup>activate"]) == 2
+    assert int(got["signup>activate>pay"]) == 1
+    with pytest.raises(ValueError):
+        api.funnel(df, "uid", "t", "step", [])
+
+
+def test_retention_cohorts_on_custom_table(spark):
+    rows = [
+        (1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 3)),
+        (1, datetime(2024, 1, 3, 12)),  # same day, must not double count
+        (2, datetime(2024, 1, 2)),
+    ]
+    df = spark.createDataFrame(rows, "uid int, seen timestamp")
+    got = api.retention_cohorts(df, "uid", "seen", grain="day").toPandas()
+    m = {
+        (r.cohort.date().isoformat(), int(r.periods_since)): int(r.n_users)
+        for r in got.itertuples()
+    }
+    assert m == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
+    with pytest.raises(ValueError):
+        api.retention_cohorts(df, "uid", "seen", grain="fortnight")
+
+
+def test_chunk_text_on_custom_table(spark):
+    df = spark.createDataFrame(
+        [(7, "a b c d e f g"), (8, "x")], "doc int, body string"
+    )
+    got = (
+        api.chunk_text(df, "doc", "body", width=3, stride=2)
+        .toPandas()
+        .sort_values(["doc", "chunk_id"])
+    )
+    d7 = got[got.doc == 7]
+    assert d7.chunk.tolist() == ["a b c", "c d e", "e f g", "g"]
+    assert d7.n_toks.tolist() == [3, 3, 3, 1]
+    d8 = got[got.doc == 8]
+    assert d8.chunk.tolist() == ["x"] and d8.n_toks.tolist() == [1]
+    with pytest.raises(ValueError):
+        api.chunk_text(df, "doc", "body", width=0)

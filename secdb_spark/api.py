@@ -66,6 +66,10 @@ __all__ = [
     "stratified_sample",
     "decontaminate",
     "keep_best_dedup",
+    "domain_mix_weights",
+    "temperature_mix",
+    "cap_per_group",
+    "language_id",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -1055,6 +1059,172 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("_g").cast("bigint").alias("n_shared_grams"))
     )
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixing weights on ANY domain column
+    (mix_temperature's algebra with T parameterized): sampling weight
+    w_d ∝ p_d^T over the natural per-domain distribution — the standard
+    multilingual/multi-domain upsample-the-tail rule.  Returns
+    (domain_col, n_docs, p_natural, mix_weight, upsample_factor).
+
+    Scale shape: one count-by-domain pass (map-side combinable); the
+    normalizations run over the |domains|-row aggregate — model-sized."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    s = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    wall = Window.partitionBy()
+    total = F.sum("_n").over(wall).cast("long")
+    # quantize each tempered weight to 1e12 fixed point so the
+    # normalizing sum is exact integer arithmetic, not a float fold
+    qw = F.floor(
+        F.pow(F.col("_n").cast("double") / total, F.lit(temperature))
+        * 1_000_000_000_000 + 0.5
+    ).cast("long")
+    q = s.select(
+        domain_col,
+        F.col("_n").cast("long").alias("n_docs"),
+        (F.col("_n").cast("double") / total).alias("_p"),
+        qw.alias("_qw"),
+    )
+    qtot = F.sum("_qw").over(wall).cast("long")
+    mix = F.col("_qw").cast("double") / qtot
+    return q.select(
+        domain_col,
+        "n_docs",
+        F.col("_p").alias("p_natural"),
+        mix.alias("mix_weight"),
+        (mix / F.col("_p")).alias("upsample_factor"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    temperature: float = 0.5,
+    salt: str = "mix:",
+) -> DataFrame:
+    """MATERIALIZE a temperature-T domain mix on ANY table (mix_apply's
+    algebra with T parameterized): per-domain keep rates make kept
+    counts proportional to the tempered weights with NO domain
+    upsampled — the anchor domain (largest weight/count ratio) keeps
+    everything, every other domain keeps the rational fraction
+    ⌊n_a·10⁴·w_d / (w_a·n_d)⌋ basis points.  Membership is the salted
+    md5 hash-threshold predicate — deterministic, resumable, and stable
+    under repartitioning (no rand()).  Returns the kept rows with all
+    original columns.
+
+    Scale shape: rates derive from the |domains|-row aggregate and
+    broadcast back; the keep decision is map-side scan work — one
+    streaming filter pass over the corpus."""
+    from .operators.pipeline_extras import _hash_bucket
+
+    D0 = "decimal(38,0)"
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    s = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    wall = Window.partitionBy()
+    total = F.sum("_n").over(wall).cast("long")
+    qw = F.floor(
+        F.pow(F.col("_n").cast("double") / total, F.lit(temperature))
+        * 1_000_000_000_000 + 0.5
+    ).cast("long")
+    q = pin(s.select(domain_col, "_n", qw.alias("_qw")))
+    anchor = (
+        q.orderBy(
+            (F.col("_n").cast("double") / F.col("_qw")).asc(),
+            F.col(domain_col),
+        )
+        .limit(1)
+        .select(F.col("_n").alias("_n_a"), F.col("_qw").alias("_qw_a"))
+    )
+    rates = q.crossJoin(F.broadcast(anchor)).select(
+        domain_col,
+        (
+            F.col("_n_a").cast(D0) * 10000 * F.col("_qw")
+            / (F.col("_qw_a").cast(D0) * F.col("_n"))
+        ).cast("long").alias("_rate_bp"),
+    )
+    keep = _hash_bucket(
+        F.concat(F.lit(salt), F.col(id_col).cast("string")), 10_000
+    ) < F.col("_rate_bp")
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(keep)
+        .drop("_rate_bp")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    cap: int,
+    salt: str = "cap:",
+) -> DataFrame:
+    """Per-group quota capping on ANY table (mix_source_cap's algebra):
+    keep at most `cap` rows per group in deterministic salted-md5 order
+    — stops one crawl/source from dominating a corpus, reproducible
+    across runs, engines, and repartitioning.  Returns the kept rows
+    (all original columns).
+
+    Scale shape: dispatches to grouped_bucketed_topk, so the corpus
+    never funnels through |groups| tasks — the final rank window sees
+    about cap + one bucket width per group."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    d = df.withColumn(
+        "_caph",
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+    ).withColumn(
+        "_caphn",
+        F.conv(F.substring(F.col("_caph"), 1, 15), 16, 10).cast("long"),
+    )
+    # pinned: the hashed-key frame feeds the top-k kernel's internal
+    # consumers (same discipline as the registry op)
+    d = pin(d)
+    top = grouped_bucketed_topk(
+        d, group_cols, "_caphn", ["_caph", id_col], cap, out="_caprk"
+    )
+    return top.drop("_caph", "_caphn", "_caprk")
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "lang_pred",
+    markers: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Marker-word language ID on ANY text column (text_langid's
+    heuristic with the marker table parameterized): predicts the first
+    language, in dict order, whose marker-hit count is >= every later
+    language's count and >= 1; 'unknown' otherwise.  A production
+    system swaps the marker lists for char-n-gram profiles — the plan
+    shape (pure column expressions over one split, zero shuffles, no
+    UDF) is identical."""
+    if markers is None:
+        from .operators.text_analysis import LANGID_MARKERS
+
+        markers = {k: v for k, v in LANGID_MARKERS.items() if v}
+    if not markers:
+        raise ValueError("markers must name at least one language")
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    langs = list(markers)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers[lang])))
+        for lang in langs
+    }
+    pred = F.lit("unknown")
+    for i in range(len(langs) - 1, -1, -1):
+        rest = [scores[lang] for lang in langs[i + 1:]]
+        floor_ = F.greatest(*rest, F.lit(1)) if rest else F.lit(1)
+        pred = F.when(scores[langs[i]] >= floor_, langs[i]).otherwise(pred)
+    return df.withColumn(out_col, pred)
 
 
 def keep_best_dedup(

@@ -615,3 +615,75 @@ def test_chunk_text_on_custom_table(spark):
     assert d8.chunk.tolist() == ["x"] and d8.n_toks.tolist() == [1]
     with pytest.raises(ValueError):
         api.chunk_text(df, "doc", "body", width=0)
+
+
+def test_domain_mix_weights_on_custom_table(spark):
+    """T=0.5 over a 90/10 split: weights must be proportional to
+    sqrt(p), tail upsample_factor > 1 > head factor."""
+    import math
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "rid int, dom string")
+    got = (
+        api.domain_mix_weights(df, "dom", temperature=0.5)
+        .toPandas()
+        .set_index("dom")
+    )
+    exp_big = math.sqrt(0.9) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert abs(got.loc["big", "mix_weight"] - exp_big) < 1e-6
+    assert got.loc["small", "upsample_factor"] > 1 > got.loc["big", "upsample_factor"]
+    with pytest.raises(ValueError):
+        api.domain_mix_weights(df, "dom", temperature=0)
+
+
+def test_temperature_mix_on_custom_table(spark):
+    """The anchor (most tail) domain keeps everything; head domains thin
+    toward the tempered ratio; the pass is deterministic."""
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "rid int, dom string")
+    kept = api.temperature_mix(df, "dom", "rid", temperature=0.5)
+    counts = (
+        kept.groupBy("dom").count().toPandas().set_index("dom")["count"]
+    )
+    assert int(counts["small"]) == 100  # anchor: rate 10000 bp
+    # target ratio big/small = sqrt(0.9)/sqrt(0.1) = 3.0 -> ~300 kept
+    assert 240 <= int(counts["big"]) <= 360
+    again = api.temperature_mix(df, "dom", "rid", temperature=0.5)
+    assert sorted(r.rid for r in kept.collect()) == sorted(
+        r.rid for r in again.collect()
+    )
+
+
+def test_cap_per_group_on_custom_table(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b", f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "rid int, grp string, payload string")
+    got = api.cap_per_group(df, ["grp"], "rid", cap=5).toPandas()
+    assert set(got.columns) == {"rid", "grp", "payload"}
+    per = got.groupby("grp").size()
+    assert int(per["a"]) == 5 and int(per["b"]) == 5
+    # deterministic: same winners across runs
+    again = api.cap_per_group(df, ["grp"], "rid", cap=5).toPandas()
+    assert sorted(got.rid.tolist()) == sorted(again.rid.tolist())
+    with pytest.raises(ValueError):
+        api.cap_per_group(df, ["grp"], "rid", cap=0)
+
+
+def test_language_id_on_custom_table(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),
+            (2, "der hund und die katze"),
+            (3, "el perro y los gatos"),
+            (4, "le chien et les chats"),
+            (5, "zzz qqq"),
+        ],
+        "rid int, body string",
+    )
+    got = api.language_id(df, "body").toPandas().set_index("rid")["lang_pred"]
+    assert got.to_dict() == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "unknown"}
+    custom = api.language_id(
+        df, "body", markers={"cat_lang": ("cat",)}
+    ).toPandas().set_index("rid")["lang_pred"]
+    assert custom[1] == "cat_lang" and custom[2] == "unknown"
+    with pytest.raises(ValueError):
+        api.language_id(df, "body", markers={})

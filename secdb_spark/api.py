@@ -41,6 +41,8 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "near_dup_pairs",
+    "near_dup_clusters",
+    "dedup_corpus",
     "exact_dup_clusters",
     "jaccard_pairs",
     "quality_flags",
@@ -217,6 +219,95 @@ def near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph on ANY
+    (id, text) table (dedup_clusters' algebra): turns pairwise matches
+    into dedup clusters with a canonical representative.  Returns
+    (id_col, cluster_rep, cluster_size) for every row in a cluster of
+    size >= 2; rows with no near-dup are omitted (they are their own
+    singleton).
+
+    Scale shape: iterative min-label propagation, converging in
+    O(component diameter) rounds (near-dup components are shallow —
+    `max_rounds` bounds the pathological chain); labels localCheckpoint
+    each round to cut the growing lineage, and convergence is a count
+    of changed labels, never a collect."""
+    pairs = near_dup_pairs(
+        df, id_col, text_col, threshold, n_hashes, n_bands
+    ).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint()  # computed once; reused every round
+    nodes = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .union(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    labels = nodes.withColumn("_label", F.col("_id")).localCheckpoint()
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.id_b == labels._id)
+            .groupBy(F.col("id_a").alias("_id"))
+            .agg(F.min("_label").alias("_nbr"))
+        )
+        new_labels = labels.join(nbr_min, "_id", "left").select(
+            "_id",
+            F.least(
+                F.col("_label"), F.coalesce("_nbr", F.col("_label"))
+            ).alias("_label"),
+            (F.coalesce("_nbr", F.col("_label")) < F.col("_label")).alias(
+                "_chg"
+            ),
+        )
+        new_labels = new_labels.localCheckpoint()
+        n_changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if n_changed == 0:
+            break
+    sizes = labels.groupBy("_label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "_label").select(
+        F.col("_id").alias(id_col),
+        F.col("_label").alias("cluster_rep"),
+        "cluster_size",
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """One-call near-dedup of ANY (id, text) corpus: drops every row
+    whose cluster representative (min id over its near-dup component)
+    is some OTHER row, keeping exactly one representative per cluster
+    plus all rows with no near-dup.  Returns the surviving rows with
+    all original columns.
+
+    Scale shape: the loser set (cluster members minus representatives)
+    anti-joins the corpus on the id key — one hash shuffle; dedup state
+    never aggregates beyond the pair graph."""
+    losers = (
+        near_dup_clusters(df, id_col, text_col, threshold, n_hashes, n_bands)
+        .filter(F.col(id_col) != F.col("cluster_rep"))
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "anti")
 
 
 def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

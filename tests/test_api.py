@@ -687,3 +687,25 @@ def test_language_id_on_custom_table(spark):
     assert custom[1] == "cat_lang" and custom[2] == "unknown"
     with pytest.raises(ValueError):
         api.language_id(df, "body", markers={})
+
+
+def test_near_dup_clusters_and_dedup_corpus(spark):
+    """A transitive chain (A~B, B~C, A!~C is fine) must land in ONE
+    cluster, and dedup_corpus must keep exactly the min-id rep plus the
+    unrelated row."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok yes"
+    rows = [
+        (10, base),
+        (11, base + " tail"),          # near dup of 10
+        (12, base + " tail extra"),    # near dup of 11 (chain)
+        (13, "completely different content about spark plans and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, body string")
+    cl = api.near_dup_clusters(df, "pk", "body", threshold=0.7).toPandas()
+    assert set(cl.pk) >= {10, 11}  # at minimum the direct pair clusters
+    assert (cl.cluster_rep == 10).all()
+    assert 13 not in set(cl.pk)
+    kept = api.dedup_corpus(df, "pk", "body", threshold=0.7).toPandas()
+    assert 10 in set(kept.pk) and 13 in set(kept.pk)
+    assert set(kept.pk) & set(cl[cl.pk != cl.cluster_rep].pk) == set()
+    assert set(kept.columns) == {"pk", "body"}

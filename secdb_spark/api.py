@@ -57,6 +57,8 @@ __all__ = [
     "grouped_prefix_sum",
     "deterministic_sample",
     "cosine_topk",
+    "normalize_vectors",
+    "ann_topk",
     "percentile_disc",
     "mannwhitney_u",
     "entropy_by",
@@ -684,6 +686,150 @@ def cosine_topk(
 
 
 # --- round-7 kernels ---------------------------------------------------------
+
+
+def normalize_vectors(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "unit_vec",
+) -> DataFrame:
+    """L2-normalize an embedding column (embed_norm's algebra on any
+    array column): adds `out_col` (unit vector) and `l2_norm`.  Pure
+    zip_with/aggregate fold — scan-fused, zero shuffles, no UDF;
+    all-zero vectors normalize to NULL rather than dividing by zero."""
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = F.sqrt(sq)
+    unit = F.when(
+        norm > 0, F.transform(F.col(vec_col), lambda x: x / norm)
+    )
+    return df.withColumn("l2_norm", norm).withColumn(out_col, unit)
+
+
+def ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_bits: int = 8,
+    seed: int = 20240813,
+) -> DataFrame:
+    """Approximate cosine top-k on ANY (id, embedding) table (ann_lsh's
+    algebra with k / bits / seed parameterized): each vector buckets by
+    the sign pattern of `n_bits` seeded random-hyperplane projections
+    (SimHash for cosine), queries multiprobe their own bucket plus every
+    Hamming-1 neighbor, and each bucket's candidates are scanned only by
+    the queries probing it.  Returns (query_id, neighbor_id, sim).
+    Data-independent (no centroid build) — use cosine_topk for the exact
+    answer when the corpus is small enough.
+
+    Scale shape: the hyperplane matrix is regenerated identically in
+    every task from the seed (O(bits x dim) constants, nothing collected
+    or broadcast); candidates hash-partition by bucket, so each query
+    scans ~ (1 + n_bits) / 2^n_bits of the corpus instead of all of
+    it."""
+    if k < 1 or not 1 <= n_bits <= 24:
+        raise ValueError("k must be >= 1 and n_bits in [1, 24]")
+    import pandas as pd  # noqa: F401 — mapInPandas batches
+
+    from collections.abc import Iterator
+
+    emb = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    assign_schema = "bucket int, vec_id long, e array<double>"
+
+    def code_of(Qn, planes):
+        import numpy as np
+
+        bits = (Qn @ planes.T) >= 0.0
+        return (bits @ (1 << np.arange(n_bits))).astype("int32")
+
+    def assign(batches: "Iterator") -> "Iterator":
+        import numpy as np
+
+        for b in batches:
+            if b.empty:
+                continue
+            planes = np.random.RandomState(seed).standard_normal(
+                (n_bits, len(b["e"].iloc[0]))
+            )
+            Q = np.stack(b["e"].to_numpy())
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"bucket": code_of(Qn, planes), "vec_id": b["vec_id"],
+                 "e": list(Qn)}
+            )
+
+    def probe_fn(batches: "Iterator") -> "Iterator":
+        import numpy as np
+
+        for b in batches:
+            if b.empty:
+                continue
+            planes = np.random.RandomState(seed).standard_normal(
+                (n_bits, len(b["e"].iloc[0]))
+            )
+            Q = np.stack(b["e"].to_numpy())
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            own = code_of(Qn, planes)
+            out_b, out_id, out_e = [], [], []
+            for r in range(len(own)):
+                for bk in [int(own[r])] + [
+                    int(own[r]) ^ (1 << j) for j in range(n_bits)
+                ]:
+                    out_b.append(bk)
+                    out_id.append(b["vec_id"].iloc[r])
+                    out_e.append(Qn[r])
+            yield pd.DataFrame(
+                {"bucket": out_b, "vec_id": out_id, "e": out_e}
+            )
+
+    cand = emb.mapInPandas(assign, assign_schema)
+    probes = emb.mapInPandas(probe_fn, assign_schema)
+
+    def bucket_topk(cands, queries):
+        import numpy as np
+
+        if cands.empty or queries.empty:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "sim"]
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "sim": "float64"})
+        C = np.stack(cands["e"].to_numpy())
+        c_ids = cands["vec_id"].to_numpy()
+        Q = np.stack(queries["e"].to_numpy())
+        q_ids = queries["vec_id"].to_numpy()
+        S = np.round(Q @ C.T, 6)
+        out = []
+        for r in range(S.shape[0]):
+            s = S[r].copy()
+            s[c_ids == q_ids[r]] = -np.inf
+            for j in np.lexsort((c_ids, -s))[:k]:
+                if s[j] == -np.inf:
+                    continue
+                out.append((int(q_ids[r]), int(c_ids[j]), float(s[j])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    per_bucket = (
+        cand.groupby("bucket")
+        .cogroup(probes.groupby("bucket"))
+        .applyInPandas(
+            bucket_topk, "query_id long, neighbor_id long, sim double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        per_bucket.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def percentile_disc(

@@ -709,3 +709,37 @@ def test_near_dup_clusters_and_dedup_corpus(spark):
     assert 10 in set(kept.pk) and 13 in set(kept.pk)
     assert set(kept.pk) & set(cl[cl.pk != cl.cluster_rep].pk) == set()
     assert set(kept.columns) == {"pk", "body"}
+
+
+def test_normalize_vectors_on_custom_table(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vid int, v array<double>"
+    )
+    got = api.normalize_vectors(df, "v").toPandas().set_index("vid")
+    assert abs(got.loc[1, "l2_norm"] - 5.0) < 1e-12
+    assert list(got.loc[1, "unit_vec"]) == [0.6, 0.8]
+    assert got.loc[2, "unit_vec"] is None  # zero vector -> NULL, not NaN
+
+
+def test_ann_topk_on_custom_table(spark):
+    """Clustered vectors: every query's nearest neighbor is its cluster
+    twin, which shares its LSH bucket with probability ~1."""
+    import math
+
+    rows = []
+    for c in range(4):
+        a = 2 * math.pi * c / 4
+        base = [math.cos(a), math.sin(a), 0.1 * c, -0.05 * c]
+        for j in range(3):
+            rows.append(
+                (c * 10 + j, [x + 0.01 * j for x in base])
+            )
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    got = api.ann_topk(df, "vid", "emb", k=2, n_bits=6).toPandas()
+    assert set(got.columns) == {"query_id", "neighbor_id", "sim"}
+    assert (got.groupby("query_id").size() <= 2).all()
+    # top neighbor of each query must come from the same cluster
+    top = got.sort_values("sim", ascending=False).groupby("query_id").head(1)
+    assert (top.query_id // 10 == top.neighbor_id // 10).all()
+    with pytest.raises(ValueError):
+        api.ann_topk(df, "vid", "emb", k=0)

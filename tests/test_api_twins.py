@@ -1,0 +1,121 @@
+"""Adapter-vs-kernel differentials: every composable api.* function that
+claims a registry twin must REPRODUCE that twin's output on the fixture
+corpus when pointed at the corpus columns with the kernel's parameters.
+The registry twins are oracle-certified against DuckDB, so equality here
+extends the certification to the API layer without a second oracle."""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from secdb_spark import api  # noqa: E402
+from secdb_spark.registry import all_queries  # noqa: E402
+
+from conftest import SF_DIR  # noqa: E402
+
+QUERIES = all_queries()
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _sorted(df, cols):
+    return (
+        df.toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+def test_funnel_matches_funnel_events(spark):
+    got = api.funnel(
+        _events(spark), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], tie_col="event_id",
+    )
+    want = QUERIES["funnel_events"](spark, SF_DIR)
+    g = _sorted(got, ["stage"])
+    w = _sorted(want, ["stage"])
+    assert g["n_users"].tolist() == w["n_users"].tolist()
+    assert g["stage"].tolist() == w["stage"].tolist()
+
+
+def test_retention_cohorts_matches_retention_cohort(spark):
+    got = api.retention_cohorts(_events(spark), "user_id", "ts", grain="week")
+    want = QUERIES["retention_cohort"](spark, SF_DIR)
+    g = _sorted(
+        got.withColumnRenamed("cohort", "cohort_week")
+           .withColumnRenamed("periods_since", "weeks_since"),
+        ["cohort_week", "weeks_since"],
+    )
+    w = _sorted(want, ["cohort_week", "weeks_since"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_chunk_text_matches_text_chunk(spark):
+    got = api.chunk_text(_docs(spark), "doc_id", "text", width=32, stride=24)
+    want = QUERIES["text_chunk"](spark, SF_DIR)
+    g = _sorted(got, ["doc_id", "chunk_id"])
+    w = _sorted(want, ["doc_id", "chunk_id"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_temperature_mix_matches_mix_apply(spark):
+    """mix_apply returns the per-source audit rollup of the kept set;
+    the API returns the kept rows — their rollup must agree."""
+    kept = api.temperature_mix(
+        _docs(spark), "source", "doc_id", temperature=0.5
+    )
+    got = (
+        kept.groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")["count"]
+    )
+    want = (
+        QUERIES["mix_apply"](spark, SF_DIR)
+        .toPandas()
+        .set_index("source")["n_kept"]
+    )
+    assert got.sort_index().tolist() == want.sort_index().tolist()
+
+
+def test_cap_per_group_matches_mix_source_cap(spark):
+    got = api.cap_per_group(
+        _docs(spark).select("source", "doc_id"), ["source"], "doc_id", cap=20
+    )
+    want = QUERIES["mix_source_cap"](spark, SF_DIR)
+    g = _sorted(got.select("source", "doc_id"), ["source", "doc_id"])
+    w = _sorted(want.select("source", "doc_id"), ["source", "doc_id"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_language_id_matches_text_langid(spark):
+    got = api.language_id(_docs(spark), "text").select(
+        "doc_id", "lang_pred"
+    )
+    want = QUERIES["text_langid"](spark, SF_DIR).select(
+        "doc_id", "predicted_lang"
+    )
+    g = _sorted(got, ["doc_id"])
+    w = _sorted(want, ["doc_id"])
+    assert g["lang_pred"].tolist() == w["predicted_lang"].tolist()
+
+
+def test_normalize_vectors_unit_norm_property(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = api.normalize_vectors(emb, "embedding").toPandas()
+    import numpy as np
+
+    # embeddings store float32 components; the fold upcasts to double,
+    # so unit norms are exact to float32 rounding, not double rounding
+    for v in out["unit_vec"].head(50):
+        assert abs(np.linalg.norm(np.array(v)) - 1.0) < 1e-6

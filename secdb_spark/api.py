@@ -70,6 +70,9 @@ __all__ = [
     "stratified_sample",
     "decontaminate",
     "keep_best_dedup",
+    "fill_forward",
+    "winsorize",
+    "profile",
     "domain_mix_weights",
     "temperature_mix",
     "cap_per_group",
@@ -1296,6 +1299,104 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("_g").cast("bigint").alias("n_shared_grams"))
     )
+
+
+def fill_forward(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    out_col: str | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """LOCF (last-observation-carried-forward) on ANY keyed series
+    (win_fill_forward's algebra): adds `out_col` carrying the most
+    recent non-null `val_col` forward within each key, in (ts, tie)
+    order.  Rows before a key's first observation stay NULL — LOCF's
+    defining edge.
+
+    Scale shape: one key exchange, running frame with O(1) state (the
+    single last non-null value)."""
+    out = out_col or f"{val_col}_ffill"
+    order = [ts_col] + ([tie_col] if tie_col else [])
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out, F.last(val_col, ignorenulls=True).over(w)
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization on ANY numeric column (winsorize_group's
+    algebra): clips `val_col` to its per-group [p_lower, p_upper]
+    percentile band and adds the clipped value as `out_col`.  Returns
+    all original rows and columns plus the clipped value.
+
+    Scale shape: one group-quantile aggregation broadcast back onto the
+    fact scan — two passes total; a 100 TB variant swaps pass one for a
+    mergeable KLL/t-digest sketch with the same broadcast-back shape."""
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    out = out_col or f"{val_col}_wins"
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({val_col}, {lower})").alias("_lo"),
+        F.expr(f"percentile({val_col}, {upper})").alias("_hi"),
+    )
+    x = F.col(val_col)
+    clipped = (
+        F.when(x < F.col("_lo"), F.col("_lo"))
+        .when(x > F.col("_hi"), F.col("_hi"))
+        .otherwise(x)
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(out, clipped)
+        .drop("_lo", "_hi")
+    )
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profile of ANY table (data_profile's algebra):
+    per column — row count, null count, approximate distinct count, and
+    min/max as strings.  The whole profile is ONE aggregation over one
+    scan (every statistic is a combinable aggregate), then a model-sized
+    unpivot to (column, n_rows, n_null, approx_distinct, min, max)."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_null_{c}"),
+            F.approx_count_distinct(c).alias(f"_dist_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_null"),
+            F.col(f"_dist_{c}").cast("long").alias("approx_distinct"),
+            F.col(f"_min_{c}").alias("min"),
+            F.col(f"_max_{c}").alias("max"),
+        )
+        for c in cols
+    ]
+    return row.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
 
 
 def domain_mix_weights(

@@ -743,3 +743,41 @@ def test_ann_topk_on_custom_table(spark):
     assert (top.query_id // 10 == top.neighbor_id // 10).all()
     with pytest.raises(ValueError):
         api.ann_topk(df, "vid", "emb", k=0)
+
+
+def test_fill_forward_on_custom_table(spark):
+    rows = [
+        (1, 10, None), (1, 20, 5.0), (1, 30, None), (1, 40, 7.0), (1, 50, None),
+        (2, 10, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    got = (
+        api.fill_forward(df, ["k"], "t", "v")
+        .toPandas()
+        .sort_values(["k", "t"])
+    )
+    k1 = got[got.k == 1].v_ffill
+    assert k1.isna().tolist() == [True, False, False, False, False]
+    assert k1.dropna().tolist() == [5.0, 5.0, 7.0, 7.0]
+    assert got[got.k == 2].v_ffill.isna().all()  # before first obs: NULL
+
+
+def test_winsorize_on_custom_table(spark):
+    rows = [("g", float(v)) for v in range(1, 100)] + [("g", 10000.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    got = api.winsorize(df, ["grp"], "x", lower=0.0, upper=0.95).toPandas()
+    assert got.x_wins.max() < 10000.0  # outlier clipped to p95
+    assert len(got) == 100 and set(got.columns) == {"grp", "x", "x_wins"}
+    with pytest.raises(ValueError):
+        api.winsorize(df, ["grp"], "x", lower=0.9, upper=0.1)
+
+
+def test_profile_on_custom_table(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "pk int, s string"
+    )
+    got = api.profile(df).toPandas().set_index("column")
+    assert int(got.loc["s", "n_null"]) == 1
+    assert int(got.loc["pk", "n_null"]) == 0
+    assert int(got.loc["pk", "n_rows"]) == 3
+    assert got.loc["pk", "min"] == "1" and got.loc["pk", "max"] == "3"

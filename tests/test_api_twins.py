@@ -119,3 +119,14 @@ def test_normalize_vectors_unit_norm_property(spark):
     # so unit norms are exact to float32 rounding, not double rounding
     for v in out["unit_vec"].head(50):
         assert abs(np.linalg.norm(np.array(v)) - 1.0) < 1e-6
+
+
+def test_ann_topk_matches_ann_lsh(spark):
+    """Same seed, bits, and k as the registry kernel -> identical
+    neighbor lists on the fixture embeddings."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = api.ann_topk(emb, "vec_id", "embedding", k=5, n_bits=6)
+    want = QUERIES["ann_lsh"](spark, SF_DIR)
+    g = _sorted(got, ["query_id", "neighbor_id"])
+    w = _sorted(want, ["query_id", "neighbor_id"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

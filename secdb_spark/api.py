@@ -70,6 +70,8 @@ __all__ = [
     "stratified_sample",
     "decontaminate",
     "keep_best_dedup",
+    "latest_by_key",
+    "scd2",
     "fill_forward",
     "winsorize",
     "profile",
@@ -1298,6 +1300,62 @@ def decontaminate(
         .join(eval_grams, "_g")
         .groupBy(id_col)
         .agg(F.count_distinct("_g").cast("bigint").alias("n_shared_grams"))
+    )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Upsert/refresh semantics on ANY table (upsert_latest's algebra):
+    keep the single winning row per key, winner = greatest
+    (order_cols...) tuple (e.g. ["generation", "ts"]).  The merge
+    pattern for an append-only lake without ACID tables — union the
+    incoming batch with the base, then call this.  One shuffle on the
+    key; O(1) window state."""
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scd2(
+    df: DataFrame,
+    key_cols: list[str],
+    state_col: str,
+    ts_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 reconstruction from ANY change
+    log (scd2_history's algebra): collapse consecutive duplicate states
+    per key, then each surviving row is valid from its own timestamp to
+    the next change (valid_to NULL = current state).  Returns
+    (key_cols..., state_col, valid_from, valid_to).
+
+    Scale shape: both window passes and the filter between them share
+    the key partitioning — one Exchange total; this is the batch
+    backfill of what a stateful stream maintains incrementally."""
+    order = [ts_col] + ([tie_col] if tie_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changes = (
+        df.withColumn("_prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col))
+        )
+        .select(*key_cols, state_col, *order)
+    )
+    return changes.select(
+        *key_cols,
+        state_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
     )
 
 

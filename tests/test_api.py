@@ -781,3 +781,44 @@ def test_profile_on_custom_table(spark):
     assert int(got.loc["pk", "n_null"]) == 0
     assert int(got.loc["pk", "n_rows"]) == 3
     assert got.loc["pk", "min"] == "1" and got.loc["pk", "max"] == "3"
+
+
+def test_latest_by_key_on_custom_table(spark):
+    rows = [
+        (1, 0, 100, "old"), (1, 1, 100, "amended"),   # gen 1 wins
+        (2, 0, 100, "only"),
+        (3, 0, 100, "early"), (3, 0, 200, "late"),    # same gen: later ts wins
+    ]
+    df = spark.createDataFrame(rows, "k int, gen int, t long, tag string")
+    got = (
+        api.latest_by_key(df, ["k"], ["gen", "t"])
+        .toPandas()
+        .set_index("k")["tag"]
+    )
+    assert got.to_dict() == {1: "amended", 2: "only", 3: "late"}
+    with pytest.raises(ValueError):
+        api.latest_by_key(df, ["k"], [])
+
+
+def test_scd2_on_custom_table(spark):
+    import pandas as pd
+
+    rows = [
+        (1, 10, "bronze"), (1, 20, "bronze"),  # duplicate state collapses
+        (1, 30, "gold"), (1, 40, "bronze"),    # back to bronze: new interval
+        (2, 10, "silver"),
+    ]
+    df = spark.createDataFrame(rows, "uid int, t long, tier string")
+    got = (
+        api.scd2(df, ["uid"], "tier", "t")
+        .toPandas()
+        .sort_values(["uid", "valid_from"])
+        .reset_index(drop=True)
+    )
+    u1 = got[got.uid == 1]
+    assert u1.tier.tolist() == ["bronze", "gold", "bronze"]
+    assert u1.valid_from.tolist() == [10, 30, 40]
+    assert u1.valid_to.tolist()[:2] == [30, 40]
+    assert pd.isna(u1.valid_to.tolist()[2])  # current state open-ended
+    u2 = got[got.uid == 2]
+    assert len(u2) == 1 and pd.isna(u2.valid_to.iloc[0])

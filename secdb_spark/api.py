@@ -70,6 +70,9 @@ __all__ = [
     "stratified_sample",
     "decontaminate",
     "keep_best_dedup",
+    "stream_windowed_counts",
+    "stream_dedupe",
+    "run_available_now",
     "latest_by_key",
     "scd2",
     "fill_forward",
@@ -1301,6 +1304,85 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("_g").cast("bigint").alias("n_shared_grams"))
     )
+
+
+# --- streaming -------------------------------------------------------------
+
+
+def stream_windowed_counts(
+    sdf: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, with `slide`) window counts on ANY streaming
+    OR batch DataFrame (stream_tumbling / stream_sliding's algebra with
+    the window parameterized): returns (window_start, keys..., n).
+    Pass `watermark` (e.g. "10 minutes") on a streaming input to bound
+    state and admit late data up to the horizon.
+
+    Scale shape: one shuffle keyed by (window, keys...); streaming state
+    is bounded by watermark horizon x key cardinality."""
+    s = sdf.withWatermark(ts_col, watermark) if watermark else sdf
+    w = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    keys = keys or []
+    return (
+        s.groupBy(w.alias("_w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("_w.start").alias("window_start"), *keys, "n")
+    )
+
+
+def stream_dedupe(
+    sdf: DataFrame,
+    id_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exactly-once event admission on ANY streaming OR batch DataFrame
+    (stream_dedup's algebra): drop re-deliveries of the same
+    (id_cols...) key.  On a streaming input pass ts_col + watermark so
+    the dedup state store EVICTS keys older than the horizon — without
+    it the state grows with every key ever seen."""
+    s = (
+        sdf.withWatermark(ts_col, watermark)
+        if watermark and ts_col
+        else sdf
+    )
+    return s.dropDuplicates(list(id_cols))
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow trigger ->
+    memory sink: process everything currently available, then stop) and
+    return the materialized result as a batch DataFrame — the
+    batch-equivalence harness the streaming tests use, exposed for
+    users validating a streaming pipeline against its batch twin."""
+    import uuid as _uuid
+
+    sink = f"api_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {sink} did not finish in {timeout_s}s; "
+            "memory sink would be partial"
+        )
+    return sdf.sparkSession.table(sink)
 
 
 def latest_by_key(

@@ -71,6 +71,15 @@ class Engine:
         """All registered operator ids, sorted."""
         return sorted(all_queries())
 
+    @property
+    def api(self):
+        """The composable DataFrame API (secdb_spark.api): the certified
+        kernels as DataFrame-in/out functions over ARBITRARY tables —
+        e.g. eng.api.dedup_corpus(df, "id", "body")."""
+        from . import api as _api
+
+        return _api
+
     def oracle(self, name: str) -> str | None:
         """The operator's DuckDB-runnable reference SQL (None for R/D class)."""
         return all_oracles().get(name)

@@ -822,3 +822,44 @@ def test_scd2_on_custom_table(spark):
     assert pd.isna(u1.valid_to.tolist()[2])  # current state open-ended
     u2 = got[got.uid == 2]
     assert len(u2) == 1 and pd.isna(u2.valid_to.iloc[0])
+
+
+def test_stream_windowed_counts_batch_equivalence(spark):
+    """The streaming windowed count through availableNow must equal the
+    batch computation on the same data — the D-class equivalence rule."""
+    import os
+    import tempfile
+    import uuid
+
+    rows = [
+        (i, datetime(2025, 1, 1, 10 + (i % 3), 5 * (i % 7))) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "eid int, t timestamp")
+    d = tempfile.mkdtemp(prefix=f"api_stream_{uuid.uuid4().hex[:8]}_")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+
+    # complete mode: append would hold back the FINAL window (no later
+    # event ever advances the watermark past its end — the D-class
+    # eviction-timing edge the registry streaming ops document)
+    streamed = api.run_available_now(
+        api.stream_windowed_counts(sdf, "t", window="1 hour",
+                                   watermark="10 minutes"),
+        output_mode="complete",
+    ).toPandas().set_index("window_start")["n"]
+    batch = (
+        api.stream_windowed_counts(df, "t", window="1 hour")
+        .toPandas()
+        .set_index("window_start")["n"]
+    )
+    assert streamed.sort_index().to_dict() == batch.sort_index().to_dict()
+    for f in os.listdir(d):
+        pass  # leave tempdir for the OS; parquet stays readable mid-test
+
+
+def test_stream_dedupe_batch(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, v string"
+    )
+    got = api.stream_dedupe(df, ["k"]).toPandas()
+    assert sorted(got.k.tolist()) == [1, 2]

@@ -130,3 +130,75 @@ def test_ann_topk_matches_ann_lsh(spark):
     g = _sorted(got, ["query_id", "neighbor_id"])
     w = _sorted(want, ["query_id", "neighbor_id"])
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_stream_windowed_counts_matches_stream_tumbling(spark):
+    """Batch path of the streaming adapter == the certified tumbling
+    kernel on the fixture events (per event_type, 1-hour windows)."""
+    got = api.stream_windowed_counts(
+        _events(spark), "ts", window="1 hour", keys=["event_type"]
+    )
+    want = QUERIES["stream_tumbling"](spark, SF_DIR)
+    g = _sorted(got, ["window_start", "event_type"])
+    w = _sorted(want, ["window_start", "event_type"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_latest_by_key_matches_upsert_latest(spark):
+    """Rebuild the kernel's synthetic amendment batch and the adapter
+    must elect the same winners."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark)
+    base = ev.select(
+        "event_id", "user_id", "value", "ts", F.lit(0).alias("generation")
+    )
+    amended = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        (F.col("value") * 2).alias("value"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        F.lit(1).alias("generation"),
+    )
+    got = api.latest_by_key(
+        base.unionByName(amended), ["event_id"], ["generation", "ts"]
+    ).select("event_id", "user_id", "value", "generation")
+    want = QUERIES["upsert_latest"](spark, SF_DIR)
+    g = _sorted(got, ["event_id"])
+    w = _sorted(want, ["event_id"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_scd2_matches_scd2_history(spark):
+    got = api.scd2(
+        _events(spark), ["user_id"], "event_type", "ts", tie_col="event_id"
+    )
+    want = QUERIES["scd2_history"](spark, SF_DIR)
+    g = _sorted(got, ["user_id", "valid_from", "event_type"])
+    w = _sorted(want, ["user_id", "valid_from", "event_type"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_winsorize_matches_winsorize_group_sums(spark):
+    """The adapter's clipped values must reproduce the kernel's audited
+    winsorized sums per group (bounds canonicalized the kernel's way)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    want = (
+        QUERIES["winsorize_group"](spark, SF_DIR)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    # kernel rounds bounds to 4dp before clipping; mirror with the raw
+    # adapter by pre-rounding its quantiles is not exposed — compare the
+    # SUM within the kernel's tolerance instead (bounds differ < 1e-4)
+    got = (
+        api.winsorize(li, ["l_returnflag"], "l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice_wins").alias("s"))
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for flag in want.index:
+        assert abs(got.loc[flag, "s"] - float(want.loc[flag, "winsorized_sum"])) < 1.0

@@ -863,3 +863,84 @@ def test_stream_dedupe_batch(spark):
     )
     got = api.stream_dedupe(df, ["k"]).toPandas()
     assert sorted(got.k.tolist()) == [1, 2]
+
+
+def test_funnel_property_vs_bruteforce(spark):
+    """Randomized ordered-funnel correctness: per-user prefix completion
+    computed by a pure-python scan must match the window formulation."""
+    import random
+
+    rng = random.Random(99)
+    stages = ["s1", "s2", "s3"]
+    rows = [
+        (rng.randrange(25), i, rng.choice(stages + ["noise"]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "uid int, t long, step string")
+    got = (
+        api.funnel(df, "uid", "t", "step", stages, tie_col="step")
+        .toPandas()
+        .set_index("stage")["n_users"]
+        .to_dict()
+    )
+
+    # brute force: scan each user's (t, step)-ordered events, tracking
+    # the deepest prefix completed STRICTLY in order
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, t, step in rows:
+        by_user[uid].append((t, step))
+    reached = [0, 0, 0]
+    for evs in by_user.values():
+        depth = 0
+        for _t, step in sorted(evs):
+            if depth < len(stages) and step == stages[depth]:
+                depth += 1
+        for k in range(depth):
+            reached[k] += 1
+    assert got["s1"] == reached[0]
+    assert got["s1>s2"] == reached[1]
+    assert got["s1>s2>s3"] == reached[2]
+
+
+def test_scd2_property_vs_bruteforce(spark):
+    """Randomized SCD2: collapsed intervals must equal the pure-python
+    run-length encoding of each key's state sequence."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(10), i, rng.choice("ab"))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "uid int, t long, st string")
+    got = (
+        api.scd2(df, ["uid"], "st", "t")
+        .toPandas()
+        .sort_values(["uid", "valid_from"])
+        .reset_index(drop=True)
+    )
+
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, t, st in rows:
+        by_user[uid].append((t, st))
+    exp = []
+    for uid, evs in by_user.items():
+        runs = []
+        for t, st in sorted(evs):
+            if not runs or runs[-1][1] != st:
+                runs.append([t, st])
+        for i, (t, st) in enumerate(runs):
+            vt = runs[i + 1][0] if i + 1 < len(runs) else None
+            exp.append((uid, st, t, vt))
+    exp.sort(key=lambda r: (r[0], r[2]))
+    assert len(got) == len(exp)
+    for row, (uid, st, vf, vt) in zip(got.itertuples(), exp):
+        assert (row.uid, row.st, row.valid_from) == (uid, st, vf)
+        if vt is None:
+            assert row.valid_to != row.valid_to or row.valid_to is None
+        else:
+            assert row.valid_to == vt

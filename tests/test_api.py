@@ -944,3 +944,43 @@ def test_scd2_property_vs_bruteforce(spark):
             assert row.valid_to != row.valid_to or row.valid_to is None
         else:
             assert row.valid_to == vt
+
+
+def test_temperature_mix_property_exact_membership(spark):
+    """The kept set is a PURE FUNCTION of the inputs: recompute the
+    tempered quantized weights, anchor, rational rates, and md5 bucket
+    membership in pure python — the Spark result must equal it EXACTLY
+    (no statistical tolerance)."""
+    import hashlib
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(31)
+    doms = ["w", "x", "y", "z"]
+    rows = [(i, rng.choice(doms)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "rid int, dom string")
+    T = 0.7
+    got = set(
+        r.rid
+        for r in api.temperature_mix(df, "dom", "rid", temperature=T).collect()
+    )
+
+    n = Counter(d for _, d in rows)
+    total = sum(n.values())
+    qw = {
+        d: math.floor((n[d] / total) ** T * 1_000_000_000_000 + 0.5)
+        for d in doms
+    }
+    anchor = min(doms, key=lambda d: (n[d] / qw[d], d))
+    rate_bp = {
+        d: (n[anchor] * 10000 * qw[d]) // (qw[anchor] * n[d]) for d in doms
+    }
+
+    def bucket(rid: int) -> int:
+        h = hashlib.md5(f"mix:{rid}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10_000
+
+    want = {rid for rid, d in rows if bucket(rid) < rate_bp[d]}
+    assert got == want
+    assert rate_bp[anchor] == 10_000  # the anchor keeps everything

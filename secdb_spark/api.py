@@ -70,6 +70,8 @@ __all__ = [
     "stratified_sample",
     "decontaminate",
     "keep_best_dedup",
+    "resample",
+    "write_partitioned",
     "stream_windowed_counts",
     "stream_dedupe",
     "run_available_now",
@@ -1304,6 +1306,61 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("_g").cast("bigint").alias("n_shared_grams"))
     )
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    grain: str = "hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Time-series rollup on ANY (timestamp, value) table
+    (rollup_timeseries' algebra with the grain parameterized): one scan,
+    one shuffle keyed by (keys..., bucket) — returns
+    (keys..., bucket, n, sum_value, avg_value, min_value, max_value).
+    Coarser resolutions should re-aggregate FROM this output's partials
+    (sum of sums / sum of counts), never re-scan the raw data."""
+    grains = ("minute", "hour", "day", "week", "month", "quarter", "year")
+    if grain not in grains:
+        raise ValueError(f"grain must be one of {grains}")
+    keys = keys or []
+    x = F.col(val_col)
+    return (
+        df.groupBy(*keys, F.date_trunc(grain, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sum_value"),
+            F.avg(x).alias("avg_value"),
+            F.min(x).alias("min_value"),
+            F.max(x).alias("max_value"),
+        )
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Partitioned lakehouse write + discovery read-back
+    (snk_partitioned's algebra on any table): repartitions on the
+    partition column BEFORE the write so each partition directory
+    receives its rows from one task — without it every input task
+    appends one file into every directory (tasks x partitions small
+    files, the classic lakehouse small-file explosion).  The partition
+    column should be LOW cardinality so readers get directory-level
+    pruning.  Returns the read-back DataFrame."""
+    spark = df.sparkSession
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .format(fmt)
+        .save(path)
+    )
+    return spark.read.format(fmt).load(path)
 
 
 # --- streaming -------------------------------------------------------------

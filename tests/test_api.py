@@ -984,3 +984,49 @@ def test_temperature_mix_property_exact_membership(spark):
     want = {rid for rid, d in rows if bucket(rid) < rate_bp[d]}
     assert got == want
     assert rate_bp[anchor] == 10_000  # the anchor keeps everything
+
+
+def test_resample_on_custom_table(spark):
+    rows = [
+        ("a", datetime(2025, 3, 1, 10, 5), 1.0),
+        ("a", datetime(2025, 3, 1, 10, 55), 3.0),
+        ("a", datetime(2025, 3, 1, 11, 0), 5.0),
+        ("b", datetime(2025, 3, 1, 10, 30), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    got = (
+        api.resample(df, "t", "v", grain="hour", keys=["k"])
+        .toPandas()
+        .set_index(["k", "bucket"])
+        .sort_index()
+    )
+    a10 = got.loc[("a", datetime(2025, 3, 1, 10))]
+    assert int(a10.n) == 2 and a10.sum_value == 4.0 and a10.avg_value == 2.0
+    assert a10.min_value == 1.0 and a10.max_value == 3.0
+    assert int(got.loc[("a", datetime(2025, 3, 1, 11))].n) == 1
+    assert int(got.loc[("b", datetime(2025, 3, 1, 10))].n) == 1
+    with pytest.raises(ValueError):
+        api.resample(df, "t", "v", grain="fortnight")
+
+
+def test_write_partitioned_roundtrip(spark):
+    import tempfile
+    import uuid
+
+    df = spark.createDataFrame(
+        [(i, 2020 + i % 3, f"p{i}") for i in range(30)],
+        "rid int, yr int, payload string",
+    )
+    d = tempfile.mkdtemp(prefix=f"api_part_{uuid.uuid4().hex[:8]}_")
+    back = api.write_partitioned(df, d, "yr")
+    assert back.count() == 30
+    # partition pruning surface: one directory per year
+    import os
+
+    dirs = [f for f in os.listdir(d) if f.startswith("yr=")]
+    assert sorted(dirs) == ["yr=2020", "yr=2021", "yr=2022"]
+    # values survive the round trip
+    got = back.toPandas().sort_values("rid").reset_index(drop=True)
+    src = df.toPandas().sort_values("rid").reset_index(drop=True)
+    assert got.payload.tolist() == src.payload.tolist()
+    assert got.yr.tolist() == src.yr.tolist()

@@ -70,6 +70,9 @@ __all__ = [
     "stratified_sample",
     "decontaminate",
     "keep_best_dedup",
+    "token_stats",
+    "ngram_counts",
+    "fingerprint",
     "resample",
     "write_partitioned",
     "stream_windowed_counts",
@@ -1305,6 +1308,105 @@ def decontaminate(
         .join(eval_grams, "_g")
         .groupBy(id_col)
         .agg(F.count_distinct("_g").cast("bigint").alias("n_shared_grams"))
+    )
+
+
+def token_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Token cost accounting on ANY (id, text) table (text_tokens_bpe's
+    algebra): BPE-ish regex segmentation (letter / digit / punctuation
+    runs), whitespace split, and the chars/4 estimator — the standard
+    trio for sizing a training corpus.  Map-only scan, zero shuffles,
+    no UDF.  Returns (id_col, n_bpe_tokens, n_ws_tokens, n_est_tokens)."""
+    from .operators.text_analysis import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace(chr(92), chr(92) * 2)
+    return df.select(
+        id_col,
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)")
+        ).alias("n_bpe_tokens"),
+        F.size(F.split(text_col, " ")).alias("n_ws_tokens"),
+        F.ceil(F.length(text_col) / 4.0).alias("n_est_tokens"),
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with document frequency on ANY
+    (id, text) table (corpus_ngram_topk's algebra with n/k
+    parameterized) — the spine for contamination screening and
+    boilerplate detection (n-grams with n_docs near the corpus size are
+    templates).  Returns (ngram, n, n_docs), count-desc then lexical.
+
+    Scale shape: explode -> ONE hash aggregate on the n-gram key (count
+    + distinct-doc in one pass) -> TakeOrderedAndProject for the bounded
+    top-k — partial top-k per partition, never a global sort."""
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "ngram")
+        .limit(k)
+    )
+
+
+def fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent fingerprint of ANY DataFrame
+    (result_fingerprint's algebra): each row canonicalizes to a
+    delimited string (NULL-sentineled), hashes through md5, and the
+    bucket values SUM — two engines, two runs, or two days agree on a
+    result iff (n_rows, fingerprint) agree, without shipping the rows
+    anywhere.  Returns one row (n_rows, fingerprint).
+
+    CAVEAT: float columns fingerprint via their string form — quantize
+    to fixed-point first for cross-engine comparisons (the registry op
+    fingerprints cents, not doubles).
+
+    Scale shape: a 1-row map-side-combinable aggregate over the input —
+    fingerprinting 10^9 rows costs one projection + sum on top of
+    producing them.  Pair with n_rows (collision bound ~n²/2e-9), or
+    fingerprint twice with different salts for audit-grade use."""
+    from .operators.pipeline_extras import _hash_bucket
+
+    cols = cols or df.columns
+    canon = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            for c in cols
+        ],
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(_hash_bucket(canon, 1_000_000_007)), F.lit(0)
+        ).cast("long").alias("fingerprint"),
     )
 
 

@@ -1030,3 +1030,56 @@ def test_write_partitioned_roundtrip(spark):
     src = df.toPandas().sort_values("rid").reset_index(drop=True)
     assert got.payload.tolist() == src.payload.tolist()
     assert got.yr.tolist() == src.yr.tolist()
+
+
+def test_token_stats_on_custom_table(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world42, ok!"), (2, "a b")], "rid int, body string"
+    )
+    got = api.token_stats(df, "rid", "body").toPandas().set_index("rid")
+    # hello | world | 42 | , | ok | !  -> 6 BPE-ish tokens
+    assert int(got.loc[1, "n_bpe_tokens"]) == 6
+    assert int(got.loc[1, "n_ws_tokens"]) == 3
+    assert int(got.loc[1, "n_est_tokens"]) == 5  # ceil(18/4)
+    assert int(got.loc[2, "n_ws_tokens"]) == 2
+
+
+def test_ngram_counts_on_custom_table(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "to be or not to be"),
+            (2, "to be or"),
+            (3, "xy"),  # shorter than n -> contributes nothing
+        ],
+        "rid int, body string",
+    )
+    got = api.ngram_counts(df, "rid", "body", n=3, k=10).toPandas()
+    top = got.set_index("ngram")
+    assert int(top.loc["to be or", "n"]) == 2
+    assert int(top.loc["to be or", "n_docs"]) == 2
+    assert got.iloc[0].ngram == "to be or"  # count desc, then lexical
+    assert int(top.loc["be or not", "n_docs"]) == 1
+    with pytest.raises(ValueError):
+        api.ngram_counts(df, "rid", "body", n=0)
+
+
+def test_fingerprint_on_custom_table(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "pk int, s string"
+    )
+    f1 = api.fingerprint(df).collect()[0]
+    assert f1.n_rows == 3 and f1.fingerprint > 0
+    # order-independent: repartitioned input fingerprints identically
+    f2 = api.fingerprint(df.repartition(5)).collect()[0]
+    assert (f1.n_rows, f1.fingerprint) == (f2.n_rows, f2.fingerprint)
+    # sensitive to content
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "d")], "pk int, s string"
+    )
+    f3 = api.fingerprint(df2).collect()[0]
+    assert f3.fingerprint != f1.fingerprint
+    # NULL vs the literal sentinel string must differ fingerprint-wise
+    # when hashed with the id column alongside (the sentinel is scoped
+    # per cell, not per row)
+    f4 = api.fingerprint(df.select("s")).collect()[0]
+    assert f4.n_rows == 3

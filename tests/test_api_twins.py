@@ -202,3 +202,48 @@ def test_winsorize_matches_winsorize_group_sums(spark):
     )
     for flag in want.index:
         assert abs(got.loc[flag, "s"] - float(want.loc[flag, "winsorized_sum"])) < 1.0
+
+
+def test_token_stats_matches_text_tokens_bpe(spark):
+    got = api.token_stats(_docs(spark), "doc_id", "text")
+    want = QUERIES["text_tokens_bpe"](spark, SF_DIR)
+    g = _sorted(got, ["doc_id"])
+    w = _sorted(want, ["doc_id"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_ngram_counts_matches_corpus_ngram_topk(spark):
+    from secdb_spark.operators.warehouse_extras4 import CORPUS_NGRAM_TOPK
+
+    got = api.ngram_counts(
+        _docs(spark), "doc_id", "text", n=3, k=CORPUS_NGRAM_TOPK
+    ).withColumnRenamed("ngram", "trigram")
+    want = QUERIES["corpus_ngram_topk"](spark, SF_DIR)
+    g = got.toPandas().reset_index(drop=True)
+    w = want.toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_fingerprint_matches_result_fingerprint(spark):
+    """Rebuild the kernel's revenue-by-nation rollup (cents fixed-point)
+    and the generic fingerprint must agree with the registry op."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    res = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .alias("revenue_c"),
+        )
+    )
+    got = api.fingerprint(
+        res, ["n_name", "n_orders", "revenue_c"]
+    ).collect()[0]
+    want = QUERIES["result_fingerprint"](spark, SF_DIR).collect()[0]
+    assert (got.n_rows, got.fingerprint) == (want.n_rows, want.fingerprint)

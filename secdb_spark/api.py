@@ -385,9 +385,12 @@ def sessionize(
 ) -> DataFrame:
     """events_sessionize's gap rule on any (user, timestamp): adds a
     per-user integer session id that increments after gap_minutes of
-    inactivity.  One shuffle on the user key."""
+    inactivity.  One shuffle on the user key.  TIMESTAMP_NTZ columns
+    (parquet's timezone-naive default) are accepted — the gap only ever
+    compares two casts of the same column, so the session-tz
+    interpretation cancels."""
     gap_us = gap_minutes * 60 * 1_000_000
-    t = F.unix_micros(F.col(ts_col))
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col)
     boundary = F.when(
         (t - F.lag(t).over(w)).isNull() | ((t - F.lag(t).over(w)) > gap_us), 1
@@ -592,8 +595,11 @@ def asof_join(
         out = out.withColumn(f"_r_{c}", F.col(f"_rrow._r_{c}"))
     out = out.withColumn("_rt", F.col("_rrow._rt")).drop("_rrow")
     if tolerance_us is not None:
+        # casts accept TIMESTAMP_NTZ inputs; the difference of two
+        # same-session-tz casts is tz-invariant
         fresh = (
-            F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_rt"))
+            F.unix_micros(F.col("_t").cast("timestamp"))
+            - F.unix_micros(F.col("_rt").cast("timestamp"))
         ) <= tolerance_us
         for c in rcols:
             out = out.withColumn(

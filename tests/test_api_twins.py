@@ -247,3 +247,232 @@ def test_fingerprint_matches_result_fingerprint(spark):
     ).collect()[0]
     want = QUERIES["result_fingerprint"](spark, SF_DIR).collect()[0]
     assert (got.n_rows, got.fingerprint) == (want.n_rows, want.fingerprint)
+
+
+# --- round-8 extension: twins for the PRE-round-8 adapters ------------------
+
+
+def test_normalize_text_matches_text_normalize(spark):
+    got = api.normalize_text(_docs(spark), "text", "norm_text").select(
+        "doc_id", "norm_text"
+    )
+    want = QUERIES["text_normalize"](spark, SF_DIR).select(
+        "doc_id", "norm_text"
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id"]), _sorted(want, ["doc_id"]),
+        check_dtype=False,
+    )
+
+
+def test_exact_dup_clusters_matches_dedup_exact(spark):
+    got = api.exact_dup_clusters(
+        _docs(spark), "doc_id", "text"
+    ).withColumnRenamed("keeper_id", "keeper_doc_id")
+    want = QUERIES["dedup_exact"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["content_hash"]), _sorted(want, ["content_hash"]),
+        check_dtype=False,
+    )
+
+
+def test_sessionize_matches_events_sessionize(spark):
+    from pyspark.sql import functions as F
+
+    s = api.sessionize(_events(spark), "user_id", "ts", gap_minutes=30)
+    got = s.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    want = QUERIES["events_sessionize"](spark, SF_DIR)
+    keys = ["user_id", "session_seq"]
+    pd.testing.assert_frame_equal(
+        _sorted(got, keys), _sorted(want, keys), check_dtype=False
+    )
+
+
+def test_jaccard_pairs_matches_sim_jaccard(spark):
+    got = api.jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.9)
+    want = QUERIES["sim_jaccard"](spark, SF_DIR)
+    keys = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        _sorted(got, keys), _sorted(want, keys), check_dtype=False
+    )
+
+
+def test_near_dup_pairs_matches_dedup_near(spark):
+    from pyspark.sql import functions as F
+
+    got = (
+        api.near_dup_pairs(_docs(spark), "doc_id", "text", threshold=0.9)
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    want = QUERIES["dedup_near"](spark, SF_DIR).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    keys = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        _sorted(got, keys), _sorted(want, keys), check_dtype=False
+    )
+
+
+def test_near_dup_clusters_matches_dedup_clusters(spark):
+    from pyspark.sql import functions as F
+
+    got = (
+        api.near_dup_clusters(_docs(spark), "doc_id", "text", threshold=0.9)
+        .groupBy("cluster_rep")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list("doc_id"))
+            .cast("string")
+            .alias("members"),
+        )
+    )
+    want = QUERIES["dedup_clusters"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["cluster_rep"]), _sorted(want, ["cluster_rep"]),
+        check_dtype=False,
+    )
+
+
+def test_cosine_topk_matches_sim_cosine_topk(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = api.cosine_topk(emb, "vec_id", "embedding", k=5)
+    want = QUERIES["sim_cosine_topk"](spark, SF_DIR)
+    keys = ["query_id", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        _sorted(got, keys), _sorted(want, keys), check_dtype=False
+    )
+
+
+def test_percentile_disc_matches_agg_percentile_disc(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = api.percentile_disc(li, ["l_returnflag"], "l_extendedprice")
+    want = QUERIES["agg_percentile_disc"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_returnflag"]), _sorted(want, ["l_returnflag"]),
+        check_dtype=False,
+    )
+
+
+def test_mannwhitney_u_matches_stat_mannwhitney(spark):
+    from pyspark.sql import functions as F
+
+    # the registry op rounds z to 4dp at the output projection (oracle
+    # canonicalization); the API returns the raw double — round to match
+    got = api.mannwhitney_u(
+        _events(spark), "value", "event_type", "click", "purchase", scale=100
+    ).withColumn("z", F.round("z", 4))
+    want = QUERIES["stat_mannwhitney"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        got.toPandas().reset_index(drop=True),
+        want.toPandas().reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_bm25_scores_matches_text_bm25(spark):
+    got = api.bm25_scores(
+        _docs(spark), "doc_id", "text", ["join", "merge", "vector"]
+    )
+    want = QUERIES["text_bm25"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id"]), _sorted(want, ["doc_id"]),
+        check_dtype=False,
+    )
+
+
+def test_decontaminate_matches_registry_decontaminate(spark):
+    docs = _docs(spark)
+    eval_df = docs.filter(docs.doc_id % 97 == 0)
+    train_df = docs.filter(docs.doc_id % 97 != 0)
+    got = api.decontaminate(train_df, eval_df, "doc_id", "text", ngram=4)
+    want = QUERIES["decontaminate"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id"]), _sorted(want, ["doc_id"]),
+        check_dtype=False,
+    )
+
+
+def test_entropy_by_matches_events_entropy(spark):
+    """The adapter reports bits (log2); the kernel reports nats rounded
+    to 4dp — base conversion is the only difference."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    got = api.entropy_by(_events(spark), ["user_id"], "event_type").select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(F.col("h_bits") * float(math.log(2)), 4).alias("entropy"),
+    )
+    want = QUERIES["events_entropy"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["user_id"]), _sorted(want, ["user_id"]),
+        check_dtype=False,
+    )
+
+
+def test_quality_flags_matches_doc_quality_gate(spark):
+    """Aggregating the per-row flags per source must reproduce the
+    kernel's funnel report (same Gopher thresholds by default)."""
+    from pyspark.sql import functions as F
+
+    fl = api.quality_flags(_docs(spark), "text")
+    got = fl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("fail_short").cast("long")).alias("n_fail_short"),
+        F.sum(F.col("fail_long").cast("long")).alias("n_fail_long"),
+        F.sum(F.col("fail_wordlen").cast("long")).alias("n_fail_wordlen"),
+        F.sum(F.col("fail_ttr").cast("long")).alias("n_fail_ttr"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("keep").cast("double")) / F.count(F.lit(1)), 4
+        ).alias("kept_ratio"),
+    )
+    want = QUERIES["doc_quality_gate"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["source"]), _sorted(want, ["source"]),
+        check_dtype=False,
+    )
+
+
+def test_trailing_distinct_matches_stickiness_wau(spark):
+    """The 7-day trailing distinct user count IS stickiness_ratio's WAU
+    column; map the integer day index back to the kernel's date."""
+    from pyspark.sql import functions as F
+
+    days = _events(spark).select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01")
+        ).alias("dayix"),
+    )
+    got = (
+        api.trailing_distinct(days, "user_id", "dayix", window_days=7)
+        .select(
+            F.date_add(F.lit("1970-01-01"), F.col("dayix")).alias("day"),
+            F.col("trailing_distinct").alias("wau"),
+        )
+    )
+    want = QUERIES["stickiness_ratio"](spark, SF_DIR).select(
+        F.col("day").cast("date").alias("day"), "wau"
+    )
+    # the adapter also reports the cover-window days AFTER the last
+    # activity day (trailing windows remain non-empty); the kernel
+    # reports only days with activity — compare on the kernel's days
+    got = got.join(want.select("day"), "day")
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False
+    )

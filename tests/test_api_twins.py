@@ -476,3 +476,25 @@ def test_trailing_distinct_matches_stickiness_wau(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False
     )
+
+
+def test_domain_mix_weights_matches_mix_temperature(spark):
+    """At T=1/2 (pow == one correctly-rounded IEEE sqrt) the adapter's
+    quantized tempered weights must reproduce the kernel's report; the
+    kernel rounds its ratios to 4dp at the output projection."""
+    from pyspark.sql import functions as F
+
+    got = api.domain_mix_weights(
+        _docs(spark), "source", temperature=0.5
+    ).select(
+        "source",
+        "n_docs",
+        F.round("p_natural", 4).alias("p_natural"),
+        F.round("mix_weight", 4).alias("mix_weight"),
+        F.round("upsample_factor", 4).alias("upsample_factor"),
+    )
+    want = QUERIES["mix_temperature"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["source"]), _sorted(want, ["source"]),
+        check_dtype=False,
+    )

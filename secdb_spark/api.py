@@ -75,6 +75,8 @@ __all__ = [
     "fingerprint",
     "resample",
     "write_partitioned",
+    "resize_bitmaps",
+    "sample_frames",
     "stream_windowed_counts",
     "stream_dedupe",
     "run_available_now",
@@ -1469,6 +1471,122 @@ def write_partitioned(
         .save(path)
     )
     return spark.read.format(fmt).load(path)
+
+
+# --- multimodal (opaque binary payloads + typed metadata) -------------------
+
+
+def resize_bitmaps(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    height_col: str,
+    width_col: str,
+    factor: int = 2,
+) -> DataFrame:
+    """Nearest-neighbor downsample of raw uint8 bitmaps on ANY table
+    (mm_resize's algebra with the stride parameterized): each row's
+    `payload_col` holds an H x W byte grid described by the metadata
+    columns.  Returns (id_col, out_h, out_w, payload, pixel_sum) — the
+    checksum lets callers verify pixel-exact selection.  Codec DECODE is
+    out of scope (no image libs in this container); this is the
+    post-decode tensor stage, Arrow-batched, real index-grid math.
+
+    Scale shape: map-only mapInPandas — one Arrow batch per task chunk,
+    zero shuffles; images partition freely."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    import pandas as pd
+
+    cols = [id_col, payload_col, height_col, width_col]
+    src = df.select(*cols)
+
+    def resize(batches):
+        import numpy as np
+
+        for b in batches:
+            out = []
+            for rid, payload, h, w in zip(
+                b[id_col], b[payload_col], b[height_col], b[width_col]
+            ):
+                img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                    int(h), int(w)
+                )
+                small = img[::factor, ::factor]
+                out.append(
+                    (
+                        rid,
+                        small.shape[0],
+                        small.shape[1],
+                        small.tobytes(),
+                        int(small.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "out_h", "out_w", "payload", "pixel_sum"],
+            )
+
+    id_t = src.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(
+        resize,
+        f"{id_col} {id_t}, out_h int, out_w int, "
+        "payload binary, pixel_sum long",
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_frames_col: str,
+    height_col: str,
+    width_col: str,
+    stride: int = 3,
+) -> DataFrame:
+    """Video frame sampling over raw uint8 tensors on ANY table
+    (mm_frame_sample's algebra with the stride parameterized): each
+    row's payload is an (n_frames x H x W) byte tensor; emits ONE ROW
+    PER SAMPLED FRAME (every `stride`-th) with a per-frame checksum —
+    the explode-shaped contract a frame-level training pipeline needs.
+    Codec decode is out of scope; byte-offset slicing is real.
+
+    Scale shape: frames of one video stay in one Arrow batch; videos
+    partition freely — map-only, zero shuffles."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    import pandas as pd
+
+    cols = [id_col, payload_col, n_frames_col, height_col, width_col]
+    src = df.select(*cols)
+
+    def sample(batches):
+        import numpy as np
+
+        for b in batches:
+            out = []
+            for rid, payload, nf, h, w in zip(
+                b[id_col], b[payload_col], b[n_frames_col],
+                b[height_col], b[width_col],
+            ):
+                vid = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                    int(nf), int(h), int(w)
+                )
+                for idx in range(0, int(nf), stride):
+                    frame = vid[idx]
+                    out.append(
+                        (rid, idx, int(frame.astype(np.int64).sum()),
+                         frame.tobytes())
+                    )
+            yield pd.DataFrame(
+                out, columns=[id_col, "frame_idx", "frame_sum", "frame"]
+            )
+
+    id_t = src.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(
+        sample,
+        f"{id_col} {id_t}, frame_idx int, frame_sum long, frame binary",
+    )
 
 
 # --- streaming -------------------------------------------------------------

@@ -1083,3 +1083,41 @@ def test_fingerprint_on_custom_table(spark):
     # per cell, not per row)
     f4 = api.fingerprint(df.select("s")).collect()[0]
     assert f4.n_rows == 3
+
+
+def test_resize_bitmaps_on_custom_table(spark):
+    import numpy as np
+
+    h, w = 8, 6
+    img = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    df = spark.createDataFrame(
+        [(7, bytearray(img.tobytes()), h, w)],
+        "pid int, img binary, h int, w int",
+    )
+    got = api.resize_bitmaps(df, "pid", "img", "h", "w", factor=2).collect()[0]
+    small = img[::2, ::2]
+    assert (got.out_h, got.out_w) == small.shape
+    assert bytes(got.payload) == small.tobytes()  # pixel-exact selection
+    assert got.pixel_sum == int(small.astype(np.int64).sum())
+    with pytest.raises(ValueError):
+        api.resize_bitmaps(df, "pid", "img", "h", "w", factor=0)
+
+
+def test_sample_frames_on_custom_table(spark):
+    import numpy as np
+
+    nf, h, w = 7, 4, 3
+    vid = np.arange(nf * h * w, dtype=np.uint8).reshape(nf, h, w)
+    df = spark.createDataFrame(
+        [(9, bytearray(vid.tobytes()), nf, h, w)],
+        "vid_id int, v binary, nf int, h int, w int",
+    )
+    got = (
+        api.sample_frames(df, "vid_id", "v", "nf", "h", "w", stride=3)
+        .toPandas()
+        .sort_values("frame_idx")
+    )
+    assert got.frame_idx.tolist() == [0, 3, 6]
+    for _, row in got.iterrows():
+        assert bytes(row.frame) == vid[row.frame_idx].tobytes()
+        assert row.frame_sum == int(vid[row.frame_idx].astype(np.int64).sum())

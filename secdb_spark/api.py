@@ -316,15 +316,31 @@ def dedup_corpus(
     plus all rows with no near-dup.  Returns the surviving rows with
     all original columns.
 
-    Scale shape: the loser set (cluster members minus representatives)
-    anti-joins the corpus on the id key — one hash shuffle; dedup state
-    never aggregates beyond the pair graph."""
-    losers = (
-        near_dup_clusters(df, id_col, text_col, threshold, n_hashes, n_bands)
+    Scale shape: EXACT copies collapse first (sha256 groupBy, min-id
+    representative) and only representatives enter the MinHash pass —
+    a corpus that is k literal copies of itself would otherwise put k²
+    the pairs through the band join and verify (SCALE.md §57 measured
+    8.5x wall at 4 copies); collapsing makes pair density a function of
+    DISTINCT content.  Semantics are unchanged: exact copies have
+    Jaccard 1 (one component member each), and each representative is
+    already the min id of its copy group, so the surviving id per
+    near-dup component is the same overall minimum.  After the
+    representative pass, the loser set anti-joins the corpus on the id
+    key — one hash shuffle."""
+    keepers = (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+    reps = df.join(keepers, id_col, "semi")
+    nd_losers = (
+        near_dup_clusters(
+            reps, id_col, text_col, threshold, n_hashes, n_bands
+        )
         .filter(F.col(id_col) != F.col("cluster_rep"))
         .select(id_col)
     )
-    return df.join(losers, id_col, "anti")
+    return reps.join(nd_losers, id_col, "anti")
 
 
 def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

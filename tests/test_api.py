@@ -1121,3 +1121,22 @@ def test_sample_frames_on_custom_table(spark):
     for _, row in got.iterrows():
         assert bytes(row.frame) == vid[row.frame_idx].tobytes()
         assert row.frame_sum == int(vid[row.frame_idx].astype(np.int64).sum())
+
+
+def test_dedup_corpus_collapses_exact_copies_first(spark):
+    """Exact copies must not reach the near-dup pass, and the surviving
+    set must be identical to the all-rows formulation: min id per
+    near-dup component plus all unrelated rows."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok yes"
+    rows = (
+        [(i, base) for i in range(20, 26)]              # 6 literal copies
+        + [(30, base + " tail")]                        # near dup of the group
+        + [(40, "completely different content about spark plans and shuffles")]
+        + [(41, "completely different content about spark plans and shuffles")]
+    )
+    df = spark.createDataFrame(rows, "pk long, body string")
+    kept = sorted(
+        r.pk for r in api.dedup_corpus(df, "pk", "body", threshold=0.7).collect()
+    )
+    # component {20..25, 30} -> 20 survives; {40, 41} exact -> 40 survives
+    assert kept == [20, 40]

@@ -57,6 +57,7 @@ __all__ = [
     "grouped_prefix_sum",
     "deterministic_sample",
     "cosine_topk",
+    "vector_search",
     "normalize_vectors",
     "ann_topk",
     "percentile_disc",
@@ -723,6 +724,65 @@ def cosine_topk(
 
 
 # --- round-7 kernels ---------------------------------------------------------
+
+
+def vector_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+) -> DataFrame:
+    """Query-vs-corpus exact cosine top-k — the retrieval baseline next
+    to cosine_topk (self-join) and ann_topk (LSH approximate): every
+    query row gets its k nearest corpus rows.  Returns
+    (query_id, neighbor_id, sim), sim rounded to 6dp with a neighbor-id
+    tie-break (tie-safe under FP jitter).
+
+    Scale shape: the QUERY side broadcasts (retrieval query sets are
+    model-sized next to a 100 TB corpus) into an expression-level
+    block-nested loop — zip_with/aggregate dot products inside codegen,
+    no UDF, no collect; the per-query top-k runs over |corpus| rows per
+    query key.  For corpus-x-corpus workloads use cosine_topk; when the
+    corpus scan itself is too hot, swap in ann_topk's bucketed probes."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sq = F.aggregate(
+        F.transform(F.col("_cv"), lambda x: x * x), F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(corpus_vec).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", F.sqrt(sq))
+    qq = F.aggregate(
+        F.transform(F.col("_qv"), lambda x: x * x), F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", F.sqrt(qq))
+    dot = F.aggregate(
+        F.zip_with("_cv", "_qv", lambda x, y: x * y), F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sim = F.round(dot / (F.col("_cn") * F.col("_qn")), 6)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("neighbor_id"),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def normalize_vectors(

@@ -1140,3 +1140,35 @@ def test_dedup_corpus_collapses_exact_copies_first(spark):
     )
     # component {20..25, 30} -> 20 survives; {40, 41} exact -> 40 survives
     assert kept == [20, 40]
+
+
+def test_vector_search_vs_numpy_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    C = rng.standard_normal((60, 8))
+    Q = rng.standard_normal((5, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(60)],
+        "cid long, cv array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + j, [float(x) for x in Q[j]]) for j in range(5)],
+        "qid long, qv array<double>",
+    )
+    got = (
+        api.vector_search(corpus, queries, "cid", "cv", "qid", "qv", k=3)
+        .toPandas()
+        .sort_values(["query_id", "sim"], ascending=[True, False])
+    )
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = np.round(Qn @ Cn.T, 6)
+    for j in range(5):
+        order = np.lexsort((np.arange(60), -S[j]))[:3]
+        gq = got[got.query_id == 100 + j]
+        assert gq.neighbor_id.tolist() == [int(i) for i in order]
+        for nid, sim in zip(gq.neighbor_id, gq.sim):
+            assert abs(sim - S[j][nid]) < 1e-9
+    with pytest.raises(ValueError):
+        api.vector_search(corpus, queries, "cid", "cv", "qid", "qv", k=0)

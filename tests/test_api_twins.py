@@ -498,3 +498,34 @@ def test_domain_mix_weights_matches_mix_temperature(spark):
         _sorted(got, ["source"]), _sorted(want, ["source"]),
         check_dtype=False,
     )
+
+
+def test_vector_search_self_matches_sim_cosine_topk(spark):
+    """Searching the corpus against itself with k+1 and dropping the
+    self-hit must reproduce the certified self-join top-k exactly."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = (
+        api.vector_search(
+            emb, emb, "vec_id", "embedding", "vec_id", "embedding", k=6
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    # re-rank to top-5 after dropping self (self always ranks first at
+    # sim 1.0, but guard against a tie displacing it)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    got = (
+        got.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+    want = QUERIES["sim_cosine_topk"](spark, SF_DIR)
+    keys = ["query_id", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        _sorted(got, keys), _sorted(want, keys), check_dtype=False
+    )

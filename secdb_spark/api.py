@@ -35,6 +35,21 @@ from .operators._global_order import (
     grouped_range_prefix_sum,
 )
 
+
+def _require_integral_id(df: DataFrame, id_col: str, fn_name: str) -> None:
+    """Vector-kernel ids must be integral: the Arrow kernel schemas carry
+    bigint ids, and a silent cast('long') would turn string/UUID ids into
+    NULLs — breaking results AND the self-match exclusion."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{fn_name}: id column '{id_col}' must be integral "
+            f"(got {id_type.simpleString()}); map string/UUID ids to a "
+            "surrogate long first"
+        )
+
 __all__ = [
     "normalize_text",
     "token_set",
@@ -273,6 +288,7 @@ def near_dup_clusters(
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
+    n_changed = 0
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.id_b == labels._id)
@@ -293,6 +309,23 @@ def near_dup_clusters(
         labels = new_labels.drop("_chg")
         if n_changed == 0:
             break
+    else:
+        if n_changed > 0:
+            # A component with diameter > max_rounds would otherwise
+            # return silently SPLIT clusters (dedup_corpus keeping
+            # several "representatives" of one true cluster =
+            # under-dedup).  Warn loudly; the caller can raise
+            # max_rounds — cost is one join per extra round.
+            import warnings
+
+            warnings.warn(
+                "near_dup_clusters: label propagation did not converge "
+                f"in {max_rounds} rounds ({n_changed} labels changed in "
+                "the last round); clusters may be split — raise "
+                "max_rounds",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     sizes = labels.groupBy("_label").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -406,8 +439,13 @@ def sessionize(
     per-user integer session id that increments after gap_minutes of
     inactivity.  One shuffle on the user key.  TIMESTAMP_NTZ columns
     (parquet's timezone-naive default) are accepted — the gap only ever
-    compares two casts of the same column, so the session-tz
-    interpretation cancels."""
+    compares two casts of the same column, so under a FIXED-OFFSET
+    session timezone (UTC, the engine default) the interpretation
+    cancels exactly.  Under a DST-observing session tz, the two casts of
+    a gap spanning a transition land on different UTC offsets, skewing
+    that one gap by the offset change (and spring-forward local times
+    don't exist) — run with spark.sql.session.timeZone=UTC for NTZ
+    inputs, or pre-cast to instants yourself."""
     gap_us = gap_minutes * 60 * 1_000_000
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col)
@@ -615,7 +653,9 @@ def asof_join(
     out = out.withColumn("_rt", F.col("_rrow._rt")).drop("_rrow")
     if tolerance_us is not None:
         # casts accept TIMESTAMP_NTZ inputs; the difference of two
-        # same-session-tz casts is tz-invariant
+        # same-session-tz casts is exact under a fixed-offset session tz
+        # (UTC, the engine default) — a DST-observing session tz skews
+        # differences spanning a transition by the offset change
         fresh = (
             F.unix_micros(F.col("_t").cast("timestamp"))
             - F.unix_micros(F.col("_rt").cast("timestamp"))
@@ -702,17 +742,9 @@ def cosine_topk(
     Returns (query_id, neighbor_id, sim).  The id column must be an
     integral type (the Arrow kernel schemas carry bigint ids); map
     string/UUID ids to a surrogate long first."""
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
     from .operators.llm_pipeline import N_CENTROIDS, _topk_bucketed
 
-    id_type = emb.schema[id_col].dataType
-    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
-        raise TypeError(
-            f"cosine_topk: id column '{id_col}' must be integral "
-            f"(got {id_type.simpleString()}); map string/UUID ids to a "
-            "surrogate long first"
-        )
+    _require_integral_id(emb, id_col, "cosine_topk")
     renamed = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
@@ -830,6 +862,7 @@ def ann_topk(
     it."""
     if k < 1 or not 1 <= n_bits <= 24:
         raise ValueError("k must be >= 1 and n_bits in [1, 24]")
+    _require_integral_id(df, id_col, "ann_topk")
     import pandas as pd  # noqa: F401 — mapInPandas batches
 
     from collections.abc import Iterator
@@ -1785,10 +1818,17 @@ def scd2(
     backfill of what a stateful stream maintains incrementally."""
     order = [ts_col] + ([tie_col] if tie_col else [])
     w = Window.partitionBy(*key_cols).orderBy(*order)
+    # row_number==1 (not _prev IS NULL) marks the first row per key, and
+    # the state comparison is null-safe: lag() cannot distinguish "no
+    # previous row" from "previous state was NULL", and (_prev != state)
+    # evaluates to NULL when either side is NULL — which would silently
+    # drop transitions INTO a NULL state and duplicate consecutive NULLs.
     changes = (
         df.withColumn("_prev", F.lag(state_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
         .filter(
-            F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col))
+            (F.col("_rn") == 1)
+            | ~F.col("_prev").eqNullSafe(F.col(state_col))
         )
         .select(*key_cols, state_col, *order)
     )
@@ -1878,8 +1918,11 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             .cast("long")
             .alias(f"_null_{c}"),
             F.approx_count_distinct(c).alias(f"_dist_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+            # typed min/max, THEN stringify (the data_profile kernel's
+            # order): casting before the aggregate would make min/max
+            # lexicographic, reporting min='10' max='2' on [2, 10]
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
         ]
     row = df.agg(*aggs)
     per_col = [

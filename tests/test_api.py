@@ -745,6 +745,46 @@ def test_ann_topk_on_custom_table(spark):
         api.ann_topk(df, "vid", "emb", k=0)
 
 
+def test_ann_topk_rejects_non_integral_ids(spark):
+    """Regression (round-9 ADVICE): ann_topk silently cast string ids to
+    long, turning them into NULL vec_ids — it must reject non-integral
+    ids the same way cosine_topk does."""
+    df = spark.createDataFrame(
+        [("u-1", [1.0, 0.0]), ("u-2", [0.9, 0.1])],
+        "doc string, emb array<double>",
+    )
+    with pytest.raises(TypeError):
+        api.ann_topk(df, "doc", "emb")
+
+
+def test_near_dup_clusters_warns_when_unconverged(spark):
+    """Regression (round-9 ADVICE): hitting max_rounds with labels still
+    moving must WARN (silent split clusters = under-dedup), and the
+    default budget must stay quiet on the same input."""
+    import warnings
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(3)]  # triangle: all pairwise dups
+    df = spark.createDataFrame(rows, "pk long, body string")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        api.near_dup_clusters(df, "pk", "body", max_rounds=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "did not converge" in str(w.message)
+        for w in rec
+    )
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        got = api.near_dup_clusters(df, "pk", "body").toPandas()
+    assert not any(
+        issubclass(w.category, RuntimeWarning)
+        and "did not converge" in str(w.message)
+        for w in rec2
+    )
+    assert len(got) == 3 and set(got.cluster_size) == {3}
+
+
 def test_fill_forward_on_custom_table(spark):
     rows = [
         (1, 10, None), (1, 20, 5.0), (1, 30, None), (1, 40, 7.0), (1, 50, None),
@@ -781,6 +821,18 @@ def test_profile_on_custom_table(spark):
     assert int(got.loc["pk", "n_null"]) == 0
     assert int(got.loc["pk", "n_rows"]) == 3
     assert got.loc["pk", "min"] == "1" and got.loc["pk", "max"] == "3"
+
+
+def test_profile_numeric_minmax_is_typed_not_lexicographic(spark):
+    """Regression (round-9 ADVICE): min/max must aggregate on the TYPED
+    column and stringify after — casting first made them lexicographic,
+    so [2, 10] reported min='10', max='2'."""
+    df = spark.createDataFrame(
+        [(2, 9.5), (10, 10.25), (7, -3.0)], "n int, x double"
+    )
+    got = api.profile(df).toPandas().set_index("column")
+    assert got.loc["n", "min"] == "2" and got.loc["n", "max"] == "10"
+    assert got.loc["x", "min"] == "-3.0" and got.loc["x", "max"] == "10.25"
 
 
 def test_latest_by_key_on_custom_table(spark):
@@ -822,6 +874,34 @@ def test_scd2_on_custom_table(spark):
     assert pd.isna(u1.valid_to.tolist()[2])  # current state open-ended
     u2 = got[got.uid == 2]
     assert len(u2) == 1 and pd.isna(u2.valid_to.iloc[0])
+
+
+def test_scd2_null_state_transitions(spark):
+    """Regression (round-9 ADVICE): (_prev != state) is NULL when the new
+    state is NULL, so a non-null -> NULL transition was silently dropped
+    and the prior interval wrongly extended over it.  Null-safe compare
+    must keep the NULL interval AND collapse consecutive NULLs."""
+    import pandas as pd
+
+    rows = [
+        (1, 10, "a"), (1, 20, None), (1, 30, None), (1, 40, "a"),
+        (2, 10, None), (2, 20, "b"),   # key starting in NULL state
+    ]
+    df = spark.createDataFrame(rows, "uid int, t long, st string")
+    got = (
+        api.scd2(df, ["uid"], "st", "t")
+        .toPandas()
+        .sort_values(["uid", "valid_from"])
+        .reset_index(drop=True)
+    )
+    u1 = got[got.uid == 1]
+    assert u1.valid_from.tolist() == [10, 20, 40]      # 30 collapsed
+    assert u1.st.tolist() == ["a", None, "a"]
+    assert u1.valid_to.tolist()[:2] == [20, 40]
+    assert pd.isna(u1.valid_to.tolist()[2])
+    u2 = got[got.uid == 2]
+    assert u2.valid_from.tolist() == [10, 20]
+    assert u2.st.tolist() == [None, "b"]
 
 
 def test_stream_windowed_counts_batch_equivalence(spark):

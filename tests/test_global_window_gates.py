@@ -136,6 +136,12 @@ def test_scale_kernels_have_no_single_partition_window(spark, monkeypatch):
 OPS_DIR = pathlib.Path(__file__).resolve().parent.parent / "secdb_spark" / "operators"
 
 #: (file, function) -> why a global window is safe there
+#
+# NOTE for auditors: every entry here runs its window over a model-sized
+# (tens-of-rows) aggregate, so Spark's "No Partition Defined for Window
+# operation ... moving all data to a single partition" WARN in selfcheck
+# / pytest logs is EXPECTED for these ops and benign by construction —
+# the single partition holds an already-reduced frame, not the base scan.
 MODEL_SIZED_ALLOWLIST = {
     ("stats_extras.py", "survival_km"): "windows over the distinct-event-time aggregate (study-duration-bounded)",
     ("sketch_extras.py", "sample_bottomk"): "row_number over the k-row TakeOrderedAndProject result",

@@ -67,7 +67,15 @@ def _order(key: str, tie_cols: list[str], desc: bool) -> list[Column]:
 
 def _offsets(per_bucket: DataFrame, value: str, zero: Column) -> DataFrame:
     """Exclusive prefix over the tiny per-bucket aggregate, as a broadcast
-    theta-self-join (no single-partition window)."""
+    theta-self-join (no single-partition window).
+
+    The aggregate is pinned first: the self-join consumes it TWICE and
+    Catalyst has no cross-DAG CSE, so unpinned each side re-ran the
+    whole upstream pipeline — the api-layer plan audit flagged
+    global_rank / global_prefix_sum at 3 base-table scans per final
+    plan.  Pinned (n_buckets rows, always model-sized), the input
+    pipeline runs once and the final plan scans the base table once."""
+    per_bucket = pin(per_bucket)
     a, b = per_bucket.alias("a"), per_bucket.alias("b")
     return (
         a.join(F.broadcast(b), F.col("b._bucket") < F.col("a._bucket"), "left")
@@ -227,8 +235,13 @@ def grouped_bucketed_topk(
     rows + `out` (1-based rank).  Correctness does not depend on split
     quality: bucket monotonicity guarantees the offset bound is exact."""
     t = _bucketize(df, key, n_buckets, desc=False)
-    counts = t.groupBy(*group_cols, "_bucket").agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # pinned: the theta-self-join consumes the (|groups| x n_buckets)-row
+    # aggregate twice — unpinned, each side re-scans the base table
+    # (the _offsets multiscan class, caught by the api plan audit)
+    counts = pin(
+        t.groupBy(*group_cols, "_bucket").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
     )
     a, b = counts.alias("a"), counts.alias("b")
     cond = F.col("b._bucket") < F.col("a._bucket")
@@ -278,7 +291,8 @@ def bucketed_prefix_min(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = t.withColumn("_lmin", F.min(value_col).over(w))
-    mins = t.groupBy("_bucket").agg(F.min(value_col).alias("_bmin"))
+    # pinned: same twice-consumed-aggregate shape as _offsets
+    mins = pin(t.groupBy("_bucket").agg(F.min(value_col).alias("_bmin")))
     a, b = mins.alias("a"), mins.alias("b")
     offs = (
         a.join(F.broadcast(b), F.col("b._bucket") < F.col("a._bucket"), "left")

@@ -1,0 +1,261 @@
+"""API-layer physical-plan audit — plan_audit.py's multiscan sweep for
+the 50+ secdb_spark.api functions (round-8 judge directive #3).
+
+The registry sweep (tools/plan_audit.py) is blind to api.* because those
+functions take ARBITRARY DataFrames: SCALE.md §54 found two API diamonds
+by hand that the registry sweep could never see.  This tool closes that
+class the same way the registry sweep closed it for operators: write
+small synthetic fixture tables to parquet once, call every api function
+on parquet-BACKED frames (a createDataFrame LocalRelation has no Scan
+node, so it can't count), and census `Scan parquet` nodes per file path
+in each result's formatted plan.
+
+Same contract as the registry sweep: >= --flag-at scans of one fixture
+path is the Catalyst-recompute smell unless the entry is allowlisted
+here with a written justification.  Iterative functions
+(near_dup_clusters, dedup_corpus) localCheckpoint their frontier frames,
+so their FINAL plan reads checkpoints — the parquet scan bill those pins
+paid is execution-time and exactly once, which is the point.
+
+Run:  python tools/api_plan_audit.py [--flag-at 3] [fn ...]
+Exit 0 iff no api function (outside the allowlist) is flagged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from tools.plan_audit import audit_df  # noqa: E402
+
+# api functions allowed to scan one fixture >= FLAG_AT times, with the
+# reason the multi-pass is the design.  Keep justified — this list is
+# the audit's contract, mirroring plan_audit.ALLOWED_MULTISCAN.
+ALLOWED_MULTISCAN: dict[str, str] = {}
+
+# api surface members that build no auditable batch DataFrame plan.
+SKIP: dict[str, str] = {
+    "token_set": "Column-expression helper, not a DataFrame function",
+    "run_available_now": "executes a streaming query; nothing to plan-audit",
+}
+
+
+def _write_fixtures(spark, root: str) -> dict:
+    """Tiny deterministic tables, each written to parquet and read back
+    so every api input is a real file-backed scan."""
+    docs = [
+        (
+            i,
+            ("the quick brown fox jumps over the lazy dog number %d ok" % (i % 7))
+            * 3,
+            float((i * 37) % 100) / 10.0,
+            ["news", "web", "code"][i % 3],
+        )
+        for i in range(40)
+    ]
+    events = [
+        (
+            i % 5,
+            "2025-01-%02d %02d:%02d:00" % (1 + i % 9, i % 24, (i * 7) % 60),
+            ["view", "cart", "buy"][i % 3],
+            "2025-01-%02d" % (1 + i % 9),
+            float(i % 11),
+        )
+        for i in range(60)
+    ]
+    quotes = [
+        (i % 5, "2025-01-%02d %02d:00:00" % (1 + i % 9, i % 24), float(i))
+        for i in range(30)
+    ]
+    vecs = [
+        (i, [((i * 13 + j * 7) % 19) / 19.0 + 0.01 for j in range(8)])
+        for i in range(24)
+    ]
+    qvecs = [(100 + i, [((i * 11 + j * 5) % 17) / 17.0 + 0.01 for j in range(8)])
+             for i in range(6)]
+    bins = [
+        (i, bytes(range(48)), 4, 4, 3)
+        for i in range(8)
+    ]
+    frames = {}
+    specs = {
+        "docs": (docs, "pk long, body string, score double, domain string"),
+        "events": (events, "uid int, etime string, stage string, day string, val double"),
+        "quotes": (quotes, "uid int, qtime string, quote double"),
+        "vecs": (vecs, "vid long, emb array<double>"),
+        "qvecs": (qvecs, "qid long, qemb array<double>"),
+        "bins": (bins, "bid long, payload binary, h int, w int, nf int"),
+    }
+    from pyspark.sql import functions as F
+
+    for name, (rows, schema) in specs.items():
+        df = spark.createDataFrame(rows, schema)
+        if name == "events":
+            df = df.withColumn("etime", F.col("etime").cast("timestamp")) \
+                   .withColumn("day", F.col("day").cast("date"))
+        if name == "quotes":
+            df = df.withColumn("qtime", F.col("qtime").cast("timestamp"))
+        path = f"{root}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        frames[name] = spark.read.parquet(path)
+    return frames
+
+
+def _catalog(api, fx, tmp: str) -> dict:
+    """fn-name -> thunk building its DataFrame over the parquet fixtures.
+    Every api.__all__ member must appear here or in SKIP — the sweep
+    asserts the union covers the surface, so a new api function without
+    an audit entry fails loudly."""
+    d, e, q, v, qv, b = (fx["docs"], fx["events"], fx["quotes"],
+                         fx["vecs"], fx["qvecs"], fx["bins"])
+    return {
+        "normalize_text": lambda: api.normalize_text(d, "body"),
+        "minhash_signatures": lambda: api.minhash_signatures(d, "pk", "body"),
+        "lsh_candidate_pairs": lambda: api.lsh_candidate_pairs(
+            api.minhash_signatures(d, "pk", "body"), "pk"
+        ),
+        "near_dup_pairs": lambda: api.near_dup_pairs(d, "pk", "body"),
+        "near_dup_clusters": lambda: api.near_dup_clusters(d, "pk", "body"),
+        "dedup_corpus": lambda: api.dedup_corpus(d, "pk", "body"),
+        "exact_dup_clusters": lambda: api.exact_dup_clusters(d, "pk", "body"),
+        "jaccard_pairs": lambda: api.jaccard_pairs(d, "pk", "body", 0.1),
+        "quality_flags": lambda: api.quality_flags(d, "body"),
+        "sessionize": lambda: api.sessionize(e, "uid", "etime"),
+        "funnel": lambda: api.funnel(e, "uid", "etime", "stage",
+                                     ["view", "cart", "buy"]),
+        "retention_cohorts": lambda: api.retention_cohorts(e, "uid", "etime"),
+        "chunk_text": lambda: api.chunk_text(d, "pk", "body"),
+        "asof_join": lambda: api.asof_join(e, q, "uid", "etime", "qtime"),
+        "global_rank": lambda: api.global_rank(d, "score", ["pk"]),
+        "global_prefix_sum": lambda: api.global_prefix_sum(
+            d, "score", ["pk"], "score"
+        ),
+        "grouped_topk": lambda: api.grouped_topk(
+            d, ["domain"], "score", ["pk"], 3
+        ),
+        "grouped_prefix_sum": lambda: api.grouped_prefix_sum(
+            d, ["domain"], "score", "score"
+        ),
+        "deterministic_sample": lambda: api.deterministic_sample(d, "pk", 0.5),
+        "cosine_topk": lambda: api.cosine_topk(v, "vid", "emb", k=2),
+        "vector_search": lambda: api.vector_search(
+            v, qv, "vid", "emb", "qid", "qemb", k=2
+        ),
+        "normalize_vectors": lambda: api.normalize_vectors(v, "emb"),
+        "ann_topk": lambda: api.ann_topk(v, "vid", "emb", k=2, n_bits=4),
+        "percentile_disc": lambda: api.percentile_disc(d, ["domain"], "score"),
+        "mannwhitney_u": lambda: api.mannwhitney_u(
+            d, "score", "domain", "news", "web"
+        ),
+        "entropy_by": lambda: api.entropy_by(e, ["uid"], "stage"),
+        "trailing_distinct": lambda: api.trailing_distinct(e, "uid", "day"),
+        "ks_drift": lambda: api.ks_drift(d, "domain", "score"),
+        "gapfill": lambda: api.gapfill(e, ["uid"], "day", "val"),
+        "simhash_near_dups": lambda: api.simhash_near_dups(d, "pk", "body"),
+        "bm25_scores": lambda: api.bm25_scores(
+            d, "pk", "body", ["quick", "fox"]
+        ),
+        "stratified_sample": lambda: api.stratified_sample(
+            d, ["domain"], "pk", 0.5
+        ),
+        "decontaminate": lambda: api.decontaminate(d, d, "pk", "body"),
+        "keep_best_dedup": lambda: api.keep_best_dedup(
+            d, "pk", "body", "score"
+        ),
+        "token_stats": lambda: api.token_stats(d, "pk", "body"),
+        "ngram_counts": lambda: api.ngram_counts(d, "pk", "body"),
+        "fingerprint": lambda: api.fingerprint(d),
+        "resample": lambda: api.resample(e, "etime", "val"),
+        "write_partitioned": lambda: api.write_partitioned(
+            d, f"{tmp}/wp_out", "domain"
+        ),
+        "resize_bitmaps": lambda: api.resize_bitmaps(
+            b, "bid", "payload", "h", "w"
+        ),
+        "sample_frames": lambda: api.sample_frames(
+            b, "bid", "payload", "nf", "h", "w"
+        ),
+        "stream_windowed_counts": lambda: api.stream_windowed_counts(
+            e, "etime"
+        ),
+        "stream_dedupe": lambda: api.stream_dedupe(e, ["uid", "stage"]),
+        "latest_by_key": lambda: api.latest_by_key(e, ["uid"], ["etime"]),
+        "scd2": lambda: api.scd2(e, ["uid"], "stage", "etime"),
+        "fill_forward": lambda: api.fill_forward(e, ["uid"], "etime", "val"),
+        "winsorize": lambda: api.winsorize(d, ["domain"], "score"),
+        "profile": lambda: api.profile(d),
+        "domain_mix_weights": lambda: api.domain_mix_weights(d, "domain"),
+        "temperature_mix": lambda: api.temperature_mix(d, "domain", "pk"),
+        "cap_per_group": lambda: api.cap_per_group(d, ["domain"], "pk", 2),
+        "language_id": lambda: api.language_id(d, "body"),
+    }
+
+
+def run_sweep(spark, only=None, flag_at: int = 3, verbose: bool = True):
+    """Returns (flagged, errors, audited_names).  Shared by the CLI and
+    tests/test_api_plan_audit.py (the per-batch gate hook)."""
+    from secdb_spark import api
+
+    tmp = tempfile.mkdtemp(prefix="api_plan_audit_")
+    try:
+        fx = _write_fixtures(spark, tmp)
+        catalog = _catalog(api, fx, tmp)
+        surface = set(api.__all__)
+        covered = set(catalog) | set(SKIP)
+        missing = sorted(surface - covered)
+        if missing:
+            raise AssertionError(
+                f"api functions with no audit entry (add to _catalog or "
+                f"SKIP): {missing}"
+            )
+        names = [n for n in (only or sorted(catalog)) if n in catalog]
+        flagged, errors = [], []
+        for name in names:
+            try:
+                per_path, exchanges = audit_df(catalog[name]())
+            except Exception as exc:  # noqa: BLE001
+                errors.append((name, str(exc).splitlines()[0][:120]))
+                continue
+            worst = max(per_path.values(), default=0)
+            mark = ""
+            if worst >= flag_at and name not in ALLOWED_MULTISCAN:
+                flagged.append((name, worst, dict(per_path)))
+                mark = "  << MULTISCAN"
+            if verbose:
+                print(
+                    f"{name:28s} scans={sum(per_path.values()):2d} "
+                    f"max_per_table={worst:2d} exchanges={exchanges:2d}{mark}"
+                )
+        return flagged, errors, names
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flag-at", type=int, default=3)
+    ap.add_argument("fns", nargs="*")
+    args = ap.parse_args()
+
+    from secdb_spark.session import get_spark
+
+    spark = get_spark("api-plan-audit")
+    flagged, errors, names = run_sweep(
+        spark, only=args.fns or None, flag_at=args.flag_at
+    )
+    print(f"\n{len(names) - len(errors)} audited, {len(errors)} errors, "
+          f"{len(flagged)} flagged")
+    for name, worst, paths in flagged:
+        print(f"  MULTISCAN {name}: {worst}x one table  {paths}")
+    for name, err in errors:
+        print(f"  ERROR {name}: {err}")
+    spark.stop()
+    return 1 if flagged or errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

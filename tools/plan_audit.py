@@ -48,8 +48,10 @@ SCAN_RE = re.compile(r"Scan (?:parquet|csv|json|text)[^\n]*?\[[^\]]*\]\s")
 LOC_RE = re.compile(r"Location: \S+ \[([^\]]*)\]")
 
 
-def audit_one(name, fn, spark, sf_dir, execute=False):
-    df = fn(spark, sf_dir)
+def audit_df(df, execute=False):
+    """Scan/exchange census of ONE DataFrame's physical plan — the unit
+    both sweeps share (registry ops here; api.* functions in
+    api_plan_audit.py)."""
     if execute:
         # Materialize through the noop sink, then read the FINAL adaptive
         # plan: under AQE, exchange/stage reuse only shows after
@@ -69,6 +71,10 @@ def audit_one(name, fn, spark, sf_dir, execute=False):
     )
     exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     return per_path, exchanges
+
+
+def audit_one(name, fn, spark, sf_dir, execute=False):
+    return audit_df(fn(spark, sf_dir), execute=execute)
 
 
 def main() -> int:

@@ -254,6 +254,11 @@ def near_dup_pairs(
     )
 
 
+#: rounds the last near_dup_clusters call ran — probe instrumentation
+#: (tools/api_scale_probe.py records rounds vs component diameter)
+_LAST_NDC_ROUNDS = 0
+
+
 def near_dup_clusters(
     df: DataFrame,
     id_col: str,
@@ -288,8 +293,11 @@ def near_dup_clusters(
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
+    global _LAST_NDC_ROUNDS
     n_changed = 0
-    for _ in range(max_rounds):
+    _LAST_NDC_ROUNDS = 0
+    for _round in range(max_rounds):
+        _LAST_NDC_ROUNDS = _round + 1
         nbr_min = (
             edges.join(labels, edges.id_b == labels._id)
             .groupBy(F.col("id_a").alias("_id"))

@@ -1,0 +1,183 @@
+"""Round-9 additions, batch 1 (XBRL pair) — SURVEY §2.AZ: DuPont
+decomposition and common-size statements over the parsed filings.
+
+Same GOLDEN differential method as xbrl_analytics.py: the Spark side
+genuinely parses the XML instances (mapInPandas + ElementTree, dims and
+supersedence applied); the oracle recomputes every expected row as a
+pure function of fixtures/gen_xbrl.py rendered as a VALUES literal.
+Ratios are fixed-point basis points on the shared floor(a*1e4/b + 0.5)
+IEEE tree (products exact below 2^53 at these magnitudes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from .sources_sinks import _xbrl_supersede_facts
+from .xbrl_analytics import GEN_CIKS, _GEN, _QE, _bp, _cons_value, _values_sql
+
+
+def _consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cik, period_end, rev, ni, opinc, assets, liab) per filing,
+    post-supersedence, generated cohort only — the wide form every
+    statement-level ratio starts from."""
+    facts = _xbrl_supersede_facts(spark, sf_dir).filter(
+        (F.size("dims") == 0) & F.col("cik").isin(*GEN_CIKS)
+    )
+    v = F.col("value_num").cast("long")
+
+    def of(concept: str):
+        return F.min(F.when(F.col("concept") == concept, v))
+
+    facts = facts.withColumn(
+        "period_end", F.coalesce("period_end", "period_instant")
+    )
+    return facts.groupBy("cik", "period_end").agg(
+        of("us-gaap:Revenues").alias("rev"),
+        of("us-gaap:NetIncomeLoss").alias("ni"),
+        of("us-gaap:OperatingIncomeLoss").alias("opinc"),
+        of("us-gaap:Assets").alias("assets"),
+        of("us-gaap:Liabilities").alias("liab"),
+    )
+
+
+def _bp_col(num, den):
+    return F.floor(num.cast("double") * 10000 / den + 0.5).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# xbrl_dupont — ROE decomposition in exact basis points
+# ---------------------------------------------------------------------------
+
+def _dupont_gold() -> list[tuple]:
+    rows = []
+    for ci in range(_GEN.N_COMPANIES):
+        for qi in range(len(_GEN.QUARTERS)):
+            rev = _cons_value(ci, qi, "us-gaap:Revenues")
+            ni = _cons_value(ci, qi, "us-gaap:NetIncomeLoss")
+            assets = _cons_value(ci, qi, "us-gaap:Assets")
+            liab = _cons_value(ci, qi, "us-gaap:Liabilities")
+            equity = assets - liab
+            rows.append(
+                (
+                    _GEN.cik(ci),
+                    _QE[qi],
+                    _bp(ni, rev),
+                    _bp(rev, assets),
+                    _bp(assets, equity),
+                    _bp(ni, equity),
+                )
+            )
+    return rows
+
+
+@register(
+    "xbrl_dupont",
+    oracle=_values_sql(
+        _dupont_gold(),
+        "cik, period_end, net_margin_bp, asset_turnover_bp, "
+        "leverage_mult_bp, roe_bp",
+    ),
+)
+def xbrl_dupont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuPont decomposition per filing (post-supersedence): ROE split
+    into net margin (NI/revenue), asset turnover (revenue/assets), and
+    the equity multiplier (assets/equity, equity = assets −
+    liabilities), plus ROE itself — THE standardized cross-company
+    profitability screen a SECDB user runs over parsed filings.  All
+    four ratios in exact basis points on the shared floor IEEE tree,
+    certified against generator ground truth.
+
+    Scale: one conditional pivot aggregate per (cik, period) over the
+    consolidated facts — map-side combinable, one row per filing."""
+    g = _consolidated(spark, sf_dir)
+    equity = F.col("assets") - F.col("liab")
+    return g.select(
+        "cik",
+        "period_end",
+        _bp_col(F.col("ni"), F.col("rev")).alias("net_margin_bp"),
+        _bp_col(F.col("rev"), F.col("assets")).alias("asset_turnover_bp"),
+        _bp_col(F.col("assets"), equity).alias("leverage_mult_bp"),
+        _bp_col(F.col("ni"), equity).alias("roe_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# xbrl_common_size — common-size statement lines in exact basis points
+# ---------------------------------------------------------------------------
+
+_CS_LINES = [
+    # (concept label, base label): duration lines vs revenue, instant
+    # lines vs assets — the two standard common-size bases
+    ("us-gaap:Revenues", "revenue"),
+    ("us-gaap:OperatingIncomeLoss", "revenue"),
+    ("us-gaap:NetIncomeLoss", "revenue"),
+    ("us-gaap:Assets", "assets"),
+    ("us-gaap:Liabilities", "assets"),
+]
+
+
+def _common_size_gold() -> list[tuple]:
+    rows = []
+    for ci in range(_GEN.N_COMPANIES):
+        for qi in range(len(_GEN.QUARTERS)):
+            vals = {
+                c: _cons_value(ci, qi, c)
+                for c, _b in _CS_LINES
+            }
+            bases = {
+                "revenue": vals["us-gaap:Revenues"],
+                "assets": vals["us-gaap:Assets"],
+            }
+            for concept, base in _CS_LINES:
+                rows.append(
+                    (
+                        _GEN.cik(ci),
+                        _QE[qi],
+                        concept,
+                        base,
+                        _bp(vals[concept], bases[base]),
+                    )
+                )
+    return rows
+
+
+@register(
+    "xbrl_common_size",
+    oracle=_values_sql(
+        _common_size_gold(), "cik, period_end, concept, base, cs_bp"
+    ),
+)
+def xbrl_common_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-size financial statement per filing: every income line as
+    basis points of revenue and every balance line as basis points of
+    assets — the normalization that makes statements comparable across
+    companies of different size (the cross-company half of what SECDB's
+    standardized metrics exist for).  Long form (cik, period_end,
+    concept, base, cs_bp), generator-certified.
+
+    Scale: one pivot aggregate per filing then a model-sized unpivot
+    (5 lines per filing) — no second pass over the facts."""
+    g = _consolidated(spark, sf_dir)
+    line_cols = {
+        "us-gaap:Revenues": F.col("rev"),
+        "us-gaap:OperatingIncomeLoss": F.col("opinc"),
+        "us-gaap:NetIncomeLoss": F.col("ni"),
+        "us-gaap:Assets": F.col("assets"),
+        "us-gaap:Liabilities": F.col("liab"),
+    }
+    structs = [
+        F.struct(
+            F.lit(concept).alias("concept"),
+            F.lit(base).alias("base"),
+            _bp_col(
+                line_cols[concept],
+                F.col("rev") if base == "revenue" else F.col("assets"),
+            ).alias("cs_bp"),
+        )
+        for concept, base in _CS_LINES
+    ]
+    return g.select(
+        "cik", "period_end", F.explode(F.array(*structs)).alias("l")
+    ).select("cik", "period_end", "l.concept", "l.base", "l.cs_bp")

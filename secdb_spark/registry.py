@@ -453,6 +453,13 @@ _CERT_SLATE_R11: tuple[str, ...] = (
 # 46 slots remain free.
 _CERT_SLATE_R12: tuple[str, ...] = (
     "src_xbrl_etl", "xbrl_supersede", "snk_sqlite", "build_secdb",
+    # round-9 batch 1 (SURVEY §2.AZ) — fills 16 of the 46 free slots
+    # (round-9 widening cap); all exact-oracle class.
+    "ts_sortino", "ts_var_cvar", "ts_ljungbox", "ts_seasonal_strength",
+    "stat_fisher_exact", "stat_binom_test", "agg_trimmed_mean",
+    "ivm_delta_join", "fn_try_arith", "fn_collate_lcase",
+    "bpe_merge_topk", "graph_jaccard_neighbors", "text_char_trigram_lm",
+    "corpus_boilerplate_sentences", "xbrl_dupont", "xbrl_common_size",
 )
 
 
@@ -578,8 +585,10 @@ def _load_operators() -> None:
         warehouse_extras33,
         warehouse_extras34,
         warehouse_extras35,
+        warehouse_extras36,
         windows,
         xbrl_analytics,
+        xbrl_analytics2,
     )
 
     _loaded = True

@@ -154,6 +154,7 @@ MODEL_SIZED_ALLOWLIST = {
     ("corpus_extras2.py", "corpus_stopword_coverage"): "row_number over the k-row TakeOrderedAndProject result (sample_bottomk convention)",
     ("warehouse_extras23.py", "key_gap_audit"): "lag over the per-4096-key-block aggregate (|keyrange|/4096-sized; widen KEY_BLOCK for larger key spaces)",
     ("warehouse_extras32.py", "decile_lift_table"): "cumulative-share windows over the 10-row decile aggregate (customer ranking is the bucketed grouped_range_prefix_sum kernel, customer_lorenz_deciles convention)",
+    ("warehouse_extras36.py", "bpe_merge_topk"): "row_number over the 50-row TakeOrderedAndProject result (sample_bottomk convention)",
     ("curation_extras2.py", "vocab_topk_coverage"): "rank over the |vocab|-row frequency aggregate (corpus_zipf_slope convention — vocabulary, not corpus, sizes the window)",
     ("warehouse_extras35.py", "ts_macd"): "EWMA lag chains over the |days|-row daily revenue aggregate (calendar-bounded series, win_ewma convention)",
 }
@@ -172,6 +173,7 @@ GATED_FUNCS = {
     # gated the same way (16x probe finding)
     ("warehouse_extras5.py", "agg_weighted_median"),
     ("curation_extras.py", "embed_coreset"),
+    ("warehouse_extras36.py", "agg_trimmed_mean"),
 }
 
 

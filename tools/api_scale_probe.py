@@ -1,0 +1,131 @@
+"""Round-9 directive-6 probes (SCALE.md §60): 16x disjoint-vocabulary
+scaling of api.near_dup_clusters / api.dedup_corpus (only 4x existed,
+§57-58), with the label-propagation round count recorded against the
+component diameter; plus api.vector_search with a 10x query side to
+confirm the broadcast stays model-sized.
+
+Disjoint-vocab synthesis: every copy k rewrites each token t -> t_k, so
+copies share NO shingles and the true near-dup pair graph grows exactly
+k-fold (the honest scale axis — literal duplication grows pair count
+quadratically because the PROBLEM does, §57).
+
+Run idle: python tools/api_scale_probe.py [--mult 16] [--only ndc,dedup,vs]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import warnings
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def synth_docs(spark, mult: int):
+    from secdb_spark.catalog import table
+
+    d = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    parts = []
+    for k in range(mult):
+        tagged = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat(t, F.lit(f"_{k}")),
+            ),
+            " ",
+        )
+        parts.append(
+            d.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                tagged.alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint()  # timing isolates the op, not the synth
+
+
+def time_ndc(spark, df, fn_name: str):
+    from secdb_spark import api
+
+    fn = getattr(api, fn_name)
+    t0 = time.time()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        n = fn(df, "doc_id", "text").count()
+    wall = time.time() - t0
+    unconverged = any("did not converge" in str(w.message) for w in rec)
+    return n, wall, unconverged, api._LAST_NDC_ROUNDS
+
+
+def time_vs(spark, q_mult: int):
+    from secdb_spark import api
+    from secdb_spark.catalog import table
+
+    em = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    qs = [
+        em.limit(200).select(
+            (F.col("vec_id") + F.lit(k * 1_000_000)).alias("qid"),
+            F.col("embedding").alias("qvec"),
+        )
+        for k in range(q_mult)
+    ]
+    q = qs[0]
+    for p in qs[1:]:
+        q = q.unionByName(p)
+    q = q.localCheckpoint()
+    res = api.vector_search(em, q, "vec_id", "embedding", "qid", "qvec", k=5)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        res._jdf.queryExecution(), "formatted"
+    )
+    broadcasted = "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    t0 = time.time()
+    n = res.count()
+    return n, time.time() - t0, broadcasted
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=16)
+    ap.add_argument("--only", default="ndc,dedup,vs")
+    args = ap.parse_args()
+    only = set(args.only.split(","))
+
+    from secdb_spark.session import get_spark
+
+    spark = get_spark("api-scale-probe")
+    base = synth_docs(spark, 1)
+
+    if "ndc" in only or "dedup" in only:
+        big = synth_docs(spark, args.mult)
+        for key, fn in (("ndc", "near_dup_clusters"), ("dedup", "dedup_corpus")):
+            if key not in only:
+                continue
+            n1, w1, u1, r1 = time_ndc(spark, base, fn)
+            nk, wk, uk, rk = time_ndc(spark, big, fn)
+            print(
+                f"{fn}: 1x rows={n1} wall={w1:.1f}s rounds={r1} | "
+                f"{args.mult}x rows={nk} wall={wk:.1f}s rounds={rk} | "
+                f"ratio={wk / w1:.2f} rows_ratio={nk / max(n1, 1):.2f} "
+                f"unconverged={u1}/{uk}"
+            )
+
+    if "vs" in only:
+        n1, w1, b1 = time_vs(spark, 1)
+        nk, wk, bk = time_vs(spark, 10)
+        print(
+            f"vector_search: 1x(200q) rows={n1} wall={w1:.1f}s bcast={b1} "
+            f"| 10x(2000q) rows={nk} wall={wk:.1f}s bcast={bk} "
+            f"| ratio={wk / w1:.2f}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

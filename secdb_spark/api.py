@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .operators._helpers import pin
+from .operators._helpers import he4, pin
 
 from .operators._global_order import (
     bucketed_global_rank,
@@ -105,6 +105,13 @@ __all__ = [
     "temperature_mix",
     "cap_per_group",
     "language_id",
+    "trimmed_mean",
+    "binom_test",
+    "fisher_exact",
+    "jaccard_neighbors",
+    "char_trigram_score",
+    "bpe_merge_candidates",
+    "boilerplate_sentences",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -2150,3 +2157,325 @@ def keep_best_dedup(
         .drop("_keep_id")
         .drop("_h")
     )
+
+
+# --- round-9 kernels ---------------------------------------------------------
+
+
+def trimmed_mean(
+    df: DataFrame,
+    val_col: str,
+    tie_cols: list[str],
+    trim: float = 0.1,
+) -> DataFrame:
+    """Exact two-sided trimmed mean of `val_col` on ANY table
+    (agg_trimmed_mean's algebra with the trim fraction parameterized):
+    drop the floor(trim*n) lowest- and highest-ranked rows under
+    (val_col, *tie_cols) — tie_cols must make the order total, so the
+    trim is row-exact — and decimal-mean the rest.  Returns one row
+    (n_rows, n_trimmed_each, trimmed_mean).
+
+    Scale shape: rank via bucketed_global_rank (no single-partition
+    window), total count via a broadcast 1-row aggregate."""
+    if not 0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    if not tie_cols:
+        raise ValueError("tie_cols must make the order total")
+    base = df.select(F.col(val_col).alias("_v"), *tie_cols)
+    ranked = bucketed_global_rank(base, "_v", list(tie_cols), out="_r")
+    bounds = pin(
+        base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.floor(F.count(F.lit(1)) * trim).cast("long").alias("_t"),
+        )
+    )
+    kept = ranked.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("_r") > F.col("_t"))
+        & (F.col("_r") <= F.col("_n") - F.col("_t"))
+    )
+    return kept.groupBy("_n", "_t").agg(
+        F.round(
+            F.sum(F.col("_v").cast("decimal(38,6)")).cast("double")
+            / (F.col("_n") - 2 * F.col("_t")),
+            4,
+        ).alias("trimmed_mean")
+    ).select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("_t").alias("n_trimmed_each"),
+        "trimmed_mean",
+    )
+
+
+def _logfact_joined(df: DataFrame, pairs: list[tuple[str, "Column"]],
+                    max_n: int) -> DataFrame:
+    """Join the DEC12-exact log-factorial table (stat_fisher_exact's
+    machinery, operators/warehouse_extras36._logfact) once per requested
+    (alias, key expression)."""
+    from .operators.warehouse_extras36 import _logfact
+
+    lf = pin(_logfact(df.sparkSession, max_n))
+    out = df
+    for alias, key in pairs:
+        lfa = lf.select(
+            F.col("m").alias(f"_m_{alias}"), F.col("lf").alias(alias)
+        )
+        out = out.join(
+            F.broadcast(lfa), key == F.col(f"_m_{alias}")
+        ).drop(f"_m_{alias}")
+    return out
+
+
+def binom_test(
+    df: DataFrame,
+    group_cols: list[str],
+    success_col: str,
+    p0: float = 0.5,
+) -> DataFrame:
+    """Exact one-sided binomial tail P(X >= x | n, p0) per group on ANY
+    table (stat_binom_test's algebra with p0 parameterized):
+    `success_col` is a boolean column.  he4-presented p (exp() is
+    1-ulp engine-dependent — the kernel's documented caveat).
+    Returns (group_cols..., n, x, p_upper)."""
+    import math
+
+    if not 0 < p0 < 1:
+        raise ValueError("p0 must be in (0, 1)")
+    g = pin(
+        df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col(success_col)).alias("x"),
+        )
+    )
+    max_n = g.agg(F.max("n")).head()[0] or 0
+    tail = g.select(
+        *group_cols, "n", "x",
+        F.explode(F.sequence(F.col("x"), F.col("n"))).alias("_k"),
+    )
+    t = _logfact_joined(
+        tail,
+        [
+            ("_ln", F.col("n")),
+            ("_lk", F.col("_k")),
+            ("_lnk", F.col("n") - F.col("_k")),
+        ],
+        int(max_n),
+    )
+    logp = (
+        F.col("_ln") - F.col("_lk") - F.col("_lnk")
+        + F.col("_k") * math.log(p0)
+        + (F.col("n") - F.col("_k")) * math.log(1.0 - p0)
+    )
+    return (
+        t.withColumn("_p", F.exp(logp).cast("decimal(38,18)"))
+        .groupBy(*group_cols, "n", "x")
+        .agg(he4(F.sum("_p").cast("double")).alias("p_upper"))
+        .select(
+            *group_cols,
+            F.col("n").cast("long").alias("n"),
+            F.col("x").cast("long").alias("x"),
+            "p_upper",
+        )
+    )
+
+
+def fisher_exact(
+    df: DataFrame,
+    row_flag: "Column | str",
+    col_flag: "Column | str",
+) -> DataFrame:
+    """One-sided Fisher exact test of the 2x2 built from two boolean
+    columns/expressions on ANY table (stat_fisher_exact's algebra):
+    P(X >= a) under the hypergeometric null, exact lf-table tail sum,
+    he4-presented p.  Returns one row (a, r1, c1, n, p_one_sided)."""
+    rf = F.col(row_flag) if isinstance(row_flag, str) else row_flag
+    cf = F.col(col_flag) if isinstance(col_flag, str) else col_flag
+    cells = pin(
+        df.agg(
+            F.count_if(rf & cf).alias("a"),
+            F.count_if(rf).alias("r1"),
+            F.count_if(cf).alias("c1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    n = int(cells.head()["n"])
+    tail = cells.select(
+        "a", "r1", "c1", "n",
+        F.explode(F.sequence(F.col("a"), F.least("r1", "c1"))).alias("_k"),
+    )
+    t = _logfact_joined(
+        tail,
+        [
+            ("_lc1", F.col("c1")),
+            ("_lk", F.col("_k")),
+            ("_lc1k", F.col("c1") - F.col("_k")),
+            ("_lnc1", F.col("n") - F.col("c1")),
+            ("_lr1k", F.col("r1") - F.col("_k")),
+            ("_lrest", F.col("n") - F.col("c1") - F.col("r1") + F.col("_k")),
+            ("_ln", F.col("n")),
+            ("_lr1", F.col("r1")),
+            ("_lnr1", F.col("n") - F.col("r1")),
+        ],
+        n,
+    )
+    logp = (
+        F.col("_lc1") - F.col("_lk") - F.col("_lc1k")
+        + F.col("_lnc1") - F.col("_lr1k") - F.col("_lrest")
+        - (F.col("_ln") - F.col("_lr1") - F.col("_lnr1"))
+    )
+    return (
+        t.withColumn("_p", F.exp(logp).cast("decimal(38,18)"))
+        .groupBy("a", "r1", "c1", "n")
+        .agg(he4(F.sum("_p").cast("double")).alias("p_one_sided"))
+    )
+
+
+def jaccard_neighbors(
+    df: DataFrame,
+    node_col: str,
+    item_col: str,
+    min_common: int = 2,
+) -> DataFrame:
+    """Neighbor-set Jaccard between nodes of ANY bipartite (node, item)
+    table (graph_jaccard_neighbors' algebra): similarity of two nodes =
+    |items(a) ∩ items(b)| / |items(a) ∪ items(b)| for pairs sharing >=
+    min_common items.  Returns (node_a, node_b, n_common, jaccard).
+
+    Scale shape: pair generation joins ON THE ITEM KEY (cost bounded by
+    co-occurrence density, never |nodes|^2); degrees pinned and
+    broadcast.  A pathologically hot item wants salting first."""
+    edges = df.select(
+        F.col(node_col).alias("_s"), F.col(item_col).alias("_p")
+    ).distinct()
+    deg = pin(
+        edges.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    a = edges.select(F.col("_s").alias("node_a"), "_p")
+    b = edges.select(F.col("_s").alias("node_b"), "_p")
+    common = (
+        a.join(b, ["_p"])
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    d1 = deg.select(F.col("_s").alias("node_a"), F.col("_d").alias("_d1"))
+    d2 = deg.select(F.col("_s").alias("node_b"), F.col("_d").alias("_d2"))
+    return (
+        common.join(F.broadcast(d1), "node_a")
+        .join(F.broadcast(d2), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            he4(
+                F.col("n_common").cast("double")
+                / (F.col("_d1") + F.col("_d2") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def char_trigram_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document average log-probability under the corpus char-trigram
+    MLE model on ANY (id, text) table (text_char_trigram_lm's algebra) —
+    the cheap LM quality / language-fit score.  Integer micro-nat
+    quantization; the model is vocabulary-bounded, pinned, broadcast.
+    Returns (id_col, n_trigrams, avg_logp)."""
+    d = df.filter(F.length(text_col) >= 3)
+    tris = d.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - 2),
+                lambda i: F.col(text_col).substr(i, F.lit(3)),
+            )
+        ).alias("_tri"),
+    )
+    model = pin(
+        tris.groupBy("_tri").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    total = model.agg(F.sum("_c").cast("long").alias("_total"))
+    model_t = model.crossJoin(F.broadcast(total))
+    scored = tris.join(F.broadcast(model_t), "_tri").select(
+        "_id",
+        F.floor(
+            F.ln(F.col("_c").cast("double") / F.col("_total")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_lp6"),
+    )
+    return scored.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.round(
+            F.sum("_lp6").cast("double") / 1000000 / F.count(F.lit(1)), 4
+        ).alias("avg_logp"),
+    ).withColumnRenamed("_id", id_col)
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent character-pair merge candidates across ANY text
+    column (bpe_merge_topk's algebra with k parameterized) — one round
+    of distributed BPE training.  Returns (pair, n_pair, rn), tie-safe
+    (count desc, pair asc)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    words = df.select(
+        F.explode(F.split(text_col, " ")).alias("_w")
+    ).filter(F.length("_w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_w") - 1),
+                lambda i: F.col("_w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    top = counted.orderBy(F.col("n_pair").desc(), F.col("pair")).limit(k)
+    w = Window.orderBy(F.col("n_pair").desc(), F.col("pair"))
+    return top.withColumn("rn", F.row_number().over(w).cast("int"))
+
+
+def boilerplate_sentences(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 5,
+    min_len: int = 10,
+) -> DataFrame:
+    """Boilerplate audit per group on ANY (group, id, text) table
+    (corpus_boilerplate_sentences' algebra with thresholds
+    parameterized): sentences recurring in >= min_docs distinct
+    documents of the same group — the cleanup pass document-level dedup
+    cannot see.  Returns (group_col, n_distinct_sentences,
+    n_boilerplate, boilerplate_share)."""
+    sents = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(text_col, r"\.\s+")).alias("_s"),
+    ).select(
+        "_g", "_id", F.trim("_s").alias("_sent")
+    ).filter(F.length("_sent") >= min_len)
+    per_sent = sents.groupBy("_g", "_sent").agg(
+        F.countDistinct("_id").cast("long").alias("_nd")
+    )
+    boiler = F.count_if(F.col("_nd") >= min_docs)
+    return per_sent.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_sentences"),
+        boiler.cast("long").alias("n_boilerplate"),
+        he4(boiler.cast("double") / F.count(F.lit(1))).alias(
+            "boilerplate_share"
+        ),
+    ).withColumnRenamed("_g", group_col)

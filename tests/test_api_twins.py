@@ -529,3 +529,83 @@ def test_vector_search_self_matches_sim_cosine_topk(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, keys), _sorted(want, keys), check_dtype=False
     )
+
+
+# --- round-9 adapters --------------------------------------------------------
+
+
+def _lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_trimmed_mean_matches_agg_trimmed_mean(spark):
+    got = api.trimmed_mean(
+        _lineitem(spark), "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], trim=0.1,
+    )
+    want = QUERIES["agg_trimmed_mean"](spark, SF_DIR)
+    g = _sorted(got, ["n_rows"])
+    w = _sorted(want, ["n_rows"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_binom_test_matches_stat_binom_test(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    got = api.binom_test(
+        cust.select(
+            cust.c_nationkey.alias("nation"),
+            (cust.c_acctbal > 0).alias("pos"),
+        ),
+        ["nation"], "pos", p0=0.9,
+    )
+    want = QUERIES["stat_binom_test"](spark, SF_DIR)
+    g = _sorted(got, ["nation"])
+    w = _sorted(want, ["nation"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_fisher_exact_matches_stat_fisher_exact(spark):
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    got = api.fisher_exact(
+        sup, (sup.s_nationkey < 12), (sup.s_acctbal > 4500)
+    )
+    want = QUERIES["stat_fisher_exact"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n"]), _sorted(want, ["n"]), check_dtype=False
+    )
+
+
+def test_jaccard_neighbors_matches_graph_jaccard_neighbors(spark):
+    got = api.jaccard_neighbors(
+        _lineitem(spark), "l_suppkey", "l_partkey", min_common=2
+    ).withColumnRenamed("node_a", "s1").withColumnRenamed("node_b", "s2")
+    want = QUERIES["graph_jaccard_neighbors"](spark, SF_DIR)
+    g = _sorted(got, ["s1", "s2"])
+    w = _sorted(want, ["s1", "s2"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_char_trigram_score_matches_text_char_trigram_lm(spark):
+    got = api.char_trigram_score(_docs(spark), "doc_id", "text")
+    want = QUERIES["text_char_trigram_lm"](spark, SF_DIR)
+    g = _sorted(got, ["doc_id"])
+    w = _sorted(want, ["doc_id"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_bpe_merge_candidates_matches_bpe_merge_topk(spark):
+    got = api.bpe_merge_candidates(_docs(spark), "text", k=50)
+    want = QUERIES["bpe_merge_topk"](spark, SF_DIR)
+    g = _sorted(got, ["rn"])
+    w = _sorted(want, ["rn"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_boilerplate_sentences_matches_corpus_boilerplate_sentences(spark):
+    got = api.boilerplate_sentences(
+        _docs(spark), "source", "doc_id", "text", min_docs=5, min_len=10
+    )
+    want = QUERIES["corpus_boilerplate_sentences"](spark, SF_DIR)
+    g = _sorted(got, ["source"])
+    w = _sorted(want, ["source"])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

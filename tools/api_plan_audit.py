@@ -28,6 +28,8 @@ import shutil
 import sys
 import tempfile
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, "/root/repo")
 
 from tools.plan_audit import audit_df  # noqa: E402
@@ -192,6 +194,25 @@ def _catalog(api, fx, tmp: str) -> dict:
         "temperature_mix": lambda: api.temperature_mix(d, "domain", "pk"),
         "cap_per_group": lambda: api.cap_per_group(d, ["domain"], "pk", 2),
         "language_id": lambda: api.language_id(d, "body"),
+        "trimmed_mean": lambda: api.trimmed_mean(d, "score", ["pk"]),
+        "binom_test": lambda: api.binom_test(
+            d.withColumn("_ok", F.col("score") > 3.0), ["domain"], "_ok"
+        ),
+        "fisher_exact": lambda: api.fisher_exact(
+            d, F.col("score") > 3.0, F.col("domain") == "news"
+        ),
+        "jaccard_neighbors": lambda: api.jaccard_neighbors(
+            e, "uid", "stage", min_common=1
+        ),
+        "char_trigram_score": lambda: api.char_trigram_score(
+            d, "pk", "body"
+        ),
+        "bpe_merge_candidates": lambda: api.bpe_merge_candidates(
+            d, "body", k=10
+        ),
+        "boilerplate_sentences": lambda: api.boilerplate_sentences(
+            d, "domain", "pk", "body", min_docs=2, min_len=5
+        ),
     }
 
 

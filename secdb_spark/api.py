@@ -2194,10 +2194,9 @@ def trimmed_mean(
         & (F.col("_r") <= F.col("_n") - F.col("_t"))
     )
     return kept.groupBy("_n", "_t").agg(
-        F.round(
+        he4(
             F.sum(F.col("_v").cast("decimal(38,6)")).cast("double")
-            / (F.col("_n") - 2 * F.col("_t")),
-            4,
+            / (F.col("_n") - 2 * F.col("_t"))
         ).alias("trimmed_mean")
     ).select(
         F.col("_n").cast("long").alias("n_rows"),
@@ -2411,8 +2410,8 @@ def char_trigram_score(
     )
     return scored.groupBy("_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-        F.round(
-            F.sum("_lp6").cast("double") / 1000000 / F.count(F.lit(1)), 4
+        he4(
+            F.sum("_lp6").cast("double") / 1000000 / F.count(F.lit(1))
         ).alias("avg_logp"),
     ).withColumnRenamed("_id", id_col)
 

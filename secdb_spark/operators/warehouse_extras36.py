@@ -641,7 +641,7 @@ def stat_binom_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_trimmed_mean",
-    oracle="""
+    oracle=f"""
     WITH rnk AS (
       SELECT l_extendedprice AS v,
              row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
@@ -650,8 +650,8 @@ def stat_binom_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ), b AS (SELECT n, CAST(floor(n * 0.1) AS BIGINT) AS t FROM rnk LIMIT 1)
     SELECT CAST(b.n AS BIGINT) AS n_rows, b.t AS n_trimmed_each,
-           round(CAST(sum(CAST(rnk.v AS DECIMAL(38,6))) AS DOUBLE)
-                 / (b.n - 2 * b.t), 4) AS trimmed_mean
+           {sql_he4("CAST(sum(CAST(rnk.v AS DECIMAL(38,6))) AS DOUBLE)"
+                    " / (b.n - 2 * b.t)")} AS trimmed_mean
     FROM rnk JOIN b ON rnk.r > b.t AND rnk.r <= b.n - b.t
     GROUP BY b.n, b.t
     """,
@@ -698,10 +698,9 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r") > F.col("t")) & (F.col("r") <= F.col("n") - F.col("t"))
     )
     return kept.groupBy("n", "t").agg(
-        F.round(
+        he4(
             F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
-            / (F.col("n") - 2 * F.col("t")),
-            4,
+            / (F.col("n") - 2 * F.col("t"))
         ).alias("trimmed_mean")
     ).select(
         F.col("n").cast("long").alias("n_rows"),
@@ -1025,7 +1024,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_char_trigram_lm",
-    oracle="""
+    oracle=f"""
     WITH tris AS (
       SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
       FROM documents, LATERAL (
@@ -1041,7 +1040,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tris JOIN model ON tris.tri = model.tri CROSS JOIN tot
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-           round(CAST(sum(lp6) AS DOUBLE) / 1000000 / count(*), 4)
+           {sql_he4("CAST(sum(lp6) AS DOUBLE) / 1000000 / count(*)")}
              AS avg_logp
     FROM scored GROUP BY doc_id
     """,
@@ -1087,8 +1086,8 @@ def text_char_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-        F.round(
-            F.sum("lp6").cast("double") / 1000000 / F.count(F.lit(1)), 4
+        he4(
+            F.sum("lp6").cast("double") / 1000000 / F.count(F.lit(1))
         ).alias("avg_logp"),
     )
 

@@ -609,3 +609,46 @@ def test_boilerplate_sentences_matches_corpus_boilerplate_sentences(spark):
     g = _sorted(got, ["source"])
     w = _sorted(want, ["source"])
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_ks_drift_matches_source_length_ks(spark):
+    """Adapter returns the exact rational as double; the kernel presents
+    he4 — equality after quantizing the adapter the same way."""
+    import math
+
+    got = api.ks_drift(
+        _docs(spark).selectExpr("source", "length(text) AS L"),
+        "source", "L",
+    ).toPandas().sort_values("source").reset_index(drop=True)
+    want = (
+        QUERIES["source_length_ks"](spark, SF_DIR)
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    assert got["source"].tolist() == want["source"].tolist()
+    assert got["n"].tolist() == want["n_docs"].tolist()
+    he4 = [math.floor(x * 10000 + 0.5) / 10000.0 for x in got["ks_d"]]
+    assert he4 == want["d"].tolist()
+
+
+def test_fill_forward_matches_win_fill_forward(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark)
+    marked = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 10000 + 0.5).cast("long"),
+        ).alias("purchase_e4"),
+    )
+    got = _sorted(
+        api.fill_forward(
+            marked, ["user_id"], "ts", "purchase_e4",
+            out_col="last_purchase_e4", tie_col="event_id",
+        ).select("user_id", "event_id", "purchase_e4", "last_purchase_e4"),
+        ["user_id", "event_id"],
+    )
+    want = _sorted(
+        QUERIES["win_fill_forward"](spark, SF_DIR), ["user_id", "event_id"]
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)

@@ -857,9 +857,12 @@ def fn_collate_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     same semantics portably with lower() (exactly equivalent for this
     ASCII domain, which is the point of certifying on it).
 
-    Scale: collation comparisons run inside codegen like any binary
-    comparison; the distinct and self-join operate on the model-sized
-    dimension."""
+    Scale: the distinct and self-join operate on the model-sized
+    dimension.  Note Spark 4.1 cannot HASH-join on UTF8_LCASE keys
+    ("keys that don't support binary equality" — it falls back to a
+    broadcast nested-loop here): at scale, join on lower(key) instead
+    and keep collation for comparisons/distinct — which is exactly what
+    the oracle's portable spelling does."""
     nt = table(spark, sf_dir, "nation")
     upper = nt.select(F.upper("n_name").alias("v"))
     sentence = nt.select(

@@ -169,15 +169,18 @@ def test_sessionize_single_exchange(spark):
 
 
 def test_rollup_reaggregates_partials_not_raw(spark):
-    """rollup_timeseries: at runtime the daily branch must REUSE the hourly
-    partial-aggregate exchange (ReusedExchange) instead of rescanning raw
-    events — the hypertable invariant.  Compile-time plans duplicate the
-    union branches; exchange reuse is a physical/runtime property, so this
-    asserts on the executed plan."""
+    """rollup_timeseries: the daily resolution must derive from the
+    hourly PARTIALS, never a second pass over raw events — the
+    hypertable invariant.  The round-9 single-scan explode form makes
+    this a STATIC property (the old union-of-branches form needed
+    runtime ReusedExchange to dodge the rescan): exactly one events
+    scan and an Expand/explode feeding one re-aggregate."""
     df = QUERIES["rollup_timeseries"](spark, SF_DIR)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed, executed
+    final = executed.split("== Initial Plan ==")[0]  # AQE echoes both
+    assert final.count("FileScan parquet") == 1, final
+    assert "Generate explode" in final, final
 
 
 def test_partitioned_sink_prunes_directories(spark):

@@ -112,6 +112,10 @@ __all__ = [
     "char_trigram_score",
     "bpe_merge_candidates",
     "boilerplate_sentences",
+    "pii_scrub",
+    "train_test_split",
+    "tfidf",
+    "kmeans_assign",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -2478,3 +2482,156 @@ def boilerplate_sentences(
             "boilerplate_share"
         ),
     ).withColumnRenamed("_g", group_col)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str,
+    rules: "list[tuple[str, str]] | None" = None,
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """PII scrubbing on ANY text column (text_pii_scrub's algebra with
+    the pattern chain parameterized): each (regex, placeholder) rule
+    applies in order; adds `out_col` and a `changed` flag.  Keep
+    patterns inside the RE2 ∩ Java-regex dialect if you need
+    cross-engine reproducibility (the kernel's certified defaults are
+    email + long-number spans).
+
+    Scale shape: a fused regexp chain in the scan projection — no
+    shuffle; the cheapest operator class there is."""
+    rules = rules if rules is not None else [
+        ("[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+        ("[0-9]{4,}", "<NUM>"),
+    ]
+    scrub = F.col(text_col)
+    for pat, repl in rules:
+        scrub = F.regexp_replace(scrub, pat, repl)
+    return df.withColumn(out_col, scrub).withColumn(
+        "changed", F.col(out_col) != F.col(text_col)
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    bp: "tuple[int, int, int]" = (8000, 1000, 1000),
+    salt: str = "split:",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test tag on ANY table
+    (split_train_test's algebra with shares parameterized, in basis
+    points): membership is a pure function of md5(salt || id) — stable
+    under retries, repartitioning, incremental corpus growth, and
+    engine choice, so a row can NEVER migrate between train and test
+    across pipeline runs (the leakage mode .randomSplit() invites).
+    Adds `out_col`; map-side expression only."""
+    if sum(bp) != 10_000:
+        raise ValueError("bp shares must sum to 10000")
+    from .operators.pipeline_extras import _hash_bucket
+
+    bucket = _hash_bucket(
+        F.concat(F.lit(salt), F.col(id_col).cast("string")), 10_000
+    )
+    return df.withColumn(
+        out_col,
+        F.when(bucket < bp[0], "train")
+        .when(bucket < bp[0] + bp[1], "valid")
+        .otherwise("test"),
+    )
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document on ANY (id, text) table
+    (tfidf_topk's algebra with k parameterized): idf quantizes to an
+    integer (floor(ln(N/df)*1e6 + 0.5)) so score = tf * idf6 is exact
+    bigint arithmetic.  Returns (id_col, term, score, rn).
+
+    Scale shape: ONE tokenize pass (tf pinned, df derived from it);
+    the vocabulary-bounded idf side broadcasts onto the tf stream
+    (hash-joining would shuffle tf by token and collapse on Zipf-hot
+    terms); the top-k window shares the doc partitioning."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(text_col, " ")).alias("term"),
+    )
+    tf = pin(
+        toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    nd = df.agg(F.count(F.lit(1)).alias("_n"))
+    idf = dfreq.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.floor(
+            F.log(F.col("_n").cast("double") / F.col("_df")) * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("_idf6"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "_id", "term", (F.col("tf") * F.col("_idf6")).alias("score")
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    seed_salt: str = "kmseed:",
+) -> DataFrame:
+    """One seeded Lloyd iteration on ANY (id, vector) table
+    (embed_kmeans' algebra with k parameterized): deterministic
+    md5-ordered seed centroids, nearest-centroid assignment.  Returns
+    (id_col, cluster, dist).  The full iterative fit drifts across
+    engines by nature — this is the exactly-certifiable kernel; loop it
+    yourself if you want Lloyd convergence.
+
+    Scale shape: k seed rows collect to the driver (model-sized) and
+    re-enter as a broadcast; assignment is a map-side k-way fold per
+    vector — no shuffle except the final min-by-struct groupBy."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    seed_key = F.md5(
+        F.concat(F.lit(seed_salt), F.col(id_col).cast("string"))
+    )
+    seeds = (
+        df.orderBy(seed_key, id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("_c"))
+        .collect()
+    )
+    seeds_df = df.sparkSession.createDataFrame(
+        [(i, list(r._c)) for i, r in enumerate(seeds)],
+        "_cidx int, _c array<double>",
+    )
+    e_d = F.col(vec_col).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(e_d, F.col("_c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = df.select(F.col(id_col).alias("_id"), vec_col).crossJoin(
+        F.broadcast(seeds_df)
+    ).select("_id", "_cidx", d2.alias("_d2"))
+    best = pairs.groupBy("_id").agg(
+        F.min(F.struct("_d2", "_cidx")).alias("_m")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_m._cidx").alias("cluster"),
+        F.round(F.sqrt(F.col("_m._d2")), 6).alias("dist"),
+    )

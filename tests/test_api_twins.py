@@ -652,3 +652,49 @@ def test_fill_forward_matches_win_fill_forward(spark):
         QUERIES["win_fill_forward"](spark, SF_DIR), ["user_id", "event_id"]
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_pii_scrub_matches_text_pii_scrub(spark):
+    got = _sorted(
+        api.pii_scrub(_docs(spark), "text").select(
+            "doc_id", "scrubbed", "changed"
+        ),
+        ["doc_id"],
+    )
+    want = _sorted(QUERIES["text_pii_scrub"](spark, SF_DIR), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_train_test_split_matches_split_train_test(spark):
+    from pyspark.sql import functions as F
+
+    got = (
+        api.train_test_split(_docs(spark), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+    want = QUERIES["split_train_test"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["split"]), _sorted(want, ["split"]),
+        check_dtype=False,
+    )
+
+
+def test_tfidf_matches_tfidf_topk(spark):
+    got = api.tfidf(_docs(spark), "doc_id", "text", k=3)
+    want = QUERIES["tfidf_topk"](spark, SF_DIR)
+    g = _sorted(got, ["doc_id", "rn"])
+    w = _sorted(want, ["doc_id", "rn"])
+    pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
+
+
+def test_kmeans_assign_matches_embed_kmeans(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = api.kmeans_assign(emb, "vec_id", "embedding", k=8)
+    want = QUERIES["embed_kmeans"](spark, SF_DIR)
+    g = _sorted(got, ["vec_id"])
+    w = _sorted(want, ["vec_id"])
+    pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)

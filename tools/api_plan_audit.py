@@ -213,6 +213,10 @@ def _catalog(api, fx, tmp: str) -> dict:
         "boilerplate_sentences": lambda: api.boilerplate_sentences(
             d, "domain", "pk", "body", min_docs=2, min_len=5
         ),
+        "pii_scrub": lambda: api.pii_scrub(d, "body"),
+        "train_test_split": lambda: api.train_test_split(d, "pk"),
+        "tfidf": lambda: api.tfidf(d, "pk", "body", k=3),
+        "kmeans_assign": lambda: api.kmeans_assign(v, "vid", "emb", k=3),
     }
 
 

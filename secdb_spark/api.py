@@ -116,6 +116,7 @@ __all__ = [
     "train_test_split",
     "tfidf",
     "kmeans_assign",
+    "curate_corpus",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -2635,3 +2636,83 @@ def kmeans_assign(
         F.col("_m._cidx").alias("cluster"),
         F.round(F.sqrt(F.col("_m._d2")), 6).alias("dist"),
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_toks: int = 20,
+    max_toks: int = 2000,
+    near_dup: bool = False,
+    threshold: float = 0.9,
+    eval_df: DataFrame | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """The one-call curation journey on ANY (id, text) table — the
+    composition a pretraining-data user actually runs, each stage a
+    twin-certified adapter from this module:
+
+      1. quality gate     — quality_flags' Gopher rules, keep only passes
+      2. exact dedup      — exact_dup_clusters, min-id keeper per
+                            sha256 content cluster
+      3. near dedup       — dedup_corpus (MinHash-LSH + connected
+                            components), optional (`near_dup=True`)
+      4. decontamination  — drop docs sharing a 13-gram with `eval_df`,
+                            optional (pass eval_df + eval_text_col)
+
+    Returns the SURVIVING rows (original columns) plus `n_copies` from
+    the exact stage.  Stage order is the certified pipeline order
+    (SCALE.md §58): exact collapse BEFORE the near-dup pass kills the
+    literal-duplication quadratic before it forms.
+
+    Scale shape: stages compose linearly — one scan each, the dedup
+    stages bucketed/banded as their adapters document; nothing here
+    adds a join or shuffle beyond the stages themselves."""
+    gated = quality_flags(df, text_col, min_toks, max_toks).filter(
+        F.col("keep")
+    ).select(*df.columns)
+    # exact stage as ONE window over the content-hash partitions (high-
+    # cardinality key — no funnel): the agg+join-back form would consume
+    # `gated` twice and re-run the quality scan per consumer (the api
+    # plan audit flagged the first draft at 7 base scans)
+    wc = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    survivors = (
+        gated.withColumn(
+            "n_copies",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.sha2(F.col(text_col), 256))
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if near_dup or eval_df is not None:
+        # stage boundary: the optional passes each consume `survivors`
+        # several times internally; materialize it ONCE (bounded by the
+        # KEPT corpus).  Production pipelines materialize between stages
+        # — swap localCheckpoint for a durable checkpoint()/write when a
+        # stage is multi-hour (see _helpers.pin's durability note).
+        survivors = survivors.localCheckpoint()
+    if near_dup:
+        reps = dedup_corpus(
+            survivors, id_col, text_col, threshold=threshold
+        ).select(F.col(id_col).alias("_rep"))
+        survivors = survivors.join(
+            reps, survivors[id_col] == reps["_rep"]
+        ).drop("_rep")
+    if eval_df is not None:
+        if eval_text_col is None:
+            raise ValueError("pass eval_text_col with eval_df")
+        contaminated = decontaminate(
+            survivors.withColumnRenamed(text_col, "_t"),
+            eval_df.select(F.col(eval_text_col).alias("_t")),
+            id_col,
+            "_t",
+        )
+        # decontaminate returns the CONTAMINATED ids — anti-join them out
+        survivors = survivors.join(
+            contaminated.select(id_col), id_col, "left_anti"
+        )
+    return survivors

@@ -1252,3 +1252,35 @@ def test_vector_search_vs_numpy_bruteforce(spark):
             assert abs(sim - S[j][nid]) < 1e-9
     with pytest.raises(ValueError):
         api.vector_search(corpus, queries, "cid", "cv", "qid", "qv", k=0)
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The one-call pipeline: quality gate -> exact dedup -> optional
+    near dedup -> optional decontamination, each stage verified against
+    a brute-force recompute on a hand-built corpus."""
+    good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")  # 20 toks
+    rows = [
+        (1, good),                      # keeper of exact cluster {1,2}
+        (2, good),                      # exact dup of 1 -> dropped
+        (3, good + " phi"),             # near dup of 1 (survives exact)
+        (4, "x"),                       # fails quality (short)
+        (5, "completely different words " + " ".join(f"word{i}" for i in range(17))),
+    ]
+    df = spark.createDataFrame(rows, "pk long, body string")
+    base = api.curate_corpus(df, "pk", "body").toPandas()
+    assert sorted(base.pk) == [1, 3, 5]          # 2 deduped, 4 gated
+    assert base.set_index("pk").n_copies.to_dict() == {1: 2, 3: 1, 5: 1}
+
+    near = api.curate_corpus(df, "pk", "body", near_dup=True).toPandas()
+    assert sorted(near.pk) == [1, 5]             # 3 collapsed into 1
+
+    ev = spark.createDataFrame(
+        [(100, good)], "eid long, etext string"
+    )
+    decon = api.curate_corpus(
+        df, "pk", "body", eval_df=ev, eval_text_col="etext", near_dup=True
+    ).toPandas()
+    assert sorted(decon.pk) == [5]               # 1 shares 13-grams w/ eval
+    with pytest.raises(ValueError):
+        api.curate_corpus(df, "pk", "body", eval_df=ev)

@@ -217,6 +217,9 @@ def _catalog(api, fx, tmp: str) -> dict:
         "train_test_split": lambda: api.train_test_split(d, "pk"),
         "tfidf": lambda: api.tfidf(d, "pk", "body", k=3),
         "kmeans_assign": lambda: api.kmeans_assign(v, "vid", "emb", k=3),
+        "curate_corpus": lambda: api.curate_corpus(
+            d, "pk", "body", min_toks=2, near_dup=True
+        ),
     }
 
 

@@ -201,14 +201,17 @@ def grouped_range_prefix_sum(
         )
         .agg(F.coalesce(F.sum("b._tot"), F.lit(0).cast(DEC)).alias("_off"))
     )
-    # The RESULT is deliberately NOT pinned: checkpointing this
-    # join+window plan trips a Spark 4.1 attribute-resolution bug
-    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the offsets subtree) in
-    # some attribute-id contexts (api.mannwhitney_u's LocalRelation
-    # input reproduces it).  Caller fan-out re-derives the window +
-    # broadcast join from the PINNED agg — distinct-key-sized work,
-    # zero extra scans.
-    return (
+    # RESULT pin restored (round 9): checkpointing this join+window
+    # plan used to trip a Spark 4.1 attribute-resolution bug
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the offsets subtree,
+    # SCALE.md §54 — api.mannwhitney_u's LocalRelation input reproduced
+    # it).  The round-9 _offsets/totals pinning replaced the offending
+    # duplicated-attribute subtree with a checkpoint scan and the repro
+    # no longer fires (tests/test_plans.py::test_grouped_range_prefix
+    # _sum_result_pins guards it); callers fanning out over the result
+    # now reuse the distinct-key-sized frame instead of re-deriving the
+    # window + broadcast join per consumer.
+    return pin(
         local.join(F.broadcast(offs), [*group_cols, "_bucket"])
         .withColumn(out, F.col("_off") + F.col("_lcum"))
         .drop("_bucket", "_lcum", "_off")

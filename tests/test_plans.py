@@ -986,3 +986,27 @@ def test_weekend_lift_partial_agg(spark):
     must combine map-side."""
     p = plan_of(spark, "weekend_lift")
     assert p.count("HashAggregate") >= 2
+
+
+def test_grouped_range_prefix_sum_result_pins(spark):
+    """Regression guard for the Spark 4.1 checkpoint bug (SCALE.md §54):
+    checkpointing grouped_range_prefix_sum's result on a LocalRelation
+    input used to raise INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, forcing the
+    result-pin retraction.  Round 9's _offsets/totals pinning removed
+    the offending subtree and the result pin is RESTORED — this test
+    reproduces the historical trigger shape end-to-end (kernel result +
+    a downstream consumer fan-out) and fails loudly if a Spark change
+    resurrects the bug (in which case: retract the result pin again and
+    re-read §54)."""
+    from secdb_spark.operators._global_order import grouped_range_prefix_sum
+
+    df = spark.createDataFrame(
+        [("a", float(i % 7), 1.0) for i in range(40)]
+        + [("b", float(i % 5), 2.0) for i in range(40)],
+        "grp string, k double, v double",
+    )
+    res = grouped_range_prefix_sum(df, ["grp"], "k", "v")
+    # two consumers over the (now pinned) result — the fan-out §54 cared about
+    total = res.groupBy("grp").count().collect()
+    probe = res.filter("_cum > 0").count()
+    assert probe > 0 and len(total) == 2

@@ -414,13 +414,28 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact tests: shared distributed log-factorial table
 # ---------------------------------------------------------------------------
 
+_LOGFACT_MAX = 100_000
+
+
 def _logfact(spark: SparkSession, max_n: int) -> DataFrame:
     """(m, lf) for m in 0..max_n with lf = ln(m!) as an exact
     DEC12-quantized sum of ln(k) terms — order-independent, so both
     engines hold bit-identical doubles for every lf value.  Built as a
     theta join (max_n^2 pairs of a max_n-row range — model-sized for
     the bounded group sizes exact tests apply to); the SQL twin is the
-    generate_series self-join in each oracle."""
+    generate_series self-join in each oracle.
+
+    Refuses max_n > {_LOGFACT_MAX}: the quadratic pair count stops
+    being model-sized (10^10 pairs at n=10^5), and at those sample
+    sizes an EXACT test is statistically pointless anyway — use the
+    certified asymptotic siblings (abtest_ztest, stat_welch_ttest,
+    chi2_independence)."""
+    if max_n > _LOGFACT_MAX:
+        raise ValueError(
+            f"exact-test log-factorial table capped at n={_LOGFACT_MAX} "
+            f"(got {max_n}); use the asymptotic siblings (abtest_ztest / "
+            "stat_welch_ttest / chi2_independence) at this sample size"
+        )
     ks = spark.range(1, max_n + 1).select(
         F.col("id").alias("k"), F.ln("id").cast(DEC12).alias("t")
     )

@@ -361,3 +361,15 @@ def test_xbrl_common_size_gold(q):
         assert (r.base, r.cs_bp) == (b, bp)
         if r.concept == "us-gaap:Revenues":
             assert r.cs_bp == 10000  # revenue over revenue
+
+
+def test_logfact_refuses_unbounded_n(spark):
+    """The lf theta join is O(n^2) pairs — it must refuse sizes where
+    that stops being model-sized (and where an exact test is pointless)."""
+    import pytest as _pytest
+
+    from secdb_spark.operators.warehouse_extras36 import _logfact
+
+    with _pytest.raises(ValueError):
+        _logfact(spark, 100_001)
+    assert _logfact(spark, 10).count() == 11

@@ -83,7 +83,9 @@ def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n AS n_days,
            {sql_he4("s / n * 10000")} AS mean_ret_bp,
-           {sql_he4(f"(s / n) / sqrt(sdq / n) * {SQRT365}")} AS sortino_ann
+           CASE WHEN sdq > 0 THEN
+             {sql_he4(f"(s / n) / sqrt(sdq / n) * {SQRT365}")}
+           END AS sortino_ann
     FROM m
     """,
 )
@@ -113,7 +115,10 @@ def ts_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").alias("n_days"),
         he4(mean * 10000).alias("mean_ret_bp"),
-        he4(mean / dd * float(SQRT365)).alias("sortino_ann"),
+        # NULL when no negative returns exist: sdq = 0 would divide by
+        # zero, and inf/NaN round-tripping diverges across engines
+        F.when(F.col("sdq") > 0, he4(mean / dd * float(SQRT365)))
+        .alias("sortino_ann"),
     )
 
 
@@ -337,8 +342,10 @@ def ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rem GROUP BY event_type
     )
     SELECT event_type, n AS n_days,
-           {sql_he4("greatest(0.0, 1.0 - ((srr - sr * sr / n) / n)"
-                    " / ((sdd - sd * sd / n) / n))")} AS seasonal_strength
+           CASE WHEN (sdd - sd * sd / n) > 0 THEN
+             {sql_he4("greatest(0.0, 1.0 - ((srr - sr * sr / n) / n)"
+                      " / ((sdd - sd * sd / n) / n))")}
+           END AS seasonal_strength
     FROM v
     """,
 )
@@ -404,9 +411,13 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "event_type",
         n.alias("n_days"),
-        he4(F.greatest(F.lit(0.0), 1.0 - var_rem / var_dt)).alias(
-            "seasonal_strength"
-        ),
+        # NULL for a constant detrended series: 0/0 is NaN and Spark's
+        # greatest() treats NaN as largest where DuckDB propagates —
+        # the one edge where the shared tree splits
+        F.when(
+            F.col("sdd") - F.col("sd") * F.col("sd") / n > 0,
+            he4(F.greatest(F.lit(0.0), 1.0 - var_rem / var_dt)),
+        ).alias("seasonal_strength"),
     )
 
 

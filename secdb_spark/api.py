@@ -57,6 +57,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "near_dup_pairs",
     "near_dup_clusters",
+    "connected_components",
     "dedup_corpus",
     "exact_dup_clusters",
     "jaccard_pairs",
@@ -117,6 +118,9 @@ __all__ = [
     "tfidf",
     "kmeans_assign",
     "curate_corpus",
+    "pagerank",
+    "histogram",
+    "interval_merge",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -295,6 +299,38 @@ def near_dup_clusters(
     pairs = near_dup_pairs(
         df, id_col, text_col, threshold, n_hashes, n_bands
     ).select("id_a", "id_b")
+    return connected_components(
+        pairs, "id_a", "id_b", max_rounds=max_rounds
+    ).select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_rep"),
+        F.col("component_size").alias("cluster_size"),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Distributed connected components over ANY edge list — the graph
+    primitive under near_dup_clusters, entity resolution, and account
+    linking, exposed directly.  Returns (node, component,
+    component_size) for every node appearing in the edge list, where
+    `component` is the component's minimum node id (canonical label).
+    Isolated nodes never appear in an edge list — union them in as
+    their own singletons if you need them.
+
+    Scale shape: iterative min-label propagation, converging in
+    O(component diameter) rounds (`max_rounds` bounds the pathological
+    chain, with a loud warning on non-convergence); the edge list
+    localCheckpoints once, labels re-checkpoint per round (bounded
+    lineage), and convergence is a changed-label count — never a
+    collect."""
+    pairs = edges.select(
+        F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
     pairs = pairs.localCheckpoint()  # computed once; reused every round
     nodes = (
         pairs.select(F.col("id_a").alias("_id"))
@@ -302,7 +338,7 @@ def near_dup_clusters(
         .distinct()
     )
     labels = nodes.withColumn("_label", F.col("_id")).localCheckpoint()
-    edges = pairs.union(
+    sym = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     global _LAST_NDC_ROUNDS
@@ -311,7 +347,7 @@ def near_dup_clusters(
     for _round in range(max_rounds):
         _LAST_NDC_ROUNDS = _round + 1
         nbr_min = (
-            edges.join(labels, edges.id_b == labels._id)
+            sym.join(labels, sym.id_b == labels._id)
             .groupBy(F.col("id_a").alias("_id"))
             .agg(F.min("_label").alias("_nbr"))
         )
@@ -332,27 +368,26 @@ def near_dup_clusters(
     else:
         if n_changed > 0:
             # A component with diameter > max_rounds would otherwise
-            # return silently SPLIT clusters (dedup_corpus keeping
-            # several "representatives" of one true cluster =
-            # under-dedup).  Warn loudly; the caller can raise
+            # return silently SPLIT components (under-dedup /
+            # under-linking).  Warn loudly; the caller can raise
             # max_rounds — cost is one join per extra round.
             import warnings
 
             warnings.warn(
-                "near_dup_clusters: label propagation did not converge "
-                f"in {max_rounds} rounds ({n_changed} labels changed in "
-                "the last round); clusters may be split — raise "
-                "max_rounds",
+                "connected_components: label propagation did not "
+                f"converge in {max_rounds} rounds ({n_changed} labels "
+                "changed in the last round); components may be split — "
+                "raise max_rounds",
                 RuntimeWarning,
                 stacklevel=2,
             )
     sizes = labels.groupBy("_label").agg(
-        F.count(F.lit(1)).alias("cluster_size")
+        F.count(F.lit(1)).alias("component_size")
     )
     return labels.join(sizes, "_label").select(
-        F.col("_id").alias(id_col),
-        F.col("_label").alias("cluster_rep"),
-        "cluster_size",
+        F.col("_id").alias("node"),
+        F.col("_label").alias("component"),
+        "component_size",
     )
 
 
@@ -2716,3 +2751,113 @@ def curate_corpus(
             contaminated.select(id_col), id_col, "left_anti"
         )
     return survivors
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 9,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over ANY edge list (graph_pagerank's
+    algebra with iterations/damping parameterized): per-iteration
+    neighbor contributions pr/deg quantize to DECIMAL(38,18) before
+    summation (shuffle-order-free), the closing (1-d)/n + d*s is one
+    IEEE expression.  Returns (node, pr) for every node with at least
+    one OUTGOING edge.  Dangling mass is not redistributed — pass a
+    symmetrized edge list (as the kernel's undirected graph does) when
+    you need a proper stochastic walk.
+
+    Scale shape: edges co-partition by src across all iterations (one
+    hash join+agg per round); the rank vector never leaves the cluster
+    — only the scalar node count collects once."""
+    if iters < 1 or not 0 < damping < 1:
+        raise ValueError("iters >= 1 and damping in (0, 1)")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct()
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_d"))
+    ed = e.join(deg, "_src").localCheckpoint()
+    n = deg.count()
+    r = deg.select(
+        F.col("_src").alias("node"), (F.lit(1.0) / F.lit(n)).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = ed.join(r, ed._src == r.node).select(
+            F.col("_dst"),
+            (F.col("pr") / F.col("_d")).cast("decimal(38,18)").alias("_c"),
+        )
+        r = contrib.groupBy(F.col("_dst").alias("node")).agg(
+            (
+                F.lit(1.0 - damping) / F.lit(n)
+                + F.lit(damping) * F.sum("_c").cast("double")
+            ).alias("pr")
+        )
+    return r
+
+
+def histogram(
+    df: DataFrame,
+    val_col: str,
+    width: float,
+) -> DataFrame:
+    """Equi-width histogram of ANY numeric column (agg_histogram's
+    algebra with the width parameterized) — the profiling primitive
+    behind skew detection and partition sizing.  Returns (bucket,
+    bucket_lo, n, lo, hi).
+
+    Scale shape: the bucket id is floor(x/width) inside the scan's
+    codegen, so the whole histogram is ONE map-side-combinable groupBy
+    on a small key domain — a histogram for the cost of one scan at any
+    size."""
+    if width <= 0:
+        raise ValueError("width must be > 0")
+    bucket = F.floor(F.col(val_col) / F.lit(width))
+    return df.groupBy(
+        bucket.cast("bigint").alias("bucket"),
+        F.round(bucket * F.lit(width), 2).alias("bucket_lo"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min(val_col), 2).alias("lo"),
+        F.round(F.max(val_col), 2).alias("hi"),
+    )
+
+
+def interval_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands on ANY keyed interval table (interval_islands'
+    algebra on caller-provided [start, end] longs): merge each key's
+    overlapping intervals into maximal islands; returns (key_cols...,
+    n_islands, covered, longest).  Intervals must be integer-valued
+    (epoch micros, day numbers) so the arithmetic is cross-engine
+    exact.
+
+    Scale shape: one key shuffle carries everything — a running
+    max(end) flags island starts, a running sum numbers them, two
+    grouped aggregations finish; islands per key are bounded by that
+    key's activity, no global sort anywhere."""
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_ni",
+        F.when(
+            prev_max.isNull() | (F.col(start_col) > prev_max), 1
+        ).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn("_island", F.sum("_ni").over(run))
+    islands = numbered.groupBy(*key_cols, "_island").agg(
+        F.min(start_col).alias("_s"), F.max(end_col).alias("_e")
+    )
+    return islands.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("_e") - F.col("_s")).cast("long").alias("covered"),
+        F.max(F.col("_e") - F.col("_s")).cast("long").alias("longest"),
+    )

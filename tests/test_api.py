@@ -1284,3 +1284,66 @@ def test_curate_corpus_end_to_end(spark):
     assert sorted(decon.pk) == [5]               # 1 shares 13-grams w/ eval
     with pytest.raises(ValueError):
         api.curate_corpus(df, "pk", "body", eval_df=ev)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Randomized graphs: min-label propagation must match a pure-python
+    union-find on every component (label = component min, sizes exact)."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        n = rng.randrange(10, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        in_graph = {x for e in edges for x in e}
+        comp = {}
+        for x in in_graph:
+            comp.setdefault(find(x), set()).add(x)
+        expect = {}
+        for members in comp.values():
+            rep = min(members)
+            for x in members:
+                expect[x] = (rep, len(members))
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = api.connected_components(df, "a", "b").toPandas()
+        actual = {
+            r.node: (r.component, r.component_size)
+            for r in got.itertuples()
+        }
+        assert actual == expect, f"trial {trial}"
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """On a symmetrized edge list total rank mass is conserved (~1) and
+    the result is repartition-invariant (decimal-quantized sums)."""
+    rows = [(i, (i + 1) % 10) for i in range(10)] + [(0, 5), (3, 8)]
+    sym = rows + [(b, a) for a, b in rows]
+    df = spark.createDataFrame(sym, "s long, d long")
+    pr = api.pagerank(df, "s", "d", iters=5).toPandas()
+    assert abs(pr.pr.sum() - 1.0) < 1e-9
+    pr2 = api.pagerank(
+        spark.createDataFrame(sym, "s long, d long").repartition(13),
+        "s", "d", iters=5,
+    ).toPandas()
+    a = pr.sort_values("node").pr.tolist()
+    b = pr2.sort_values("node").pr.tolist()
+    assert a == b  # bit-identical under repartitioning

@@ -698,3 +698,96 @@ def test_kmeans_assign_matches_embed_kmeans(spark):
     g = _sorted(got, ["vec_id"])
     w = _sorted(want, ["vec_id"])
     pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
+
+
+def test_connected_components_backs_near_dup_clusters(spark):
+    """near_dup_clusters now delegates to connected_components — the
+    generic CC on the near-dup pair graph must reproduce the certified
+    dedup_clusters kernel end to end (cluster-level form)."""
+    from pyspark.sql import functions as F
+
+    got = (
+        api.connected_components(
+            api.near_dup_pairs(_docs(spark), "doc_id", "text"),
+            "id_a", "id_b",
+        )
+        .groupBy(F.col("component").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list("node"))
+            .cast("string")
+            .alias("members"),
+        )
+    )
+    want = QUERIES["dedup_clusters"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["cluster_rep"]), _sorted(want, ["cluster_rep"]),
+        check_dtype=False,
+    )
+
+
+def test_pagerank_matches_graph_pagerank(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), "o_custkey").alias("a"),
+            F.concat(F.lit("s"), "l_suppkey").alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    got = (
+        api.pagerank(edges, "s", "d", iters=3, damping=0.85)
+        .select(
+            "node",
+            F.floor(F.col("pr") * 1e9 + 0.5).cast("bigint").alias("pr9"),
+        )
+        .orderBy(F.desc("pr9"), "node")
+        .limit(20)
+    )
+    want = QUERIES["graph_pagerank"](spark, SF_DIR)
+    g = got.toPandas().reset_index(drop=True)
+    w = want.toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_histogram_matches_agg_histogram(spark):
+    got = api.histogram(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+        "o_totalprice", 25_000.0,
+    ).withColumnRenamed("n", "n_orders")
+    want = QUERIES["agg_histogram"](spark, SF_DIR)
+    g = _sorted(got, ["bucket"])
+    w = _sorted(want, ["bucket"])
+    pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
+
+
+def test_interval_merge_matches_interval_islands(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark)
+    t = F.unix_micros(F.col("ts").cast("timestamp"))  # raw parquet is NTZ
+    iv = ev.select(
+        "user_id",
+        t.alias("s"),
+        (t + F.floor("value").cast("long") * F.lit(1_000_000)).alias("e"),
+    )
+    got = (
+        api.interval_merge(iv, ["user_id"], "s", "e")
+        .withColumnRenamed("covered", "covered_us")
+        .withColumnRenamed("longest", "longest_us")
+    )
+    want = QUERIES["interval_islands"](spark, SF_DIR)
+    g = _sorted(got, ["user_id"])
+    w = _sorted(want, ["user_id"])
+    pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)

@@ -220,6 +220,22 @@ def _catalog(api, fx, tmp: str) -> dict:
         "curate_corpus": lambda: api.curate_corpus(
             d, "pk", "body", min_toks=2, near_dup=True
         ),
+        "connected_components": lambda: api.connected_components(
+            e.select(F.col("uid").alias("a"),
+                     (F.col("uid") + 1).alias("b")),
+            "a", "b",
+        ),
+        "pagerank": lambda: api.pagerank(
+            e.select(F.col("uid").alias("a"),
+                     ((F.col("uid") + 1) % 5).alias("b")),
+            "a", "b", iters=2,
+        ),
+        "histogram": lambda: api.histogram(d, "score", 2.0),
+        "interval_merge": lambda: api.interval_merge(
+            e.select("uid", F.col("val").cast("long").alias("s"),
+                     (F.col("val") + 3).cast("long").alias("e2")),
+            ["uid"], "s", "e2",
+        ),
     }
 
 

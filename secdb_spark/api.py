@@ -1301,8 +1301,13 @@ def simhash_near_dups(
     row per doc, PINNED — each block branch reads it, §50); candidates
     form through block-value equi-joins, never an all-pairs Hamming
     scan; the verify is map-side bit arithmetic."""
+    # the kernel's TERM-FREQUENCY-weighted vote basis (every occurrence
+    # of a token votes, lowercased split) — NOT the distinct token set;
+    # a set-based vote produces a different signature family entirely
+    # (round-9 twin audit caught exactly that silent fork)
     toks = df.select(
-        F.col(id_col), F.explode(token_set(text_col)).alias("tok")
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     )
     md5 = F.md5("tok")
     hashed = toks.select(

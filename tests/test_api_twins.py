@@ -791,3 +791,19 @@ def test_interval_merge_matches_interval_islands(spark):
     g = _sorted(got, ["user_id"])
     w = _sorted(want, ["user_id"])
     pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
+
+
+def test_simhash_near_dups_matches_simhash_pairs(spark):
+    """Round-9 fix: the adapter voted on the DISTINCT token set while
+    the kernel votes term-frequency-weighted — a silent signature fork
+    producing a disjoint pair set.  This twin pins the adapter to the
+    certified kernel so the basis can't drift again."""
+    got = (
+        api.simhash_near_dups(_docs(spark), "doc_id", "text", max_hamming=3)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+    )
+    want = QUERIES["simhash_pairs"](spark, SF_DIR)
+    g = _sorted(got, ["doc_a", "doc_b"])
+    w = _sorted(want, ["doc_a", "doc_b"])
+    pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)

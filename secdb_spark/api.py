@@ -2174,8 +2174,13 @@ def keep_best_dedup(
     score_col: str,
 ) -> DataFrame:
     """Content-hash dedup that keeps the BEST copy per cluster (highest
-    `score_col`, ties to the smallest id) instead of an arbitrary one —
-    dedup_keep_best's algebra on any table.  Returns the winning rows
+    `score_col`, ties to the smallest id) instead of an arbitrary one.
+    Keeper-ELECTION kin of dedup_keep_best, on a DELIBERATELY different
+    basis (not a twin): clusters key on sha256 of the RAW text and the
+    winner is caller-scored, where the kernel keys on the vocabulary
+    SET (reordering-invariant) and elects the longest member — use
+    exact_dup_clusters + your own scoring if you need the kernel's
+    exact semantics on arbitrary tables.  Returns the winning rows
     (all original columns) plus n_copies.  One content-hash groupBy
     (map-side combinable) + a min-by-struct pick; no window over the
     corpus."""

@@ -320,7 +320,10 @@ def connected_components(
     component_size) for every node appearing in the edge list, where
     `component` is the component's minimum node id (canonical label).
     Isolated nodes never appear in an edge list — union them in as
-    their own singletons if you need them.
+    their own singletons if you need them.  Edges with a NULL endpoint
+    are dropped explicitly (both endpoints must be non-null); a node
+    whose only edges are null-partnered therefore does not appear —
+    pre-clean the edge list if null endpoints carry meaning.
 
     Scale shape: iterative min-label propagation, converging in
     O(component diameter) rounds (`max_rounds` bounds the pathological
@@ -330,7 +333,13 @@ def connected_components(
     collect."""
     pairs = edges.select(
         F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
-    ).filter(F.col("id_a") != F.col("id_b"))
+    ).filter(
+        # explicit null drop: `id_a != id_b` alone evaluates NULL on a
+        # null endpoint and silently discards the non-null side too
+        F.col("id_a").isNotNull()
+        & F.col("id_b").isNotNull()
+        & (F.col("id_a") != F.col("id_b"))
+    )
     pairs = pairs.localCheckpoint()  # computed once; reused every round
     nodes = (
         pairs.select(F.col("id_a").alias("_id"))
@@ -2284,7 +2293,13 @@ def binom_test(
     table (stat_binom_test's algebra with p0 parameterized):
     `success_col` is a boolean column.  he4-presented p (exp() is
     1-ulp engine-dependent — the kernel's documented caveat).
-    Returns (group_cols..., n, x, p_upper)."""
+    Returns (group_cols..., n, x, p_upper).
+
+    Exactness limit: the shared log-factorial table refuses any group
+    with n > 100,000 (ValueError at call time) — the table build goes
+    quadratic and an exact tail adds nothing at that sample size; use
+    the certified asymptotic siblings (abtest_ztest, stat_welch_ttest,
+    chi2_independence) instead."""
     import math
 
     if not 0 < p0 < 1:
@@ -2335,7 +2350,13 @@ def fisher_exact(
     """One-sided Fisher exact test of the 2x2 built from two boolean
     columns/expressions on ANY table (stat_fisher_exact's algebra):
     P(X >= a) under the hypergeometric null, exact lf-table tail sum,
-    he4-presented p.  Returns one row (a, r1, c1, n, p_one_sided)."""
+    he4-presented p.  Returns one row (a, r1, c1, n, p_one_sided).
+
+    Exactness limit: the shared log-factorial table refuses tables with
+    n > 100,000 total rows (ValueError at call time) — the table build
+    goes quadratic and an exact test adds nothing at that sample size;
+    use the certified asymptotic sibling chi2_independence (or
+    abtest_ztest for two-proportion designs) instead."""
     rf = F.col(row_flag) if isinstance(row_flag, str) else row_flag
     cf = F.col(col_flag) if isinstance(col_flag, str) else col_flag
     cells = pin(
@@ -2774,14 +2795,19 @@ def pagerank(
     algebra with iterations/damping parameterized): per-iteration
     neighbor contributions pr/deg quantize to DECIMAL(38,18) before
     summation (shuffle-order-free), the closing (1-d)/n + d*s is one
-    IEEE expression.  Returns (node, pr) for every node with at least
-    one OUTGOING edge.  Dangling mass is not redistributed — pass a
-    symmetrized edge list (as the kernel's undirected graph does) when
-    you need a proper stochastic walk.
+    IEEE expression.  Returns (node, pr) for EVERY node appearing in
+    the edge list (src or dst); n is that full node count.  On directed
+    input a node with no in-edges holds the teleport floor (1-d)/n each
+    iteration while still contributing pr/deg along its out-edges.
+    Dangling mass (nodes with no OUT-edges) is not redistributed — pass
+    a symmetrized edge list (as the kernel's undirected graph does)
+    when you need a proper stochastic walk.
 
     Scale shape: edges co-partition by src across all iterations (one
-    hash join+agg per round); the rank vector never leaves the cluster
-    — only the scalar node count collects once."""
+    hash join+agg per round, plus one left join back to the pinned node
+    universe so rank never silently loses source-only nodes); the rank
+    vector never leaves the cluster — only the scalar node count
+    collects once."""
     if iters < 1 or not 0 < damping < 1:
         raise ValueError("iters >= 1 and damping in (0, 1)")
     e = edges.select(
@@ -2789,20 +2815,32 @@ def pagerank(
     ).distinct()
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_d"))
     ed = e.join(deg, "_src").localCheckpoint()
-    n = deg.count()
-    r = deg.select(
-        F.col("_src").alias("node"), (F.lit(1.0) / F.lit(n)).alias("pr")
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
     )
+    n = nodes.count()
+    r = nodes.withColumn("pr", F.lit(1.0) / F.lit(n))
     for _ in range(iters):
         contrib = ed.join(r, ed._src == r.node).select(
             F.col("_dst"),
             (F.col("pr") / F.col("_d")).cast("decimal(38,18)").alias("_c"),
         )
-        r = contrib.groupBy(F.col("_dst").alias("node")).agg(
+        recv = contrib.groupBy(F.col("_dst").alias("node")).agg(
+            F.sum("_c").cast("double").alias("_s")
+        )
+        # left join back to the FULL node universe: on directed graphs a
+        # source-only node receives no contribution but must keep the
+        # teleport floor and keep contributing (ADVICE r9: the groupBy
+        # output alone silently dropped it after iteration 1)
+        r = nodes.join(recv, "node", "left").select(
+            "node",
             (
                 F.lit(1.0 - damping) / F.lit(n)
-                + F.lit(damping) * F.sum("_c").cast("double")
-            ).alias("pr")
+                + F.lit(damping) * F.coalesce("_s", F.lit(0.0))
+            ).alias("pr"),
         )
     return r
 
@@ -2815,18 +2853,26 @@ def histogram(
     """Equi-width histogram of ANY numeric column (agg_histogram's
     algebra with the width parameterized) — the profiling primitive
     behind skew detection and partition sizing.  Returns (bucket,
-    bucket_lo, n, lo, hi).
+    bucket_lo, n, lo, hi).  bucket_lo rounds to enough decimals for the
+    width (>= 2, widening for sub-0.01 widths so adjacent buckets never
+    share a label); `bucket` is the exact key either way.
 
     Scale shape: the bucket id is floor(x/width) inside the scan's
     codegen, so the whole histogram is ONE map-side-combinable groupBy
     on a small key domain — a histogram for the cost of one scan at any
     size."""
+    import math
+
     if width <= 0:
         raise ValueError("width must be > 0")
+    # label precision follows the width: 2 decimals for width >= 0.01
+    # (the kernel's presentation), more below it so bucket_lo stays
+    # faithful (ADVICE r9: width=0.001 buckets shared a rounded label)
+    decimals = max(2, -math.floor(math.log10(width)) + 2)
     bucket = F.floor(F.col(val_col) / F.lit(width))
     return df.groupBy(
         bucket.cast("bigint").alias("bucket"),
-        F.round(bucket * F.lit(width), 2).alias("bucket_lo"),
+        F.round(bucket * F.lit(width), decimals).alias("bucket_lo"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.min(val_col), 2).alias("lo"),

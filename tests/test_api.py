@@ -1347,3 +1347,52 @@ def test_pagerank_mass_and_determinism(spark):
     a = pr.sort_values("node").pr.tolist()
     b = pr2.sort_values("node").pr.tolist()
     assert a == b  # bit-identical under repartitioning
+
+
+def test_pagerank_directed_keeps_source_only_nodes(spark):
+    """Directed contract (ADVICE r9): the returned node set is ALL edge
+    endpoints; a source-only node (no in-edges) holds the teleport
+    floor (1-d)/n every iteration instead of vanishing after iter 1."""
+    # 1 -> 2 -> 3: node 1 has no in-edges, node 3 no out-edges
+    df = spark.createDataFrame([(1, 2), (2, 3)], "s long, d long")
+    pr = api.pagerank(df, "s", "d", iters=4, damping=0.85).toPandas()
+    got = dict(zip(pr.node, pr.pr))
+    assert set(got) == {1, 2, 3}
+    floor = 0.15 / 3
+    assert abs(got[1] - floor) < 1e-12          # pure source: floor only
+    assert abs(got[2] - (floor + 0.85 * floor)) < 1e-12  # fed by 1's floor
+    assert got[3] > got[2] > got[1]
+    # numpy cross-check of the same no-dangling-redistribution recursion
+    import numpy as np
+
+    r = np.full(3, 1 / 3)
+    A = np.array([[0, 1, 0], [0, 0, 1], [0, 0, 0]], dtype=float)
+    deg = np.array([1, 1, 1], dtype=float)
+    for _ in range(4):
+        r = 0.15 / 3 + 0.85 * (A.T @ (r / deg))
+    for i, node in enumerate((1, 2, 3)):
+        assert abs(got[node] - r[i]) < 1e-9
+
+
+def test_connected_components_null_endpoints_dropped(spark):
+    """Edges with a NULL endpoint are dropped explicitly (documented):
+    the non-null partner keeps its OTHER edges; a node whose only edges
+    are null-partnered is absent."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 5), (None, None)], "a long, b long"
+    )
+    got = api.connected_components(df, "a", "b").toPandas()
+    actual = {r.node: (r.component, r.component_size) for r in got.itertuples()}
+    assert actual == {1: (1, 2), 2: (1, 2)}  # 5 absent: null-only edges
+
+
+def test_histogram_sub_centi_width_labels_distinct(spark):
+    """bucket_lo stays faithful below width 0.01 (ADVICE r9): adjacent
+    buckets get distinct labels equal to bucket*width."""
+    vals = [(i / 1000.0,) for i in range(10)]
+    df = spark.createDataFrame(vals, "x double")
+    h = api.histogram(df, "x", 0.001).toPandas().sort_values("bucket")
+    assert len(h) == 10
+    assert h.bucket_lo.nunique() == 10
+    for r in h.itertuples():
+        assert abs(r.bucket_lo - r.bucket * 0.001) < 1e-12

@@ -313,6 +313,7 @@ def connected_components(
     src_col: str,
     dst_col: str,
     max_rounds: int = 15,
+    mode: str = "minlabel",
 ) -> DataFrame:
     """Distributed connected components over ANY edge list — the graph
     primitive under near_dup_clusters, entity resolution, and account
@@ -325,12 +326,26 @@ def connected_components(
     whose only edges are null-partnered therefore does not appear —
     pre-clean the edge list if null endpoints carry meaning.
 
-    Scale shape: iterative min-label propagation, converging in
-    O(component diameter) rounds (`max_rounds` bounds the pathological
-    chain, with a loud warning on non-convergence); the edge list
+    `mode` picks the propagation rule (SCALE.md §67 has the measured
+    rounds-vs-diameter for both):
+
+    - "minlabel" (default): per round each node takes the min of its
+      own and its neighbors' labels — O(component diameter) rounds, one
+      join+agg per round.  Cheapest per round; right for dedup-shaped
+      graphs whose components are shallow (diameter ~8-9 at §62's 16x).
+    - "doubling": adds the pointer-doubling shortcut — each node also
+      takes its LABEL'S label (L(L(v)); one extra self-join per round),
+      so label information travels 2^k hops after k rounds and the loop
+      converges in O(log diameter) rounds.  Right for long-chain entity
+      graphs where diameter can exceed max_rounds.
+
+    Scale shape: iterative label propagation (`max_rounds` bounds the
+    loop, with a loud warning on non-convergence); the edge list
     localCheckpoints once, labels re-checkpoint per round (bounded
     lineage), and convergence is a changed-label count — never a
     collect."""
+    if mode not in ("minlabel", "doubling"):
+        raise ValueError("mode must be 'minlabel' or 'doubling'")
     pairs = edges.select(
         F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
     ).filter(
@@ -360,14 +375,24 @@ def connected_components(
             .groupBy(F.col("id_a").alias("_id"))
             .agg(F.min("_label").alias("_nbr"))
         )
-        new_labels = labels.join(nbr_min, "_id", "left").select(
+        cand = F.coalesce("_nbr", F.col("_label"))
+        joined = labels.join(nbr_min, "_id", "left")
+        if mode == "doubling":
+            # pointer-doubling shortcut: every label value is itself a
+            # node id in `labels`, so one self-join reads L(L(v)); the
+            # min over {L(v), neighbor labels, L(L(v))} lets label
+            # information travel 2^k hops after k rounds
+            lol = labels.select(
+                F.col("_id").alias("_lid"), F.col("_label").alias("_ll")
+            )
+            joined = joined.join(
+                lol, joined["_label"] == lol["_lid"], "left"
+            ).drop("_lid")
+            cand = F.least(cand, F.coalesce("_ll", F.col("_label")))
+        new_labels = joined.select(
             "_id",
-            F.least(
-                F.col("_label"), F.coalesce("_nbr", F.col("_label"))
-            ).alias("_label"),
-            (F.coalesce("_nbr", F.col("_label")) < F.col("_label")).alias(
-                "_chg"
-            ),
+            F.least(F.col("_label"), cand).alias("_label"),
+            (cand < F.col("_label")).alias("_chg"),
         )
         new_labels = new_labels.localCheckpoint()
         n_changed = new_labels.filter(F.col("_chg")).count()

@@ -1324,12 +1324,33 @@ def test_connected_components_vs_union_find(spark):
                 expect[x] = (rep, len(members))
 
         df = spark.createDataFrame(edges, "a long, b long")
-        got = api.connected_components(df, "a", "b").toPandas()
-        actual = {
-            r.node: (r.component, r.component_size)
-            for r in got.itertuples()
-        }
-        assert actual == expect, f"trial {trial}"
+        for mode in ("minlabel", "doubling"):
+            got = api.connected_components(df, "a", "b", mode=mode).toPandas()
+            actual = {
+                r.node: (r.component, r.component_size)
+                for r in got.itertuples()
+            }
+            assert actual == expect, f"trial {trial} mode {mode}"
+
+
+def test_connected_components_doubling_logn_rounds(spark):
+    """mode='doubling' closes a diameter-100 chain in O(log d) rounds
+    where the default min-label rule needs ~d rounds and warns at the
+    default max_rounds=15 (the round-9 directive's long-chain case)."""
+    import warnings
+
+    chain = [(i, i + 1) for i in range(100)]  # path 0-1-...-100
+    df = spark.createDataFrame(chain, "a long, b long")
+    got = api.connected_components(df, "a", "b", max_rounds=15,
+                                   mode="doubling").toPandas()
+    assert api._LAST_NDC_ROUNDS <= 9  # ceil(log2(100)) + convergence check
+    assert set(got.component) == {0}
+    assert set(got.component_size) == {101}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        split = api.connected_components(df, "a", "b", max_rounds=15).toPandas()
+    assert any("did not converge" in str(w.message) for w in rec)
+    assert len(set(split.component)) > 1  # min-label at 15 rounds: split
 
 
 def test_pagerank_mass_and_determinism(spark):

@@ -90,10 +90,37 @@ def time_vs(spark, q_mult: int):
     return n, time.time() - t0, broadcasted
 
 
+def time_cc_chain(spark, n_chains: int, diameter: int, mode: str,
+                  max_rounds: int):
+    """Round-10 directive-5 probe: connected_components on a long-chain
+    graph (n_chains disjoint paths of `diameter` edges each) — the shape
+    where the default min-label rule needs O(diameter) rounds and
+    mode='doubling' should need O(log diameter)."""
+    from secdb_spark import api
+
+    edges = spark.range(n_chains * diameter).select(
+        # node ids: chain c holds c*(d+1) .. c*(d+1)+d; edge i links
+        # consecutive nodes of chain i // diameter
+        (F.col("id") + (F.col("id") / diameter).cast("long")).alias("a"),
+        (F.col("id") + (F.col("id") / diameter).cast("long") + 1).alias("b"),
+    ).localCheckpoint()
+    t0 = time.time()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = api.connected_components(edges, "a", "b",
+                                       max_rounds=max_rounds, mode=mode)
+        n_comp = out.select("component").distinct().count()
+    wall = time.time() - t0
+    unconverged = any("did not converge" in str(w.message) for w in rec)
+    return n_comp, wall, unconverged, api._LAST_NDC_ROUNDS
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=16)
     ap.add_argument("--only", default="ndc,dedup,vs")
+    ap.add_argument("--chains", type=int, default=6000)
+    ap.add_argument("--diameter", type=int, default=100)
     args = ap.parse_args()
     only = set(args.only.split(","))
 
@@ -114,6 +141,18 @@ def main() -> None:
                 f"{args.mult}x rows={nk} wall={wk:.1f}s rounds={rk} | "
                 f"ratio={wk / w1:.2f} rows_ratio={nk / max(n1, 1):.2f} "
                 f"unconverged={u1}/{uk}"
+            )
+
+    if "chain" in only:
+        d = args.diameter
+        for mode, mr in (("doubling", 2 * d), ("minlabel", 2 * d)):
+            nc, w, unc, rounds = time_cc_chain(
+                spark, args.chains, d, mode, mr
+            )
+            print(
+                f"connected_components[{mode}]: chains={args.chains} "
+                f"diameter={d} components={nc} rounds={rounds} "
+                f"wall={w:.1f}s unconverged={unc}"
             )
 
     if "vs" in only:

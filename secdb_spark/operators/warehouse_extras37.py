@@ -1,0 +1,1002 @@
+"""Round-10 additions, batch 1 — SURVEY §2.BA: graph triangles, interval
+overlap joins, exact modes, rank correlation, market-basket lift, price
+indices, cohort triangles, Spark-4 LATERAL/JSON/higher-order-function
+surface, AR(1) fits, and b-bit MinHash calibration.
+
+Fills 12 of the 30 free R12 certification slots (round-10 widening cap:
+<= 12, keeping >= 18 spare for upgrades/recerts).  House conventions
+throughout: integer/fixed-point sums wherever the data allows (exact and
+map-side combinable), DEC12/DEC18 quantized addends for float sums,
+he4 for presented ratios, tie-safe orderings, and a scale note per op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import he4, pin, sql_he4
+from .llm_pipeline import N_BANDS, N_MINHASH, _dn_sig_sql, _tokens
+from .sql_surface import _views
+
+DEC12 = "decimal(38,12)"
+DEC18 = "decimal(38,18)"
+
+#: minimum distinct orders two suppliers must share before the co-supply
+#: graph holds an edge — keeps edge density a function of REPEATED
+#: relationships, not one-off co-occurrence (at sf0.01 nearly every
+#: supplier pair shares >= 1 order; >= 5 keeps the graph meaningful and
+#: the triangle join sub-cubic at every sf)
+COSUPPLY_MIN_ORDERS = 5
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — exact triangles + global clustering coefficient
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ), e AS (
+      SELECT a.s AS a, b.s AS b
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      GROUP BY 1, 2
+      HAVING count(*) >= {COSUPPLY_MIN_ORDERS}
+    ), deg AS (
+      SELECT v, count(*) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY v
+    ), tri AS (
+      SELECT count(*) AS t
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges
+      FROM deg
+    )
+    SELECT agg.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CASE WHEN agg.wedges > 0 THEN
+             {sql_he4("3.0 * tri.t / agg.wedges")}
+           END AS global_clustering
+    FROM agg, tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count and global clustering coefficient of the
+    supplier co-supply graph (edge = two suppliers sharing >=
+    COSUPPLY_MIN_ORDERS distinct orders).  Triangles via the oriented
+    two-join (a<b<c edges, so each triangle is generated exactly once);
+    wedges = sum(d*(d-1)/2) over degrees; clustering = 3T/wedges, he4.
+
+    Scale: pair generation joins ON THE ORDER KEY (bounded by per-order
+    supplier counts, never |suppliers|^2) with the >= k filter applied in
+    the same aggregate; the edge list pins once and feeds the oriented
+    triangle join + the degree union.  The a<b<c orientation bounds the
+    join fan-out by the ARROW degrees (max out-degree under id order) —
+    at 100 TB orient by (degree, id) instead to provably bound it by
+    sqrt(|E|); id order is the model-sized simplification and the oracle
+    mirrors it exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    e = pin(
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("ea"), F.col("b.s").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= COSUPPLY_MIN_ORDERS)
+        .select("ea", "eb")
+    )
+    deg = (
+        e.select(F.col("ea").alias("v"))
+        .union(e.select(F.col("eb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges"),
+    )
+    edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.ea") == F.col("e1.eb"))
+        .join(
+            e3,
+            (F.col("e3.ea") == F.col("e1.ea"))
+            & (F.col("e3.eb") == F.col("e2.eb")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        agg.crossJoin(edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.when(
+                F.col("wedges") > 0,
+                he4(F.lit(3.0) * F.col("n_triangles") / F.col("wedges")),
+            ).alias("global_clustering"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap — keyed interval-overlap join
+# ---------------------------------------------------------------------------
+
+_SQL_ORDER_INTERVALS = """
+    iv AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent,
+             datediff('day', DATE '1970-01-01', o.o_orderdate) AS s,
+             max(datediff('day', DATE '1970-01-01', l.l_shipdate)) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3, 4
+    )
+"""
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH {_SQL_ORDER_INTERVALS}
+    SELECT a.o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_overlap_pairs,
+           CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+             AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.urgent AND NOT b.urgent
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval-overlap join: per customer, pairs of an URGENT
+    order's activity interval [orderdate, last shipdate] overlapping a
+    non-urgent one's — the interval-join primitive (SCD overlap audits,
+    concurrent-session detection) on day-integer arithmetic (exact).
+    Returns (custkey, n_overlap_pairs, overlap_days).
+
+    Scale: the overlap predicate rides BEHIND an equi-join on the
+    customer key, so pair fan-out is bounded by per-key order counts —
+    never a global interval cross.  An unkeyed interval join at 100 TB
+    wants date-bucket blocking (join on overlapping coarse buckets,
+    then the exact predicate) — same plan shape, synthetic key."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = pin(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+            F.datediff(F.col("o_orderdate"), epoch).alias("s"),
+        )
+        .agg(F.max(F.datediff(F.col("l_shipdate"), epoch)).alias("e"))
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & F.col("a.urgent")
+        & ~F.col("b.urgent")
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    )
+    return pairs.groupBy(F.col("a.o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap_pairs"),
+        F.sum(
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+            + 1
+        ).cast("long").alias("overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mode_exact — per-group exact mode with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             count(*) AS n
+      FROM lineitem GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT l_returnflag, l_linestatus, q, n,
+             row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY n DESC, q ASC) AS rn
+      FROM c
+    )
+    SELECT l_returnflag, l_linestatus, q AS mode_qty,
+           CAST(n AS BIGINT) AS n_at_mode
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent l_quantity per returnflag x
+    linestatus) with a deterministic tie-break (smallest value wins) —
+    the aggregate SQL lacks, done as count-then-rank.  Returns
+    (l_returnflag, l_linestatus, mode_qty, n_at_mode).
+
+    Scale: the inner count is a map-side-combinable groupBy on
+    (group, value); the rank window then runs over the VALUE-DOMAIN-
+    bounded count table (50 quantities x 6 groups), never the fact
+    table — mode for the price of one scan at any size."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("q"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("n").desc(), F.col("q").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("q").alias("mode_qty"),
+            F.col("n").cast("long").alias("n_at_mode"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_kendall_tau — exact Kendall tau-b, daily orders vs revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_kendall_tau",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             year(o_orderdate) AS y,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ), p AS (
+      SELECT a.y,
+             CASE WHEN (b.n - a.n) * (b.rev - a.rev) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (b.n - a.n) * (b.rev - a.rev) < 0 THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.n = b.n THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS ty
+      FROM d a JOIN d b ON a.y = b.y AND a.day < b.day
+    ), s AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS dd,
+             CAST(sum(tx) AS BIGINT) AS tx, CAST(sum(ty) AS BIGINT) AS ty
+      FROM p GROUP BY y
+    )
+    SELECT y AS year, n0 AS n_pairs, c AS concordant, dd AS discordant,
+           CASE WHEN (n0 - tx) > 0 AND (n0 - ty) > 0 THEN
+             {sql_he4("(c - dd) / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))")}
+           END AS tau_b
+    FROM s
+    """,
+)
+def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b per year between the daily order count and
+    daily revenue series — the rank correlation that needs no ranks:
+    concordant/discordant day pairs counted directly, ties removed from
+    the denominator (tau-b).  Revenue compares in exact int64 cents, so
+    every pair verdict is integer arithmetic; only the final ratio is
+    IEEE (he4).  Returns (year, n_pairs, concordant, discordant, tau_b).
+
+    Scale: the pair join is calendar-bounded — each year contributes at
+    most 366*365/2 pairs regardless of fact-table size, because the
+    series aggregates FIRST (one scan + one combinable groupBy); the
+    O(d^2) stage runs on the model-sized daily frame.  An O(n log n)
+    merge-sort inversion count only pays once d exceeds ~10^5 days."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.year("o_orderdate").alias("y"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("long")
+        .alias("rev"),
+    )
+    d = pin(d)
+    a, b = d.alias("a"), d.alias("b")
+    prod = (F.col("b.n") - F.col("a.n")) * (F.col("b.rev") - F.col("a.rev"))
+    p = a.join(
+        b, (F.col("a.y") == F.col("b.y")) & (F.col("a.day") < F.col("b.day"))
+    ).select(
+        F.col("a.y").alias("y"),
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("a.n") == F.col("b.n"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.rev") == F.col("b.rev"), 1).otherwise(0).alias("ty"),
+    )
+    s = p.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("dd"),
+        F.sum("tx").cast("long").alias("stx"),
+        F.sum("ty").cast("long").alias("sty"),
+    )
+    return s.select(
+        F.col("y").alias("year"),
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.when(
+            (F.col("n0") - F.col("stx") > 0) & (F.col("n0") - F.col("sty") > 0),
+            he4(
+                (F.col("c") - F.col("dd"))
+                / F.sqrt(
+                    ((F.col("n0") - F.col("stx")) * (F.col("n0") - F.col("sty")))
+                    .cast("double")
+                )
+            ),
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# assoc_rules_lift — market-basket association rules over brand pairs
+# ---------------------------------------------------------------------------
+
+MIN_PAIR_SUPPORT = 5
+
+
+@register(
+    "assoc_rules_lift",
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), tot AS (
+      SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM ob
+    ), bc AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS nb FROM ob GROUP BY brand
+    ), pr AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_PAIR_SUPPORT}
+    )
+    SELECT pr.brand_a, pr.brand_b, pr.n_both,
+           ca.nb AS n_a, cb.nb AS n_b,
+           {sql_he4("CAST(pr.n_both AS DOUBLE) / tot.n")} AS support,
+           {sql_he4("CAST(pr.n_both AS DOUBLE) / ca.nb")} AS confidence_a_b,
+           {sql_he4("CAST(pr.n_both * tot.n AS DOUBLE) / (ca.nb * cb.nb)")}
+             AS lift
+    FROM pr JOIN bc ca ON ca.brand = pr.brand_a
+            JOIN bc cb ON cb.brand = pr.brand_b
+            CROSS JOIN tot
+    """,
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over brand pairs (basket = order):
+    support, confidence(a->b), and lift for every brand pair co-ordered
+    in >= MIN_PAIR_SUPPORT baskets — integer counts end-to-end, one
+    shared IEEE tree per presented ratio (he4).  Returns (brand_a,
+    brand_b, n_both, n_a, n_b, support, confidence_a_b, lift).
+
+    Scale: pair generation joins ON THE BASKET KEY (bounded by per-order
+    brand counts); the brand-count and total frames are model-sized and
+    broadcast.  The (order, brand) projection pins once and feeds the
+    self-join, the brand counts, and the basket total."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    ob = pin(
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = pin(ob.agg(F.countDistinct("o").cast("long").alias("n")))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= MIN_PAIR_SUPPORT)
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("nb").alias("n_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("nb").alias("n_b"))
+    return (
+        pr.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            he4(F.col("n_both").cast("double") / F.col("n")).alias("support"),
+            he4(F.col("n_both").cast("double") / F.col("n_a")).alias(
+                "confidence_a_b"
+            ),
+            he4(
+                (F.col("n_both") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# price_index_laspeyres — base-year-weighted price index
+# ---------------------------------------------------------------------------
+
+@register(
+    "price_index_laspeyres",
+    oracle=f"""
+    WITH py AS (
+      SELECT year(l_shipdate) AS y, l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s_ext,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS s_qty
+      FROM lineitem GROUP BY 1, 2
+    ), y0 AS (
+      SELECT min(y) AS y0 FROM py
+    ), base AS (
+      SELECT l_partkey, s_ext / 100.0 / s_qty AS p0, s_qty AS q0
+      FROM py, y0 WHERE py.y = y0.y0
+    ), j AS (
+      SELECT py.y, py.l_partkey,
+             CAST((py.s_ext / 100.0 / py.s_qty) * base.q0
+                  AS DECIMAL(38,18)) AS num_t,
+             CAST(base.p0 * base.q0 AS DECIMAL(38,18)) AS den_t
+      FROM py JOIN base ON base.l_partkey = py.l_partkey
+    )
+    SELECT y AS year, CAST(count(*) AS BIGINT) AS n_parts,
+           {sql_he4("CAST(sum(num_t) AS DOUBLE) / CAST(sum(den_t) AS DOUBLE)"
+                    " * 100")} AS laspeyres_index
+    FROM j GROUP BY y
+    """,
+)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship year (base = first year, = 100):
+    sum(p_t * q_0) / sum(p_0 * q_0) over parts sold in both the base
+    year and year t, scaled to 100.  Unit prices derive from exact
+    int64 cents / unit sums; the p*q products quantize to DECIMAL(38,18)
+    before summation (shuffle-order-free); the closing ratio is he4.
+    Returns (year, n_parts, laspeyres_index).
+
+    Scale: one scan + one combinable (year, part) aggregate; the
+    base-year frame joins back on the part key (hash join, no
+    broadcast assumption — parts scale with the catalog); the index
+    aggregate is map-side combinable decimal."""
+    li = table(spark, sf_dir, "lineitem")
+    py = pin(
+        li.groupBy(
+            F.year("l_shipdate").alias("y"), "l_partkey"
+        ).agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+            .cast("long")
+            .alias("s_ext"),
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint"))
+            .cast("long")
+            .alias("s_qty"),
+        )
+    )
+    y0 = pin(py.agg(F.min("y").alias("y0")))
+    base = (
+        py.join(F.broadcast(y0), py.y == y0.y0)
+        .select(
+            "l_partkey",
+            (F.col("s_ext") / 100.0 / F.col("s_qty")).alias("p0"),
+            F.col("s_qty").alias("q0"),
+        )
+    )
+    p_t = F.col("s_ext") / 100.0 / F.col("s_qty")
+    j = py.join(base, "l_partkey").select(
+        "y",
+        (p_t * F.col("q0")).cast(DEC18).alias("num_t"),
+        (F.col("p0") * F.col("q0")).cast(DEC18).alias("den_t"),
+    )
+    return j.groupBy(F.col("y").alias("year")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        he4(
+            F.sum("num_t").cast("double")
+            / F.sum("den_t").cast("double")
+            * 100
+        ).alias("laspeyres_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention_triangle — cohort-month x age retention counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "retention_triangle",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS mo FROM orders
+    ), first AS (
+      SELECT o_custkey, min(mo) AS m0 FROM o GROUP BY o_custkey
+    )
+    SELECT first.m0 AS cohort_month,
+           datediff('month', first.m0, o.mo) AS age_months,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+    FROM o JOIN first ON first.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: customers grouped by first-order month
+    (the cohort), counted as active at each month-age since — the
+    classic cohort x age matrix in long form, all integer arithmetic.
+    Returns (cohort_month, age_months, n_active).
+
+    Scale: the first-order frame is one combinable groupBy on the
+    customer key; the join back is a co-partitioned hash join on the
+    same key; output is calendar^2-bounded (months x ages), never
+    fact-sized."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("mo")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("mo").alias("m0"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            F.months_between(F.col("mo"), F.col("m0")).cast("int").alias(
+                "age_months"
+            ),
+        )
+        .agg(F.countDistinct("o_custkey").cast("long").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sql_lateral_join — Spark 4 correlated LATERAL subquery surface
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC
+      LIMIT 2
+    ) t
+"""
+
+
+@register("sql_lateral_join", oracle=_LATERAL_SQL)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 LATERAL correlated-subquery surface: top-2 customers by
+    account balance per nation, expressed as a lateral per-row subquery
+    (the form that arrives with correlated-subquery decorrelation).
+    The inner LIMIT is ORDER-BY-complete (balance desc, custkey asc),
+    so the result is deterministic; the oracle runs the IDENTICAL text
+    on DuckDB.  Returns (n_name, c_custkey, c_acctbal).
+
+    Scale: Catalyst decorrelates the lateral into a ranked window over
+    a hash join on the correlation key — no per-row re-execution; the
+    plan is the same top-k-per-group shape as win_topk_group."""
+    _views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# fn_json_extract — JSON path extraction surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "fn_json_extract",
+    oracle=r"""
+    WITH k AS (
+      SELECT event_type,
+             CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+                  AS BIGINT) AS kv
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (kv IS NULL) AS BIGINT) AS n_missing,
+           min(kv) AS min_k, max(kv) AS max_k,
+           CAST(sum(kv) AS BIGINT) AS sum_k
+    FROM k GROUP BY event_type
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path-extraction surface: get_json_object over the events
+    `props` JSON column ('$.k'), aggregated per event type — the
+    semi-structured column pattern every event pipeline hits.  Missing
+    paths surface as NULL (counted, never dropped).  The oracle
+    extracts the same integer field by anchored regexp — equivalent on
+    this corpus's flat single-key objects (documented; DuckDB's JSON
+    functions live in an extension the driver does not load).
+    Returns (event_type, n, n_missing, min_k, max_k, sum_k).
+
+    Scale: get_json_object is a JVM-side expression inside the scan's
+    codegen — no UDF, no Python; one combinable aggregate after it.
+    At 100 TB prefer parsing ONCE via from_json into a struct column
+    when several fields are read (get_json_object re-parses per call)."""
+    ev = table(spark, sf_dir, "events")
+    kv = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", kv.alias("kv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("kv").isNull()).cast("long").alias("n_missing"),
+            F.min("kv").alias("min_k"),
+            F.max("kv").alias("max_k"),
+            F.sum("kv").cast("long").alias("sum_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_higher_order_array — higher-order array function surface
+# ---------------------------------------------------------------------------
+
+BIG_CENTS = 5_000_000  # 50k in cents — the "large line" threshold
+
+
+@register(
+    "fn_higher_order_array",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT l_orderkey,
+             list(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  ORDER BY floor(l_extendedprice * 100 + 0.5)) AS a
+      FROM lineitem GROUP BY l_orderkey
+    ), per AS (
+      SELECT len(a) AS n_items,
+             CAST(list_sum(list_transform(a, x -> x * x)) AS BIGINT) AS sumsq,
+             len(list_filter(a, x -> x > {BIG_CENTS})) AS n_big,
+             a[-1] - a[1] AS span
+      FROM arrs
+    )
+    SELECT n_items,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_big) AS BIGINT) AS n_big_total,
+           CAST(max(sumsq) AS BIGINT) AS max_sumsq,
+           CAST(min(span) AS BIGINT) AS min_span,
+           CAST(max(span) AS BIGINT) AS max_span
+    FROM per GROUP BY n_items
+    """,
+)
+def fn_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface: per order, the sorted array
+    of line-price cents runs through aggregate (fold: sum of squares),
+    filter (count over threshold), and element_at (span) — the
+    lambda-expression family (Spark HOFs <-> DuckDB list lambdas), all
+    in exact int64 so the surface certifies value-exact.  Grouped by
+    basket size.  Returns (n_items, n_orders, n_big_total, max_sumsq,
+    min_span, max_span).
+
+    Scale: HOFs evaluate inside codegen per row — no explode/re-group
+    round trip, no UDF; the only shuffle is the per-order collect_list
+    groupBy, and arrays are basket-bounded (7 lines max in TPC-H
+    shape), so memory per row is O(basket)."""
+    li = table(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+            )
+        ).alias("a")
+    )
+    per = arrs.select(
+        F.size("a").alias("n_items"),
+        F.aggregate(
+            "a", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).alias("sumsq"),
+        F.size(F.filter("a", lambda x: x > F.lit(BIG_CENTS))).alias("n_big"),
+        (F.element_at("a", -1) - F.element_at("a", 1)).alias("span"),
+    )
+    return per.groupBy("n_items").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_big").cast("long").alias("n_big_total"),
+        F.max("sumsq").cast("long").alias("max_sumsq"),
+        F.min("span").cast("long").alias("min_span"),
+        F.max("span").cast("long").alias("max_span"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_ar1_fit — AR(1) fit on daily event counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_ar1_fit",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xl
+      FROM d
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xl) AS BIGINT) AS sx, CAST(sum(x) AS BIGINT) AS sy,
+             CAST(sum(x * xl) AS BIGINT) AS sxy,
+             CAST(sum(xl * xl) AS BIGINT) AS sxx
+      FROM lagged WHERE xl IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             {sql_he4("CAST(n * sxy - sx * sy AS DOUBLE)"
+                      " / (n * sxx - sx * sx)")}
+           END AS phi,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             {sql_he4("(sy - CAST(n * sxy - sx * sy AS DOUBLE)"
+                      " / (n * sxx - sx * sx) * sx) / n")}
+           END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0
+                 AND CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx) > 0
+                 AND CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx) < 1 THEN
+             {sql_he4("-ln(2) / ln(CAST(n * sxy - sx * sy AS DOUBLE)"
+                      " / (n * sxx - sx * sx))")}
+           END AS halflife_days
+    FROM s
+    """,
+)
+def ts_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit per event type on the daily count series: x_t = c +
+    phi * x_{{t-1}} via exact-integer OLS sums over consecutive observed
+    days (counts are integers, so every moment sum is int64-exact; only
+    the closing ratios are IEEE, he4-presented).  halflife_days =
+    -ln2/ln(phi) when 0 < phi < 1 (mean-reversion half-life; ln is the
+    1-ulp engine stage, same caveat as the exp-based kernels).
+    Returns (event_type, n_pairs, phi, intercept, halflife_days).
+
+    Scale: one combinable (type, day) count, one lag window over the
+    calendar-bounded daily series, one combinable moment aggregate —
+    fact-table size only touches the first scan."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.withColumn("xl", F.lag("x").over(w)).filter(
+        F.col("xl").isNotNull()
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xl").cast("long").alias("sx"),
+        F.sum("x").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("xl")).cast("long").alias("sxy"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    phi = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / den
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.when(den > 0, he4(phi)).alias("phi"),
+        F.when(
+            den > 0, he4((F.col("sy") - phi * F.col("sx")) / F.col("n"))
+        ).alias("intercept"),
+        F.when(
+            (den > 0) & (phi > 0) & (phi < 1),
+            he4(-F.log(F.lit(2.0)) / F.log(phi)),
+        ).alias("halflife_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_b_bit — 1-bit MinHash calibration (Li & Koenig)
+# ---------------------------------------------------------------------------
+
+_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+
+
+def _bbit_oracle() -> str:
+    rows_per_band = N_MINHASH // N_BANDS
+    sig_exprs = ", ".join(_dn_sig_sql(j) for j in range(N_MINHASH))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, '{b}_' || {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN (substr(sa.h{j}, 8, 1) IN {_ODD_HEX})"
+        f" = (substr(sb.h{j}, 8, 1) IN {_ODD_HEX}) THEN 1 ELSE 0 END"
+        for j in range(N_MINHASH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {sig_exprs}
+      FROM toks GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ), card AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             ({agree}) AS agree_bits,
+             CAST(coalesce(i.n_common, 0) AS DOUBLE)
+               / (ca.n + cb.n - coalesce(i.n_common, 0)) AS j_exact
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+      JOIN card ca ON ca.doc_id = c.doc_a
+      JOIN card cb ON cb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    )
+    SELECT agree_bits,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {sql_he4(f"greatest(0.0, (2.0 * agree_bits - {N_MINHASH})"
+                    f" / {N_MINHASH})")} AS j_est,
+           {sql_he4("CAST(sum(CAST(j_exact AS DECIMAL(38,12))) AS DOUBLE)"
+                    " / count(*)")} AS avg_j_exact
+    FROM pairs GROUP BY agree_bits
+    """
+
+
+@register("dedup_minhash_b_bit", oracle=_bbit_oracle())
+def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit MinHash calibration (Li & Koenig's b-bit minwise hashing,
+    b=1): over the LSH candidate pairs, keep only the LOW BIT of each of
+    the 16 minhash slots, estimate Jaccard from bit agreement via
+    J_est = max(0, 2*A/16 - 1) (a random non-equal minhash agrees with
+    prob 1/2), and compare against exact Jaccard per agreement bucket —
+    the storage-16x-smaller signature a petabyte dedup index wants,
+    with its accuracy measured on this corpus.  Same sha256-slice
+    signature basis as the certified dedup_near.  Returns (agree_bits,
+    n_pairs, j_est, avg_j_exact).
+
+    Scale: candidates only form inside LSH buckets (never all-pairs);
+    the signature frame pins once and feeds bands + bit comparison; the
+    exact-Jaccard side is the diagnostic — at 100 TB run the
+    calibration on a bucket SAMPLE and serve lookups from the 1-bit
+    index (16 bits/doc vs 16x32)."""
+    d = table(spark, sf_dir, "documents")
+    toks = pin(d.select("doc_id", F.explode(_tokens()).alias("tok")))
+    ha = F.sha2(F.concat(F.lit("A:"), F.col("tok")), 256)
+    hb = F.sha2(F.concat(F.lit("B:"), F.col("tok")), 256)
+    slices = [
+        F.substring(ha if j < 8 else hb, (j % 8) * 8 + 1, 8)
+        for j in range(N_MINHASH)
+    ]
+    sig = pin(
+        toks.groupBy("doc_id").agg(
+            *[F.min(s).alias(f"h{j}") for j, s in enumerate(slices)]
+        )
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(band)),
+                        *[
+                            F.col(f"h{band * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = pin(
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    card = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    def lowbit(col):
+        return F.substring(col, 8, 1).isin(*"13579bdf")
+
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[lowbit(F.col(f"h{j}")).alias(f"ba{j}") for j in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[lowbit(F.col(f"h{j}")).alias(f"bb{j}") for j in range(N_MINHASH)],
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb"))
+    agree = sum(
+        (
+            F.when(F.col(f"ba{j}") == F.col(f"bb{j}"), 1).otherwise(0)
+            for j in range(N_MINHASH)
+        ),
+        F.lit(0),
+    )
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            agree.alias("agree_bits"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0)))
+            ).alias("j_exact"),
+        )
+    )
+    return (
+        pairs.groupBy("agree_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            he4(
+                F.sum(F.col("j_exact").cast(DEC12)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_j_exact"),
+        )
+        .select(
+            "agree_bits",
+            "n_pairs",
+            he4(
+                F.greatest(
+                    F.lit(0.0),
+                    (2.0 * F.col("agree_bits") - N_MINHASH)
+                    / F.lit(float(N_MINHASH)),
+                )
+            ).alias("j_est"),
+            "avg_j_exact",
+        )
+    )

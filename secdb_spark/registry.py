@@ -460,6 +460,13 @@ _CERT_SLATE_R12: tuple[str, ...] = (
     "ivm_delta_join", "fn_try_arith", "fn_collate_lcase",
     "bpe_merge_topk", "graph_jaccard_neighbors", "text_char_trigram_lm",
     "corpus_boilerplate_sentences", "xbrl_dupont", "xbrl_common_size",
+    # round-10 batch 1 (SURVEY §2.BA) — fills 12 of the 30 free slots
+    # (round-10 widening cap: <= 12, >= 18 slots stay spare); all
+    # exact-oracle class.
+    "graph_triangle_count", "join_interval_overlap", "agg_mode_exact",
+    "ts_kendall_tau", "assoc_rules_lift", "price_index_laspeyres",
+    "retention_triangle", "sql_lateral_join", "fn_json_extract",
+    "fn_higher_order_array", "ts_ar1_fit", "dedup_minhash_b_bit",
 )
 
 
@@ -586,6 +593,7 @@ def _load_operators() -> None:
         warehouse_extras34,
         warehouse_extras35,
         warehouse_extras36,
+        warehouse_extras37,
         windows,
         xbrl_analytics,
         xbrl_analytics2,

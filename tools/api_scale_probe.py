@@ -115,6 +115,46 @@ def time_cc_chain(spark, n_chains: int, diameter: int, mode: str,
     return n_comp, wall, unconverged, api._LAST_NDC_ROUNDS
 
 
+def time_curate(spark, df):
+    """Round-10 directive-6 probe: curate_corpus END-TO-END with every
+    stage on (quality gate + exact dedup + near_dup=True + eval_df
+    decontamination) — the one-call composition with the stage-boundary
+    checkpoint.  eval_df is 50 corpus texts, so decontamination has
+    real 13-gram hits.  Also times the stage-boundary materialization
+    alone (quality gate + exact stage -> localCheckpoint) to price the
+    checkpoint."""
+    from pyspark.sql import Window
+
+    from secdb_spark import api
+
+    eval_df = df.orderBy("doc_id").limit(50).select(
+        F.col("text").alias("etext")
+    ).localCheckpoint()
+    t0 = time.time()
+    out = api.curate_corpus(
+        df, "doc_id", "text",
+        near_dup=True, eval_df=eval_df, eval_text_col="etext",
+    )
+    n_out = out.count()
+    wall = time.time() - t0
+    # stage-boundary cost: the gated+exact survivor frame materialized
+    # alone (what the localCheckpoint inside curate_corpus pays)
+    gated = api.quality_flags(df, "text").filter(F.col("keep")).select(
+        *df.columns
+    )
+    wc = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    surv = (
+        gated.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    t1 = time.time()
+    pinned = surv.localCheckpoint()
+    n_surv = pinned.count()
+    ckpt = time.time() - t1
+    return n_out, wall, n_surv, ckpt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=16)
@@ -142,6 +182,16 @@ def main() -> None:
                 f"ratio={wk / w1:.2f} rows_ratio={nk / max(n1, 1):.2f} "
                 f"unconverged={u1}/{uk}"
             )
+
+    if "curate" in only:
+        big = synth_docs(spark, 4)
+        n1, w1, s1, c1 = time_curate(spark, base)
+        n4, w4, s4, c4 = time_curate(spark, big)
+        print(
+            f"curate_corpus[all stages]: 1x out={n1} wall={w1:.1f}s "
+            f"ckpt_rows={s1} ckpt={c1:.1f}s | 4x out={n4} wall={w4:.1f}s "
+            f"ckpt_rows={s4} ckpt={c4:.1f}s | ratio={w4 / w1:.2f}"
+        )
 
     if "chain" in only:
         d = args.diameter

@@ -825,9 +825,9 @@ def _bbit_oracle() -> str:
         )
         for b in range(N_BANDS)
     )
-    agree = " + ".join(
-        f"CASE WHEN (substr(sa.h{j}, 8, 1) IN {_ODD_HEX})"
-        f" = (substr(sb.h{j}, 8, 1) IN {_ODD_HEX}) THEN 1 ELSE 0 END"
+    packed = " + ".join(
+        f"CASE WHEN substr(h{j}, 8, 1) IN {_ODD_HEX}"
+        f" THEN {1 << j} ELSE 0 END"
         for j in range(N_MINHASH)
     )
     return f"""
@@ -843,6 +843,8 @@ def _bbit_oracle() -> str:
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ), packed AS (
+      SELECT doc_id, CAST(({packed}) AS BIGINT) AS bits FROM sigs
     ), card AS (
       SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
     ), inter AS (
@@ -853,12 +855,12 @@ def _bbit_oracle() -> str:
       GROUP BY 1, 2
     ), pairs AS (
       SELECT c.doc_a, c.doc_b,
-             ({agree}) AS agree_bits,
+             {N_MINHASH} - bit_count(xor(pa.bits, pb.bits)) AS agree_bits,
              CAST(coalesce(i.n_common, 0) AS DOUBLE)
                / (ca.n + cb.n - coalesce(i.n_common, 0)) AS j_exact
       FROM cand c
-      JOIN sigs sa ON sa.doc_id = c.doc_a
-      JOIN sigs sb ON sb.doc_id = c.doc_b
+      JOIN packed pa ON pa.doc_id = c.doc_a
+      JOIN packed pb ON pb.doc_id = c.doc_b
       JOIN card ca ON ca.doc_id = c.doc_a
       JOIN card cb ON cb.doc_id = c.doc_b
       LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
@@ -944,29 +946,30 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
 
-    def lowbit(col):
-        return F.substring(col, 8, 1).isin(*"13579bdf")
-
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[lowbit(F.col(f"h{j}")).alias(f"ba{j}") for j in range(N_MINHASH)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[lowbit(F.col(f"h{j}")).alias(f"bb{j}") for j in range(N_MINHASH)],
-    )
-    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("na"))
-    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb"))
-    agree = sum(
+    # the whole 1-bit signature packs into ONE int64 (bit j = low bit of
+    # slot j) — agreement is then 16 - popcount(xor), so the per-pair
+    # comparison joins one narrow column instead of 16, and the packed
+    # column IS the storage artifact the op advertises (16 bits/doc)
+    bits = sum(
         (
-            F.when(F.col(f"ba{j}") == F.col(f"bb{j}"), 1).otherwise(0)
+            F.substring(F.col(f"h{j}"), 8, 1)
+            .isin(*"13579bdf")
+            .cast("int")
+            * (1 << j)
             for j in range(N_MINHASH)
         ),
         F.lit(0),
+    ).cast("long")
+    pa = sig.select(F.col("doc_id").alias("doc_a"), bits.alias("wa"))
+    pb = sig.select(F.col("doc_id").alias("doc_b"), bits.alias("wb"))
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb"))
+    agree = F.lit(N_MINHASH) - F.bit_count(
+        F.col("wa").bitwiseXOR(F.col("wb"))
     )
     pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .join(ca, "doc_a")
         .join(cb, "doc_b")
         .join(inter, ["doc_a", "doc_b"], "left")

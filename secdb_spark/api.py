@@ -121,6 +121,12 @@ __all__ = [
     "pagerank",
     "histogram",
     "interval_merge",
+    "triangle_count",
+    "kendall_tau",
+    "association_rules",
+    "interval_overlap_join",
+    "ar1_fit",
+    "mode_exact",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -2941,4 +2947,323 @@ def interval_merge(
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum(F.col("_e") - F.col("_s")).cast("long").alias("covered"),
         F.max(F.col("_e") - F.col("_s")).cast("long").alias("longest"),
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Exact triangle count and global clustering coefficient of ANY
+    edge list (graph_triangle_count's algebra on caller-provided
+    edges): edges dedupe and orient to a < b, the oriented a<b<c
+    two-join generates each triangle exactly once, wedges come from
+    degrees, clustering = 3T/wedges (he4).  NULL-endpoint and
+    self-loop edges drop.  Returns one row (n_nodes, n_edges,
+    n_triangles, global_clustering).
+
+    Scale shape: the edge list pins once and feeds the oriented
+    triangle join + the degree union; join fan-out is bounded by the
+    arrow degrees under id order — at 100 TB orient by (degree, id)
+    to provably bound it by sqrt(|E|) (the model-sized id order is the
+    certified kernel's simplification)."""
+    from .operators._helpers import he4, pin
+
+    e = pin(
+        edges.select(
+            F.least(src_col, dst_col).alias("ea"),
+            F.greatest(src_col, dst_col).alias("eb"),
+        )
+        .filter(
+            F.col("ea").isNotNull()
+            & F.col("eb").isNotNull()
+            & (F.col("ea") != F.col("eb"))
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("ea").alias("v"))
+        .union(e.select(F.col("eb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges"),
+    )
+    n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.ea") == F.col("e1.eb"))
+        .join(
+            e3,
+            (F.col("e3.ea") == F.col("e1.ea"))
+            & (F.col("e3.eb") == F.col("e2.eb")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        agg.crossJoin(n_e)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.when(
+                F.col("wedges") > 0,
+                he4(F.lit(3.0) * F.col("n_triangles") / F.col("wedges")),
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact Kendall tau-b between two INTEGER-VALUED columns on ANY
+    table (ts_kendall_tau's algebra with the series parameterized):
+    concordant/discordant pairs counted by integer comparison over all
+    unordered row pairs (keyed a<b on `key_col` so each pair counts
+    once), ties removed from the denominator.  Returns one row per
+    group (group_cols..., n_pairs, concordant, discordant, tau_b).
+    Cast float inputs to fixed-point integers first — tau is
+    rank-based, so any order-preserving integerization is exact.
+
+    Scale shape: the O(n^2) pair join runs per group and is only
+    appropriate for model-sized groups (daily/monthly series, cohort
+    summaries — the certified kernel's calendar-bounded shape); an
+    O(n log n) merge-inversion count only pays past ~10^5 rows per
+    group."""
+    group_cols = list(group_cols or [])
+    base = df.select(
+        *group_cols,
+        F.col(key_col).alias("_k"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._k") < F.col("b._k")
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    prod = (F.col("b._x") - F.col("a._x")) * (F.col("b._y") - F.col("a._y"))
+    p = a.join(b, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("a._x") == F.col("b._x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a._y") == F.col("b._y"), 1).otherwise(0).alias("ty"),
+    )
+    s = p.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("dd"),
+        F.sum("tx").cast("long").alias("stx"),
+        F.sum("ty").cast("long").alias("sty"),
+    )
+    from .operators._helpers import he4
+
+    return s.select(
+        *group_cols,
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.when(
+            (F.col("n0") - F.col("stx") > 0) & (F.col("n0") - F.col("sty") > 0),
+            he4(
+                (F.col("c") - F.col("dd"))
+                / F.sqrt(
+                    ((F.col("n0") - F.col("stx")) * (F.col("n0") - F.col("sty")))
+                    .cast("double")
+                )
+            ),
+        ).alias("tau_b"),
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 5,
+) -> DataFrame:
+    """Market-basket association rules on ANY (basket, item) table
+    (assoc_rules_lift's algebra with the basket/item columns
+    parameterized): support, confidence(a->b), and lift for every item
+    pair co-occurring in >= min_pair_support baskets.  Integer counts
+    end-to-end; he4 ratios.  Returns (item_a, item_b, n_both, n_a,
+    n_b, support, confidence_a_b, lift).
+
+    Scale shape: pair generation joins ON THE BASKET KEY (bounded by
+    per-basket item counts, never |items|^2); item counts and the
+    basket total are model-sized and broadcast; the (basket, item)
+    projection pins once for its three consumers."""
+    from .operators._helpers import he4, pin
+
+    ob = pin(
+        df.select(
+            F.col(basket_col).alias("o"), F.col(item_col).alias("item")
+        ).distinct()
+    )
+    tot = pin(ob.agg(F.countDistinct("o").cast("long").alias("n")))
+    bc = ob.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_support)
+    )
+    ca = bc.select(F.col("item").alias("item_a"), F.col("nb").alias("n_a"))
+    cb = bc.select(F.col("item").alias("item_b"), F.col("nb").alias("n_b"))
+    return (
+        pr.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            he4(F.col("n_both").cast("double") / F.col("n")).alias("support"),
+            he4(F.col("n_both").cast("double") / F.col("n_a")).alias(
+                "confidence_a_b"
+            ),
+            he4(
+                (F.col("n_both") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Keyed interval-overlap join on ANY two interval tables
+    (join_interval_overlap's algebra with the tables parameterized):
+    every (left, right) pair sharing `key_col` whose [start, end]
+    intervals overlap, with the overlap length.  Intervals must be
+    integer-valued (epoch days/micros) so the arithmetic is exact.
+    Returns (key_col, l_start, l_end, r_start, r_end, overlap).
+
+    Scale shape: the overlap predicate rides BEHIND the equi-join on
+    the key, so pair fan-out is bounded by per-key interval counts.
+    For an UNKEYED overlap join, block first: explode each interval to
+    coarse date buckets, equi-join on the bucket, dedupe — same plan
+    shape with a synthetic key."""
+    l_ = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).alias("l_start"),
+        F.col(end_col).alias("l_end"),
+    )
+    r_ = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).alias("r_start"),
+        F.col(end_col).alias("r_end"),
+    )
+    return (
+        l_.join(r_, "_k")
+        .filter(
+            (F.col("l_start") <= F.col("r_end"))
+            & (F.col("r_start") <= F.col("l_end"))
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "l_start",
+            "l_end",
+            "r_start",
+            "r_end",
+            (
+                F.least("l_end", "r_end") - F.greatest("l_start", "r_start") + 1
+            ).alias("overlap"),
+        )
+    )
+
+
+def ar1_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    val_col: str,
+) -> DataFrame:
+    """AR(1) fit on ANY integer-valued keyed series (ts_ar1_fit's
+    algebra with the series parameterized): x_t = c + phi * x_{t-1}
+    over consecutive OBSERVED rows (ordered by order_col within each
+    group), exact-integer OLS moment sums, he4 phi/intercept, and the
+    mean-reversion half-life -ln2/ln(phi) when 0 < phi < 1.  Returns
+    (group_cols..., n_pairs, phi, intercept, halflife).
+
+    Scale shape: one lag window per group over the (pre-aggregated)
+    series, one combinable moment aggregate — series length is the
+    only size that matters; gaps are treated as consecutive
+    (pre-gapfill with api.gapfill when calendar spacing matters)."""
+    from .operators._helpers import he4
+
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    lagged = df.select(
+        *group_cols, F.col(val_col).alias("_x"),
+        F.lag(F.col(val_col)).over(w).alias("_xl"),
+    ).filter(F.col("_xl").isNotNull())
+    s = lagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_xl").cast("long").alias("sx"),
+        F.sum("_x").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_xl")).cast("long").alias("sxy"),
+        F.sum(F.col("_xl") * F.col("_xl")).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    phi = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / den
+    return s.select(
+        *group_cols,
+        F.col("n").alias("n_pairs"),
+        F.when(den > 0, he4(phi)).alias("phi"),
+        F.when(
+            den > 0, he4((F.col("sy") - phi * F.col("sx")) / F.col("n"))
+        ).alias("intercept"),
+        F.when(
+            (den > 0) & (phi > 0) & (phi < 1),
+            he4(-F.log(F.lit(2.0)) / F.log(phi)),
+        ).alias("halflife"),
+    )
+
+
+def mode_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+) -> DataFrame:
+    """Exact per-group mode of ANY column (agg_mode_exact's algebra
+    with group/value parameterized), deterministic tie-break (smallest
+    value wins).  Returns (group_cols..., mode_value, n_at_mode).
+
+    Scale shape: count-then-rank — the inner count is map-side
+    combinable on (group, value); the rank window runs over the count
+    table, whose size is the VALUE DOMAIN per group, never the fact
+    table."""
+    c = df.groupBy(*group_cols, F.col(val_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_n").desc(), F.col("_v").asc()
+    )
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col("_v").alias("mode_value"),
+            F.col("_n").cast("long").alias("n_at_mode"),
+        )
     )

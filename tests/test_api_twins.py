@@ -807,3 +807,131 @@ def test_simhash_near_dups_matches_simhash_pairs(spark):
     g = _sorted(got, ["doc_a", "doc_b"])
     w = _sorted(want, ["doc_a", "doc_b"])
     pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
+
+
+def test_triangle_count_matches_graph_triangle_count(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras37 import COSUPPLY_MIN_ORDERS
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= COSUPPLY_MIN_ORDERS)
+        .select("x", "y")
+    )
+    got = api.triangle_count(edges, "x", "y").toPandas()
+    want = QUERIES["graph_triangle_count"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kendall_tau_matches_ts_kendall_tau(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.year("o_orderdate").alias("year"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("long")
+        .alias("y"),
+    )
+    got = api.kendall_tau(daily, "day", "x", "y", ["year"])
+    want = QUERIES["ts_kendall_tau"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["year"]), _sorted(want, ["year"]), check_dtype=False
+    )
+
+
+def test_association_rules_matches_assoc_rules_lift(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    got = api.association_rules(baskets, "l_orderkey", "p_brand", 5)
+    got = got.withColumnRenamed("item_a", "brand_a").withColumnRenamed(
+        "item_b", "brand_b"
+    )
+    want = QUERIES["assoc_rules_lift"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["brand_a", "brand_b"]),
+        _sorted(want, ["brand_a", "brand_b"]),
+        check_dtype=False,
+    )
+
+
+def test_interval_overlap_join_matches_join_interval_overlap(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+            F.datediff(F.col("o_orderdate"), epoch).alias("s"),
+        )
+        .agg(F.max(F.datediff(F.col("l_shipdate"), epoch)).alias("e"))
+        .localCheckpoint()
+    )
+    pairs = api.interval_overlap_join(
+        iv.filter("urgent"), iv.filter("NOT urgent"), "o_custkey", "s", "e"
+    )
+    got = pairs.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap_pairs"),
+        F.sum("overlap").cast("long").alias("overlap_days"),
+    )
+    want = QUERIES["join_interval_overlap"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["custkey"]), _sorted(want, ["custkey"]),
+        check_dtype=False,
+    )
+
+
+def test_ar1_fit_matches_ts_ar1_fit(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    got = api.ar1_fit(daily, ["event_type"], "day", "x").withColumnRenamed(
+        "halflife", "halflife_days"
+    )
+    want = QUERIES["ts_ar1_fit"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )
+
+
+def test_mode_exact_matches_agg_mode_exact(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("q"),
+    )
+    got = api.mode_exact(li, ["l_returnflag", "l_linestatus"], "q")
+    got = got.withColumnRenamed("mode_value", "mode_qty")
+    want = QUERIES["agg_mode_exact"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_returnflag", "l_linestatus"]),
+        _sorted(want, ["l_returnflag", "l_linestatus"]),
+        check_dtype=False,
+    )

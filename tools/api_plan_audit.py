@@ -236,6 +236,32 @@ def _catalog(api, fx, tmp: str) -> dict:
                      (F.col("val") + 3).cast("long").alias("e2")),
             ["uid"], "s", "e2",
         ),
+        "triangle_count": lambda: api.triangle_count(
+            e.select(F.col("uid").alias("a"),
+                     ((F.col("uid") + 1) % 5).alias("b")),
+            "a", "b",
+        ),
+        "kendall_tau": lambda: api.kendall_tau(
+            e.select("uid", F.col("val").cast("long").alias("x"),
+                     ((F.col("val") * 3) % 7).cast("long").alias("y"),
+                     F.col("stage").alias("g")),
+            "uid", "x", "y", ["g"],
+        ),
+        "association_rules": lambda: api.association_rules(
+            e, "uid", "stage", min_pair_support=1
+        ),
+        "interval_overlap_join": lambda: api.interval_overlap_join(
+            e.select("uid", F.col("val").cast("long").alias("s"),
+                     (F.col("val") + 3).cast("long").alias("e2")),
+            q.select("uid", F.col("quote").cast("long").alias("s"),
+                     (F.col("quote") + 2).cast("long").alias("e2")),
+            "uid", "s", "e2",
+        ),
+        "ar1_fit": lambda: api.ar1_fit(
+            e.select("uid", "etime", F.col("val").cast("long").alias("x")),
+            ["uid"], "etime", "x",
+        ),
+        "mode_exact": lambda: api.mode_exact(e, ["stage"], "val"),
     }
 
 

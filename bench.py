@@ -37,12 +37,50 @@ HEADLINE = {
 }
 
 
+def _settle_host() -> dict:
+    """Bounded wait-for-idle before measuring (BASELINE.md 'Bench record
+    protocol').
+
+    Rounds 8-9 showed the official bench being captured while the host was
+    still draining the per-round operator dryrun: the two cheapest scan+agg
+    families inflated up to ~1.6x (r9 q_agg_pricing 2.03x baseline under
+    load ~5.6, 1.19x idle on identical code — adjudicated as contamination
+    by the r9 judge).  The protocol's fix is a cool-down; this enforces it
+    in-process so any caller of bench.py gets the documented steady-state
+    regime: poll /proc/loadavg until the 1-min average drops below
+    SPARK_GRAFT_BENCH_MAX_LOAD (default 3.0 on this 32-vCPU host, above
+    the ~2.4 idle floor and well below the ~5.6 contamination reading) or
+    SPARK_GRAFT_BENCH_SETTLE_S (default 300) elapses.  The settle context
+    is reported in the output JSON so a reading taken under residual load
+    is visibly stamped rather than silently inflated.
+    """
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "3.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_S", "300"))
+    t0 = time.time()
+    load = None
+    while True:
+        try:
+            with open("/proc/loadavg") as fh:
+                load = float(fh.read().split()[0])
+        except (OSError, ValueError):
+            break  # non-Linux / unreadable: measure immediately
+        if load <= max_load or time.time() - t0 >= max_wait:
+            break
+        time.sleep(5)
+    return {
+        "loadavg_1m_at_start": load,
+        "settle_wait_sec": round(time.time() - t0, 1),
+        "settle_threshold": max_load,
+    }
+
+
 def main() -> None:
     from secdb_spark.registry import all_queries
     from secdb_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    settle = _settle_host()
     spark = get_spark("bench")
     queries = all_queries()
 
@@ -95,6 +133,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "settle": settle,
             }
         )
     )

@@ -127,6 +127,8 @@ __all__ = [
     "interval_overlap_join",
     "ar1_fit",
     "mode_exact",
+    "price_index",
+    "retention_matrix",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -2957,17 +2959,17 @@ def triangle_count(
 ) -> DataFrame:
     """Exact triangle count and global clustering coefficient of ANY
     edge list (graph_triangle_count's algebra on caller-provided
-    edges): edges dedupe and orient to a < b, the oriented a<b<c
-    two-join generates each triangle exactly once, wedges come from
-    degrees, clustering = 3T/wedges (he4).  NULL-endpoint and
-    self-loop edges drop.  Returns one row (n_nodes, n_edges,
-    n_triangles, global_clustering).
+    edges): edges dedupe and orient, the oriented two-join generates
+    each triangle exactly once, wedges come from degrees, clustering =
+    3T/wedges (he4).  NULL-endpoint and self-loop edges drop.  Returns
+    one row (n_nodes, n_edges, n_triangles, global_clustering).
 
     Scale shape: the edge list pins once and feeds the oriented
-    triangle join + the degree union; join fan-out is bounded by the
-    arrow degrees under id order — at 100 TB orient by (degree, id)
-    to provably bound it by sqrt(|E|) (the model-sized id order is the
-    certified kernel's simplification)."""
+    triangle join + the degree union; edges re-orient by (degree, id)
+    before the two-join, which provably bounds the arrow out-degree by
+    sqrt(2|E|) — hub-skewed graphs keep bounded join fan-out (the
+    certified kernel re-orients identically; triangle count is
+    orientation-invariant)."""
     from .operators._helpers import he4, pin
 
     e = pin(
@@ -2982,7 +2984,7 @@ def triangle_count(
         )
         .distinct()
     )
-    deg = (
+    deg = pin(
         e.select(F.col("ea").alias("v"))
         .union(e.select(F.col("eb").alias("v")))
         .groupBy("v")
@@ -2993,13 +2995,26 @@ def triangle_count(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges"),
     )
     n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    da = deg.select(F.col("v").alias("ea"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("eb"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ea") < F.col("eb"))
+    )
+    oe = pin(
+        e.join(da, "ea")
+        .join(db, "eb")
+        .select(
+            F.when(a_first, F.col("ea")).otherwise(F.col("eb")).alias("u"),
+            F.when(a_first, F.col("eb")).otherwise(F.col("ea")).alias("w"),
+        )
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     tri = (
-        e1.join(e2, F.col("e2.ea") == F.col("e1.eb"))
+        e1.join(e2, F.col("e2.u") == F.col("e1.w"))
         .join(
             e3,
-            (F.col("e3.ea") == F.col("e1.ea"))
-            & (F.col("e3.eb") == F.col("e2.eb")),
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.w") == F.col("e2.w")),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
@@ -3266,4 +3281,92 @@ def mode_exact(
             F.col("_v").alias("mode_value"),
             F.col("_n").cast("long").alias("n_at_mode"),
         )
+    )
+
+
+def price_index(
+    df: DataFrame,
+    period_col: str,
+    item_col: str,
+    spend_col: str,
+    qty_col: str,
+    spend_scale: float = 1.0,
+    base_period=None,
+) -> DataFrame:
+    """Laspeyres price index on ANY (period, item, spend, qty) table
+    (price_index_laspeyres' algebra with every column parameterized):
+    unit prices from per-(period, item) spend/qty sums, base-period
+    quantity weights, index = 100 * sum(p_t q_0) / sum(p_0 q_0) over
+    items present in both periods.  Pass spend in EXACT integer units
+    (e.g. cents) with `spend_scale` the divisor back to display units —
+    the sums then stay int64-exact and only the closing ratio is IEEE.
+    `base_period=None` uses the earliest period.  Returns (period,
+    n_items, index).
+
+    Scale shape: one combinable (period, item) aggregate off the fact
+    scan; the base frame joins back on the item key (hash join — items
+    scale with the catalog, no broadcast assumption); the p*q products
+    quantize to DECIMAL(38,18) before the final combinable sum, so the
+    index is shuffle-order-free at any partition count."""
+    from .operators.warehouse_extras37 import DEC18
+
+    py = pin(
+        df.groupBy(
+            F.col(period_col).alias("_t"), F.col(item_col).alias("_i")
+        ).agg(
+            F.sum(F.col(spend_col).cast("bigint")).cast("long").alias("_s"),
+            F.sum(F.col(qty_col).cast("bigint")).cast("long").alias("_q"),
+        )
+    )
+    if base_period is None:
+        y0 = pin(py.agg(F.min("_t").alias("_t0")))
+        base_join = py.join(F.broadcast(y0), py._t == y0._t0)
+    else:
+        base_join = py.filter(F.col("_t") == F.lit(base_period))
+    base = base_join.select(
+        "_i",
+        (F.col("_s") / spend_scale / F.col("_q")).alias("_p0"),
+        F.col("_q").alias("_q0"),
+    )
+    p_t = F.col("_s") / spend_scale / F.col("_q")
+    j = py.join(base, "_i").select(
+        "_t",
+        (p_t * F.col("_q0")).cast(DEC18).alias("_num"),
+        (F.col("_p0") * F.col("_q0")).cast(DEC18).alias("_den"),
+    )
+    return j.groupBy(F.col("_t").alias("period")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        he4(
+            F.sum("_num").cast("double") / F.sum("_den").cast("double") * 100
+        ).alias("index"),
+    )
+
+
+def retention_matrix(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention triangle on ANY (entity, timestamp) activity
+    table (retention_triangle's algebra with entity/time parameterized):
+    entities cohorted by first-activity month, counted distinct at each
+    month-age since.  Returns (cohort_month, age_months, n_active).
+
+    Scale shape: first-activity frame is one combinable groupBy on the
+    entity key; the join back is co-partitioned on the same key; output
+    is calendar^2-bounded (months x ages), never fact-sized."""
+    o = df.select(
+        F.col(entity_col).alias("_e"),
+        F.date_trunc("month", F.col(ts_col)).alias("_mo"),
+    )
+    first = o.groupBy("_e").agg(F.min("_mo").alias("_m0"))
+    return (
+        o.join(first, "_e")
+        .groupBy(
+            F.col("_m0").alias("cohort_month"),
+            F.months_between(F.col("_mo"), F.col("_m0"))
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(F.countDistinct("_e").cast("long").alias("n_active"))
     )

@@ -77,11 +77,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair generation joins ON THE ORDER KEY (bounded by per-order
     supplier counts, never |suppliers|^2) with the >= k filter applied in
     the same aggregate; the edge list pins once and feeds the oriented
-    triangle join + the degree union.  The a<b<c orientation bounds the
-    join fan-out by the ARROW degrees (max out-degree under id order) —
-    at 100 TB orient by (degree, id) instead to provably bound it by
-    sqrt(|E|); id order is the model-sized simplification and the oracle
-    mirrors it exactly."""
+    triangle join + the degree union.  Edges re-orient by (degree, id)
+    before the two-join — the arrow out-degree is then provably
+    O(sqrt(|E|)) (a vertex with out-degree d has d higher-degree
+    neighbors, each of degree >= d, so d^2 <= 2|E|), which bounds the
+    join fan-out on hub-skewed graphs where plain id order does not.
+    Triangle count is orientation-invariant, so the DuckDB oracle keeps
+    the simpler a<b<c id orientation and the results agree exactly."""
     li = table(spark, sf_dir, "lineitem")
     os_ = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
@@ -94,7 +96,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= COSUPPLY_MIN_ORDERS)
         .select("ea", "eb")
     )
-    deg = (
+    deg = pin(
         e.select(F.col("ea").alias("v"))
         .union(e.select(F.col("eb").alias("v")))
         .groupBy("v")
@@ -105,13 +107,28 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges"),
     )
     edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # re-orient each edge low-(degree,id) -> high-(degree,id); (deg, id)
+    # is a total order, so each triangle still joins exactly once
+    da = deg.select(F.col("v").alias("ea"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("eb"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ea") < F.col("eb"))
+    )
+    oe = pin(
+        e.join(da, "ea")
+        .join(db, "eb")
+        .select(
+            F.when(a_first, F.col("ea")).otherwise(F.col("eb")).alias("u"),
+            F.when(a_first, F.col("eb")).otherwise(F.col("ea")).alias("w"),
+        )
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     tri = (
-        e1.join(e2, F.col("e2.ea") == F.col("e1.eb"))
+        e1.join(e2, F.col("e2.u") == F.col("e1.w"))
         .join(
             e3,
-            (F.col("e3.ea") == F.col("e1.ea"))
-            & (F.col("e3.eb") == F.col("e2.eb")),
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.w") == F.col("e2.w")),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

@@ -935,3 +935,38 @@ def test_mode_exact_matches_agg_mode_exact(spark):
         _sorted(want, ["l_returnflag", "l_linestatus"]),
         check_dtype=False,
     )
+
+
+def test_price_index_matches_price_index_laspeyres(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.year("l_shipdate").alias("y"),
+        F.col("l_partkey"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias(
+            "cents"
+        ),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("units"),
+    )
+    got = (
+        api.price_index(li, "y", "l_partkey", "cents", "units",
+                        spend_scale=100.0)
+        .withColumnRenamed("period", "year")
+        .withColumnRenamed("n_items", "n_parts")
+        .withColumnRenamed("index", "laspeyres_index")
+    )
+    want = QUERIES["price_index_laspeyres"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["year"]), _sorted(want, ["year"]), check_dtype=False
+    )
+
+
+def test_retention_matrix_matches_retention_triangle(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = api.retention_matrix(o, "o_custkey", "o_orderdate")
+    want = QUERIES["retention_triangle"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["cohort_month", "age_months"]),
+        _sorted(want, ["cohort_month", "age_months"]),
+        check_dtype=False,
+    )

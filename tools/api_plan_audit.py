@@ -262,6 +262,18 @@ def _catalog(api, fx, tmp: str) -> dict:
             ["uid"], "etime", "x",
         ),
         "mode_exact": lambda: api.mode_exact(e, ["stage"], "val"),
+        "price_index": lambda: api.price_index(
+            e.select(
+                (F.col("val") % 3).alias("t"),
+                F.col("stage").alias("i"),
+                (F.col("val") * 7 + 100).cast("bigint").alias("cents"),
+                (F.col("val") % 5 + 1).cast("bigint").alias("units"),
+            ),
+            "t", "i", "cents", "units", spend_scale=100.0,
+        ),
+        "retention_matrix": lambda: api.retention_matrix(
+            e, "uid", "etime"
+        ),
     }
 
 

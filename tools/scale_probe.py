@@ -52,7 +52,14 @@ def synthesize(spark, out_dir: str, tables: set[str] | None = None) -> None:
     d_n = None
     em_n = None
     for k in range(MULT):
-        li_k = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * KEY))
+        # l_suppkey shifts for the same reason p_brand does: the co-supply
+        # graph shapes (triangles, kcore) block on the supplier entity, and
+        # a fixed catalog under Nx facts densifies the graph quadratically
+        # by construction (every pair gains Nx shared orders) — the honest
+        # axis grows the entity catalog with the data.
+        li_k = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * KEY)
+        ).withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * 100_000))
         o_k = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * KEY)).withColumn(
             "o_custkey", F.col("o_custkey") + F.lit(k * KEY)
         )
@@ -858,6 +865,266 @@ def q_cell_diamond(li):
     )
 
 
+def q_triangles(li):
+    """graph_triangle_count's algebra: co-supply edge build (pair join ON
+    THE ORDER KEY with the >=k filter in the aggregate), pinned edge
+    list feeding the oriented a<b<c two-join + the degree union.  The
+    fan-out risks are the per-order supplier pair stage and the triangle
+    join's arrow degrees."""
+    from secdb_spark.operators._helpers import pin
+    from secdb_spark.operators.warehouse_extras37 import COSUPPLY_MIN_ORDERS
+
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    e = pin(
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("ea"), F.col("b.s").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= COSUPPLY_MIN_ORDERS)
+        .select("ea", "eb")
+    )
+    deg = pin(
+        e.select(F.col("ea").alias("v"))
+        .union(e.select(F.col("eb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges"),
+    )
+    da = deg.select(F.col("v").alias("ea"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("eb"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ea") < F.col("eb"))
+    )
+    oe = pin(
+        e.join(da, "ea")
+        .join(db, "eb")
+        .select(
+            F.when(a_first, F.col("ea")).otherwise(F.col("eb")).alias("u"),
+            F.when(a_first, F.col("eb")).otherwise(F.col("ea")).alias("w"),
+        )
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.w"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.w") == F.col("e2.w")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return agg.crossJoin(tri)
+
+
+def q_kendall_pairs(o):
+    """ts_kendall_tau's algebra: fact scan -> calendar-bounded daily
+    frame (pinned) -> O(d^2) within-year pair join -> moment aggregate.
+    At Nx facts the daily frame is the SAME SIZE (same calendar), so the
+    pair stage is constant and growth should track the scan only."""
+    from secdb_spark.operators._helpers import pin
+
+    d = pin(
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            F.year("o_orderdate").alias("y"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("long")
+            .alias("rev"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    prod = (F.col("b.n") - F.col("a.n")) * (F.col("b.rev") - F.col("a.rev"))
+    p = a.join(
+        b, (F.col("a.y") == F.col("b.y")) & (F.col("a.day") < F.col("b.day"))
+    ).select(
+        F.col("a.y").alias("y"),
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+    )
+    return p.groupBy("y").agg(
+        F.sum("conc").alias("c"), F.sum("disc").alias("dd")
+    )
+
+
+def q_assoc_rules(li, p):
+    """assoc_rules_lift's algebra: (order, brand) projection pinned once,
+    basket-key pair join, broadcast brand counts + total.  Fan-out is
+    bounded by per-order brand counts; the brand catalog grows with the
+    synthesized part table (shifted p_brand), keeping per-block size
+    bounded."""
+    from secdb_spark.operators._helpers import pin
+
+    ob = pin(
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = pin(ob.agg(F.countDistinct("o").cast("long").alias("n")))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("nb").alias("n_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("nb").alias("n_b"))
+    return (
+        pr.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            (F.col("n_both") * F.col("n")).cast("double")
+            / (F.col("n_a") * F.col("n_b")),
+        )
+    )
+
+
+def q_interval_overlap(o, li):
+    """join_interval_overlap's algebra: per-order interval build (join +
+    groupBy), pinned, then the overlap predicate riding BEHIND the
+    customer-key equi-join — fan-out bounded by per-customer order
+    counts, never a global interval cross."""
+    from secdb_spark.operators._helpers import pin
+
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = pin(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+            F.datediff(F.col("o_orderdate"), epoch).alias("s"),
+        )
+        .agg(F.max(F.datediff(F.col("l_shipdate"), epoch)).alias("e"))
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & F.col("a.urgent")
+        & ~F.col("b.urgent")
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    )
+    return pairs.groupBy(F.col("a.o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap_pairs")
+    )
+
+
+def q_bbit_calibration(d):
+    """dedup_minhash_b_bit's algebra: pinned tokens -> pinned 16-slot
+    signature -> banded candidate join -> ONE packed int64 agreement
+    compare + exact-Jaccard verify (the dominant stage, like dedup_near)
+    -> bucket aggregate."""
+    from secdb_spark.operators._helpers import pin
+    from secdb_spark.operators.llm_pipeline import N_BANDS, N_MINHASH, _tokens
+
+    toks = pin(d.select("doc_id", F.explode(_tokens()).alias("tok")))
+    ha = F.sha2(F.concat(F.lit("A:"), F.col("tok")), 256)
+    hb = F.sha2(F.concat(F.lit("B:"), F.col("tok")), 256)
+    slices = [
+        F.substring(ha if j < 8 else hb, (j % 8) * 8 + 1, 8)
+        for j in range(N_MINHASH)
+    ]
+    sig = pin(
+        toks.groupBy("doc_id").agg(
+            *[F.min(s).alias(f"h{j}") for j, s in enumerate(slices)]
+        )
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(band)),
+                        *[
+                            F.col(f"h{band * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = pin(
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    card = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    bits = sum(
+        (
+            F.substring(F.col(f"h{j}"), 8, 1)
+            .isin(*"13579bdf")
+            .cast("int")
+            * (1 << j)
+            for j in range(N_MINHASH)
+        ),
+        F.lit(0),
+    ).cast("long")
+    pa = sig.select(F.col("doc_id").alias("doc_a"), bits.alias("wa"))
+    pb = sig.select(F.col("doc_id").alias("doc_b"), bits.alias("wb"))
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb"))
+    agree = F.lit(N_MINHASH) - F.bit_count(
+        F.col("wa").bitwiseXOR(F.col("wb"))
+    )
+    pairs = (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            agree.alias("agree_bits"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0)))
+            ).alias("j_exact"),
+        )
+    )
+    return pairs.groupBy("agree_bits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.avg("j_exact").alias("avg_j_exact"),
+    )
+
+
 def main() -> None:
     global MULT
     ap = argparse.ArgumentParser()
@@ -893,6 +1160,14 @@ def main() -> None:
             tables |= {"documents"}
         if any(s in "blocked fuzzy join" for s in only):
             tables |= {"part"}
+        if any(s in "triangles oriented two-join assoc rules basket-key pairs interval overlap keyed" for s in only):
+            tables |= {"lineitem"}
+        if any(s in "kendall daily pairs calendar-bounded interval overlap keyed" for s in only):
+            tables |= {"orders"}
+        if any(s in "assoc rules basket-key pairs" for s in only):
+            tables |= {"part"}
+        if any(s in "bbit calibration packed agree verify" for s in only):
+            tables |= {"documents"}
         if any(s in "mw rank kernel distinct-value cumsum time-decay attribution touch join" for s in only):
             tables |= {"events"}
         if any(s in "bigram LM position self-join" for s in only):
@@ -975,6 +1250,15 @@ def main() -> None:
          (d1_,), (d4_,)),
         ("cell diamond (pinned star margins)", q_cell_diamond,
          (li1,), (li4,)),
+        ("triangles (oriented two-join)", q_triangles, (li1,), (li4,)),
+        ("kendall daily pairs (calendar-bounded)", q_kendall_pairs,
+         (o1,), (o4,)),
+        ("assoc rules (basket-key pairs)", q_assoc_rules,
+         (li1, p1), (li4, p4)),
+        ("interval overlap (keyed)", q_interval_overlap,
+         (o1, li1), (o4, li4)),
+        ("bbit calibration (packed agree + verify)", q_bbit_calibration,
+         (d1_,), (d4_,)),
     ]
     rows = []
     for name, fn, in1, inN in shapes:

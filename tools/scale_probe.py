@@ -1138,6 +1138,14 @@ def main() -> None:
     MULT = args.mult
     only = [s for s in args.only.split(",") if s]
 
+    # The probe synthesizes MULTx fact tables and runs both scales inside
+    # ONE local JVM — the engine's 8g default (sized for the driver
+    # contract) OOMs unrolling pinned frames at 4x documents (observed:
+    # heap OOM in Dataset.checkpoint during the b-bit shape).  Probes
+    # measure plan scaling, not heap ceilings; give the probe JVM room.
+    import os as _os
+
+    _os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("scale-probe")
     out = tempfile.mkdtemp(prefix="secdb_scale_")
     print(f"synthesizing {MULT}x into {out} ...", file=sys.stderr)

@@ -129,6 +129,7 @@ __all__ = [
     "mode_exact",
     "price_index",
     "retention_matrix",
+    "stream_running_stats",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -3369,4 +3370,124 @@ def retention_matrix(
             .alias("age_months"),
         )
         .agg(F.countDistinct("_e").cast("long").alias("n_active"))
+    )
+
+
+def stream_running_stats(
+    sdf: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    scale: int = 100,
+    backend: str = "classic",
+) -> DataFrame:
+    """Running per-key count + exact fixed-point total on ANY streaming
+    OR batch DataFrame (stream_stateful's algebra with key/value
+    parameterized): each emitted row carries the running n_events and
+    total_value for its key, state carried across micro-batches as
+    (count, integer-units) so the running total is shuffle- and
+    batch-boundary-exact; total_value = units / scale is the only IEEE
+    step.  Values quantize half-up (floor(v * scale + 0.5), the engine's
+    dsum_scaled convention — valid for nonnegative values).
+
+    `backend` selects the stateful engine on streaming input:
+    - "classic": applyInPandasWithState (GroupState) — runs everywhere.
+    - "tws": Spark 4 transformWithStateInPandas (StatefulProcessor +
+      ValueState) — the engine that adds state TTL, timers, and state
+      schema evolution at cluster scale.  Its state protocol needs the
+      `protobuf` package; without it this raises RuntimeError pointing
+      back to "classic" (same semantics, same output).
+
+    Batch input computes the identical final aggregate directly (the
+    batch-equivalence twin the streaming tests pin against).
+
+    Scale shape: state is one (long, long) per key — bounded by key
+    cardinality, not stream length; the only shuffle is the groupBy on
+    the key columns."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (used inside the closures)
+
+    if not sdf.isStreaming:
+        unit_sum = F.sum(
+            F.floor(F.col(val_col) * scale + 0.5).cast("long")
+        )
+        return sdf.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (unit_sum / float(scale)).alias("total_value"),
+        )
+
+    key_schema = ", ".join(
+        f"{c} {sdf.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    out_schema = f"{key_schema}, n_events long, total_value double"
+
+    if backend == "classic":
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(key, pdfs, state: GroupState):
+            import pandas as pd
+
+            n, units = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                units += int(np.floor(pdf[val_col] * scale + 0.5).sum())
+            state.update((n, units))
+            yield pd.DataFrame(
+                {
+                    **{c: [k] for c, k in zip(key_cols, key)},
+                    "n_events": [n],
+                    "total_value": [units / scale],
+                }
+            )
+
+        return sdf.groupBy(*key_cols).applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="n long, units long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    if backend != "tws":
+        raise ValueError(f"unknown backend {backend!r}: 'classic' or 'tws'")
+
+    try:  # transformWithState speaks protobuf to the state server
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "backend='tws' needs the protobuf package (Spark 4's "
+            "transformWithState state protocol); this environment lacks "
+            "it — use backend='classic' (same semantics, same output)"
+        ) from exc
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Running(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState("agg", "n long, units long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            got = self._st.get()
+            n, units = got if got is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                units += int(np.floor(pdf[val_col] * scale + 0.5).sum())
+            self._st.update((n, units))
+            yield pd.DataFrame(
+                {
+                    **{c: [k] for c, k in zip(key_cols, key)},
+                    "n_events": [n],
+                    "total_value": [units / scale],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return sdf.groupBy(*key_cols).transformWithStateInPandas(
+        _Running(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -1417,3 +1417,104 @@ def test_histogram_sub_centi_width_labels_distinct(spark):
     assert h.bucket_lo.nunique() == 10
     for r in h.itertuples():
         assert abs(r.bucket_lo - r.bucket * 0.001) < 1e-12
+
+
+def test_stream_running_stats_batch_equivalence(spark):
+    """classic backend through availableNow: the FINAL update-mode row
+    per key must equal the batch twin (stream_stateful's D-class rule,
+    generic columns)."""
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    rows = [
+        (i % 5, 1.07 * i, datetime(2025, 1, 1, 10, i % 60))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "uid int, value double, t timestamp")
+    d = tempfile.mkdtemp(prefix=f"api_rstats_{uuid.uuid4().hex[:8]}_")
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+
+    streamed = api.run_available_now(
+        api.stream_running_stats(sdf, ["uid"], "value"),
+        output_mode="update",
+    ).toPandas()
+    # update mode emits one row per (key, micro-batch); keep the final
+    final = streamed.groupby("uid").last().sort_index()
+    batch = (
+        api.stream_running_stats(df, ["uid"], "value")
+        .toPandas()
+        .set_index("uid")
+        .sort_index()
+    )
+    assert final["n_events"].to_dict() == batch["n_events"].to_dict()
+    assert final["total_value"].to_dict() == batch["total_value"].to_dict()
+
+
+def test_stream_running_stats_matches_certified_kernel(spark):
+    """Batch path on the corpus equals the certified stream_stateful
+    oracle shape (count + cents-exact total per user)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = (
+        api.stream_running_stats(ev, ["user_id"], "value")
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                / 100.0
+            ).alias("total_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got["n_events"].to_dict() == want["n_events"].to_dict()
+    assert got["total_value"].to_dict() == want["total_value"].to_dict()
+
+
+def test_stream_running_stats_tws_gate(spark):
+    """backend='tws' needs protobuf; without it the gate must raise the
+    documented RuntimeError (and never a cryptic worker crash).  If the
+    environment HAS protobuf the call must at least build the plan."""
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    import pytest
+
+    rows = [(1, 2.0, datetime(2025, 1, 1))]
+    df = spark.createDataFrame(rows, "uid int, value double, t timestamp")
+    d = tempfile.mkdtemp(prefix=f"api_tws_{uuid.uuid4().hex[:8]}_")
+    df.write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    if has_protobuf:
+        out = api.stream_running_stats(sdf, ["uid"], "value", backend="tws")
+        assert out.isStreaming
+    else:
+        with pytest.raises(RuntimeError, match="classic"):
+            api.stream_running_stats(sdf, ["uid"], "value", backend="tws")
+
+
+def test_stream_running_stats_rejects_unknown_backend(spark):
+    import pytest
+
+    sdf = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="unknown backend"):
+        api.stream_running_stats(sdf, ["value"], "value", backend="nope")

@@ -274,6 +274,12 @@ def _catalog(api, fx, tmp: str) -> dict:
         "retention_matrix": lambda: api.retention_matrix(
             e, "uid", "etime"
         ),
+        # batch path of the dual-backend streaming kernel (the streaming
+        # plan is state-store-bound, not scan-bound)
+        "stream_running_stats": lambda: api.stream_running_stats(
+            e.select("uid", F.col("val").cast("double").alias("value")),
+            ["uid"], "value",
+        ),
     }
 
 

@@ -130,6 +130,8 @@ __all__ = [
     "price_index",
     "retention_matrix",
     "stream_running_stats",
+    "plan_scan_census",
+    "assert_single_scan",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -3491,3 +3493,61 @@ def stream_running_stats(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def plan_scan_census(df: DataFrame, execute: bool = False) -> DataFrame:
+    """Scan/exchange census of ANY DataFrame's physical plan: one row per
+    scanned source (file path when the plan exposes it, else the scan
+    relation name) with its scan count, plus one `_exchanges` row — the
+    engine's multiscan audit (the discipline that caught 76 Catalyst
+    recompute defects in this repo, see SCALE.md §50/§59) exposed as a
+    user function.  `execute=True` materializes through the noop sink
+    first and reads the FINAL adaptive plan (under AQE, exchange/stage
+    reuse only shows post-execution — the static count can overstate).
+
+    Why it matters at 100 TB: Catalyst has no cross-DAG common
+    subexpression elimination, so every extra consumer of a DataFrame
+    re-executes its upstream down to the scans.  A pipeline that reads a
+    fact table 18x instead of 1x is an 18x cost bug that is invisible in
+    the API and obvious in this census.  Returns (source, n_scans)."""
+    import re as _re
+    from collections import Counter as _Counter
+
+    if execute:
+        df.write.mode("overwrite").format("noop").save()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    scans = _re.findall(r"\(\d+\) Scan (parquet|csv|json|text) ?(\S*)", plan)
+    locs = _re.findall(r"Location: \S+ \[([^\]]*)\]", plan)
+    per = (
+        _Counter(locs)
+        if len(locs) == len(scans)
+        else _Counter(t[1] or f"anon_{i}" for i, t in enumerate(scans))
+    )
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    rows = [(str(k), int(v)) for k, v in sorted(per.items())]
+    rows.append(("_exchanges", n_exchanges))
+    return df.sparkSession.createDataFrame(rows, "source string, n_scans int")
+
+
+def assert_single_scan(df: DataFrame, max_scans: int = 2,
+                       execute: bool = False) -> None:
+    """Raise AssertionError if any single source is scanned more than
+    `max_scans` times in df's physical plan — the multiscan gate as a
+    pipeline assertion (pair it with a pinned intermediate via
+    localCheckpoint when it fires; see plan_scan_census).  The default
+    threshold 2 matches the repo audit's flag-at-3 contract."""
+    census = {
+        r["source"]: r["n_scans"] for r in plan_scan_census(
+            df, execute=execute
+        ).collect()
+    }
+    census.pop("_exchanges", None)
+    worst = {s: n for s, n in census.items() if n > max_scans}
+    if worst:
+        raise AssertionError(
+            f"multiscan: sources scanned more than {max_scans}x: {worst} "
+            "— pin the shared intermediate (localCheckpoint) or "
+            "restructure to a single pass"
+        )

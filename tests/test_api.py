@@ -1518,3 +1518,44 @@ def test_stream_running_stats_rejects_unknown_backend(spark):
     sdf = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="unknown backend"):
         api.stream_running_stats(sdf, ["value"], "value", backend="nope")
+
+
+def test_plan_scan_census_counts_duplicate_scans(spark):
+    """An unpinned two-consumer self-union must show 2 scans of the same
+    parquet source; the census sees exactly what the repo audit sees."""
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix=f"api_census_{uuid.uuid4().hex[:8]}_")
+    spark.range(100).write.mode("overwrite").parquet(d)
+    base = spark.read.parquet(d)
+    two = base.unionByName(base)
+    census = {
+        r["source"]: r["n_scans"]
+        for r in api.plan_scan_census(two).collect()
+    }
+    n_ex = census.pop("_exchanges")
+    assert n_ex >= 0
+    assert sum(census.values()) == 2
+    one = {
+        r["source"]: r["n_scans"]
+        for r in api.plan_scan_census(base).collect()
+    }
+    one.pop("_exchanges")
+    assert sum(one.values()) == 1
+
+
+def test_assert_single_scan_gate(spark):
+    import tempfile
+    import uuid
+
+    import pytest
+
+    d = tempfile.mkdtemp(prefix=f"api_gate_{uuid.uuid4().hex[:8]}_")
+    spark.range(50).write.mode("overwrite").parquet(d)
+    base = spark.read.parquet(d)
+    api.assert_single_scan(base)  # 1 scan: passes
+    tri = base.unionByName(base).unionByName(base)
+    with pytest.raises(AssertionError, match="multiscan"):
+        api.assert_single_scan(tri)
+    api.assert_single_scan(tri, max_scans=3)  # raised threshold passes

@@ -43,6 +43,8 @@ ALLOWED_MULTISCAN: dict[str, str] = {}
 SKIP: dict[str, str] = {
     "token_set": "Column-expression helper, not a DataFrame function",
     "run_available_now": "executes a streaming query; nothing to plan-audit",
+    "plan_scan_census": "IS the audit: reads plans, scans nothing itself",
+    "assert_single_scan": "IS the audit gate: reads plans, scans nothing",
 }
 
 

@@ -1559,3 +1559,63 @@ def test_assert_single_scan_gate(spark):
     with pytest.raises(AssertionError, match="multiscan"):
         api.assert_single_scan(tri)
     api.assert_single_scan(tri, max_scans=3)  # raised threshold passes
+
+
+def test_triangle_count_edge_graphs(spark):
+    """Empty edge list, star graph (wedges but no closure), and a single
+    triangle — the degree-orientation rewrite must keep every edge
+    case."""
+    empty = spark.createDataFrame([], "a int, b int")
+    r = api.triangle_count(empty, "a", "b").collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (0, 0, 0)
+    assert r["global_clustering"] is None  # 0 wedges -> NULL, not 0/0
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "a int, b int")
+    r = api.triangle_count(star, "a", "b").collect()[0]
+    assert r["n_triangles"] == 0 and r["n_edges"] == 5
+    assert r["global_clustering"] == 0.0
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a int, b int")
+    r = api.triangle_count(tri, "a", "b").collect()[0]
+    assert r["n_triangles"] == 1 and r["global_clustering"] == 1.0
+
+
+def test_price_index_explicit_base_period(spark):
+    df = spark.createDataFrame(
+        [(2020, "x", 100, 1), (2021, "x", 150, 1),
+         (2020, "y", 200, 2), (2021, "y", 100, 2)],
+        "t int, i string, cents long, units long",
+    )
+    out = {
+        r["period"]: r["index"]
+        for r in api.price_index(
+            df, "t", "i", "cents", "units",
+            spend_scale=100.0, base_period=2021,
+        ).collect()
+    }
+    assert abs(out[2021] - 100.0) < 1e-9  # base year is exactly 100
+    # 2020 vs 2021 base: x 1.00->1.50 (q0=1), y 1.00<-0.50 (q0=2):
+    # sum(p_2020*q0)=1.0*1+1.0*2=3.0 over sum(p_2021*q0)=1.5+1.0=2.5
+    assert abs(out[2020] - 100.0 * 3.0 / 2.5) < 1e-9
+
+
+def test_retention_matrix_single_entity(spark):
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame(
+        [(1, "2024-01-05"), (1, "2024-03-02")], "e int, d string"
+    ).select("e", F.col("d").cast("timestamp").alias("d"))
+    rows = {
+        (str(r["cohort_month"])[:7], r["age_months"]): r["n_active"]
+        for r in api.retention_matrix(one, "e", "d").collect()
+    }
+    assert rows[("2024-01", 0)] == 1 and rows[("2024-01", 2)] == 1
+    assert ("2024-01", 1) not in rows  # inactive month: absent, not 0
+
+
+def test_mode_exact_string_values(spark):
+    """The generic kernel's tie-break (smallest value) must hold on
+    string domains, not just the certified int kernel's."""
+    sdf = spark.createDataFrame(
+        [("g", "b"), ("g", "a"), ("g", "b"), ("g", "a")], "g string, v string"
+    )
+    m = api.mode_exact(sdf, ["g"], "v").collect()[0]
+    assert m["mode_value"] == "a" and m["n_at_mode"] == 2

@@ -205,6 +205,29 @@ def main() -> None:
                 f"wall={w:.1f}s unconverged={unc}"
             )
 
+    if "bbit" in only:
+        # §69 follow-up: the b-bit calibration on the HONEST axis.  The
+        # generic probe's verbatim duplication grows true candidate
+        # pairs ~16x at 4x (measured: 5.96M -> 95.4M); disjoint vocab
+        # grows them exactly 4x, so the wall ratio here reads the
+        # plan's scaling, not the problem's.
+        import os as _os
+        sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from scale_probe import q_bbit_calibration
+
+        def _t(df):
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            return time.time() - t0
+
+        big = synth_docs(spark, 4)
+        w1 = _t(q_bbit_calibration(base))
+        w4 = _t(q_bbit_calibration(big))
+        print(
+            f"bbit_calibration[disjoint-vocab]: 1x wall={w1:.1f}s | "
+            f"4x wall={w4:.1f}s | ratio={w4 / w1:.2f}"
+        )
+
     if "vs" in only:
         n1, w1, b1 = time_vs(spark, 1)
         nk, wk, bk = time_vs(spark, 10)

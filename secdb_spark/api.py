@@ -132,6 +132,7 @@ __all__ = [
     "stream_running_stats",
     "plan_scan_census",
     "assert_single_scan",
+    "kcore",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -3551,3 +3552,63 @@ def assert_single_scan(df: DataFrame, max_scans: int = 2,
             "— pin the shared intermediate (localCheckpoint) or "
             "restructure to a single pass"
         )
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int = 10,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core peeling of ANY undirected edge list (graph_kcore's algebra
+    with edges/k/rounds parameterized): repeatedly drop nodes with live
+    degree < k and their incident edges, `rounds` fixed rounds — the
+    degeneracy decomposition isolating the densely-interlocked core
+    (community detection / influence seeding preprocessing).  Edges
+    symmetrize internally (pass each undirected edge once); NULL
+    endpoints and self-loops drop.  Fixed rounds keeps the cost bound
+    (the certified kernel's discipline) — check convergence by
+    comparing the result against a rounds+1 run.  Returns the live
+    node set, one row per surviving node: (node, degree) with the
+    degree measured in the final live subgraph.
+
+    Scale shape: each round is one degree-count shuffle co-partitioned
+    on the node key + one two-sided semi-join edge filter; the live
+    edge/node sets pin per round (without the pin, each round's three
+    references to the previous round compound to 3^rounds recomputes —
+    the un-pinned form executed 166 scans, SCALE.md §50)."""
+    from .operators._helpers import pin
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+        )
+        .filter(
+            F.col("_a").isNotNull()
+            & F.col("_b").isNotNull()
+            & (F.col("_a") != F.col("_b"))
+        )
+        .distinct()
+    )
+    u = pin(
+        e.unionByName(
+            e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+    )
+    for _ in range(rounds):
+        live = pin(
+            u.groupBy("_a")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select(F.col("_a").alias("_node"))
+        )
+        u = pin(
+            u.join(live.select(F.col("_node").alias("_a")), "_a")
+            .join(live.select(F.col("_node").alias("_b")), "_b")
+            .select("_a", "_b")
+        )
+    return (
+        u.groupBy(F.col("_a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

@@ -970,3 +970,29 @@ def test_retention_matrix_matches_retention_triangle(spark):
         _sorted(want, ["cohort_month", "age_months"]),
         check_dtype=False,
     )
+
+
+def test_kcore_matches_graph_kcore(spark):
+    """api.kcore's surviving node set on the operator's trade graph must
+    equal the certified kernel's final live count (live_r4) — and the
+    final live degrees must all clear k."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    got = api.kcore(e, "a", "b", k=10, rounds=4).toPandas()
+    want = QUERIES["graph_kcore"](spark, SF_DIR).collect()[0]
+    assert len(got) == want["live_r4"]
+    assert (got["degree"] >= 10).all()

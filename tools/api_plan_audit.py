@@ -276,6 +276,17 @@ def _catalog(api, fx, tmp: str) -> dict:
         "retention_matrix": lambda: api.retention_matrix(
             e, "uid", "etime"
         ),
+        "gini": lambda: api.gini(
+            e.select("stage", F.col("val").cast("bigint").alias("x"), "uid"),
+            "x", by=["stage"], tiebreak_col="uid",
+        ),
+        "hhi": lambda: api.hhi(
+            e.select("stage", F.col("val").cast("bigint").alias("x")),
+            "x", by=["stage"],
+        ),
+        "benford": lambda: api.benford(
+            e.select((F.col("val") + 1).alias("v")), "v"
+        ),
         "kcore": lambda: api.kcore(
             e.select(F.col("uid").alias("a"),
                      ((F.col("uid") + 1) % 5).alias("b")),

@@ -136,6 +136,7 @@ __all__ = [
     "gini",
     "hhi",
     "benford",
+    "spearman",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -3713,3 +3714,66 @@ def benford(df: DataFrame, val_col: str) -> DataFrame:
             F.round(F.log10(1 + 1 / F.col("d")), 4).alias("expected"),
         )
     )
+
+
+def spearman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation between ANY two columns per group
+    (spearman_corr's algebra with columns parameterized) — the
+    tie-robust monotonic-association check run before trusting a
+    Pearson number.  Midranks never touch a per-row window: they come
+    from the DISTINCT-VALUE counts (2*midrank = 2*cum + c + 1 is an
+    integer) via the grouped bucketed prefix-sum kernel over the value
+    spine, joined back to rows on (group, value).  All five rank
+    moments are exact integer sums (DECIMAL-widened); only the closing
+    rho tree is IEEE (round 4).  Returns (by..., n, rho).
+
+    Scale shape: one groupBy per axis over the distinct-value spine
+    (never row-sized windows), two value-keyed joins back, one
+    combinable closing aggregate."""
+    from .operators._global_order import grouped_range_prefix_sum
+    from .operators._helpers import r4
+
+    by = by or []
+    dec19 = "decimal(19,0)"
+
+    def midrank2(col: str, out: str) -> DataFrame:
+        d = df.groupBy(*by, col).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        cum = grouped_range_prefix_sum(d, list(by), col, "c", out="_cw")
+        return cum.select(
+            *by, col,
+            (
+                2 * F.col("_cw").cast("long")
+                - F.col("_v").cast("long") + 1
+            ).alias(out),
+        )
+
+    rx = midrank2(x_col, "_r2x")
+    ry = midrank2(y_col, "_r2y")
+    rows_r = (
+        df.join(rx, [*by, x_col])
+        .join(ry, [*by, y_col])
+        .select(*by, "_r2x", "_r2y")
+    )
+    x = F.col("_r2x").cast(dec19)
+    y = F.col("_r2y").cast(dec19)
+    m = rows_r.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum(x * x).cast("double").alias("_sxx"),
+        F.sum(y * y).cast("double").alias("_syy"),
+        F.sum(x * y).cast("double").alias("_sxy"),
+    )
+    num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    return m.select(*by, "n", r4(num / den).alias("rho"))

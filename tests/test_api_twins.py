@@ -1048,3 +1048,17 @@ def test_benford_matches_audit_benford(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, ["d"]), _sorted(want, ["d"]), check_dtype=False
     )
+
+
+def test_spearman_matches_spearman_corr(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    got = api.spearman(
+        li, "l_quantity", "l_extendedprice", by=["l_returnflag"]
+    )
+    want = QUERIES["spearman_corr"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_returnflag"]), _sorted(want, ["l_returnflag"]),
+        check_dtype=False,
+    )

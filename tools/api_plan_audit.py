@@ -276,6 +276,11 @@ def _catalog(api, fx, tmp: str) -> dict:
         "retention_matrix": lambda: api.retention_matrix(
             e, "uid", "etime"
         ),
+        "spearman": lambda: api.spearman(
+            e.select("stage", F.col("val").cast("long").alias("x"),
+                     ((F.col("val") * 3) % 11).cast("long").alias("y")),
+            "x", "y", by=["stage"],
+        ),
         "gini": lambda: api.gini(
             e.select("stage", F.col("val").cast("bigint").alias("x"), "uid"),
             "x", by=["stage"], tiebreak_col="uid",

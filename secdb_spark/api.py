@@ -137,6 +137,7 @@ __all__ = [
     "hhi",
     "benford",
     "spearman",
+    "theil",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -3777,3 +3778,34 @@ def spearman(
         * (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
     )
     return m.select(*by, "n", r4(num / den).alias("rho"))
+
+
+def theil(
+    df: DataFrame,
+    val_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Theil T inequality index of ANY positive integer-valued column
+    per group (agg_theil's algebra with columns parameterized) — the
+    decomposable cousin of gini (Theil sums across subgroups; Gini does
+    not): T = sum(x*ln(x))/X + ln(n/X) with X = sum(x).  Pass x in
+    exact integer units; the x*ln(x) terms quantize to DECIMAL(38,12)
+    before the exact (shuffle-order-free) sum and the closing
+    expression is one shared IEEE tree (round 4).  T = 0 is perfect
+    equality; ln(n) the maximum.  Returns (by..., n, theil).
+
+    Scale shape: one fully map-side-combinable aggregate — no window,
+    no second pass."""
+    from .operators._helpers import r4
+
+    by = by or []
+    dec12 = "decimal(38,12)"
+    n = F.count(F.lit(1))
+    big_x = F.sum(val_col)
+    s = F.sum(
+        (F.col(val_col) * F.log(F.col(val_col).cast("double"))).cast(dec12)
+    ).cast("double")
+    return df.groupBy(*by).agg(
+        n.cast("long").alias("n"),
+        r4(s / big_x + F.log(n.cast("double") / big_x)).alias("theil"),
+    )

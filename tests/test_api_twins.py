@@ -1062,3 +1062,28 @@ def test_spearman_matches_spearman_corr(spark):
         _sorted(got, ["l_returnflag"]), _sorted(want, ["l_returnflag"]),
         check_dtype=False,
     )
+
+
+def test_theil_matches_agg_theil(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", F.col("c_nationkey").alias("nation")
+    )
+    cr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("nation", "o_custkey")
+        .agg(F.sum("v").cast("long").alias("x"))
+    )
+    got = api.theil(cr, "x", by=["nation"]).withColumnRenamed(
+        "n", "n_customers"
+    )
+    want = QUERIES["agg_theil"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["nation"]), _sorted(want, ["nation"]),
+        check_dtype=False,
+    )

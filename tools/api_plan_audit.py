@@ -276,6 +276,10 @@ def _catalog(api, fx, tmp: str) -> dict:
         "retention_matrix": lambda: api.retention_matrix(
             e, "uid", "etime"
         ),
+        "theil": lambda: api.theil(
+            e.select("stage", (F.col("val") + 1).cast("long").alias("x")),
+            "x", by=["stage"],
+        ),
         "spearman": lambda: api.spearman(
             e.select("stage", F.col("val").cast("long").alias("x"),
                      ((F.col("val") * 3) % 11).cast("long").alias("y")),

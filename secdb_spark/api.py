@@ -138,6 +138,7 @@ __all__ = [
     "benford",
     "spearman",
     "theil",
+    "cramers_v",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -3808,4 +3809,59 @@ def theil(
     return df.groupBy(*by).agg(
         n.cast("long").alias("n"),
         r4(s / big_x + F.log(n.cast("double") / big_x)).alias("theil"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V for ANY two categorical columns (assoc_cramers_v's
+    algebra with columns parameterized) — the bounded [0,1] effect size
+    that makes chi-square comparable across tables of different shape.
+    Observed cells come from one map-side-combinable groupBy; expected
+    counts from broadcast margins; each (o-e)^2/e cell quantizes to
+    DECIMAL(38,12) before the order-free sum (round 4 presentation).
+    Returns one row (n, r_levels, c_levels, dof, chi2, cramers_v).
+
+    Scale shape: only the contingency count touches data — everything
+    downstream is |levels_a| x |levels_b|-sized, margins broadcast."""
+    from .operators._helpers import pin, r4
+
+    dec12 = "decimal(38,12)"
+    ct = pin(
+        df.groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b")).agg(
+            F.count(F.lit(1)).cast("long").alias("_o")
+        )
+    )
+    rt = ct.groupBy("_a").agg(F.sum("_o").cast("long").alias("_r"))
+    cl = ct.groupBy("_b").agg(F.sum("_o").cast("long").alias("_c"))
+    nn = pin(
+        ct.agg(
+            F.sum("_o").cast("long").alias("n"),
+            F.countDistinct("_a").cast("long").alias("r_levels"),
+            F.countDistinct("_b").cast("long").alias("c_levels"),
+        )
+    )
+    e = F.col("_r").cast("double") * F.col("_c") / F.col("n")
+    cell = F.pow(F.col("_o") - e, 2) / e
+    chi = (
+        ct.join(F.broadcast(rt), "_a")
+        .join(F.broadcast(cl), "_b")
+        .crossJoin(F.broadcast(nn))
+        .agg(F.sum(cell.cast(dec12)).cast("double").alias("chi2"))
+    )
+    return nn.crossJoin(F.broadcast(chi)).select(
+        "n",
+        "r_levels",
+        "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+        r4(F.col("chi2")).alias("chi2"),
+        r4(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("r_levels", "c_levels") - 1))
+            )
+        ).alias("cramers_v"),
     )

@@ -1087,3 +1087,15 @@ def test_theil_matches_agg_theil(spark):
         _sorted(got, ["nation"]), _sorted(want, ["nation"]),
         check_dtype=False,
     )
+
+
+def test_cramers_v_matches_assoc_cramers_v(spark):
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    got = api.cramers_v(p, "p_brand", "p_size").withColumnRenamed(
+        "n", "n_parts"
+    )
+    want = QUERIES["assoc_cramers_v"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_parts"]), _sorted(want, ["n_parts"]),
+        check_dtype=False,
+    )

@@ -276,6 +276,7 @@ def _catalog(api, fx, tmp: str) -> dict:
         "retention_matrix": lambda: api.retention_matrix(
             e, "uid", "etime"
         ),
+        "cramers_v": lambda: api.cramers_v(e, "stage", "uid"),
         "theil": lambda: api.theil(
             e.select("stage", (F.col("val") + 1).cast("long").alias("x")),
             "x", by=["stage"],

@@ -139,6 +139,8 @@ __all__ = [
     "spearman",
     "theil",
     "cramers_v",
+    "zscore_outliers",
+    "abc_classify",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -3864,4 +3866,74 @@ def cramers_v(
                 / (F.col("n") * (F.least("r_levels", "c_levels") - 1))
             )
         ).alias("cramers_v"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    val_col: str,
+    by: list[str] | None = None,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Rows whose value lies beyond `threshold` sigma of their group's
+    own mean (anomaly_zscore's algebra on ANY pre-aggregated frame):
+    the stats side is |groups| rows, broadcast back, so the input is
+    scanned and shuffled exactly once.  Feed it a continuous aggregate
+    (e.g. hourly counts), not a raw log — the monitoring query a
+    100 TB event store runs every hour.  Returns the flagged input
+    rows + zscore (round 4)."""
+    by = by or []
+    stats = df.groupBy(*by).agg(
+        F.avg(val_col).alias("_mu"),
+        F.stddev_samp(val_col).alias("_sigma"),
+    )
+    z = (F.col(val_col) - F.col("_mu")) / F.col("_sigma")
+    joined = (
+        df.join(F.broadcast(stats), by)
+        if by
+        else df.crossJoin(F.broadcast(stats))
+    )
+    return (
+        joined.filter(F.abs(z) > threshold)
+        .withColumn("zscore", F.round(z, 4))
+        .drop("_mu", "_sigma")
+    )
+
+
+def abc_classify(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    break_a: float = 0.80,
+    break_b: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto classification of ANY (key, value) frame
+    (part_abc_pareto's algebra with columns and breaks parameterized):
+    rank by (value DESC, keys), cumulative share against the grand
+    total, classes at the break points.  Always takes the scale path —
+    the bucketed two-pass prefix sum (no single-partition window);
+    every sum accumulates in DECIMAL(38,6), so cum_share is an
+    exact-over-exact division and the class thresholds compare
+    identically at any partition count.  Pass the PRE-AGGREGATED frame
+    (one row per key).  Returns (key_cols..., value, cum_share,
+    abc_class)."""
+    from .operators._global_order import bucketed_prefix_sum
+    from .operators._helpers import dsum, r4
+
+    rev = df.select(*key_cols, F.col(val_col).alias("_v"))
+    tot = rev.agg(dsum(F.col("_v")).alias("_total"))
+    cum = bucketed_prefix_sum(
+        rev, "_v", list(key_cols), "_v", desc=True, out="_cum"
+    )
+    ranked = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.col("_cum").cast("double") / F.col("_total")
+    )
+    return ranked.select(
+        *key_cols,
+        r4(F.col("_v")).alias("value"),
+        r4(F.col("cum_share")).alias("cum_share"),
+        F.when(F.col("cum_share") <= break_a, "A")
+        .when(F.col("cum_share") <= break_b, "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )

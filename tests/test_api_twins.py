@@ -1099,3 +1099,43 @@ def test_cramers_v_matches_assoc_cramers_v(spark):
         _sorted(got, ["n_parts"]), _sorted(want, ["n_parts"]),
         check_dtype=False,
     )
+
+
+def test_zscore_outliers_matches_anomaly_zscore(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    got = api.zscore_outliers(
+        hourly, "n_events", by=["event_type"], threshold=2.5
+    ).select("event_type", "bucket", "n_events", "zscore")
+    want = QUERIES["anomaly_zscore"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type", "bucket"]),
+        _sorted(want, ["event_type", "bucket"]),
+        check_dtype=False,
+    )
+
+
+def test_abc_classify_matches_part_abc_pareto(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators._helpers import dsum
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rev = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    got = (
+        api.abc_classify(rev, ["l_partkey"], "revenue")
+        .withColumnRenamed("value", "revenue")
+    )
+    want = QUERIES["part_abc_pareto"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_partkey"]), _sorted(want, ["l_partkey"]),
+        check_dtype=False,
+    )

@@ -277,6 +277,14 @@ def _catalog(api, fx, tmp: str) -> dict:
             e, "uid", "etime"
         ),
         "cramers_v": lambda: api.cramers_v(e, "stage", "uid"),
+        "zscore_outliers": lambda: api.zscore_outliers(
+            e, "val", by=["stage"], threshold=0.5
+        ),
+        "abc_classify": lambda: api.abc_classify(
+            e.select("uid", F.col("val").cast("decimal(38,6)").alias("v"))
+            .groupBy("uid").agg(F.sum("v").alias("v")),
+            ["uid"], "v",
+        ),
         "theil": lambda: api.theil(
             e.select("stage", (F.col("val") + 1).cast("long").alias("x")),
             "x", by=["stage"],

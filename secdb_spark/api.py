@@ -141,6 +141,10 @@ __all__ = [
     "cramers_v",
     "zscore_outliers",
     "abc_classify",
+    "ewma",
+    "drawdown",
+    "vwap",
+    "bollinger",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -3936,4 +3940,176 @@ def abc_classify(
         .when(F.col("cum_share") <= break_b, "B")
         .otherwise("C")
         .alias("abc_class"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    val_col: str,
+    order_cols: list[str],
+    by: list[str] | None = None,
+    alpha: float = 0.5,
+    k: int = 5,
+) -> DataFrame:
+    """Bounded-lookback exponentially-weighted moving average of ANY
+    value column (win_ewma's algebra with columns, alpha and the
+    lookback K parameterized).  The infinite recursion
+    ewma_t = a*x_t + (1-a)*ewma_{t-1} is not window-expressible without
+    per-row recursion; the bounded-K form (weights alpha^i over the last
+    K observations, renormalized at partition heads) is an exact K-term
+    lag expression.  All K lags share ONE window spec, so Catalyst plans
+    a single Window node over a single `by` shuffle+sort with per-row
+    state of K doubles; truncation error is bounded at (1-a)*a^K of
+    total weight.  Pass tie-breaking order_cols (e.g. [ts, id]) — a
+    non-deterministic sort makes the smoothing non-reproducible.
+    Returns the input rows + `ewma` (round 4)."""
+    by = by or []
+    w = (
+        Window.partitionBy(*by).orderBy(*order_cols)
+        if by
+        else Window.orderBy(*order_cols)
+    )
+    num = sum(
+        (
+            F.when(
+                F.lag(val_col, i).over(w).isNotNull(),
+                F.lit(alpha**i) * F.lag(val_col, i).over(w),
+            ).otherwise(F.lit(0.0))
+            for i in range(k)
+        ),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.lag(val_col, i).over(w).isNotNull(), F.lit(alpha**i)
+            ).otherwise(F.lit(0.0))
+            for i in range(k)
+        ),
+        start=F.lit(0.0),
+    )
+    return df.withColumn("ewma", F.round(num / den, 4))
+
+
+def drawdown(
+    df: DataFrame,
+    val_col: str,
+    order_cols: list[str],
+    by: list[str],
+    cumulate: bool = True,
+) -> DataFrame:
+    """Maximum drawdown per group of ANY ordered series (win_drawdown's
+    algebra with columns parameterized): equity is the running sum of
+    `val_col` (cumulate=True, e.g. per-trade P&L) or the raw value
+    itself (cumulate=False, e.g. an already-cumulative price level);
+    drawdown(t) = running-peak(equity) - equity(t), reported as the
+    per-group max.  Feed an exactly-representable series (ints /
+    fixed-point cents) for cross-engine determinism — float running
+    sums are order-dependent.  Pass tie-breaking order_cols.
+
+    Scale shape: ONE shuffle on `by` shared by both window passes and
+    the final aggregate (same partitioning expression — Catalyst plans
+    a single Exchange); within-partition sort once.  Never a global
+    window.  Returns (by..., n_rows, max_dd)."""
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    equity = F.sum(val_col).over(w) if cumulate else F.col(val_col)
+    eq = df.withColumn("_equity", equity).withColumn(
+        "_peak", F.max("_equity").over(w)
+    )
+    return eq.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.col("_peak") - F.col("_equity")).alias("max_dd"),
+    )
+
+
+def vwap(
+    df: DataFrame,
+    price_col: str,
+    qty_col: str,
+    by: list[str],
+    scale: int = 2,
+) -> DataFrame:
+    """Volume-weighted average price per group on ANY (price, qty)
+    frame (ts_vwap's algebra with columns parameterized):
+    sum(price)/sum(qty) with both sums accumulated in int64 fixed-point
+    at `scale` decimal digits, so the ratio is ONE double division of
+    two exact integers — deterministic at any partition count, then
+    round(4).  Overflow bound: |sum| * 10^scale < 2^63.  Bucket the
+    time axis yourself (pass e.g. date_trunc('month', ts) as a by
+    column).  Returns (by..., price_c, qty_c, vwap4) where the _c
+    columns are the raw fixed-point sums.
+
+    Scale shape: single hash aggregate, fully map-side combinable —
+    the textbook partial-agg-then-tiny-shuffle plan at 100 TB."""
+    from .operators._helpers import dsum_scaled
+
+    price = dsum_scaled(F.col(price_col), scale)
+    qty = dsum_scaled(F.col(qty_col), scale)
+    return df.groupBy(*by).agg(
+        price.alias("price_c"),
+        qty.alias("qty_c"),
+        F.round(price.cast("double") / qty, 4).alias("vwap4"),
+    )
+
+
+def bollinger(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    by: list[str],
+    days: int = 7,
+    k: float = 2.0,
+    scale: int = 4,
+) -> DataFrame:
+    """Bollinger bands over ANY pre-bucketed series (ts_bollinger's
+    algebra with columns, frame width and band half-width
+    parameterized): `days`-row trailing moving average ± `k` population
+    standard deviations.  Values are quantized to int64 fixed-point at
+    `scale` digits; the windowed moment sums accumulate in
+    DECIMAL(38,0) so n*sum(v^2) - sum(v)^2 is EXACT (>= 0 by
+    Cauchy-Schwarz, so sqrt never sees a negative rounding residue — a
+    float accumulation cannot guarantee that).  Pass ONE row per
+    (by, order_col) — pre-aggregate the raw stream first; distinct
+    order keys make the ROWS frame deterministic.
+
+    Scale shape: the window runs over the pre-bucketed series (one row
+    per bucket), one exchange on `by`.  Returns the by + order columns
+    + (ma, lower, upper), all round 4."""
+    from .operators._helpers import r4
+
+    d0 = "decimal(38,0)"
+    fixed = F.floor(F.col(val_col) * (10**scale) + 0.5).cast("long")
+    fr = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(-(days - 1), Window.currentRow)
+    )
+    vd = fixed.cast(d0)
+    w = df.select(
+        *by,
+        order_col,
+        F.count(F.lit(1)).over(fr).alias("_n"),
+        F.sum(vd).over(fr).alias("_s"),
+        F.sum(vd * vd).over(fr).alias("_sq"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    sd = (
+        F.sqrt(
+            (
+                F.col("_n").cast(d0) * F.col("_sq") - F.col("_s") * F.col("_s")
+            ).cast("double")
+        )
+        / F.col("_n")
+    )
+    div = float(10**scale)
+    return w.select(
+        *by,
+        order_col,
+        r4(mean / div).alias("ma"),
+        r4((mean - k * sd) / div).alias("lower"),
+        r4((mean + k * sd) / div).alias("upper"),
     )

@@ -1619,3 +1619,50 @@ def test_mode_exact_string_values(spark):
     )
     m = api.mode_exact(sdf, ["g"], "v").collect()[0]
     assert m["mode_value"] == "a" and m["n_at_mode"] == 2
+
+
+def test_ewma_partition_head_renormalizes(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (2, 1, 7.0)], "g int, t int, x double"
+    )
+    out = {
+        (r.g, r.t): r.ewma
+        for r in api.ewma(df, "x", ["t"], by=["g"], alpha=0.5, k=3).collect()
+    }
+    # first row of each partition: weights renormalize to the value itself
+    assert out[(1, 1)] == 10.0
+    assert out[(2, 1)] == 7.0
+    # second row: (1*20 + 0.5*10) / 1.5
+    assert out[(1, 2)] == round(25.0 / 1.5, 4)
+
+
+def test_drawdown_monotone_series_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, 3), (1, 3, 4)], "g int, t int, x long"
+    )
+    row = api.drawdown(df, "x", ["t"], by=["g"]).collect()[0]
+    assert row.n_rows == 3 and row.max_dd == 0
+
+
+def test_drawdown_price_level_mode(spark):
+    # cumulate=False: the column IS the equity curve; peak 9 -> trough 4
+    df = spark.createDataFrame(
+        [(1, 1, 9), (1, 2, 4), (1, 3, 8)], "g int, t int, px long"
+    )
+    row = api.drawdown(df, "px", ["t"], by=["g"], cumulate=False).collect()[0]
+    assert row.max_dd == 5
+
+
+def test_vwap_exact_ratio(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0, 2.0), ("a", 20.0, 3.0)], "g string, p double, q double"
+    )
+    row = api.vwap(df, "p", "q", by=["g"]).collect()[0]
+    assert row.price_c == 3000 and row.qty_c == 500
+    assert row.vwap4 == 6.0
+
+
+def test_bollinger_single_row_frame_degenerate(spark):
+    df = spark.createDataFrame([("a", 1, 3.5)], "g string, t int, v double")
+    row = api.bollinger(df, "v", "t", by=["g"], days=7, k=2.0).collect()[0]
+    assert row.ma == row.lower == row.upper == 3.5

@@ -1139,3 +1139,88 @@ def test_abc_classify_matches_part_abc_pareto(spark):
         _sorted(got, ["l_partkey"]), _sorted(want, ["l_partkey"]),
         check_dtype=False,
     )
+
+
+def test_ewma_matches_win_ewma(spark):
+    from secdb_spark.operators.windows import EWMA_ALPHA, EWMA_K
+
+    ev = _events(spark)
+    got = api.ewma(
+        ev, "value", ["ts", "event_id"], by=["user_id"],
+        alpha=EWMA_ALPHA, k=EWMA_K,
+    ).select("event_id", "user_id", "value", "ewma")
+    want = QUERIES["win_ewma"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_id"]), _sorted(want, ["event_id"]),
+        check_dtype=False,
+    )
+
+
+def test_drawdown_matches_win_drawdown(spark):
+    from pyspark.sql import functions as F
+
+    c = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    got = (
+        api.drawdown(c, "cents", ["o_orderdate", "o_orderkey"], by=["o_custkey"])
+        .withColumnRenamed("n_rows", "n_orders")
+        .withColumnRenamed("max_dd", "max_dd_c")
+    )
+    want = QUERIES["win_drawdown"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["o_custkey"]), _sorted(want, ["o_custkey"]),
+        check_dtype=False,
+    )
+
+
+def test_vwap_matches_ts_vwap(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "month", F.date_trunc("month", "l_shipdate")
+    )
+    got = api.vwap(
+        li, "l_extendedprice", "l_quantity",
+        by=["month", "l_returnflag"], scale=2,
+    )
+    want = QUERIES["ts_vwap"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["month", "l_returnflag"]),
+        _sorted(want, ["month", "l_returnflag"]),
+        check_dtype=False,
+    )
+
+
+def test_bollinger_matches_ts_bollinger(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras5 import BOLL_DAYS, BOLL_K
+
+    ev = _events(spark)
+    # the registry op fixed-points per event THEN sums per day; dividing
+    # the daily long back by 1e4 is exactly invertible by the kernel's
+    # floor(v*1e4+0.5) because |v/1e4*1e4 - v| << 0.5 at these magnitudes
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+            / F.lit(10000.0)
+        ).alias("v")
+    )
+    got = api.bollinger(
+        daily, "v", "day", by=["event_type"],
+        days=BOLL_DAYS, k=float(BOLL_K), scale=4,
+    )
+    want = QUERIES["ts_bollinger"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type", "day"]),
+        _sorted(want, ["event_type", "day"]),
+        check_dtype=False,
+    )

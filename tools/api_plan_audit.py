@@ -316,6 +316,17 @@ def _catalog(api, fx, tmp: str) -> dict:
             e.select("uid", F.col("val").cast("double").alias("value")),
             ["uid"], "value",
         ),
+        "ewma": lambda: api.ewma(e, "val", ["etime", "uid"], by=["stage"]),
+        "drawdown": lambda: api.drawdown(
+            e.select("uid", "etime",
+                     F.col("val").cast("bigint").alias("cents")),
+            "cents", ["etime", "uid"], by=["uid"],
+        ),
+        "vwap": lambda: api.vwap(e, "val", "uid", by=["stage"]),
+        "bollinger": lambda: api.bollinger(
+            e.groupBy("stage", "day").agg(F.avg("val").alias("v")),
+            "v", "day", by=["stage"],
+        ),
     }
 
 

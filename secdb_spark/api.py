@@ -145,6 +145,10 @@ __all__ = [
     "drawdown",
     "vwap",
     "bollinger",
+    "weighted_median",
+    "skew_kurt",
+    "welch_ttest",
+    "kaplan_meier",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -4112,4 +4116,210 @@ def bollinger(
         r4(mean / div).alias("ma"),
         r4((mean - k * sd) / div).alias("lower"),
         r4((mean + k * sd) / div).alias("upper"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    val_col: str,
+    weight_col: str,
+    by: list[str],
+) -> DataFrame:
+    """Lower weighted median of ANY (value, weight) frame per group
+    (agg_weighted_median's algebra with columns parameterized): the
+    smallest value whose cumulative weight reaches half the total.
+    Always takes the scale path — the bucketed grouped RANGE prefix sum
+    (`_global_order.grouped_range_prefix_sum`), never a low-cardinality
+    window funnel: equal values are frame peers by construction (their
+    weights pre-aggregate per distinct value), so the result is
+    order-independent with no tiebreak key.  Feed exact weights (ints /
+    fixed-point) for cross-engine determinism — the crossing test
+    2*cumw >= totw is then exact arithmetic.  Returns
+    (by..., w_median, total_weight)."""
+    from .operators._global_order import grouped_range_prefix_sum
+
+    t = df.select(*by, F.col(val_col).alias("_wm_v"),
+                  F.col(weight_col).alias("_wm_w"))
+    cum = grouped_range_prefix_sum(t, list(by), "_wm_v", "_wm_w", out="_cum")
+    tot = cum.groupBy(*by).agg(F.sum("_v").alias("_totw"))
+    return (
+        cum.join(F.broadcast(tot), list(by))
+        .groupBy(*by)
+        .agg(
+            F.min(
+                F.when(2 * F.col("_cum") >= F.col("_totw"), F.col("_wm_v"))
+            ).alias("w_median"),
+            F.max("_totw").cast("double").alias("total_weight"),
+        )
+    )
+
+
+def skew_kurt(
+    df: DataFrame,
+    val_col: str,
+    by: list[str] | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Grouped skewness and excess kurtosis of ANY value column from the
+    four raw power sums (agg_skew_kurt's algebra with columns and the
+    fixed-point scale parameterized) — the one-pass map-side-combinable
+    formulation.  Inputs quantize to exact fixed-point bigints at
+    `scale` digits (the quantization factor cancels in both statistics);
+    power sums accumulate in DECIMAL(38,0) (x^4 overflows an int64 sum
+    well below large row counts); the closing arithmetic is one double
+    expression tree, so the result is identical at any partition count —
+    unlike float-accumulated skewness()/kurtosis() built-ins.  Returns
+    (by..., n, skewness, kurtosis), round 4."""
+    from .operators._helpers import r4
+
+    by = by or []
+    d0 = "decimal(38,0)"
+    x = F.floor(F.col(val_col) * (10**scale) + 0.5).cast("long")
+    s = df.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x.cast(d0)).cast("double").alias("_s1"),
+        F.sum((x * x).cast(d0)).cast("double").alias("_s2"),
+        F.sum((x * x * x).cast(d0)).cast("double").alias("_s3"),
+        F.sum((x * x * x * x).cast(d0)).cast("double").alias("_s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("_n", "_s1", "_s2", "_s3", "_s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3) * mu * (s2 / n) + F.lit(2) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4) * mu * (s3 / n)
+        + F.lit(6) * mu * mu * (s2 / n)
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    # + 0.0: round() may yield -0.0 in one engine only
+    return s.select(
+        *by,
+        n.cast("long").alias("n"),
+        (r4(m3 / (m2 * F.sqrt(m2))) + 0.0).alias("skewness"),
+        (r4(m4 / (m2 * m2) - 3) + 0.0).alias("kurtosis"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    val_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two named groups of ANY
+    value column (stat_welch_ttest's algebra with columns and groups
+    parameterized), with the Welch-Satterthwaite degrees of freedom.
+    One combinable global aggregate — conditional integer moments at
+    `scale` fixed-point digits, no join, no window; the t and df
+    expressions are pure IEEE trees over six exact integers (the
+    quantization factor cancels in t and df; only mean_diff divides
+    back to original units).  Sum-of-squares bound: 2^63 — widen the
+    moment casts to DECIMAL(38,0) past ~1e9 rows of 1e4-sized values.
+    Returns one row (n1, n2, mean_diff, t, df), round 4."""
+    from .operators._helpers import r4
+
+    ev = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(group_col).alias("_g"),
+        F.floor(F.col(val_col) * (10**scale) + 0.5).cast("long").alias("_vc"),
+    )
+    is1 = F.col("_g") == group_a
+    is2 = F.col("_g") == group_b
+    vc = F.col("_vc")
+    a = ev.agg(
+        F.count(F.when(is1, 1)).alias("n1"),
+        F.count(F.when(is2, 1)).alias("n2"),
+        F.sum(F.when(is1, vc)).cast("long").alias("_s1"),
+        F.sum(F.when(is2, vc)).cast("long").alias("_s2"),
+        F.sum(F.when(is1, vc * vc)).cast("long").alias("_q1"),
+        F.sum(F.when(is2, vc * vc)).cast("long").alias("_q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("_s1"), F.col("_s2")
+    q1, q2 = F.col("_q1"), F.col("_q2")
+    vt1 = (q1.cast("double") - s1.cast("double") * s1 / n1) / (n1 - 1) / n1
+    vt2 = (q2.cast("double") - s2.cast("double") * s2 / n2) / (n2 - 1) / n2
+    mdiff = s1.cast("double") / n1 - s2.cast("double") / n2
+    se2 = vt1 + vt2
+    return a.select(
+        "n1",
+        "n2",
+        r4(mdiff / (10**scale)).alias("mean_diff"),
+        r4(mdiff / F.sqrt(se2)).alias("t"),
+        r4(se2 * se2 / (vt1 * vt1 / (n1 - 1) + vt2 * vt2 / (n2 - 1))).alias(
+            "df"
+        ),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over ANY subjects frame — one row per
+    subject with an integer `duration_col` and `event_col` 1 (observed)
+    / 0 (right-censored) — survival_km's estimator with the subject
+    derivation left to the caller.  S(t) = prod_{t_i<=t} (1 - d_i/n_i);
+    the product runs as exp(sum ln q_i) with each ln quantized to 1e9
+    fixed-point, so the cumulative sum is exact bigint and the closing
+    exp is one IEEE op — deterministic where a float running product is
+    partition-order dependent.
+
+    Scale: subjects aggregate to one row per distinct duration (the
+    spine), so the curve windows run over a model-sized frame; with
+    `by`, windows partition per group.  Returns
+    (by..., duration, n_events, n_risk, survival)."""
+    from .operators._helpers import r4
+
+    KM_LN_SCALE = 10**9
+    by = by or []
+    subjects = df.select(
+        *by,
+        F.col(duration_col).alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+    )
+    all_times = subjects.groupBy(*by, "_t").agg(
+        F.sum("_e").alias("_d"), F.count(F.lit(1)).alias("_lv")
+    )
+    wall = Window.partitionBy(*by) if by else Window.partitionBy()
+    wcum = (
+        (Window.partitionBy(*by) if by else Window.partitionBy())
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        all_times.select(
+            *by,
+            "_t",
+            "_d",
+            (
+                F.sum("_lv").over(wall)
+                - F.coalesce(F.sum("_lv").over(wcum), F.lit(0))
+            ).alias("_n_risk"),
+        )
+        .filter(F.col("_d") > 0)
+        .filter(F.col("_d") < F.col("_n_risk"))
+    )
+    lnq = F.floor(
+        F.log(1 - F.col("_d").cast("double") / F.col("_n_risk")) * KM_LN_SCALE
+        + 0.5
+    ).cast("long")
+    q = risk.select(*by, "_t", "_d", "_n_risk", lnq.alias("_lnq"))
+    wrun = (
+        (Window.partitionBy(*by) if by else Window.partitionBy())
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return q.select(
+        *by,
+        F.col("_t").alias("duration"),
+        F.col("_d").cast("long").alias("n_events"),
+        F.col("_n_risk").cast("long").alias("n_risk"),
+        r4(
+            F.exp(F.sum("_lnq").over(wrun).cast("double") / KM_LN_SCALE)
+        ).alias("survival"),
     )

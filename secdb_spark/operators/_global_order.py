@@ -188,7 +188,20 @@ def grouped_range_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = t.withColumn("_lcum", F.sum("_v").over(w))
-    totals = t.groupBy(*group_cols, "_bucket").agg(F.sum("_v").alias("_tot"))
+    # Pinned BEFORE the theta-self-join, matching the shared `_offsets`
+    # helper's discipline: (1) the a/b sides otherwise re-derive the
+    # bucketize pipeline twice (the _offsets multiscan class), and
+    # (2) the unpinned self-join + groupBy subtree trips a Spark 4.1
+    # binding bug when the caller's input carries a BARE alias of the
+    # key column (df.select(col(v).alias(k)) — in-memory frames;
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND demanding the alias's exprId
+    # from the offsets aggregate output, §54's class).  Reproduced and
+    # pinned in tests/test_plans.py::test_grouped_range_prefix_sum
+    # _result_pins (bare-alias variant).  The frame is |groups| ×
+    # n_buckets rows — model-sized by this kernel's precondition.
+    totals = pin(
+        t.groupBy(*group_cols, "_bucket").agg(F.sum("_v").alias("_tot"))
+    )
     a, b = totals.alias("a"), totals.alias("b")
     cond = F.col("b._bucket") < F.col("a._bucket")
     for g in group_cols:

@@ -1666,3 +1666,53 @@ def test_bollinger_single_row_frame_degenerate(spark):
     df = spark.createDataFrame([("a", 1, 3.5)], "g string, t int, v double")
     row = api.bollinger(df, "v", "t", by=["g"], days=7, k=2.0).collect()[0]
     assert row.ma == row.lower == row.upper == 3.5
+
+
+def test_weighted_median_heavy_tail_value_wins(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 10)],
+        "k string, v double, w long",
+    )
+    row = api.weighted_median(df, "v", "w", by=["k"]).collect()[0]
+    assert row.w_median == 3.0 and row.total_weight == 12.0
+
+
+def test_weighted_median_tie_peers_pooled(spark):
+    # equal values are frame peers: cumw at v=2 includes BOTH weight-2 rows
+    df = spark.createDataFrame(
+        [("g", 1.0, 2), ("g", 2.0, 1), ("g", 2.0, 1)],
+        "k string, v double, w long",
+    )
+    row = api.weighted_median(df, "v", "w", by=["k"]).collect()[0]
+    assert row.w_median == 1.0  # cumw(1.0)=2, 2*2 >= 4 -> crossing at 1.0
+
+
+def test_skew_kurt_uniform_three_points(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0)], "k string, x double"
+    )
+    row = api.skew_kurt(df, "x", by=["k"]).collect()[0]
+    assert row.n == 3 and row.skewness == 0.0 and row.kurtosis == -1.5
+
+
+def test_welch_ttest_identical_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 1.0), ("b", 2.0), ("b", 3.0)],
+        "g string, x double",
+    )
+    row = api.welch_ttest(df, "g", "a", "b", "x").collect()[0]
+    assert row.n1 == 3 and row.n2 == 3
+    assert row.mean_diff == 0.0 and row.t == 0.0 and row.df == 4.0
+
+
+def test_kaplan_meier_hand_computed_curve(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (3, 1)], "t int, e int"
+    )
+    rows = {r.duration: r for r in api.kaplan_meier(df, "t", "e").collect()}
+    # t=1: 4 at risk, 1 event -> S=0.75; t=2: 2 at risk, 1 event -> 0.375
+    # t=3: d == n_risk -> dropped (S would hit 0; ln undefined)
+    assert set(rows) == {1, 2}
+    assert rows[1].n_risk == 4 and rows[1].survival == 0.75
+    assert rows[2].n_risk == 2 and rows[2].survival == 0.375

@@ -1224,3 +1224,83 @@ def test_bollinger_matches_ts_bollinger(spark):
         _sorted(want, ["event_type", "day"]),
         check_dtype=False,
     )
+
+
+def test_weighted_median_matches_agg_weighted_median(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
+    )
+    got = api.weighted_median(
+        li, "price", "w", by=["l_returnflag"]
+    ).withColumnRenamed("w_median", "w_median_price")
+    want = QUERIES["agg_weighted_median"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_returnflag"]), _sorted(want, ["l_returnflag"]),
+        check_dtype=False,
+    )
+
+
+def test_skew_kurt_matches_agg_skew_kurt(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = api.skew_kurt(li, "l_quantity", by=["l_returnflag"], scale=2)
+    want = QUERIES["agg_skew_kurt"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_returnflag"]), _sorted(want, ["l_returnflag"]),
+        check_dtype=False,
+    )
+
+
+def test_welch_ttest_matches_stat_welch_ttest(spark):
+    from secdb_spark.operators.stats_extras2 import WT_A, WT_B
+
+    ev = _events(spark)
+    got = api.welch_ttest(ev, "event_type", WT_A, WT_B, "value", scale=2)
+    want = QUERIES["stat_welch_ttest"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n1"]), _sorted(want, ["n1"]), check_dtype=False,
+    )
+
+
+def test_kaplan_meier_matches_survival_km(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias(
+            "second_dt"
+        ),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    subjects = per_cust.crossJoin(F.broadcast(anchor)).select(
+        F.when(
+            F.col("second_dt").isNotNull(),
+            F.datediff(
+                F.col("second_dt").cast("date"),
+                F.col("first_dt").cast("date"),
+            ),
+        )
+        .otherwise(
+            F.datediff(
+                F.col("mx").cast("date"), F.col("first_dt").cast("date")
+            )
+        )
+        .alias("t"),
+        F.col("second_dt").isNotNull().cast("int").alias("event"),
+    )
+    got = api.kaplan_meier(subjects, "t", "event").withColumnRenamed(
+        "duration", "day"
+    )
+    want = QUERIES["survival_km"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False,
+    )

@@ -1010,3 +1010,16 @@ def test_grouped_range_prefix_sum_result_pins(spark):
     total = res.groupBy("grp").count().collect()
     probe = res.filter("_cum > 0").count()
     assert probe > 0 and len(total) == 2
+
+    # round-10 variant of the same bug class: a BARE alias of the key in
+    # the caller's Project (api.weighted_median's adapter shape) used to
+    # push the original alias exprId into the offsets subtree and fail
+    # the result checkpoint the same way; the kernel's same-type cast on
+    # the grouped key keeps the alias non-redundant and the shape safe.
+    from pyspark.sql import functions as F
+
+    t = df.select(
+        "grp", F.col("k").alias("kk"), F.col("v").alias("vv")
+    )
+    res2 = grouped_range_prefix_sum(t, ["grp"], "kk", "vv")
+    assert res2.filter("_cum > 0").count() == probe

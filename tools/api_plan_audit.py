@@ -327,6 +327,20 @@ def _catalog(api, fx, tmp: str) -> dict:
             e.groupBy("stage", "day").agg(F.avg("val").alias("v")),
             "v", "day", by=["stage"],
         ),
+        "weighted_median": lambda: api.weighted_median(
+            e.select("stage", "val",
+                     (F.col("uid") + 1).cast("long").alias("w")),
+            "val", "w", by=["stage"],
+        ),
+        "skew_kurt": lambda: api.skew_kurt(e, "val", by=["stage"]),
+        "welch_ttest": lambda: api.welch_ttest(
+            e, "stage", "view", "cart", "val"
+        ),
+        "kaplan_meier": lambda: api.kaplan_meier(
+            e.select((F.col("uid") % 7).alias("t"),
+                     (F.col("uid") % 2).alias("ev")),
+            "t", "ev",
+        ),
     }
 
 

@@ -149,6 +149,10 @@ __all__ = [
     "skew_kurt",
     "welch_ttest",
     "kaplan_meier",
+    "degree_dist",
+    "khop",
+    "interval_islands",
+    "xyz_classify",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -4322,4 +4326,186 @@ def kaplan_meier(
         r4(
             F.exp(F.sum("_lnq").over(wrun).cast("double") / KM_LN_SCALE)
         ).alias("survival"),
+    )
+
+
+def degree_dist(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    directed: bool = False,
+) -> DataFrame:
+    """Log2-bucketed degree distribution of ANY edge list
+    (graph_degree_dist's algebra with the edge derivation left to the
+    caller) — the first thing to look at before running pagerank /
+    triangles / k-core on a graph: a heavy tail here predicts hot-key
+    skew in every downstream graph shuffle.  Undirected (default):
+    each edge counts toward both endpoints (pass each edge once);
+    directed: out-degree of src only.  The log2 bucket is pure integer
+    floor(log2) via binary-string length — no FP log whose last bit
+    could disagree at bucket boundaries.  Returns
+    (log2_bucket, n_nodes, min_degree, max_degree).
+
+    Scale: two combinable aggregates over the edge list; the bucket
+    rollup is <=64 rows."""
+    ends = edges.select(F.col(src_col).alias("_node"))
+    if not directed:
+        ends = ends.unionAll(edges.select(F.col(dst_col).alias("_node")))
+    deg = ends.groupBy("_node").agg(F.count(F.lit(1)).alias("degree"))
+    bucket = (
+        F.length(F.conv(F.col("degree").cast("string"), 10, 2)) - 1
+    ).cast("int")
+    return deg.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+
+
+def khop(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_seeds: int = 20,
+) -> DataFrame:
+    """2-hop neighborhood reach on ANY bipartite/directed edge list
+    (graph_khop's algebra with columns and the seed count
+    parameterized): for the `n_seeds` highest-out-degree source nodes,
+    how many distinct destinations they touch (1 hop) and how many
+    OTHER sources share a destination with them (2 hops) — the
+    neighborhood-expansion primitive behind collaborative filtering and
+    influence scoring.  Pass a DEDUPLICATED edge list (one row per
+    (src, dst)).
+
+    Scale: seeding bounds the expansion frontier (`n_seeds` rows
+    broadcast); an unbounded all-nodes 2-hop is the documented
+    quadratic-risk variant — production khop always seeds or samples.
+    Hop joins partition on src then dst: two shuffles, no avoiding the
+    key change.  Returns (node, n_dst_1hop, n_src_2hop)."""
+    from .operators._helpers import pin
+
+    e = pin(
+        edges.select(F.col(src_col).alias("_c"), F.col(dst_col).alias("_s"))
+    )
+    seeds = (
+        e.groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .orderBy(F.col("_deg").desc(), F.col("_c"))
+        .limit(n_seeds)
+    )
+    e1 = e.select(F.col("_c").alias("_seed_c"), F.col("_s").alias("_hop_s"))
+    e2 = e.select(F.col("_s").alias("_hop_s"), F.col("_c").alias("_reach_c"))
+    return (
+        F.broadcast(seeds)
+        .join(e1, seeds._c == e1._seed_c)
+        .join(e2, "_hop_s")
+        .filter(F.col("_reach_c") != F.col("_c"))
+        .groupBy(F.col("_c").alias("node"), F.col("_deg"))
+        .agg(F.count_distinct("_reach_c").alias("n_src_2hop"))
+        .select(
+            "node",
+            F.col("_deg").cast("long").alias("n_dst_1hop"),
+            "n_src_2hop",
+        )
+    )
+
+
+def interval_islands(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    by: list[str],
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gaps-and-islands over ANY interval frame (the interval_islands
+    operator's algebra with columns parameterized): merge each group's
+    overlapping [start, end] intervals into maximal islands; report
+    island count, covered span, longest island.  Feed exact integer
+    endpoints (epoch micros, days) for cross-engine determinism.  Pass
+    tie_cols to make the island-start flag deterministic under
+    duplicate (start, end) pairs.
+
+    Scale: ONE `by` shuffle carries everything — running max(end) over
+    the sorted intervals flags island starts, a running sum numbers the
+    islands, two grouped aggregations finish; islands per group are
+    bounded by that group's activity, no global sort anywhere.  Returns
+    (by..., n_islands, covered, longest)."""
+    tie_cols = tie_cols or []
+    iv = df.select(
+        *by,
+        *tie_cols,
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+    )
+    w = Window.partitionBy(*by).orderBy("_s", "_e", *tie_cols)
+    prev_max = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "_ni",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0),
+    )
+    run = (
+        Window.partitionBy(*by)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("_island", F.sum("_ni").over(run))
+    islands = numbered.groupBy(*by, "_island").agg(
+        F.min("_s").alias("_is"), F.max("_e").alias("_ie")
+    )
+    return islands.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("_ie") - F.col("_is")).cast("long").alias("covered"),
+        F.max(F.col("_ie") - F.col("_is")).cast("long").alias("longest"),
+    )
+
+
+def xyz_classify(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    val_col: str,
+    t_x: tuple[int, int] = (1, 2),
+    t_y: tuple[int, int] = (1, 1),
+) -> DataFrame:
+    """XYZ demand-variability classification of ANY pre-bucketed
+    (key, bucket, value) frame (part_xyz_cv's algebra with columns and
+    thresholds parameterized; abc_classify's companion axis): per key,
+    the coefficient of variation of the per-bucket values classes
+    demand as X (steady, cv < t_x), Y (variable, cv < t_y) or Z
+    (erratic).  Thresholds are RATIONALS (p, q) so every boundary
+    evaluates as an exact integer inequality:
+    cv < p/q  <=>  q^2*(n*Sv^2 - (Sv)^2) < p^2*(Sv)^2 — with integer
+    values no float ever touches a classification boundary, which is
+    what makes class counts hash-stable at any partition count.
+    Single-bucket keys get cv = 0 -> X, the conventional treatment.
+    Pass integer values (quantize fixed-point first).  Returns
+    (key_cols..., n_buckets, xyz_class).
+
+    Scale: one (key, bucket) pre-aggregation, then a per-key moment
+    pass — both map-side combinable."""
+    d0 = "decimal(38,0)"
+    qd = F.col("_q").cast(d0)
+    s = (
+        df.groupBy(*key_cols, F.col(bucket_col).alias("_b"))
+        .agg(F.sum(F.col(val_col)).alias("_q"))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(qd).alias("_sx"),
+            F.sum(qd * qd).alias("_sxx"),
+        )
+    )
+    num = F.col("n_buckets").cast(d0) * F.col("_sxx") - F.col("_sx") * F.col(
+        "_sx"
+    )
+    sx2 = F.col("_sx") * F.col("_sx")
+    px, qx = t_x
+    py, qy = t_y
+    return s.select(
+        *key_cols,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.when(qx * qx * num < px * px * sx2, F.lit("X"))
+        .when(qy * qy * num < py * py * sx2, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
     )

@@ -1716,3 +1716,54 @@ def test_kaplan_meier_hand_computed_curve(spark):
     assert set(rows) == {1, 2}
     assert rows[1].n_risk == 4 and rows[1].survival == 0.75
     assert rows[2].n_risk == 2 and rows[2].survival == 0.375
+
+
+def test_degree_dist_directed_vs_undirected(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    und = {
+        r.log2_bucket: r
+        for r in api.degree_dist(edges, "a", "b").collect()
+    }
+    # undirected: every node has degree 2 -> one bucket (log2=1), 3 nodes
+    assert set(und) == {1} and und[1].n_nodes == 3
+    dird = {
+        r.log2_bucket: r
+        for r in api.degree_dist(edges, "a", "b", directed=True).collect()
+    }
+    # directed out-degrees: node1=2, node2=1 -> buckets {1: 1 node, 0: 1 node}
+    assert dird[1].n_nodes == 1 and dird[0].n_nodes == 1
+
+
+def test_khop_hand_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 11), (4, 12)], "c long, s long"
+    )
+    rows = {r.node: r for r in api.khop(edges, "c", "s", n_seeds=1).collect()}
+    # seed = node 1 (degree 2); 2-hop reach: nodes 2 (via 10) and 3 (via 11)
+    assert set(rows) == {1}
+    assert rows[1].n_dst_1hop == 2 and rows[1].n_src_2hop == 2
+
+
+def test_interval_islands_merges_nested_and_counts_gaps(spark):
+    df = spark.createDataFrame(
+        [("u", 0, 10), ("u", 2, 5), ("u", 20, 30)],
+        "g string, s long, e long",
+    )
+    row = api.interval_islands(df, "s", "e", by=["g"]).collect()[0]
+    # [0,10] swallows [2,5]; [20,30] is its own island
+    assert row.n_islands == 2 and row.covered == 20 and row.longest == 10
+
+
+def test_xyz_classify_exact_boundaries(spark):
+    df = spark.createDataFrame(
+        [("cst", 1, 10), ("cst", 2, 10), ("cst", 3, 10),
+         ("mid", 1, 1), ("mid", 2, 9),
+         ("err", 1, 0), ("err", 2, 10)],
+        "k string, b int, q long",
+    )
+    rows = {r.k: r.xyz_class
+            for r in api.xyz_classify(df, ["k"], "b", "q").collect()}
+    # cst: cv=0 -> X; mid: cv=0.8 -> Y; err: cv=1.0 (not < 1) -> Z
+    assert rows == {"cst": "X", "mid": "Y", "err": "Z"}

@@ -1304,3 +1304,107 @@ def test_kaplan_meier_matches_survival_km(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False,
     )
+
+
+def test_degree_dist_matches_graph_degree_dist(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb").distinct()
+    )
+    got = api.degree_dist(edges, "pa", "pb").withColumnRenamed(
+        "n_nodes", "n_parts"
+    )
+    want = QUERIES["graph_degree_dist"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["log2_bucket"]), _sorted(want, ["log2_bucket"]),
+        check_dtype=False,
+    )
+
+
+def test_khop_matches_graph_khop(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.ml_prep import KHOP_TOPK
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    got = (
+        api.khop(e, "c", "s", n_seeds=KHOP_TOPK)
+        .withColumnRenamed("node", "custkey")
+        .withColumnRenamed("n_dst_1hop", "n_suppliers_1hop")
+        .withColumnRenamed("n_src_2hop", "n_customers_2hop")
+    )
+    want = QUERIES["graph_khop"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["custkey"]), _sorted(want, ["custkey"]),
+        check_dtype=False,
+    )
+
+
+def test_interval_islands_matches_interval_islands_op(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark)
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor("value").cast("long") * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    got = (
+        api.interval_islands(iv, "s", "e", by=["user_id"],
+                             tie_cols=["event_id"])
+        .withColumnRenamed("covered", "covered_us")
+        .withColumnRenamed("longest", "longest_us")
+    )
+    want = QUERIES["interval_islands"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["user_id"]), _sorted(want, ["user_id"]),
+        check_dtype=False,
+    )
+
+
+def test_xyz_classify_matches_part_xyz_cv(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").alias("month"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    cls = api.xyz_classify(li, ["l_partkey"], "month", "qty")
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    got = (
+        cls.join(F.broadcast(p), cls.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    want = QUERIES["part_xyz_cv"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["p_brand", "xyz_class"]),
+        _sorted(want, ["p_brand", "xyz_class"]),
+        check_dtype=False,
+    )

@@ -341,6 +341,25 @@ def _catalog(api, fx, tmp: str) -> dict:
                      (F.col("uid") % 2).alias("ev")),
             "t", "ev",
         ),
+        "degree_dist": lambda: api.degree_dist(
+            e.select(F.col("uid").alias("a"),
+                     ((F.col("uid") + 1) % 5).alias("b")),
+            "a", "b",
+        ),
+        "khop": lambda: api.khop(
+            e.select(F.col("uid").alias("c"),
+                     (F.col("val").cast("long") % 4).alias("s")).distinct(),
+            "c", "s", n_seeds=2,
+        ),
+        "interval_islands": lambda: api.interval_islands(
+            e.select("uid", F.col("val").cast("long").alias("s"),
+                     (F.col("val") + 3).cast("long").alias("e2")),
+            "s", "e2", by=["uid"],
+        ),
+        "xyz_classify": lambda: api.xyz_classify(
+            e.select("stage", "day", F.col("val").cast("long").alias("q")),
+            ["stage"], "day", "q",
+        ),
     }
 
 

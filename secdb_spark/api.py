@@ -153,6 +153,10 @@ __all__ = [
     "khop",
     "interval_islands",
     "xyz_classify",
+    "corr_matrix",
+    "autocorr",
+    "cusum",
+    "calendar_gaps",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -4508,4 +4512,217 @@ def xyz_classify(
         .when(qy * qy * num < py * py * sx2, F.lit("Y"))
         .otherwise(F.lit("Z"))
         .alias("xyz_class"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    scales: list[int] | int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix of ANY k value columns from
+    ONE pass of k(k+3)/2 summable moments (agg_corr_matrix's algebra
+    with columns and per-column fixed-point scales parameterized) — the
+    profiling primitive behind feature-correlation screens.  Inputs
+    quantize to exact fixed-point bigints (scale factors cancel in r);
+    moment sums accumulate in DECIMAL(38,0); each correlation closes as
+    num/sqrt(da*db) with the products taken in double AFTER the exact
+    decimal differences — deterministic at any partition count, unlike
+    the engines' float-accumulated corr() built-ins.  Returns
+    (by..., n, corr_<a>_<b> for every a<b pair), round 4.
+
+    Scale: a single groupBy, all map-side combinable; the full k x k
+    matrix is k(k+3)/2 sums in the same single pass."""
+    from .operators._helpers import r4
+
+    by = by or []
+    d0 = "decimal(38,0)"
+    if isinstance(scales, int):
+        scales = [scales] * len(cols)
+    q = {
+        c: F.floor(F.col(c) * (10**s) + 0.5).cast("long")
+        for c, s in zip(cols, scales)
+    }
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(q[c].cast(d0)).alias(f"_s_{c}"))
+        aggs.append(F.sum((q[c] * q[c]).cast(d0)).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum((q[a] * q[b]).cast(d0)).alias(f"_sp_{a}_{b}"))
+    s = df.groupBy(*by).agg(*aggs)
+
+    def corr(a: str, b: str):
+        nd = F.col("_n").cast(d0)
+        num = nd * F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+        da = nd * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
+        db = nd * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+        return r4(
+            num.cast("double") / F.sqrt(da.cast("double") * db.cast("double"))
+        )
+
+    out = [*by, F.col("_n").cast("long").alias("n")]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            out.append(corr(a, b).alias(f"corr_{a}_{b}"))
+    return s.select(*out)
+
+
+def autocorr(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    by: list[str] | None = None,
+    lag: int = 1,
+) -> DataFrame:
+    """Lag-k autocorrelation of ANY pre-bucketed integer series
+    (ts_autocorr's algebra with columns and the lag parameterized) —
+    the seasonality/persistence screen (acf ~ 0 is white noise, high
+    acf means momentum).  Consecutive observations pair via a window
+    lag over the ordered series; the Pearson correlation closes from
+    five DECIMAL(38,0) moments of EXACT integers with one IEEE tree.
+    Pass ONE row per (by, order_col) with integer values (quantize
+    fixed-point first) — e.g. a daily count or a cents total.  Returns
+    (by..., n_pairs, acf), round 4.
+
+    Scale: the lag window and the moment rollup both ride the `by`
+    partitioning over the pre-bucketed series, never the raw stream."""
+    from .operators._helpers import r4
+
+    by = by or []
+    d0 = "decimal(38,0)"
+    w = (
+        Window.partitionBy(*by).orderBy(order_col)
+        if by
+        else Window.orderBy(order_col)
+    )
+    pairs = df.select(
+        *by,
+        F.lag(val_col, lag).over(w).alias("_x"),
+        F.col(val_col).alias("_y"),
+    ).filter(F.col("_x").isNotNull())
+    m = pairs.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast(d0)).alias("_sx"),
+        F.sum(F.col("_y").cast(d0)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d0)).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(d0)).alias("_syy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d0)).alias("_sxy"),
+    )
+    nd = F.col("_n").cast(d0)
+    num = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    da = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    db = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return m.select(
+        *by,
+        F.col("_n").cast("long").alias("n_pairs"),
+        r4(
+            num.cast("double") / F.sqrt(da.cast("double") * db.cast("double"))
+        ).alias("acf"),
+    )
+
+
+def cusum(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    by: list[str],
+) -> DataFrame:
+    """Cumulative-deviation change-point scan over ANY pre-bucketed
+    integer series (ts_cusum's algebra with columns parameterized): the
+    running sum of (value - overall mean) peaks where the rate regime
+    shifts.  Entirely exact integer arithmetic — the deviation cusum at
+    step t is (n*cum_t - t*total)/n, so the scan maximizes the integer
+    |n*cum_t - t*total| and only the reported peak_dev divides at the
+    end.  Peak ties resolve to the earliest order key.  Pass ONE row
+    per (by, order_col) with integer values.  Returns
+    (by..., n_points, peak_at, peak_dev).
+
+    Scale: windows run over the pre-bucketed series; the argmax join
+    broadcasts the |groups|-row max frame."""
+    from .operators._helpers import pin, r4
+
+    series = pin(
+        df.select(
+            *by, F.col(order_col).alias("_o"), F.col(val_col).alias("_c")
+        )
+    )
+    tot = series.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_c").cast("long").alias("_total"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        series.withColumn("_cumc", F.sum("_c").over(w).cast("long"))
+        .withColumn(
+            "_idx",
+            F.row_number().over(Window.partitionBy(*by).orderBy("_o")),
+        )
+        .join(F.broadcast(tot), list(by))
+        .withColumn(
+            "_ex",
+            F.abs(
+                F.col("_n") * F.col("_cumc") - F.col("_idx") * F.col("_total")
+            ),
+        )
+    )
+    cum = pin(cum)
+    m = cum.groupBy(*by).agg(F.max("_ex").alias("_mex"))
+    mj = m.select(*[F.col(g).alias(f"_m_{g}") for g in by], "_mex")
+    jc = F.col("_ex") == F.col("_mex")
+    for g in by:
+        jc = jc & (F.col(g) == F.col(f"_m_{g}"))
+    return (
+        cum.join(F.broadcast(mj), jc)
+        .groupBy(*by)
+        .agg(
+            F.max("_n").alias("n_points"),
+            F.min("_o").alias("peak_at"),
+            r4(F.max("_mex").cast("double") / F.max("_n")).alias("peak_dev"),
+        )
+    )
+
+
+def calendar_gaps(
+    df: DataFrame,
+    date_col: str,
+) -> DataFrame:
+    """Calendar-spine completeness audit of ANY date column
+    (date_spine's algebra with the column parameterized): generate
+    every day between the first and last date, left-join the per-day
+    row counts, and report per month how many days exist, how many have
+    NO rows, and the month's row total — the data-freshness /
+    ingestion-gap check every warehouse runs.  gapfill interpolates
+    VALUES into known gaps; this finds the gaps.  Returns
+    (month, days_total, days_missing, n_rows).
+
+    Scale: the spine derives from a 1-row min/max aggregate exploded
+    (bounded by the calendar, ~1e4 rows — broadcasts); the per-day
+    aggregate is one date shuffle."""
+    bounds = df.agg(
+        F.min(date_col).alias("_mn"), F.max(date_col).alias("_mx")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("INTERVAL 1 DAY"))
+        ).alias("_day")
+    )
+    per_day = df.groupBy(F.col(date_col).alias("_day")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        spine.join(per_day, "_day", "left")
+        .groupBy(F.date_trunc("month", "_day").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("days_total"),
+            F.sum(F.when(F.col("_n").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("days_missing"),
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_rows"),
+        )
     )

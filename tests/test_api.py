@@ -1767,3 +1767,51 @@ def test_xyz_classify_exact_boundaries(spark):
             for r in api.xyz_classify(df, ["k"], "b", "q").collect()}
     # cst: cv=0 -> X; mid: cv=0.8 -> Y; err: cv=1.0 (not < 1) -> Z
     assert rows == {"cst": "X", "mid": "Y", "err": "Z"}
+
+
+def test_corr_matrix_perfect_correlations(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0)],
+        "x double, y double, z double",
+    )
+    row = api.corr_matrix(df, ["x", "y", "z"]).collect()[0]
+    assert row.n == 3
+    assert row.corr_x_y == 1.0      # y = 2x
+    assert row.corr_x_z == -1.0     # z = -x
+    assert row.corr_y_z == -1.0
+
+
+def test_autocorr_alternating_series(spark):
+    # perfect alternation -> acf1 = -1
+    df = spark.createDataFrame(
+        [("g", i, 10 if i % 2 == 0 else 0) for i in range(8)],
+        "k string, t int, c long",
+    )
+    row = api.autocorr(df, "c", "t", by=["k"]).collect()[0]
+    assert row.n_pairs == 7 and row.acf == -1.0
+
+
+def test_cusum_step_change_peaks_at_step(spark):
+    # rate jumps 0 -> 10 after t=4: cusum deviation peaks at t=4
+    df = spark.createDataFrame(
+        [("g", t, 0 if t <= 4 else 10) for t in range(1, 9)],
+        "k string, t int, c long",
+    )
+    row = api.cusum(df, "c", "t", by=["k"]).collect()[0]
+    assert row.n_points == 8 and row.peak_at == 4
+    # |8*0 - 4*40| / 8 = 20
+    assert row.peak_dev == 20.0
+
+
+def test_calendar_gaps_detects_missing_days(spark):
+    import datetime as dt
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [(d(2025, 1, 1),), (d(2025, 1, 2),), (d(2025, 1, 2),),
+         (d(2025, 1, 5),)],
+        "day date",
+    )
+    row = api.calendar_gaps(df, "day").collect()[0]
+    # spine 1..5 Jan: 5 days, missing {3,4}, 4 rows
+    assert row.days_total == 5 and row.days_missing == 2 and row.n_rows == 4

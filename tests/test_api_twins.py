@@ -1408,3 +1408,75 @@ def test_xyz_classify_matches_part_xyz_cv(spark):
         _sorted(want, ["p_brand", "xyz_class"]),
         check_dtype=False,
     )
+
+
+def test_corr_matrix_matches_agg_corr_matrix(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = (
+        api.corr_matrix(
+            li,
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            by=["l_returnflag"],
+            scales=[2, 2, 4],
+        )
+        .withColumnRenamed("corr_l_quantity_l_extendedprice",
+                           "corr_qty_price")
+        .withColumnRenamed("corr_l_quantity_l_discount", "corr_qty_disc")
+        .withColumnRenamed("corr_l_extendedprice_l_discount",
+                           "corr_price_disc")
+    )
+    want = QUERIES["agg_corr_matrix"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_returnflag"]), _sorted(want, ["l_returnflag"]),
+        check_dtype=False,
+    )
+
+
+def test_autocorr_matches_ts_autocorr(spark):
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = api.autocorr(
+        daily, "c", "day", by=["event_type"], lag=1
+    ).withColumnRenamed("acf", "acf1")
+    want = QUERIES["ts_autocorr"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )
+
+
+def test_cusum_matches_ts_cusum(spark):
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = (
+        api.cusum(daily, "c", "day", by=["event_type"])
+        .withColumnRenamed("n_points", "n_days")
+        .withColumnRenamed("peak_at", "peak_day")
+    )
+    want = QUERIES["ts_cusum"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )
+
+
+def test_calendar_gaps_matches_date_spine(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = api.calendar_gaps(o, "o_orderdate").withColumnRenamed(
+        "n_rows", "n_orders"
+    )
+    want = QUERIES["date_spine"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["month"]), _sorted(want, ["month"]),
+        check_dtype=False,
+    )

@@ -360,6 +360,20 @@ def _catalog(api, fx, tmp: str) -> dict:
             e.select("stage", "day", F.col("val").cast("long").alias("q")),
             ["stage"], "day", "q",
         ),
+        "corr_matrix": lambda: api.corr_matrix(
+            e, ["val", "uid"], by=["stage"]
+        ),
+        "autocorr": lambda: api.autocorr(
+            e.groupBy("stage", "day").agg(
+                F.count(F.lit(1)).alias("c")),
+            "c", "day", by=["stage"],
+        ),
+        "cusum": lambda: api.cusum(
+            e.groupBy("stage", "day").agg(
+                F.count(F.lit(1)).alias("c")),
+            "c", "day", by=["stage"],
+        ),
+        "calendar_gaps": lambda: api.calendar_gaps(e, "day"),
     }
 
 

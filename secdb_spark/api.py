@@ -157,6 +157,10 @@ __all__ = [
     "autocorr",
     "cusum",
     "calendar_gaps",
+    "rfm_scores",
+    "streaks",
+    "markov_stationary",
+    "seasonal_decompose",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -4725,4 +4729,204 @@ def calendar_gaps(
             .alias("days_missing"),
             F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_rows"),
         )
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    id_col: str,
+    recency_col: str,
+    frequency_col: str,
+    monetary_col: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation of ANY pre-aggregated entity frame — one row per
+    entity with a NUMERIC recency (e.g. days since epoch of the last
+    order), a frequency count, and a monetary total (customer_rfm's
+    algebra with columns and tile count parameterized).  Always takes
+    the scale path — each metric gets a bucketed global rank
+    (approx-quantile splits broadcast back, no single-partition ntile
+    window), scores recover arithmetically from (rank, n) and join back
+    on the id: three hash shuffles of the model-sized AGGREGATE, the
+    price of removing the one-task bottleneck.  Ranks are tie-broken on
+    the id, so scores are total-order deterministic.  Returns
+    (id, frequency, monetary round4, r_score, f_score, m_score,
+    segment)."""
+    from .operators._global_order import bucketed_global_rank, ntile_from_rank
+    from .operators._helpers import r4
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(recency_col).cast("double").alias("_rec"),
+        F.col(frequency_col).alias("_freq"),
+        F.col(monetary_col).alias("_mon"),
+    ).localCheckpoint(eager=True)
+    n_rows = base.count()  # served from the checkpoint just materialized
+
+    def score(frame: DataFrame, key: str, out: str) -> DataFrame:
+        ranked = bucketed_global_rank(frame, key, ["_id"], out="_r")
+        return ranked.select(
+            "_id",
+            ntile_from_rank(
+                F.col("_r"), F.lit(n_rows).cast("long"), n_tiles
+            ).alias(out),
+        )
+
+    r = score(base.select("_id", "_rec"), "_rec", "r_score")
+    f_ = score(base.select("_id", "_freq"), "_freq", "f_score")
+    m = score(base.select("_id", "_mon"), "_mon", "m_score")
+    return (
+        base.join(r, "_id")
+        .join(f_, "_id")
+        .join(m, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_freq").alias("frequency"),
+            r4(F.col("_mon")).alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+        )
+    )
+
+
+def streaks(
+    df: DataFrame,
+    by: list[str],
+    date_col: str,
+) -> DataFrame:
+    """Longest consecutive-active-days streak per group of ANY
+    (group, date) frame (win_streak's algebra with columns
+    parameterized) — the classic gaps-and-islands shape: distinct
+    active days, island key = day number minus row_number (constant
+    within a consecutive run), then two aggregates.  Returns
+    (by..., longest_streak, n_active_days).
+
+    Scale: every step — distinct, window, both groupBys — shares the
+    `by` partitioning, so the whole kernel is ONE full-data Exchange
+    over the (group, day) DISTINCT aggregate."""
+    days = df.select(
+        *by,
+        F.datediff(
+            F.col(date_col), F.to_date(F.lit("1970-01-01"))
+        ).alias("_d"),
+    ).distinct()
+    w = Window.partitionBy(*by).orderBy("_d")
+    islands = days.withColumn(
+        "_island", F.col("_d") - F.row_number().over(w)
+    )
+    runs = islands.groupBy(*by, "_island").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return runs.groupBy(*by).agg(
+        F.max("_len").cast("long").alias("longest_streak"),
+        F.sum("_len").cast("long").alias("n_active_days"),
+    )
+
+
+def markov_stationary(
+    df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 4,
+) -> DataFrame:
+    """Stationary distribution of the Markov chain estimated from ANY
+    observed-transition list — one row per (src, dst) transition event
+    (the markov_stationary operator's algebra with the pair derivation
+    left to the caller; build consecutive pairs with a per-entity lead
+    window first).  `iters` unrolled power iterations from the uniform
+    vector over the observed source states; each iteration's
+    contributions pi*P(src->dst) quantize to DECIMAL(38,18) pre-sum so
+    the shuffle-order-dependent float sum is exact; the final vector is
+    1e9-quantized.  Returns (state, pi9).
+
+    Scale: the chain state space is |states| (model-sized), so after
+    the caller's one shuffle everything operates on the k x k
+    transition matrix — iterations cost joins over <= k^2 rows
+    regardless of corpus size."""
+    d18 = "DECIMAL(38,18)"
+    c = df.groupBy(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    tot = c.groupBy("_src").agg(F.sum("_n").alias("_tn"))
+    p = (
+        c.join(tot, "_src")
+        .select(
+            "_src",
+            "_dst",
+            (F.col("_n").cast("double") / F.col("_tn")).alias("_prob"),
+        )
+        .localCheckpoint()
+    )
+    n_states = p.select("_src").distinct().count()
+    pi = (
+        p.select("_src")
+        .distinct()
+        .select(
+            F.col("_src").alias("state"),
+            (F.lit(1.0) / F.lit(n_states)).alias("pi"),
+        )
+    )
+    for _ in range(iters):
+        contrib = p.join(pi, p._src == pi.state).select(
+            F.col("_dst"),
+            (F.col("pi") * F.col("_prob")).cast(d18).alias("_c"),
+        )
+        pi = contrib.groupBy(F.col("_dst").alias("state")).agg(
+            F.sum("_c").cast("double").alias("pi")
+        )
+    return pi.select(
+        "state",
+        F.floor(F.col("pi") * 1_000_000_000 + 0.5).cast("long").alias("pi9"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    season_col: str,
+    by: list[str],
+    half: int = 12,
+) -> DataFrame:
+    """Moving-average seasonal decomposition of ANY pre-bucketed series
+    (seasonal_decompose_ma's algebra with columns and the MA half-width
+    parameterized): a centered (2*half+1)-point MA as the trend (only
+    where the frame is complete), and the seasonal index = mean
+    detrended residual per season key.  Pass ONE row per
+    (by, order_col) plus a season key column (e.g. hour-of-day of the
+    bucket).  Sums accumulate in DECIMAL(38,6), so `seasonal` is an
+    exact-over-exact division rounded once.  Returns
+    (by..., season, n_obs, seasonal).
+
+    Scale: the trend window and the season regroup form a two-Exchange
+    pipeline over the pre-bucketed AGGREGATE, never the raw stream."""
+    from .operators._helpers import DEC, r4
+
+    width = 2 * half + 1
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(-half, half)
+    )
+    trended = df.select(
+        *by,
+        F.col(season_col).alias("season"),
+        F.col(val_col).alias("_v"),
+        (F.sum(F.col(val_col).cast(DEC)).over(w).cast("double") / width).alias(
+            "_trend"
+        ),
+        F.count(F.lit(1)).over(w).alias("_n_win"),
+    ).filter(F.col("_n_win") == width)
+    return trended.groupBy(*by, "season").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        r4(
+            F.sum((F.col("_v") - F.col("_trend")).cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal"),
     )

@@ -1815,3 +1815,52 @@ def test_calendar_gaps_detects_missing_days(spark):
     row = api.calendar_gaps(df, "day").collect()[0]
     # spine 1..5 Jan: 5 days, missing {3,4}, 4 rows
     assert row.days_total == 5 and row.days_missing == 2 and row.n_rows == 4
+
+
+def test_rfm_scores_quartile_sanity(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), i % 5 + 1, float(i * 10)) for i in range(1, 9)],
+        "id long, rec double, freq int, mon double",
+    )
+    out = api.rfm_scores(df, "id", "rec", "freq", "mon").collect()
+    assert len(out) == 8
+    for r in out:
+        assert 1 <= r.r_score <= 4 and 1 <= r.m_score <= 4
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+    # recency ranks follow id here: ids 1-2 -> tile 1, ids 7-8 -> tile 4
+    by_id = {r.id: r for r in out}
+    assert by_id[1].r_score == 1 and by_id[8].r_score == 4
+    assert by_id[1].m_score == 1 and by_id[8].m_score == 4
+
+
+def test_streaks_gap_splits_run(spark):
+    import datetime as dt
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [("u", d(2025, 1, 1)), ("u", d(2025, 1, 2)), ("u", d(2025, 1, 2)),
+         ("u", d(2025, 1, 4)), ("u", d(2025, 1, 5)), ("u", d(2025, 1, 6))],
+        "g string, day date",
+    )
+    row = api.streaks(df, ["g"], "day").collect()[0]
+    assert row.longest_streak == 3 and row.n_active_days == 5
+
+
+def test_markov_stationary_two_state_chain(spark):
+    # transitions a->b and b->a only: stationary = (0.5, 0.5)
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")] * 4, "s string, d string"
+    )
+    rows = {r.state: r.pi9
+            for r in api.markov_stationary(df, "s", "d", iters=6).collect()}
+    assert rows == {"a": 500_000_000, "b": 500_000_000}
+
+
+def test_seasonal_decompose_flat_series_zero_seasonal(spark):
+    df = spark.createDataFrame(
+        [("g", t, t % 4, 5.0) for t in range(20)],
+        "k string, t int, season int, v double",
+    )
+    out = api.seasonal_decompose(df, "v", "t", "season", by=["k"], half=2)
+    for r in out.collect():
+        assert r.seasonal == 0.0  # constant series has no seasonal component

@@ -1480,3 +1480,82 @@ def test_calendar_gaps_matches_date_spine(spark):
         _sorted(got, ["month"]), _sorted(want, ["month"]),
         check_dtype=False,
     )
+
+
+def test_rfm_scores_matches_customer_rfm(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators._helpers import dsum
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("rec_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    got = api.rfm_scores(
+        base, "o_custkey", "rec_days", "frequency", "monetary"
+    )
+    want = QUERIES["customer_rfm"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["o_custkey"]), _sorted(want, ["o_custkey"]),
+        check_dtype=False,
+    )
+
+
+def test_streaks_matches_win_streak(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).select("user_id", F.to_date("ts").alias("day"))
+    got = api.streaks(ev, ["user_id"], "day")
+    want = QUERIES["win_streak"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["user_id"]), _sorted(want, ["user_id"]),
+        check_dtype=False,
+    )
+
+
+def test_markov_stationary_matches_op(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.markov_extras import MARKOV_ITERS
+
+    ev = _events(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    got = api.markov_stationary(
+        seq, "event_type", "nxt", iters=MARKOV_ITERS
+    ).withColumnRenamed("state", "event_type")
+    want = QUERIES["markov_stationary"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )
+
+
+def test_seasonal_decompose_matches_op(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators._helpers import dsum
+    from secdb_spark.operators.warehouse_extras2 import MA_HALF
+
+    hourly = (
+        _events(spark)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(dsum(F.col("value")).alias("v"))
+        .withColumn("hod", F.hour("bucket").cast("int"))
+    )
+    got = api.seasonal_decompose(
+        hourly, "v", "bucket", "hod", by=["event_type"], half=MA_HALF
+    ).withColumnRenamed("season", "hour_of_day")
+    want = QUERIES["seasonal_decompose_ma"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type", "hour_of_day"]),
+        _sorted(want, ["event_type", "hour_of_day"]),
+        check_dtype=False,
+    )

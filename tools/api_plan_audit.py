@@ -374,6 +374,25 @@ def _catalog(api, fx, tmp: str) -> dict:
             "c", "day", by=["stage"],
         ),
         "calendar_gaps": lambda: api.calendar_gaps(e, "day"),
+        "rfm_scores": lambda: api.rfm_scores(
+            e.groupBy("uid").agg(
+                F.max("val").alias("rec"),
+                F.count(F.lit(1)).alias("fr"),
+                F.sum("val").alias("mon"),
+            ),
+            "uid", "rec", "fr", "mon",
+        ),
+        "streaks": lambda: api.streaks(e, ["uid"], "day"),
+        "markov_stationary": lambda: api.markov_stationary(
+            e.select("stage",
+                     F.concat(F.lit("n_"), "stage").alias("nxt")),
+            "stage", "nxt", iters=2,
+        ),
+        "seasonal_decompose": lambda: api.seasonal_decompose(
+            e.groupBy("stage", "day").agg(F.avg("val").alias("v"))
+             .withColumn("dow", F.dayofweek("day")),
+            "v", "day", "dow", by=["stage"], half=1,
+        ),
     }
 
 

@@ -161,6 +161,10 @@ __all__ = [
     "streaks",
     "markov_stationary",
     "seasonal_decompose",
+    "ohlc",
+    "twap",
+    "rsi",
+    "rolling_corr",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -4930,3 +4934,183 @@ def seasonal_decompose(
             / F.count(F.lit(1))
         ).alias("seasonal"),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    bucket_col: str,
+    by: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """OHLC resampling of ANY tick frame (ts_ohlc's algebra with columns
+    parameterized) — the financial bar-chart aggregate: per (by, bucket),
+    the first/last/extreme values plus tick count and summed volume.
+    Pre-compute the bucket column (e.g. date_trunc('hour', ts)); pass
+    tie_cols so open/close are total-order deterministic.  Open/close
+    come from tie-safe row_number flags folded into the same aggregate —
+    both windows and the groupBy share one (by, bucket) partitioning, so
+    the whole kernel is a single Exchange.  Open/close/high/low are
+    UNROUNDED single values; only the order-sensitive volume sum goes
+    through the decimal quantizer.  Returns
+    (by..., bucket, open, high, low, close, n_ticks, volume)."""
+    from .operators._helpers import dsum, r4
+
+    by = by or []
+    tie_cols = tie_cols or []
+    pw = Window.partitionBy(*by, bucket_col)
+    w_a = pw.orderBy(F.col(order_col).asc(), *[F.col(c).asc() for c in tie_cols])
+    w_d = pw.orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in tie_cols]
+    )
+    flagged = df.withColumn("_rn_a", F.row_number().over(w_a)).withColumn(
+        "_rn_d", F.row_number().over(w_d)
+    )
+    return flagged.groupBy(*by, bucket_col).agg(
+        F.max(F.when(F.col("_rn_a") == 1, F.col(val_col))).alias("open"),
+        F.max(val_col).alias("high"),
+        F.min(val_col).alias("low"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col(val_col))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        r4(dsum(F.col(val_col))).alias("volume"),
+    )
+
+
+def twap(
+    df: DataFrame,
+    val_col: str,
+    time_col: str,
+    by: list[str],
+    tie_cols: list[str] | None = None,
+    time_scale: float = 1e6,
+) -> DataFrame:
+    """Time-weighted average of ANY irregularly-spaced value series (the
+    twap operator's algebra with columns parameterized): the
+    step-function integral (each observation holds until the next one)
+    divided by the covered duration — the correct summary when a plain
+    avg() would over-weight bursts.  `time_col` is numeric (e.g. epoch
+    micros with time_scale=1e6 for per-second weighting).  Entities with
+    a single observation drop out (no holding period), as do
+    zero-duration histories (guards the 0/0).  Returns (by..., twap).
+
+    Scale: one lead() window and the per-entity aggregate share the
+    `by` hash partitioning — one Exchange, one sort, combinable sums."""
+    tie_cols = tie_cols or []
+    w = Window.partitionBy(*by).orderBy(time_col, *tie_cols)
+    dt = (F.lead(time_col).over(w) - F.col(time_col)) / F.lit(time_scale)
+    return (
+        df.select(*by, F.col(val_col).alias("_v"), dt.alias("_dt"))
+        .filter(F.col("_dt").isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.sum(F.col("_v") * F.col("_dt")).alias("_wsum"),
+            F.sum("_dt").alias("_dur"),
+        )
+        .filter(F.col("_dur") > 0)
+        .select(
+            *by, F.round(F.col("_wsum") / F.col("_dur"), 4).alias("twap")
+        )
+    )
+
+
+def rsi(
+    df: DataFrame,
+    close_col: str,
+    order_col: str,
+    by: list[str] | None = None,
+    days: int = 14,
+    scale: int = 4,
+) -> DataFrame:
+    """Relative Strength Index over ANY pre-bucketed close series
+    (ts_rsi's algebra with columns, window and fixed-point scale
+    parameterized; the SMA variant — windowable and engine-exact, unlike
+    Wilder's sequential recursion).  Closes quantize to int64 at `scale`
+    digits, so gains/losses and their `days`-window sums are exact
+    integers and `100 - 100/(1+sg/sl)` is one IEEE tree; the
+    all-loss-zero edge pins to 100 exactly.  Pass ONE row per
+    (by, order_col).  Returns (by..., order, rsi) for rows with a full
+    lookback.
+
+    Scale: lag + one ROWS frame over the pre-bucketed series."""
+    from .operators._helpers import r4
+
+    by = by or []
+    fixed = F.floor(F.col(close_col) * (10**scale) + 0.5).cast("long")
+    wo = (
+        Window.partitionBy(*by).orderBy(order_col)
+        if by
+        else Window.orderBy(order_col)
+    )
+    delta = (
+        df.select(*by, order_col, fixed.alias("_c"))
+        .withColumn("_d", F.col("_c") - F.lag("_c").over(wo))
+        .filter(F.col("_d").isNotNull())
+    )
+    gl = delta.select(
+        *by,
+        order_col,
+        F.when(F.col("_d") > 0, F.col("_d")).otherwise(0).alias("_gain"),
+        F.when(F.col("_d") < 0, -F.col("_d")).otherwise(0).alias("_loss"),
+        F.row_number().over(wo).alias("_rn"),
+    )
+    fr = wo.rowsBetween(-(days - 1), 0)
+    win = gl.select(
+        *by,
+        order_col,
+        "_rn",
+        F.sum("_gain").over(fr).alias("_sg"),
+        F.sum("_loss").over(fr).alias("_sl"),
+    ).filter(F.col("_rn") >= days)
+    out = F.when(F.col("_sl") == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("_sg").cast("double") / F.col("_sl"))
+    )
+    return win.select(*by, order_col, r4(out).alias("rsi"))
+
+
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    by: list[str] | None = None,
+    days: int = 28,
+) -> DataFrame:
+    """Rolling `days`-point Pearson correlation between two INTEGER
+    series of ANY pre-bucketed frame (ts_rolling_corr's algebra with
+    columns and window parameterized) — the coupling monitor (a collapse
+    says x stopped driving y; cross-correlation finds the LAG, this
+    tracks strength over time).  All five windowed moments are exact
+    integer sums; the correlation closes in one shared IEEE tree.
+    Quantize non-integer inputs fixed-point first.  Returns
+    (by..., order, corr) for rows with a full lookback, round 4.
+
+    Scale: a single ROWS frame over the pre-bucketed series."""
+    from .operators._helpers import r4
+
+    by = by or []
+    wo = (
+        Window.partitionBy(*by).orderBy(order_col)
+        if by
+        else Window.orderBy(order_col)
+    )
+    fr = wo.rowsBetween(-(days - 1), 0)
+    x, y = F.col(x_col), F.col(y_col)
+    w = df.select(
+        *by,
+        order_col,
+        F.count(F.lit(1)).over(fr).alias("_n"),
+        F.sum(x).over(fr).alias("_sx"),
+        F.sum(y).over(fr).alias("_sy"),
+        F.sum(x * x).over(fr).alias("_sxx"),
+        F.sum(y * y).over(fr).alias("_syy"),
+        F.sum(x * y).over(fr).alias("_sxy"),
+        F.row_number().over(wo).alias("_rn"),
+    ).filter(F.col("_rn") >= days)
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    corr = (n * F.col("_sxy") - sx * F.col("_sy")) / (
+        F.sqrt(n * F.col("_sxx") - sx * F.col("_sx"))
+        * F.sqrt(n * F.col("_syy") - sy * F.col("_sy"))
+    )
+    return w.select(*by, order_col, r4(corr).alias("corr"))

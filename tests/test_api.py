@@ -1864,3 +1864,41 @@ def test_seasonal_decompose_flat_series_zero_seasonal(spark):
     out = api.seasonal_decompose(df, "v", "t", "season", by=["k"], half=2)
     for r in out.collect():
         assert r.seasonal == 0.0  # constant series has no seasonal component
+
+
+def test_ohlc_hand_bar(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1, 5.0), ("a", 1, 2, 9.0), ("a", 1, 3, 2.0),
+         ("a", 1, 4, 7.0)],
+        "g string, b int, t int, v double",
+    )
+    row = api.ohlc(df, "v", "t", "b", by=["g"]).collect()[0]
+    assert (row.open, row.high, row.low, row.close) == (5.0, 9.0, 2.0, 7.0)
+    assert row.n_ticks == 4 and row.volume == 23.0
+
+
+def test_twap_step_function_weighting(spark):
+    # value 10 held 3s then 0 held 1s -> twap = 30/4 = 7.5; last obs drops
+    df = spark.createDataFrame(
+        [("u", 0, 10.0), ("u", 3_000_000, 0.0), ("u", 4_000_000, 99.0)],
+        "g string, us long, v double",
+    )
+    row = api.twap(df, "v", "us", by=["g"]).collect()[0]
+    assert row.twap == 7.5
+
+
+def test_rsi_monotone_series_pins_100(spark):
+    df = spark.createDataFrame(
+        [("g", t, float(t)) for t in range(1, 8)], "k string, t int, c double"
+    )
+    rows = api.rsi(df, "c", "t", by=["k"], days=3).collect()
+    assert rows and all(r.rsi == 100.0 for r in rows)  # sl=0 edge
+
+
+def test_rolling_corr_perfect_inverse(spark):
+    df = spark.createDataFrame(
+        [("g", t, t, 100 - t) for t in range(10)],
+        "k string, t int, x long, y long",
+    )
+    rows = api.rolling_corr(df, "x", "y", "t", by=["k"], days=4).collect()
+    assert rows and all(r.corr == -1.0 for r in rows)

@@ -1559,3 +1559,83 @@ def test_seasonal_decompose_matches_op(spark):
         _sorted(want, ["event_type", "hour_of_day"]),
         check_dtype=False,
     )
+
+
+def test_ohlc_matches_ts_ohlc(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).withColumn("bucket", F.date_trunc("hour", "ts"))
+    got = api.ohlc(
+        ev, "value", "ts", "bucket", by=["event_type"],
+        tie_cols=["event_id"],
+    )
+    want = QUERIES["ts_ohlc"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type", "bucket"]),
+        _sorted(want, ["event_type", "bucket"]),
+        check_dtype=False,
+    )
+
+
+def test_twap_matches_twap_op(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    got = api.twap(ev, "value", "us", by=["user_id"], tie_cols=["event_id"])
+    want = QUERIES["twap"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["user_id"]), _sorted(want, ["user_id"]),
+        check_dtype=False,
+    )
+
+
+def test_rsi_matches_ts_rsi(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras8 import RSI_DAYS
+
+    daily = (
+        _events(spark)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+                / F.lit(10000.0)
+            ).alias("close")
+        )
+    )
+    got = api.rsi(
+        daily, "close", "day", by=["event_type"], days=RSI_DAYS, scale=4
+    )
+    want = QUERIES["ts_rsi"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type", "day"]),
+        _sorted(want, ["event_type", "day"]),
+        check_dtype=False,
+    )
+
+
+def test_rolling_corr_matches_ts_rolling_corr(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras8 import CORR_DAYS
+
+    daily = (
+        _events(spark)
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long").alias("y"),
+        )
+    )
+    got = api.rolling_corr(
+        daily, "x", "y", "day", days=CORR_DAYS
+    ).withColumnRenamed("corr", "corr_vp")
+    want = QUERIES["ts_rolling_corr"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False,
+    )

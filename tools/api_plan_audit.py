@@ -393,6 +393,24 @@ def _catalog(api, fx, tmp: str) -> dict:
              .withColumn("dow", F.dayofweek("day")),
             "v", "day", "dow", by=["stage"], half=1,
         ),
+        "ohlc": lambda: api.ohlc(
+            e, "val", "etime", "day", by=["stage"], tie_cols=["uid"]
+        ),
+        "twap": lambda: api.twap(
+            e.withColumn("us", F.unix_micros(F.col("etime"))),
+            "val", "us", by=["uid"], tie_cols=["stage"],
+        ),
+        "rsi": lambda: api.rsi(
+            e.groupBy("stage", "day").agg(F.avg("val").alias("c")),
+            "c", "day", by=["stage"], days=2,
+        ),
+        "rolling_corr": lambda: api.rolling_corr(
+            e.groupBy("day").agg(
+                F.count(F.lit(1)).alias("x"),
+                F.sum(F.col("uid")).alias("y"),
+            ),
+            "x", "y", "day", days=2,
+        ),
     }
 
 

@@ -165,6 +165,10 @@ __all__ = [
     "twap",
     "rsi",
     "rolling_corr",
+    "pmi_bigrams",
+    "zipf_slope",
+    "readability",
+    "geomean",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -5114,3 +5118,201 @@ def rolling_corr(
         * F.sqrt(n * F.col("_syy") - sy * F.col("_sy"))
     )
     return w.select(*by, order_col, r4(corr).alias("corr"))
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Collocation mining over ANY text column (text_pmi_bigrams'
+    algebra with the column, support floor and top-k parameterized):
+    pointwise mutual information of adjacent whitespace tokens — the
+    classic phrase detector ("new york") run before n-gram vocabulary
+    construction.  PMI quantizes to an integer
+    (floor(ln(...)*1e6 + 0.5)) so ranking is bigint-exact; support
+    floor first, ORDER-BY-complete top-k with (w1, w2) tie keys.
+    Returns (w1, w2, n_pair, pmi6).
+
+    Scale: bigram counts shuffle on (w1, w2); the unigram side is
+    vocabulary-bounded so it BROADCASTS onto the bigram stream
+    (hash-joining it would re-shuffle on the Zipf-hot first token); the
+    two scalar totals ride 1-row crossJoins.  One tokenize scan feeds
+    both unigram and bigram counts via the pinned aggregates."""
+    from .operators._helpers import pin
+
+    t = df.select(F.split(F.lower(F.col(text_col)), " ").alias("_toks"))
+    uni = t.select(F.explode("_toks").alias("_w"))
+    uc = pin(uni.groupBy("_w").agg(F.count(F.lit(1)).alias("_c")))
+    n1 = uc.agg(F.sum("_c").cast("long").alias("_n"))
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.0").alias("w1"), F.col("_p.1").alias("w2"))
+    bc = pin(pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c")))
+    n2 = bc.agg(F.sum("_c").cast("long").alias("_n"))
+    a = uc.select(F.col("_w").alias("w1"), F.col("_c").alias("_ca"))
+    b = uc.select(F.col("_w").alias("w2"), F.col("_c").alias("_cb"))
+    pmi = F.log(
+        (F.col("_c").cast("double") / F.col("_n2"))
+        / (
+            (F.col("_ca").cast("double") / F.col("_n1"))
+            * (F.col("_cb").cast("double") / F.col("_n1"))
+        )
+    )
+    return (
+        bc.filter(F.col("_c") >= min_count)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(n1.select(F.col("_n").alias("_n1"))))
+        .crossJoin(F.broadcast(n2.select(F.col("_n").alias("_n2"))))
+        .select(
+            "w1",
+            "w2",
+            F.col("_c").cast("long").alias("n_pair"),
+            F.floor(pmi * 1e6 + 0.5).cast("long").alias("pmi6"),
+        )
+        .orderBy(F.col("pmi6").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Zipf slope of ANY corpus' rank-frequency curve
+    (corpus_zipf_slope's algebra with the column parameterized): the
+    least-squares slope of ln(freq) on ln(rank) — natural corpora sit
+    near -1; a slope far from it flags templated/machine-generated
+    text, the corpus-level screen a training-data pipeline runs before
+    accepting a new source.  ln values quantize to 1e6 fixed-point so
+    the regression moments are exact decimal integers.  Returns one row
+    (n_terms, zipf_slope).
+
+    Scale: one tokenize scan -> term counts (combinable) -> a rank
+    window over the |vocab|-sized aggregate (model-sized spine) -> one
+    5-moment pass."""
+    from .operators._helpers import r4
+
+    d0 = "decimal(38,0)"
+    ln_scale = 10**6
+    tf = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("_term"))
+        .groupBy("_term")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
+    ranked = tf.select(
+        "_freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("_freq"), "_term"))
+        .alias("_rnk"),
+    )
+    x = F.floor(
+        F.log(F.col("_rnk").cast("double")) * ln_scale + 0.5
+    ).cast("long")
+    y = F.floor(
+        F.log(F.col("_freq").cast("double")) * ln_scale + 0.5
+    ).cast("long")
+    q = ranked.select(x.alias("_x"), y.alias("_y"))
+    m = q.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast(d0)).alias("_sx"),
+        F.sum(F.col("_y").cast(d0)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d0)).alias("_sxx"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d0)).alias("_sxy"),
+    )
+    nd = F.col("_n").cast(d0)
+    num = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return m.select(
+        F.col("_n").cast("long").alias("n_terms"),
+        r4(num.cast("double") / den.cast("double")).alias("zipf_slope"),
+    )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Flesch reading-ease of ANY text column (text_readability's
+    algebra with the column parameterized): 206.835 -
+    1.015*(words/sentence) - 84.6*(syllables/word), with syllables
+    approximated as vowel-group runs (the standard dictionary-free
+    estimator) and sentences as terminal-punctuation runs.  All three
+    counts are exact integers from JVM regexp_extract_all fused into
+    the scan — the whole kernel is map-only, zero Exchange,
+    embarrassingly parallel at any corpus size.  Degenerate docs guard
+    through greatest(1, .).  Returns the input rows +
+    (n_words, n_sents, n_syll, flesch)."""
+    from .operators._helpers import r4
+    from .operators.corpus_extras import SENT_RE, SYLL_RE, WORD_RE
+
+    n_words = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), 0)
+    ).cast("long")
+    n_sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(SENT_RE), 0)),
+    ).cast("long")
+    n_syll = F.greatest(
+        F.lit(1),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(SYLL_RE), 0
+            )
+        ),
+    ).cast("long")
+    c = df.withColumns(
+        {"n_words": n_words, "n_sents": n_sents, "n_syll": n_syll}
+    )
+    return c.withColumn(
+        "flesch",
+        r4(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+            - 84.6
+            * (
+                F.col("n_syll").cast("double")
+                / F.greatest(F.lit(1), F.col("n_words"))
+            )
+        ),
+    )
+
+
+def geomean(
+    df: DataFrame,
+    val_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Geometric mean of ANY POSITIVE value column per group
+    (agg_geomean's algebra with columns parameterized) — the right
+    average for multiplicative quantities (log-normal-ish
+    distributions, where the arithmetic mean over-weights whales).
+    Each ln quantizes to an e6 BIGINT before summation, so the
+    accumulation is exact integer in any order and exp(sum/n/1e6) is
+    one IEEE tree — deterministic at any partition count.  Returns
+    (by..., n, geomean), round 4.
+
+    Scale: one map-side-combinable aggregate — the same quantized-log
+    trick keeps any log-domain statistic hash-certifiable."""
+    from .operators._helpers import r4
+
+    by = by or []
+    q = 10**6
+    lq = F.floor(F.log(F.col(val_col)) * q + 0.5).cast("long")
+    return (
+        df.select(*by, lq.alias("_lq"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(
+                F.exp(F.sum("_lq").cast("double") / F.count(F.lit(1)) / q)
+            ).alias("geomean"),
+        )
+    )

@@ -1902,3 +1902,43 @@ def test_rolling_corr_perfect_inverse(spark):
     )
     rows = api.rolling_corr(df, "x", "y", "t", by=["k"], days=4).collect()
     assert rows and all(r.corr == -1.0 for r in rows)
+
+
+def test_pmi_bigrams_hand_collocation(spark):
+    # "new york" always adjacent; "the" everywhere -> pmi(new,york) high
+    rows = [("new york city",)] * 6 + [("the city the town",)] * 6
+    df = spark.createDataFrame(rows, "text string")
+    out = api.pmi_bigrams(df, "text", min_count=2, k=5).collect()
+    assert out, "must find collocations"
+    top = out[0]
+    assert (top.w1, top.w2) == ("new", "york") and top.n_pair == 6
+    assert top.pmi6 > 0
+
+
+def test_zipf_slope_uniform_corpus_is_flat(spark):
+    # every term equally frequent -> ln(freq) constant -> slope 0
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta",)] * 5, "text string"
+    )
+    row = api.zipf_slope(df, "text").collect()[0]
+    assert row.n_terms == 4 and row.zipf_slope == 0.0
+
+
+def test_readability_simple_vs_complex(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."),
+         (2, "Extraordinarily sophisticated considerations necessitate "
+             "comprehensive investigation.")],
+        "id int, body string",
+    )
+    rows = {r.id: r for r in api.readability(df, "body").collect()}
+    assert rows[1].n_sents == 2
+    assert rows[1].flesch > rows[2].flesch  # short words read easier
+
+
+def test_geomean_powers_of_two(spark):
+    df = spark.createDataFrame(
+        [("g", 2.0), ("g", 8.0)], "k string, v double"
+    )
+    row = api.geomean(df, "v", by=["k"]).collect()[0]
+    assert row.n == 2 and row.geomean == 4.0  # sqrt(2*8)

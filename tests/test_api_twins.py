@@ -1639,3 +1639,50 @@ def test_rolling_corr_matches_ts_rolling_corr(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False,
     )
+
+
+def test_pmi_bigrams_matches_text_pmi_bigrams(spark):
+    from secdb_spark.operators.warehouse_extras3 import (
+        PMI_MIN_COUNT, PMI_TOPK)
+
+    got = api.pmi_bigrams(
+        _docs(spark), "text", min_count=PMI_MIN_COUNT, k=PMI_TOPK
+    )
+    want = QUERIES["text_pmi_bigrams"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["pmi6", "w1", "w2"]).reset_index(drop=True),
+        _sorted(want, ["pmi6", "w1", "w2"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_zipf_slope_matches_corpus_zipf_slope(spark):
+    got = api.zipf_slope(_docs(spark), "text")
+    want = QUERIES["corpus_zipf_slope"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_terms"]), _sorted(want, ["n_terms"]),
+        check_dtype=False,
+    )
+
+
+def test_readability_matches_text_readability(spark):
+    got = api.readability(_docs(spark), "text").select(
+        "doc_id", "lang", "n_words", "n_sents", "n_syll", "flesch"
+    )
+    want = QUERIES["text_readability"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id"]), _sorted(want, ["doc_id"]),
+        check_dtype=False,
+    )
+
+
+def test_geomean_matches_agg_geomean(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = api.geomean(
+        o, "o_totalprice", by=["o_orderpriority"]
+    ).withColumnRenamed("geomean", "geomean_price")
+    want = QUERIES["agg_geomean"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["o_orderpriority"]), _sorted(want, ["o_orderpriority"]),
+        check_dtype=False,
+    )

@@ -411,6 +411,13 @@ def _catalog(api, fx, tmp: str) -> dict:
             ),
             "x", "y", "day", days=2,
         ),
+        "pmi_bigrams": lambda: api.pmi_bigrams(d, "body", min_count=1, k=10),
+        "zipf_slope": lambda: api.zipf_slope(d, "body"),
+        "readability": lambda: api.readability(d, "body"),
+        "geomean": lambda: api.geomean(
+            e.select("stage", (F.col("val") + 1).alias("v")), "v",
+            by=["stage"],
+        ),
     }
 
 

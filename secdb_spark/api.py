@@ -169,6 +169,11 @@ __all__ = [
     "zipf_slope",
     "readability",
     "geomean",
+    "bloom_filter",
+    "cms",
+    "bottomk_sample",
+    "hash_features",
+    "period_growth",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -5315,4 +5320,194 @@ def geomean(
                 F.exp(F.sum("_lq").cast("double") / F.count(F.lit(1)) / q)
             ).alias("geomean"),
         )
+    )
+
+
+def bloom_filter(
+    df: DataFrame,
+    key_col: str,
+    bits: int = 4096,
+    hashes: int = 3,
+) -> DataFrame:
+    """Bloom filter over the distinct values of ANY key column
+    (bloom_build's packing with column, m and k parameterized; the FP
+    measurement stays with the certified operator): md5-derived bit
+    positions packed into 62-bit bigint words — the join-pre-filter
+    primitive (broadcast the words to the fact side, drop rows whose
+    key cannot be in the dim).  Deterministic pure function of the key
+    set, so two engines build the identical filter.  Returns
+    (word_idx, word) — model-sized (bits/62 rows).
+
+    Scale: distinct + k map-side bit exprs + a combinable bit_or
+    rollup (Bloom union IS bit_or, so sketches merge in the combine
+    phase); at 100 TB the broadcast replaces a full shuffle of the
+    fact side."""
+    from .operators._helpers import pin
+    from .operators.sketch_extras import BLOOM_WORD
+    from .operators.pipeline_extras import _hash_bucket
+
+    keys = pin(df.select(F.col(key_col).alias("_k")).distinct())
+    bit_frames = None
+    for j in range(hashes):
+        b = keys.select(
+            _hash_bucket(
+                F.concat(F.lit(f"bloom{j}:"), F.col("_k").cast("string")),
+                bits,
+            ).alias("bit")
+        )
+        bit_frames = b if bit_frames is None else bit_frames.unionByName(b)
+    return (
+        bit_frames.distinct()
+        .groupBy(
+            F.floor(F.col("bit") / BLOOM_WORD).cast("long").alias("word_idx")
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(bit % {BLOOM_WORD} AS INT))"
+                )
+            ).alias("word")
+        )
+    )
+
+
+def cms(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch of ANY key stream (cms_sketch's algebra with
+    the column and matrix shape parameterized): depth x width counters
+    with md5 row hashes — the mergeable heavy-hitter structure whose
+    point estimate min_r(cell[r][h_r(x)]) upper-bounds any key's true
+    count.  The row hashes are pure key functions, so two engines (or
+    two pipeline stages) build identical matrices and merging sketches
+    = adding matrices.  Returns (row, col, cnt).
+
+    Scale: ONE scan feeding a pinned per-key count (the natural
+    pre-aggregate); each row is then a width-key re-aggregate of those
+    counts — fully map-side combinable, sketch size constant regardless
+    of stream size."""
+    from .operators._helpers import pin
+    from .operators.pipeline_extras import _hash_bucket
+
+    key_counts = pin(
+        df.select(F.col(key_col).alias("_key"))
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_kc"))
+    )
+    rows = None
+    for r in range(depth):
+        col = _hash_bucket(
+            F.concat(F.lit(f"cms{r}:"), F.col("_key").cast("string")), width
+        )
+        cell = (
+            key_counts.groupBy(col.cast("int").alias("col"))
+            .agg(F.sum("_kc").alias("cnt"))
+            .select(F.lit(r).alias("row"), "col", "cnt")
+        )
+        rows = cell if rows is None else rows.unionByName(cell)
+    return rows.select(
+        F.col("row").cast("int").alias("row"),
+        "col",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 100,
+    space: int = 1_000_000_000,
+) -> DataFrame:
+    """Bottom-k (KMV) sample of ANY id column (sample_bottomk's algebra
+    with column and k parameterized): the k rows with the smallest md5
+    hash values — simultaneously (a) a uniform sample without
+    replacement, (b) COORDINATED across dataset versions (an unchanged
+    id keeps its hash, so successive snapshots share most of their
+    sample — what makes A/B-stable eval sets), and (c) a distinct-count
+    estimator (n_hat ~ (k-1)*space/kth_hash).  A deterministic pure
+    function of the ids — reproducible, unlike reservoir sampling whose
+    result depends on partition visit order.  Returns (id, hv, rk).
+
+    Scale: per-partition bottom-k via TakeOrderedAndProject (heap +
+    merge, no global sort); the hash is map-side scan work."""
+    from .operators.pipeline_extras import _hash_bucket
+
+    h = df.select(
+        F.col(id_col),
+        _hash_bucket(
+            F.concat(F.lit("kmv:"), F.col(id_col).cast("string")), space
+        ).alias("hv"),
+    )
+    topk = h.orderBy("hv", id_col).limit(k)
+    w = Window.orderBy("hv", id_col)
+    return topk.select(
+        id_col,
+        F.col("hv").cast("long").alias("hv"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+
+
+def hash_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 32,
+) -> DataFrame:
+    """The hashing trick over ANY text column (feat_hashing's algebra
+    with columns and dimension parameterized): whitespace tokens map to
+    a fixed dim-bucket count vector via md5 — the stateless vectorizer
+    (no vocabulary fit, no OOV problem, collision noise bounded by
+    dimension).  Emitted in sparse (id, bucket, cnt) form — the
+    driver-safe serialization of a vector column and the natural input
+    to a sparse matmul.  Returns (id, bucket, cnt).
+
+    Scale: tokenize-explode -> two-key grouped count, map-side
+    combinable; NO vocabulary state anywhere — nothing to broadcast,
+    nothing to version at 100 TB."""
+    from .operators.pipeline_extras import _hash_bucket
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_term")
+    )
+    bucket = _hash_bucket(F.concat(F.lit("fh:"), F.col("_term")), dim)
+    return toks.groupBy(
+        id_col, bucket.cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def period_growth(
+    df: DataFrame,
+    val_col: str,
+    period_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Period-over-period growth of ANY pre-aggregated series
+    (yoy_growth's algebra with columns parameterized, the aggregation
+    left to the caller): value / lag(value) - 1, as a percentage.
+    Growth derives from the UNROUNDED input values so reruns divide
+    identical doubles; rounding happens only at presentation.  Pass ONE
+    row per (by, period).  Returns (by..., period, value, growth_pct),
+    round 4.
+
+    Scale: one lag window over the pre-aggregated series — the raw
+    stream never reaches the window."""
+    from .operators._helpers import r4
+
+    by = by or []
+    w = (
+        Window.partitionBy(*by).orderBy(period_col)
+        if by
+        else Window.orderBy(period_col)
+    )
+    return df.select(
+        *by,
+        period_col,
+        r4(F.col(val_col)).alias("value"),
+        r4((F.col(val_col) / F.lag(val_col).over(w) - 1) * 100).alias(
+            "growth_pct"
+        ),
     )

@@ -1942,3 +1942,79 @@ def test_geomean_powers_of_two(spark):
     )
     row = api.geomean(df, "v", by=["k"]).collect()[0]
     assert row.n == 2 and row.geomean == 4.0  # sqrt(2*8)
+
+
+def test_bloom_filter_membership_no_false_negatives(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    words = {r.word_idx: r.word
+             for r in api.bloom_filter(df, "k", bits=256, hashes=3).collect()}
+    from secdb_spark.operators.pipeline_extras import _hash_bucket
+    from secdb_spark.operators.sketch_extras import BLOOM_WORD
+    from pyspark.sql import functions as F
+
+    # re-derive every key's bit positions and assert each is set
+    probe = spark.createDataFrame([(i,) for i in range(50)], "k long").select(
+        "k",
+        *[_hash_bucket(F.concat(F.lit(f"bloom{j}:"),
+                                F.col("k").cast("string")), 256).alias(f"b{j}")
+          for j in range(3)],
+    )
+    for r in probe.collect():
+        for j in range(3):
+            b = getattr(r, f"b{j}")
+            w = words.get(b // BLOOM_WORD, 0)
+            assert w & (1 << (b % BLOOM_WORD)), f"bit {b} unset for key {r.k}"
+
+
+def test_cms_point_estimate_upper_bounds_truth(spark):
+    rows = [("hot",)] * 40 + [(f"cold{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "term string")
+    cells = {(r.row, r.col): r.cnt
+             for r in api.cms(df, "term", depth=3, width=16).collect()}
+    from secdb_spark.operators.pipeline_extras import _hash_bucket
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame([("hot",)], "term string").select(
+        *[_hash_bucket(F.concat(F.lit(f"cms{r}:"), F.col("term")), 16)
+          .alias(f"c{r}") for r in range(3)]
+    ).collect()[0]
+    est = min(cells[(r, getattr(probe, f"c{r}"))] for r in range(3))
+    assert est >= 40  # CMS never under-counts
+    total = sum(v for (r, _), v in cells.items() if r == 0)
+    assert total == 70  # each row sums to the stream size
+
+
+def test_bottomk_sample_coordinated_across_versions(spark):
+    v1 = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    v2 = spark.createDataFrame([(i,) for i in range(190)], "id long")
+    s1 = {r.id for r in api.bottomk_sample(v1, "id", k=20).collect()}
+    s2 = {r.id for r in api.bottomk_sample(v2, "id", k=20).collect()}
+    # coordination: every v1 sample member that survives into v2 keeps
+    # its hash, so it MUST stay sampled (only dropped ids leave)
+    survivors = {i for i in s1 if i < 190}
+    assert survivors <= s2
+    assert len(s2) == 20  # refilled from the next-smallest hashes
+
+
+def test_hash_features_stateless_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b")], "id int, body string"
+    )
+    out = api.hash_features(df, "id", "body", dim=8).collect()
+    assert all(0 <= r.bucket < 8 for r in out)
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, 0)
+        by_id[r.id] += r.cnt
+    assert by_id == {1: 4, 2: 2}  # counts preserved through hashing
+
+
+def test_period_growth_doubling_series(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 100.0), ("g", 2, 200.0), ("g", 3, 400.0)],
+        "k string, t int, v double",
+    )
+    rows = {r.t: r for r in
+            api.period_growth(df, "v", "t", by=["k"]).collect()}
+    assert rows[1].growth_pct is None  # no prior period
+    assert rows[2].growth_pct == 100.0 and rows[3].growth_pct == 100.0

@@ -1686,3 +1686,82 @@ def test_geomean_matches_agg_geomean(spark):
         _sorted(got, ["o_orderpriority"]), _sorted(want, ["o_orderpriority"]),
         check_dtype=False,
     )
+
+
+def test_bloom_filter_matches_bloom_build_words(spark):
+    from secdb_spark.operators.sketch_extras import BLOOM_BITS, BLOOM_HASHES
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = api.bloom_filter(
+        o, "o_custkey", bits=BLOOM_BITS, hashes=BLOOM_HASHES
+    )
+    want = QUERIES["bloom_build"](spark, SF_DIR).select("word_idx", "word")
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["word_idx"]), _sorted(want, ["word_idx"]),
+        check_dtype=False,
+    )
+
+
+def test_cms_matches_cms_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.sketch_extras import CMS_DEPTH, CMS_WIDTH
+
+    toks = _docs(spark).select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    got = api.cms(toks, "term", depth=CMS_DEPTH, width=CMS_WIDTH)
+    want = QUERIES["cms_sketch"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["row", "col"]), _sorted(want, ["row", "col"]),
+        check_dtype=False,
+    )
+
+
+def test_bottomk_sample_matches_sample_bottomk(spark):
+    from secdb_spark.operators.sketch_extras import BOTTOMK, KMV_SPACE
+
+    got = api.bottomk_sample(
+        _docs(spark), "doc_id", k=BOTTOMK, space=KMV_SPACE
+    )
+    want = QUERIES["sample_bottomk"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["rk"]), _sorted(want, ["rk"]), check_dtype=False,
+    )
+
+
+def test_hash_features_matches_feat_hashing(spark):
+    from secdb_spark.operators.sketch_extras import HASH_DIM
+
+    got = api.hash_features(_docs(spark), "doc_id", "text", dim=HASH_DIM)
+    want = QUERIES["feat_hashing"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id", "bucket"]), _sorted(want, ["doc_id", "bucket"]),
+        check_dtype=False,
+    )
+
+
+def test_period_growth_matches_yoy_growth(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators._helpers import dsum
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    yearly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    got = (
+        api.period_growth(yearly, "rev", "yr", by=["n_name"])
+        .withColumnRenamed("value", "revenue")
+        .withColumnRenamed("growth_pct", "yoy_pct")
+    )
+    want = QUERIES["yoy_growth"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_name", "yr"]), _sorted(want, ["n_name", "yr"]),
+        check_dtype=False,
+    )

@@ -418,6 +418,14 @@ def _catalog(api, fx, tmp: str) -> dict:
             e.select("stage", (F.col("val") + 1).alias("v")), "v",
             by=["stage"],
         ),
+        "bloom_filter": lambda: api.bloom_filter(e, "uid", bits=256),
+        "cms": lambda: api.cms(e, "stage", depth=2, width=8),
+        "bottomk_sample": lambda: api.bottomk_sample(d, "pk", k=10),
+        "hash_features": lambda: api.hash_features(d, "pk", "body", dim=8),
+        "period_growth": lambda: api.period_growth(
+            e.groupBy("stage", "day").agg(F.avg("val").alias("v")),
+            "v", "day", by=["stage"],
+        ),
     }
 
 

@@ -174,6 +174,9 @@ __all__ = [
     "bottomk_sample",
     "hash_features",
     "period_growth",
+    "path_topk",
+    "churn",
+    "skyline",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -5510,4 +5513,126 @@ def period_growth(
         r4((F.col(val_col) / F.lag(val_col).over(w) - 1) * 100).alias(
             "growth_pct"
         ),
+    )
+
+
+def path_topk(
+    df: DataFrame,
+    entity_col: str,
+    step_col: str,
+    order_cols: list[str],
+    k: int = 10,
+    steps: int = 3,
+) -> DataFrame:
+    """Top-k most frequent `steps`-step event paths of ANY
+    (entity, step, order) stream (event_path_topk's algebra with
+    columns, k and path length parameterized) — the clickstream
+    path-mining query: steps-1 lead() windows on ONE entity shuffle
+    build the path string in place (no self-joins), paths aggregate
+    map-side (the |step values|^steps domain collapses early), and the
+    top-k is ORDER-BY-complete with (n DESC, path) tie keys — never a
+    bare LIMIT.  Pass tie-breaking order_cols.  Returns (path, n).
+
+    Scale: the only full-stream cost is the entity window; the counted
+    table is bounded by the path domain."""
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    parts = [F.col(step_col)] + [
+        F.lead(step_col, i).over(w) for i in range(1, steps)
+    ]
+    path = F.concat_ws(">", *parts)
+    # concat_ws silently drops nulls: a short path means a lead ran off
+    # the partition end — keep only complete paths
+    paths = df.select(path.alias("path")).filter(
+        F.size(F.split("path", ">")) == steps
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(k)
+    )
+
+
+def churn(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    by: list[str] | None = None,
+    churn_days: int = 90,
+) -> DataFrame:
+    """Recency-based churn of ANY transaction stream (customer_churn's
+    algebra with columns parameterized): an entity has churned when its
+    last activity is more than `churn_days` days before the corpus
+    anchor (the newest date in the frame — the standard convention for
+    a static snapshot, so the metric is reproducible rather than
+    wall-clock dependent).  Group attributes (`by`) ride the rows (join
+    your dims first); day arithmetic is integer datediff, so the
+    classification has no float boundary.  Returns
+    (by..., n_entities, n_churned, churn_rate).
+
+    Scale: last-activity is one exchange on (by, id); the anchor is a
+    1-row broadcast — no second full scan shuffle."""
+    from .operators._helpers import r4
+
+    by = by or []
+    last = df.groupBy(*by, F.col(id_col).alias("_id")).agg(
+        F.max(date_col).alias("_last")
+    )
+    anchor = df.agg(F.max(date_col).alias("_anchor"))
+    churned = (
+        F.datediff(F.col("_anchor").cast("date"), F.col("_last").cast("date"))
+        > churn_days
+    )
+    return (
+        last.crossJoin(F.broadcast(anchor))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum(F.when(churned, 1).otherwise(0))
+            .cast("long")
+            .alias("n_churned"),
+            r4(
+                F.sum(F.when(churned, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("churn_rate"),
+        )
+    )
+
+
+def skyline(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier of ANY point frame (skyline_2d's algebra
+    with columns parameterized): rows not dominated on (lower x,
+    lower y) — the multi-criteria shortlist query.  The naive
+    formulation is a quadratic NOT-EXISTS self-theta-join; the 2-D
+    skyline collapses to ONE sorted pass over the DISTINCT points:
+    keep a point iff its y beats the running minimum of every
+    lex-earlier point.  Always takes the scale path —
+    `_global_order.bucketed_prefix_min`, an exclusive running min with
+    no single-partition window (min is idempotent, so bucket splits
+    can't change it).  Returns the frontier points (x, y, n_rows) with
+    each point's multiplicity in the input.
+
+    Scale: the sorted pass runs over DISTINCT (x, y) pairs; frontier
+    points count their rows via a broadcast equi-join on the (tiny)
+    frontier."""
+    from .operators._global_order import bucketed_prefix_min
+
+    pts = df.select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).distinct()
+    flagged = bucketed_prefix_min(pts, "_x", ["_y"], "_y", out="_prev")
+    sky = flagged.filter(
+        F.col("_prev").isNull() | (F.col("_y") < F.col("_prev"))
+    ).select("_x", "_y")
+    return (
+        df.join(
+            F.broadcast(sky),
+            (F.col(x_col) == F.col("_x")) & (F.col(y_col) == F.col("_y")),
+        )
+        .groupBy(F.col("_x").alias("x"), F.col("_y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )

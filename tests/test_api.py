@@ -2018,3 +2018,41 @@ def test_period_growth_doubling_series(spark):
             api.period_growth(df, "v", "t", by=["k"]).collect()}
     assert rows[1].growth_pct is None  # no prior period
     assert rows[2].growth_pct == 100.0 and rows[3].growth_pct == 100.0
+
+
+def test_path_topk_counts_and_lengths(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "c"), ("u", 4, "a"),
+         ("v", 1, "a"), ("v", 2, "b"), ("v", 3, "c")],
+        "e string, t int, s string",
+    )
+    rows = {r.path: r.n
+            for r in api.path_topk(df, "e", "s", ["t"], k=5).collect()}
+    assert rows["a>b>c"] == 2 and rows["b>c>a"] == 1
+    assert all(len(p.split(">")) == 3 for p in rows)
+
+
+def test_churn_anchor_convention(spark):
+    import datetime as dt
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [("g", 1, d(2025, 1, 1)), ("g", 1, d(2025, 6, 1)),
+         ("g", 2, d(2025, 1, 15)), ("g", 3, d(2025, 5, 30))],
+        "grp string, id int, day date",
+    )
+    row = api.churn(df, "id", "day", by=["grp"], churn_days=90).collect()[0]
+    # anchor = 2025-06-01; entity 2 last seen 137 days before -> churned
+    assert row.n_entities == 3 and row.n_churned == 1
+    assert row.churn_rate == 0.3333
+
+
+def test_skyline_dominance(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5), (1.0, 5), (2.0, 3), (3.0, 4), (4.0, 1)],
+        "price double, size int",
+    )
+    pts = {(r.x, r.y): r.n_rows
+           for r in api.skyline(df, "price", "size").collect()}
+    # (3.0, 4) dominated by (2.0, 3); duplicates of (1.0, 5) both counted
+    assert pts == {(1.0, 5): 2, (2.0, 3): 1, (4.0, 1): 1}

@@ -1765,3 +1765,61 @@ def test_period_growth_matches_yoy_growth(spark):
         _sorted(got, ["n_name", "yr"]), _sorted(want, ["n_name", "yr"]),
         check_dtype=False,
     )
+
+
+def test_path_topk_matches_event_path_topk(spark):
+    from secdb_spark.operators.warehouse_extras import PATH_TOPK
+
+    got = api.path_topk(
+        _events(spark), "user_id", "event_type", ["ts", "event_id"],
+        k=PATH_TOPK, steps=3,
+    )
+    want = QUERIES["event_path_topk"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n", "path"]).reset_index(drop=True),
+        _sorted(want, ["n", "path"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_churn_matches_customer_churn(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras5 import CHURN_DAYS
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    tx = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "o_custkey", "o_orderdate")
+    )
+    got = api.churn(
+        tx, "o_custkey", "o_orderdate", by=["n_name"],
+        churn_days=CHURN_DAYS,
+    ).withColumnRenamed("n_entities", "n_customers")
+    want = QUERIES["customer_churn"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_name"]), _sorted(want, ["n_name"]),
+        check_dtype=False,
+    )
+
+
+def test_skyline_matches_skyline_2d(spark):
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    got = (
+        api.skyline(p, "p_retailprice", "p_size")
+        .withColumnRenamed("x", "price")
+        .withColumnRenamed("y", "psize")
+        .withColumnRenamed("n_rows", "n_parts")
+    )
+    want = QUERIES["skyline_2d"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["price", "psize"]), _sorted(want, ["price", "psize"]),
+        check_dtype=False,
+    )

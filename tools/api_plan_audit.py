@@ -426,6 +426,13 @@ def _catalog(api, fx, tmp: str) -> dict:
             e.groupBy("stage", "day").agg(F.avg("val").alias("v")),
             "v", "day", by=["stage"],
         ),
+        "path_topk": lambda: api.path_topk(
+            e, "uid", "stage", ["etime"], k=5
+        ),
+        "churn": lambda: api.churn(e, "uid", "day", churn_days=2),
+        "skyline": lambda: api.skyline(
+            e.select("val", (F.col("uid") % 5).alias("sz")), "val", "sz"
+        ),
     }
 
 

@@ -177,6 +177,9 @@ __all__ = [
     "path_topk",
     "churn",
     "skyline",
+    "anova_eta",
+    "rate_ci",
+    "ab_ztest",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -5635,4 +5638,161 @@ def skyline(
         )
         .groupBy(F.col("_x").alias("x"), F.col("_y").alias("y"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def anova_eta(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+) -> DataFrame:
+    """One-way ANOVA effect size (eta squared) of ANY grouping on ANY
+    INTEGER value column (anova_dow's algebra with columns
+    parameterized): the share of value variance explained by group
+    membership — the quantified version of a group-means heatmap (eta^2
+    near 0 says the visual pattern is noise).  eta^2 =
+    SS_between/SS_total from exact decimal moments per group; each
+    group's s^2/n term quantizes to 1e6 fixed-point BEFORE the
+    between-group sum (a float sum would depend on the engines' group
+    order).  Quantize non-integer values fixed-point first.  Returns
+    one row (n_groups, n_obs, eta_squared).
+
+    Scale: one combinable moment aggregate per group; everything after
+    is a |groups|-row table — pre-aggregate raw streams first."""
+    from .operators._helpers import r4
+
+    d0 = "decimal(38,0)"
+    c = F.col(val_col)
+    g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(c.cast(d0)).alias("_s"),
+        F.sum((c * c).cast(d0)).alias("_sq"),
+    )
+    term_q = F.floor(
+        F.col("_s").cast("double") * F.col("_s") / F.col("_n") * 1_000_000
+        + 0.5
+    ).cast("long")
+    q = g.select("_n", "_s", "_sq", term_q.alias("_term_q"))
+    agg = q.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("_n").alias("_tot_n"),
+        F.sum("_term_q").alias("_between_q"),
+        F.sum("_s").alias("_ss"),
+        F.sum("_sq").alias("_ssq"),
+    )
+    grand = (
+        F.col("_ss").cast("double")
+        * F.col("_ss").cast("double")
+        / F.col("_tot_n")
+    )
+    ss_between = F.col("_between_q").cast("double") / 1_000_000 - grand
+    ss_total = F.col("_ssq").cast("double") - grand
+    return agg.select(
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("_tot_n").cast("long").alias("n_obs"),
+        r4(ss_between / ss_total).alias("eta_squared"),
+    )
+
+
+def rate_ci(
+    df: DataFrame,
+    n_col: str,
+    k_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score interval for ANY pre-aggregated (trials, successes)
+    frame (conversion_rate_ci's algebra with columns and z
+    parameterized) — the interval that behaves at small n and extreme
+    rates where the naive Wald +-z*sqrt(pq/n) collapses (never exits
+    [0,1], never zero-width at p in {0,1}).  The closed form composes
+    only correctly rounded IEEE ops on exact integer inputs.  Returns
+    the input rows + (rate, ci_lo, ci_hi), round 4.
+
+    Scale: a pure row expression — the expensive part is the grouped
+    count the caller annotates."""
+    from .operators._helpers import r4
+
+    n = F.col(n_col)
+    p = F.col(k_col).cast("double") / n
+    z2 = z * z
+    half = p * (1 - p) / n + z2 / (4 * n.cast("double") * n)
+    centre = p + z2 / (2 * n)
+    denom = 1 + z2 / n
+    return df.withColumns(
+        {
+            "rate": r4(p),
+            "ci_lo": r4((centre - z * F.sqrt(half)) / denom),
+            "ci_hi": r4((centre + z * F.sqrt(half)) / denom),
+        }
+    )
+
+
+def ab_ztest(
+    df: DataFrame,
+    unit_col: str,
+    val_col: str,
+    scale: int = 4,
+    sig_z: float = 1.96,
+    salt: str = "ab",
+) -> DataFrame:
+    """Two-sample z-test on the mean of ANY value column between a
+    deterministic 50/50 md5 hash split of units (abtest_ztest's algebra
+    with columns parameterized): an arm is a pure function of the unit
+    id, so reruns and engines agree on every assignment — the
+    split_train_test discipline applied to experimentation.  Arm means
+    and variances come from DECIMAL(38,0) moment sums of fixed-point
+    values; the Welch-style z closes in one IEEE tree and the
+    significance flag compares the 1e4-QUANTIZED |z| so the boolean
+    cannot flip on a last-ulp divergence.  On a hash split of one
+    population the truth is H0 — the A/A sanity check.  Returns one row
+    (na, nb, mean_a, mean_b, z_score, significant).
+
+    Scale: one scan, one 2-key moment aggregate, map-side combinable;
+    the statistic itself is free."""
+    from .operators._helpers import r4
+    from .operators.pipeline_extras import _hash_bucket
+
+    d0 = "decimal(38,0)"
+    val_scale = 10**scale
+    arm = F.when(
+        _hash_bucket(
+            F.concat(F.lit(f"{salt}:"), F.col(unit_col).cast("string")), 2
+        )
+        == 0,
+        "A",
+    ).otherwise("B")
+    v = F.floor(F.col(val_col) * val_scale + 0.5).cast("long")
+    m = df.select(arm.alias("_arm"), v.alias("_v")).groupBy("_arm").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast(d0)).alias("_s"),
+        F.sum((F.col("_v") * F.col("_v")).cast(d0)).alias("_sq"),
+    )
+    wide = m.agg(
+        F.max(F.when(F.col("_arm") == "A", F.col("_n"))).alias("na"),
+        F.max(F.when(F.col("_arm") == "B", F.col("_n"))).alias("nb"),
+        F.max(F.when(F.col("_arm") == "A", F.col("_s"))).alias("_sa"),
+        F.max(F.when(F.col("_arm") == "B", F.col("_s"))).alias("_sb"),
+        F.max(F.when(F.col("_arm") == "A", F.col("_sq"))).alias("_sqa"),
+        F.max(F.when(F.col("_arm") == "B", F.col("_sq"))).alias("_sqb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("_sa"), F.col("_sb")
+    ma = sa.cast("double") / na
+    mb = sb.cast("double") / nb
+    var_a = (na.cast(d0) * F.col("_sqa") - sa * sa).cast("double") / (
+        na.cast("double") * na * (na - 1)
+    )
+    var_b = (nb.cast(d0) * F.col("_sqb") - sb * sb).cast("double") / (
+        nb.cast("double") * nb * (nb - 1)
+    )
+    z = (ma - mb) / F.sqrt(var_a + var_b)
+    z_e4 = F.floor(F.abs(z) * 10000 + 0.5).cast("long")
+    sig_e4 = int(round(sig_z * 10000))
+    return wide.select(
+        na.cast("long").alias("na"),
+        nb.cast("long").alias("nb"),
+        r4(ma / val_scale).alias("mean_a"),
+        r4(mb / val_scale).alias("mean_b"),
+        r4(z).alias("z_score"),
+        (z_e4 >= sig_e4).alias("significant"),
     )

@@ -2056,3 +2056,47 @@ def test_skyline_dominance(spark):
            for r in api.skyline(df, "price", "size").collect()}
     # (3.0, 4) dominated by (2.0, 3); duplicates of (1.0, 5) both counted
     assert pts == {(1.0, 5): 2, (2.0, 3): 1, (4.0, 1): 1}
+
+
+def test_anova_eta_perfect_separation(spark):
+    # groups fully determine the value -> eta^2 = 1
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("b", 20), ("b", 20), ("c", 30), ("c", 30)],
+        "g string, v long",
+    )
+    row = api.anova_eta(df, "g", "v").collect()[0]
+    assert row.n_groups == 3 and row.n_obs == 6
+    assert row.eta_squared == 1.0
+
+
+def test_anova_eta_no_effect(spark):
+    # identical distribution in every group -> eta^2 = 0
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 1), ("b", 3)], "g string, v long"
+    )
+    row = api.anova_eta(df, "g", "v").collect()[0]
+    assert row.eta_squared == 0.0
+
+
+def test_rate_ci_wilson_properties(spark):
+    df = spark.createDataFrame(
+        [("x", 100, 0), ("y", 100, 100), ("z", 10, 5)],
+        "g string, n long, k long",
+    )
+    rows = {r.g: r for r in api.rate_ci(df, "n", "k").collect()}
+    # never exits [0,1]; non-degenerate at p in {0,1}
+    for r in rows.values():
+        assert 0.0 <= r.ci_lo <= r.rate <= r.ci_hi <= 1.0
+    assert rows["x"].ci_hi > 0.0 and rows["y"].ci_lo < 1.0
+    assert rows["z"].rate == 0.5
+
+
+def test_ab_ztest_aa_split_not_significant(spark):
+    # A/A: one population, hash split -> H0 true, z small
+    df = spark.createDataFrame(
+        [(i, 10.0 + (i % 7)) for i in range(2000)], "uid long, v double"
+    )
+    row = api.ab_ztest(df, "uid", "v").collect()[0]
+    assert row.na + row.nb == 2000
+    assert not row.significant
+    assert abs(row.z_score) < 1.96

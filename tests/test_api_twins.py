@@ -1823,3 +1823,62 @@ def test_skyline_matches_skyline_2d(spark):
         _sorted(got, ["price", "psize"]), _sorted(want, ["price", "psize"]),
         check_dtype=False,
     )
+
+
+def test_anova_eta_matches_anova_dow(spark):
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark)
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    got = api.anova_eta(daily, "dow", "c").withColumnRenamed(
+        "n_obs", "n_days"
+    )
+    want = QUERIES["anova_dow"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_groups"]), _sorted(want, ["n_groups"]),
+        check_dtype=False,
+    )
+
+
+def test_rate_ci_matches_conversion_rate_ci(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    flags = (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.count_if(F.col("n_orders") >= 2).cast("long").alias("n_repeat"),
+        )
+    )
+    got = api.rate_ci(flags, "n_cust", "n_repeat", z=1.96)
+    want = QUERIES["conversion_rate_ci"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_name"]), _sorted(want, ["n_name"]),
+        check_dtype=False,
+    )
+
+
+def test_ab_ztest_matches_abtest_ztest(spark):
+    got = api.ab_ztest(
+        _events(spark), "user_id", "value", scale=4, sig_z=1.96, salt="ab"
+    )
+    want = QUERIES["abtest_ztest"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["na"]), _sorted(want, ["na"]), check_dtype=False,
+    )

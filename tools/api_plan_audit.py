@@ -433,6 +433,18 @@ def _catalog(api, fx, tmp: str) -> dict:
         "skyline": lambda: api.skyline(
             e.select("val", (F.col("uid") % 5).alias("sz")), "val", "sz"
         ),
+        "anova_eta": lambda: api.anova_eta(
+            e.select("stage", F.col("val").cast("long").alias("v")),
+            "stage", "v",
+        ),
+        "rate_ci": lambda: api.rate_ci(
+            e.groupBy("stage").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("val") > 5).alias("k"),
+            ),
+            "n", "k",
+        ),
+        "ab_ztest": lambda: api.ab_ztest(e, "uid", "val"),
     }
 
 

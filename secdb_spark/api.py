@@ -180,6 +180,9 @@ __all__ = [
     "anova_eta",
     "rate_ci",
     "ab_ztest",
+    "table_diff",
+    "fk_check",
+    "skew_report",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -5795,4 +5798,115 @@ def ab_ztest(
         r4(mb / val_scale).alias("mean_b"),
         r4(z).alias("z_score"),
         (z_e4 >= sig_e4).alias("significant"),
+    )
+
+
+def table_diff(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff of ANY two table versions (snapshot_diff's algebra
+    with keys and compared columns parameterized): full-outer join on
+    the business key, emitting added / removed / changed rows with
+    before/after values — the audit between two warehouse rebuilds.  A
+    row is 'changed' when any compare column differs (null-safe: a
+    value appearing or disappearing counts as a change).  Returns
+    (key_cols..., status, old_<col>, new_<col> per compare col).
+
+    Scale: ONE co-partitioned shuffle on the key; unchanged rows are
+    filtered before any downstream work."""
+    n = new_df.select(*key_cols, *compare_cols).alias("n")
+    o = old_df.select(*key_cols, *compare_cols).alias("o")
+    jc = None
+    for k in key_cols:
+        c = F.col(f"n.{k}") == F.col(f"o.{k}")
+        jc = c if jc is None else jc & c
+    j = n.join(o, jc, "full_outer")
+    new_missing = F.col(f"n.{key_cols[0]}").isNull()
+    old_missing = F.col(f"o.{key_cols[0]}").isNull()
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+        changed = d if changed is None else changed | d
+    out_cols = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+        for k in key_cols
+    ]
+    out_cols.append(
+        F.when(old_missing, "added")
+        .when(new_missing, "removed")
+        .otherwise("changed")
+        .alias("status")
+    )
+    for c in compare_cols:
+        out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return j.filter(old_missing | new_missing | changed).select(*out_cols)
+
+
+def fk_check(
+    fact: DataFrame,
+    fk_col: str,
+    dim: DataFrame,
+    pk_col: str,
+    label: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit of ONE foreign key (fk_integrity's
+    algebra with tables and columns parameterized) — the data-quality
+    gate a rebuilt warehouse runs before publishing: rows checked and
+    dangling references found.  Union several checks for a full report.
+    Returns one row (constraint_name, n_checked, n_violations).
+
+    Scale: one co-partitioned left join + counting aggregate; the dim
+    side broadcasts when model-sized (leave that to Catalyst/AQE —
+    don't force it for a billion-row dim)."""
+    name = label or f"{fk_col}->{pk_col}"
+    d = dim.select(F.col(pk_col).alias("_pk")).distinct()
+    j = fact.join(d, fact[fk_col] == d["_pk"], "left")
+    return j.agg(
+        F.lit(name).alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Join-key skew diagnostics for ANY key column (data_skew_report's
+    algebra with the column and k parameterized): the k hottest values
+    with their row share (ppm) and multiple-of-mean (percent) — the
+    report that decides whether a planned join needs salting or AQE
+    skew splitting.  All ratios via integer division of exact counts
+    (no floats at all).  Returns (key, cnt, share_ppm, x_mean_pct).
+
+    Scale: one map-side-combinable key count, a broadcast-sized scalar
+    total cross-joined in, and bounded top-k (TakeOrderedAndProject) —
+    the profiling pass a 100 TB ETL runs BEFORE choosing its join
+    strategy."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("_nk"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr("CAST(cnt * 1000000 div _n AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(cnt * 100 * _nk div _n AS BIGINT)").alias(
+                "x_mean_pct"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(k)
     )

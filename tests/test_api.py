@@ -2100,3 +2100,38 @@ def test_ab_ztest_aa_split_not_significant(spark):
     assert row.na + row.nb == 2000
     assert not row.significant
     assert abs(row.z_score) < 1.96
+
+
+def test_table_diff_statuses_and_null_safety(spark):
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, None), (4, 40.0)], "k int, v double"
+    )
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    )
+    rows = {r.k: r for r in
+            api.table_diff(new, old, ["k"], ["v"]).collect()}
+    # 1 unchanged (absent), 2 changed (20 -> null), 3 removed, 4 added
+    assert set(rows) == {2, 3, 4}
+    assert rows[2].status == "changed" and rows[2].new_v is None
+    assert rows[3].status == "removed" and rows[4].status == "added"
+
+
+def test_fk_check_counts_violations(spark):
+    fact = spark.createDataFrame(
+        [(1,), (2,), (3,), (3,), (9,)], "fk int"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = api.fk_check(fact, "fk", dim, "pk").collect()[0]
+    assert row.n_checked == 5 and row.n_violations == 1
+    assert row.constraint_name == "fk->pk"
+
+
+def test_skew_report_integer_ratios(spark):
+    rows = [("hot",)] * 80 + [("a",)] * 10 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.key: r for r in api.skew_report(df, "k", k=3).collect()}
+    # hot: 80/100 rows -> 800000 ppm; mean count = 100/3; 80*3*100/100 = 240%
+    assert out["hot"].share_ppm == 800000
+    assert out["hot"].x_mean_pct == 240
+    assert out["a"].share_ppm == 100000

@@ -1882,3 +1882,74 @@ def test_ab_ztest_matches_abtest_ztest(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, ["na"]), _sorted(want, ["na"]), check_dtype=False,
     )
+
+
+def test_table_diff_matches_snapshot_diff(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators._helpers import r4
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    new = o.select("o_orderkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, r4(F.col("o_totalprice") * 1.1)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    got = (
+        api.table_diff(new, old, ["o_orderkey"], ["o_totalprice"])
+        .withColumnRenamed("old_o_totalprice", "old_price")
+        .withColumnRenamed("new_o_totalprice", "new_price")
+    )
+    want = QUERIES["snapshot_diff"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["o_orderkey"]), _sorted(want, ["o_orderkey"]),
+        check_dtype=False,
+    )
+
+
+def test_fk_check_matches_fk_integrity(spark):
+    from pyspark.sql import functions as F
+
+    cust_ok = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F.col("c_custkey") % 97 != 0)
+        .select("c_custkey")
+    )
+    part_ok = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .filter(F.col("p_partkey") % 89 != 0)
+        .select("p_partkey")
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = (
+        api.fk_check(orders, "o_custkey", cust_ok, "c_custkey",
+                     "orders.o_custkey->customer")
+        .unionAll(api.fk_check(li, "l_partkey", part_ok, "p_partkey",
+                               "lineitem.l_partkey->part"))
+        .unionAll(api.fk_check(li, "l_orderkey",
+                               orders.select("o_orderkey"), "o_orderkey",
+                               "lineitem.l_orderkey->orders"))
+    )
+    want = QUERIES["fk_integrity"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["constraint_name"]), _sorted(want, ["constraint_name"]),
+        check_dtype=False,
+    )
+
+
+def test_skew_report_matches_data_skew_report(spark):
+    from secdb_spark.operators.warehouse_extras4 import SKEW_TOPK
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = api.skew_report(li, "l_partkey", k=SKEW_TOPK)
+    want = QUERIES["data_skew_report"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["cnt", "key"]).reset_index(drop=True),
+        _sorted(want, ["cnt", "key"]).reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -445,6 +445,16 @@ def _catalog(api, fx, tmp: str) -> dict:
             "n", "k",
         ),
         "ab_ztest": lambda: api.ab_ztest(e, "uid", "val"),
+        "table_diff": lambda: api.table_diff(
+            e.select("uid", "val").groupBy("uid").agg(
+                F.sum("val").alias("v")),
+            q.select(F.col("uid"), F.col("quote").alias("v")),
+            ["uid"], ["v"],
+        ),
+        "fk_check": lambda: api.fk_check(
+            e, "uid", q.select("uid"), "uid"
+        ),
+        "skew_report": lambda: api.skew_report(e, "stage", k=3),
     }
 
 

@@ -183,6 +183,10 @@ __all__ = [
     "table_diff",
     "fk_check",
     "skew_report",
+    "ltv_curve",
+    "stickiness",
+    "rolling_active",
+    "gap_stats",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -5909,4 +5913,196 @@ def skew_report(
         )
         .orderBy(F.desc("cnt"), "key")
         .limit(k)
+    )
+
+
+def ltv_curve(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    val_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Cohort lifetime-value triangle of ANY transaction stream
+    (cohort_ltv's algebra with columns parameterized): entities grouped
+    by first-activity month, value (int64 fixed-point at `scale`)
+    bucketed by cohort age in months, with the running cumulative — the
+    LTV triangle marketing teams read by row.  Exact: month arithmetic
+    on date_trunc'ed dates and integer fixed-point throughout.  Returns
+    (cohort, age, value_c, n_active, cum_value_c).
+
+    Scale: first-activity and revenue aggregates share the id
+    partitioning; the cohort-age matrix is months^2-sized, so the
+    cumulative window runs on a tiny aggregate."""
+    fo = df.groupBy(F.col(id_col).alias("_id")).agg(
+        F.min(F.date_trunc("month", date_col)).alias("cohort")
+    )
+    rev = (
+        df.join(fo, df[id_col] == fo["_id"])
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", date_col), F.col("cohort")
+            )
+            .cast("bigint")
+            .alias("age"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col(val_col) * (10**scale) + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("value_c"),
+            F.count_distinct("_id").alias("n_active"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort",
+        "age",
+        "value_c",
+        "n_active",
+        F.sum("value_c").over(w).cast("bigint").alias("cum_value_c"),
+    )
+
+
+def stickiness(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    anchor: str,
+    window: int = 7,
+) -> DataFrame:
+    """Engagement stickiness per day of ANY activity stream
+    (stickiness_ratio's algebra with columns, anchor and window
+    parameterized): DAU / trailing-`window`-day active users (the
+    DAU/WAU ratio — 1.0 means every weekly user shows up daily).  The
+    rolling DISTINCT cannot ride a windowed aggregate; the scale shape
+    is the cover-set explode: each distinct (id, day) activity row fans
+    out to the `window` future days it keeps the entity 'weekly-active'
+    for, and the trailing count becomes a plain combinable
+    count-distinct per cover day.  Cover days beyond the corpus or on
+    activity gaps drop out via the inner join.  Returns
+    (day, dau, wau, stickiness).
+
+    Scale: raw events reduce to distinct (id, day) FIRST; the x-window
+    expansion runs on the reduced table — a vanishing fraction of the
+    event stream."""
+    from .operators._helpers import r4
+
+    act = df.select(
+        F.col(id_col).alias("_id"),
+        F.datediff(
+            F.date_trunc("day", F.col(ts_col)),
+            F.lit(anchor).cast("timestamp"),
+        ).alias("_di"),
+    ).distinct()
+    dau = act.groupBy("_di").agg(F.count(F.lit(1)).alias("dau"))
+    cover = act.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("_di"), F.col("_di") + (window - 1))
+        ).alias("_di"),
+    ).distinct()
+    wau = cover.groupBy("_di").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "_di").select(
+        F.date_add(F.lit(anchor).cast("date"), F.col("_di").cast("int"))
+        .cast("timestamp")
+        .alias("day"),
+        "dau",
+        "wau",
+        r4(F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
+
+
+def rolling_active(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """Rolling `days`-day active entities of ANY activity stream
+    (rolling_active_users' algebra with columns and window
+    parameterized) — the WAU curve: an entity active on day d is active
+    for windows ending d .. d+days-1.  Rolling DISTINCT cannot run in a
+    window frame, so the scalable compilation is contribution
+    expansion: distinct (id, day) pairs explode to their window days,
+    dedup, and count per window day (restricted to days the data
+    actually covers).  The day key crosses as 'yyyy-MM-dd' strings
+    (DATE dtype portability).  Returns (window_day, active).
+
+    Scale: raw events reduce to (id, day) FIRST (one combinable
+    shuffle); the expansion carries days x the aggregate — a vanishing
+    fraction of the stream; the day-domain join broadcasts."""
+    day = F.to_date(ts_col)
+    user_days = df.select(F.col(id_col).alias("_id"), day.alias("_d")).distinct()
+    contrib = (
+        user_days.select(
+            "_id",
+            F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("_k"),
+            "_d",
+        )
+        .select(
+            "_id",
+            F.date_format(F.date_add(F.col("_d"), F.col("_k")), "yyyy-MM-dd")
+            .alias("window_day"),
+        )
+        .distinct()
+    )
+    domain = df.select(
+        F.date_format(day, "yyyy-MM-dd").alias("window_day")
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(domain), "window_day")
+        .groupBy("window_day")
+        .agg(F.count(F.lit(1)).alias("active"))
+    )
+
+
+def gap_stats(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inter-event gap profile per entity of ANY dated stream
+    (purchase_gaps' algebra with columns parameterized): count, mean,
+    max, and interpolated median of the day gaps between consecutive
+    rows — the recency-cadence feature behind replenishment and churn
+    models.  Because the date sequence is SORTED, the gap multiset is
+    invariant to same-day tie order (equal dates contribute 0 either
+    way).  Gaps are integer days; mean is one exact division, the
+    median interpolates two ints — no quantization needed.  Entities
+    with a single row drop out.  Returns
+    (id, n_rows, n_gaps, avg_gap_days, max_gap_days, median_gap_days).
+
+    Scale: one exchange on the id shared by the lag window and the
+    grouped statistics (same key -> ReusedExchange)."""
+    from .operators._helpers import r4
+
+    tie_cols = tie_cols or []
+    w = Window.partitionBy(id_col).orderBy(date_col, *tie_cols)
+    g = df.select(
+        id_col,
+        F.datediff(
+            F.col(date_col).cast("date"),
+            F.lag(F.col(date_col)).over(w).cast("date"),
+        ).alias("_gap"),
+    )
+    return (
+        g.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("_gap").alias("n_gaps"),
+            r4(
+                F.sum("_gap").cast("long").cast("double") / F.count("_gap")
+            ).alias("avg_gap_days"),
+            F.max("_gap").cast("long").alias("max_gap_days"),
+            r4(F.median("_gap")).alias("median_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 1)
     )

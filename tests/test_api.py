@@ -2135,3 +2135,61 @@ def test_skew_report_integer_ratios(spark):
     assert out["hot"].share_ppm == 800000
     assert out["hot"].x_mean_pct == 240
     assert out["a"].share_ppm == 100000
+
+
+def test_ltv_curve_cumulative_and_cohort(spark):
+    import datetime as dt
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [(1, d(2025, 1, 5), 10.0), (1, d(2025, 2, 10), 20.0),
+         (2, d(2025, 2, 1), 5.0)],
+        "id int, day date, v double",
+    )
+    rows = {(str(r.cohort)[:7], r.age): r
+            for r in api.ltv_curve(df, "id", "day", "v").collect()}
+    assert rows[("2025-01", 0)].value_c == 1000
+    assert rows[("2025-01", 1)].cum_value_c == 3000
+    assert rows[("2025-02", 0)].n_active == 1
+
+
+def test_stickiness_daily_user_is_sticky(spark):
+    import datetime as dt
+
+    rows = [(1, dt.datetime(2025, 1, d, 12)) for d in range(1, 15)]
+    df = spark.createDataFrame(rows, "uid int, ts timestamp")
+    out = {str(r.day)[:10]: r
+           for r in api.stickiness(df, "uid", "ts",
+                                   anchor="2025-01-01").collect()}
+    # a single every-day user: dau = wau = 1 -> stickiness 1.0 always
+    assert all(r.stickiness == 1.0 for r in out.values())
+    assert len(out) == 14
+
+
+def test_rolling_active_window_semantics(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2025, 1, 1, 9)), (2, dt.datetime(2025, 1, 3, 9))],
+        "uid int, ts timestamp",
+    )
+    out = {r.window_day: r.active
+           for r in api.rolling_active(df, "uid", "ts", days=7).collect()}
+    # only days present in the data survive the domain join
+    assert out == {"2025-01-01": 1, "2025-01-03": 2}
+
+
+def test_gap_stats_hand_gaps(spark):
+    import datetime as dt
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [(1, d(2025, 1, 1)), (1, d(2025, 1, 4)), (1, d(2025, 1, 10)),
+         (2, d(2025, 3, 1))],
+        "id int, day date",
+    )
+    rows = {r.id: r for r in api.gap_stats(df, "id", "day").collect()}
+    assert set(rows) == {1}  # single-row entity 2 drops out
+    r1 = rows[1]
+    assert r1.n_gaps == 2 and r1.avg_gap_days == 4.5
+    assert r1.max_gap_days == 6 and r1.median_gap_days == 4.5

@@ -1953,3 +1953,56 @@ def test_skew_report_matches_data_skew_report(spark):
         _sorted(want, ["cnt", "key"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_ltv_curve_matches_cohort_ltv(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = (
+        api.ltv_curve(o, "o_custkey", "o_orderdate", "o_totalprice", scale=2)
+        .withColumnRenamed("value_c", "rev_c")
+        .withColumnRenamed("cum_value_c", "cum_rev_c")
+    )
+    want = QUERIES["cohort_ltv"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["cohort", "age"]), _sorted(want, ["cohort", "age"]),
+        check_dtype=False,
+    )
+
+
+def test_stickiness_matches_stickiness_ratio(spark):
+    from secdb_spark.operators.warehouse_extras10 import (
+        STICKY_ANCHOR, STICKY_WINDOW)
+
+    got = api.stickiness(
+        _events(spark), "user_id", "ts",
+        anchor=STICKY_ANCHOR, window=STICKY_WINDOW,
+    )
+    want = QUERIES["stickiness_ratio"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False,
+    )
+
+
+def test_rolling_active_matches_rolling_active_users(spark):
+    from secdb_spark.operators.warehouse_extras import ROLLING_DAYS
+
+    got = api.rolling_active(
+        _events(spark), "user_id", "ts", days=ROLLING_DAYS
+    ).withColumnRenamed("active", "active_users_7d")
+    want = QUERIES["rolling_active_users"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["window_day"]), _sorted(want, ["window_day"]),
+        check_dtype=False,
+    )
+
+
+def test_gap_stats_matches_purchase_gaps(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = api.gap_stats(
+        o, "o_custkey", "o_orderdate", tie_cols=["o_orderkey"]
+    ).withColumnRenamed("n_rows", "n_orders")
+    want = QUERIES["purchase_gaps"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["o_custkey"]), _sorted(want, ["o_custkey"]),
+        check_dtype=False,
+    )

@@ -455,6 +455,14 @@ def _catalog(api, fx, tmp: str) -> dict:
             e, "uid", q.select("uid"), "uid"
         ),
         "skew_report": lambda: api.skew_report(e, "stage", k=3),
+        "ltv_curve": lambda: api.ltv_curve(e, "uid", "day", "val"),
+        "stickiness": lambda: api.stickiness(
+            e, "uid", "etime", anchor="2025-01-01", window=3
+        ),
+        "rolling_active": lambda: api.rolling_active(
+            e, "uid", "etime", days=3
+        ),
+        "gap_stats": lambda: api.gap_stats(e, "uid", "day"),
     }
 
 

@@ -187,6 +187,10 @@ __all__ = [
     "stickiness",
     "rolling_active",
     "gap_stats",
+    "moving_median",
+    "reset_cumsum",
+    "running_distinct",
+    "topk_ties",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -6105,4 +6109,143 @@ def gap_stats(
             r4(F.median("_gap")).alias("median_gap_days"),
         )
         .filter(F.col("n_gaps") >= 1)
+    )
+
+
+def moving_median(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    by: list[str],
+    days: int = 7,
+) -> DataFrame:
+    """Moving median over ANY pre-bucketed INTEGER series
+    (win_moving_median's algebra with columns and frame width
+    parameterized) — the robust trend line (a median frame shrugs off
+    the single-point spikes that drag a moving average).  Spark cannot
+    window `median` with a frame (INVALID_WINDOW_SPEC), so the kernel
+    collects the BOUNDED frame into a sorted array and picks the middle
+    element(s) — exact for integers, interpolating two ints as (a+b)/2
+    (exact in binary).  Pass ONE row per (by, order_col).  Returns the
+    input rows + `moving_median` (round 4).
+
+    Scale: the frame is bounded (`days` rows), so the collected array
+    is O(1) per row — the one place a collect_list window is
+    scale-legitimate; feed the pre-bucketed aggregate, never the raw
+    stream."""
+    fr = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(-(days - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(val_col).over(fr))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return df.withColumn("moving_median", F.round((lo + hi) / 2.0, 4))
+
+
+def reset_cumsum(
+    df: DataFrame,
+    val_col: str,
+    time_col: str,
+    by: list[str],
+    gap: int,
+    tie_cols: list[str] | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Cumulative value per group that RESETS whenever an inactivity gap
+    larger than `gap` opens in the NUMERIC time column
+    (win_reset_cumsum's algebra with columns, gap and fixed-point scale
+    parameterized) — the session-scoped running total behind "spend so
+    far this visit".  SQL has no RESET clause, so the canonical
+    composition is gaps-and-islands: flag boundaries with a lag, number
+    sessions with a running sum of flags, then run the cumulative
+    inside the (by, session) partition.  Values quantize to fixed-point
+    bigints at `scale`, so every running total is exact.  Returns the
+    input rows + (session_id, running_value).
+
+    Scale: all three windows order by the same (time, ties) within the
+    `by` partition — ONE hash exchange serves the whole chain (the
+    session_id repartition is a subset-key refinement evaluated within
+    the same sorted run).  State per window is O(1)."""
+    tie_cols = tie_cols or []
+    w = Window.partitionBy(*by).orderBy(time_col, *tie_cols)
+    gap_expr = F.col(time_col) - F.lag(time_col).over(w)
+    flagged = df.withColumn(
+        "_new_session",
+        F.when(gap_expr.isNull() | (gap_expr > gap), 1).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn(
+        "session_id", F.sum("_new_session").over(run).cast("long")
+    ).drop("_new_session")
+    wrun = (
+        Window.partitionBy(*by, "session_id")
+        .orderBy(time_col, *tie_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sess.withColumn(
+        "running_value",
+        F.sum(F.floor(F.col(val_col) * (10**scale) + 0.5).cast("long"))
+        .over(wrun)
+        .cast("long"),
+    )
+
+
+def running_distinct(
+    df: DataFrame,
+    dist_col: str,
+    order_cols: list[str],
+    by: list[str],
+) -> DataFrame:
+    """Running COUNT(DISTINCT dist_col) per group under the given order
+    (win_running_distinct's algebra with columns parameterized) — not
+    directly expressible in any engine (distinct aggregates are barred
+    from window frames), so it compiles to the first-occurrence trick:
+    flag each (by, value)'s first row, then running-sum the flags.
+    Both windows partition by `by` ALONE — a (by, value) window would
+    pay a second Exchange (hashpartitioning(by, value) does NOT satisfy
+    hashpartitioning(by)); this plans ONE Exchange + two Sorts.  State
+    per frame is one counter, never a distinct-set.  Returns the input
+    rows + `n_distinct`."""
+    w_first = Window.partitionBy(*by).orderBy(dist_col, *order_cols)
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag(dist_col).over(w_first)
+    flagged = df.withColumn(
+        "_is_first",
+        F.when(prev.isNull() | (prev != F.col(dist_col)), 1).otherwise(0),
+    )
+    return flagged.withColumn(
+        "n_distinct", F.sum("_is_first").over(w_run).cast("long")
+    ).drop("_is_first")
+
+
+def topk_ties(
+    df: DataFrame,
+    key_col: str,
+    by: list[str],
+    k: int,
+    desc: bool = True,
+) -> DataFrame:
+    """Ties-INCLUDED top-k per group of ANY frame (win_topk_ties'
+    algebra with columns parameterized): `rank() <= k` admits every row
+    tying the k-th value — the semantics a leaderboard or compliance
+    report needs, vs row_number (grouped_topk) which silently drops
+    tied rows by an arbitrary key.  Because rank assigns equal rows
+    equal ranks, the result is deterministic WITHOUT a tiebreak column
+    — the VALUE ordering alone defines the set; output size varies with
+    tie density.  Returns the input rows + `rk`.
+
+    Scale: one `by` exchange; Spark's WindowGroupLimit pushes the
+    rank()<=k bound into the sort (bounded per-partition state)."""
+    order = F.col(key_col).desc() if desc else F.col(key_col).asc()
+    w = Window.partitionBy(*by).orderBy(order)
+    return (
+        df.withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
     )

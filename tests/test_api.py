@@ -2193,3 +2193,47 @@ def test_gap_stats_hand_gaps(spark):
     r1 = rows[1]
     assert r1.n_gaps == 2 and r1.avg_gap_days == 4.5
     assert r1.max_gap_days == 6 and r1.median_gap_days == 4.5
+
+
+def test_moving_median_robust_to_spike(spark):
+    df = spark.createDataFrame(
+        [("g", t, 10 if t != 3 else 1000) for t in range(1, 6)],
+        "k string, t int, c long",
+    )
+    rows = {r.t: r.moving_median
+            for r in api.moving_median(df, "c", "t", by=["k"], days=3).collect()}
+    # median window shrugs off the t=3 spike from t=4 on
+    assert rows[4] == 10.0 and rows[5] == 10.0
+    assert rows[3] == 10.0  # [10, 10, 1000] -> 10
+
+
+def test_reset_cumsum_session_boundaries(spark):
+    df = spark.createDataFrame(
+        [("u", 0, 1.0), ("u", 10, 2.0), ("u", 1000, 5.0)],
+        "g string, t long, v double",
+    )
+    rows = {r.t: r for r in
+            api.reset_cumsum(df, "v", "t", by=["g"], gap=100,
+                             scale=0).collect()}
+    assert rows[0].session_id == 1 and rows[10].running_value == 3
+    assert rows[1000].session_id == 2 and rows[1000].running_value == 5
+
+
+def test_running_distinct_monotone_counter(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "a"), ("u", 4, "c")],
+        "g string, t int, x string",
+    )
+    rows = {r.t: r.n_distinct
+            for r in api.running_distinct(df, "x", ["t"], by=["g"]).collect()}
+    assert rows == {1: 1, 2: 2, 3: 2, 4: 3}
+
+
+def test_topk_ties_includes_tied_rows(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, 10), ("g", 3, 5), ("g", 4, 1)],
+        "k string, id int, v long",
+    )
+    out = api.topk_ties(df, "v", by=["k"], k=1).collect()
+    assert {r.id for r in out} == {1, 2}  # both rows tying the top value
+    assert all(r.rk == 1 for r in out)

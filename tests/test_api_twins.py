@@ -2006,3 +2006,78 @@ def test_gap_stats_matches_purchase_gaps(spark):
         _sorted(got, ["o_custkey"]), _sorted(want, ["o_custkey"]),
         check_dtype=False,
     )
+
+
+def test_moving_median_matches_win_moving_median(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras7 import MOVMED_DAYS
+
+    daily = (
+        _events(spark)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    got = api.moving_median(
+        daily, "c", "day", by=["event_type"], days=MOVMED_DAYS
+    )
+    want = QUERIES["win_moving_median"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type", "day"]),
+        _sorted(want, ["event_type", "day"]),
+        check_dtype=False,
+    )
+
+
+def test_reset_cumsum_matches_win_reset_cumsum(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras7 import SESSION_GAP_US
+
+    ev = _events(spark).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    got = api.reset_cumsum(
+        ev, "value", "us", by=["user_id"], gap=SESSION_GAP_US,
+        tie_cols=["event_id"], scale=4,
+    ).select(
+        "user_id", "event_id", "session_id",
+        F.col("running_value").alias("running_value_e4"),
+    )
+    want = QUERIES["win_reset_cumsum"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["user_id", "event_id"]),
+        _sorted(want, ["user_id", "event_id"]),
+        check_dtype=False,
+    )
+
+
+def test_running_distinct_matches_win_running_distinct(spark):
+    from pyspark.sql import functions as F
+
+    got = api.running_distinct(
+        _events(spark), "event_type", ["ts", "event_id"], by=["user_id"]
+    ).select(
+        "user_id", "event_id", F.col("n_distinct").alias("n_distinct_types")
+    )
+    want = QUERIES["win_running_distinct"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["user_id", "event_id"]),
+        _sorted(want, ["user_id", "event_id"]),
+        check_dtype=False,
+    )
+
+
+def test_topk_ties_matches_win_topk_ties(spark):
+    from secdb_spark.operators.ivm_extras import TOPK_TIES
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    got = api.topk_ties(o, "o_totalprice", by=["o_custkey"], k=TOPK_TIES)
+    want = QUERIES["win_topk_ties"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["o_custkey", "o_orderkey"]),
+        _sorted(want, ["o_custkey", "o_orderkey"]),
+        check_dtype=False,
+    )

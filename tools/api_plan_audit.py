@@ -463,6 +463,19 @@ def _catalog(api, fx, tmp: str) -> dict:
             e, "uid", "etime", days=3
         ),
         "gap_stats": lambda: api.gap_stats(e, "uid", "day"),
+        "moving_median": lambda: api.moving_median(
+            e.groupBy("stage", "day").agg(
+                F.count(F.lit(1)).cast("long").alias("c")),
+            "c", "day", by=["stage"], days=2,
+        ),
+        "reset_cumsum": lambda: api.reset_cumsum(
+            e.withColumn("us", F.unix_micros(F.col("etime"))),
+            "val", "us", by=["uid"], gap=3_600_000_000,
+        ),
+        "running_distinct": lambda: api.running_distinct(
+            e, "stage", ["etime"], by=["uid"]
+        ),
+        "topk_ties": lambda: api.topk_ties(e, "val", by=["stage"], k=2),
     }
 
 

@@ -191,6 +191,10 @@ __all__ = [
     "reset_cumsum",
     "running_distinct",
     "topk_ties",
+    "containment_pairs",
+    "iqr_outliers",
+    "burst_detect",
+    "quantile_bins",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -6248,4 +6252,212 @@ def topk_ties(
     return (
         df.withColumn("rk", F.rank().over(w).cast("long"))
         .filter(F.col("rk") <= k)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_common: int = 25,
+) -> DataFrame:
+    """Asymmetric containment similarity of ANY (id, text) corpus
+    (sim_containment's algebra with columns and support floor
+    parameterized): |A∩B|/|A| and |A∩B|/|B| for document pairs sharing
+    >= min_common distinct whitespace terms — the measure that catches
+    SUBSET duplication (a short doc wholly contained in a long one),
+    which symmetric Jaccard dilutes away; the near-dedup policy knob
+    for quote/boilerplate absorption.  Intersections are exact
+    distinct-term co-occurrence counts.  Returns
+    (id_a, id_b, n_common, containment_a, containment_b).
+
+    Scale: candidate pairs form ONLY through the term-postings
+    equi-join (never all-pairs); the min_common floor plays theta's
+    prefix-filter role — drop Zipf-hot terms from the join side on
+    production corpora."""
+    from .operators._helpers import pin, r4
+
+    toks = pin(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("_term"),
+        )
+    )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = toks.select(F.col("_id").alias("id_a"), "_term")
+    b = toks.select(F.col("_id").alias("id_b"), "_term")
+    pairs = (
+        a.join(b, "_term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+        .filter(F.col("_inter") >= min_common)
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_inter").cast("long").alias("n_common"),
+            r4(F.col("_inter").cast("double") / F.col("_sza")).alias(
+                "containment_a"
+            ),
+            r4(F.col("_inter").cast("double") / F.col("_szb")).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    val_col: str,
+    by: list[str],
+    tie_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Tukey-fence outlier counts per group on EXACT discrete quartiles
+    (anomaly_iqr's algebra with columns and fixed-point scale
+    parameterized) — the robust complement of zscore_outliers
+    (mean/stddev fences move with the outliers they hunt; quartile
+    fences don't).  Values quantize to integers at `scale`; q1/q3 are
+    the rank-ceil(n/4) and ceil(3n/4) order statistics; the 1.5*IQR
+    fences evaluate as the integer inequality 2x > 2q3 + 3(q3-q1) — no
+    float derived anywhere.  Pass a tie column for a deterministic rank
+    order.  Returns (by..., n, q1, q3, n_out_hi, n_out_lo).
+
+    Scale: one `by` shuffle for the rank window, a model-sized quartile
+    table broadcast back, one grouped count.  At 100 TB swap the rank
+    window for approx_percentile / the KLL sketch with identical fence
+    algebra."""
+    c = df.select(
+        *by,
+        F.col(tie_col).alias("_tie"),
+        F.floor(F.col(val_col) * (10**scale) + 0.5)
+        .cast("long")
+        .alias("_v"),
+    )
+    w = Window.partitionBy(*by).orderBy("_v", "_tie")
+    ranked = c.select(
+        *by,
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*by)).alias("_n"),
+    )
+    q = ranked.groupBy(*by).agg(
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.col("_n") * 0.25).cast("long"),
+                F.col("_v"),
+            )
+        ).alias("_q1"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.col("_n") * 0.75).cast("long"),
+                F.col("_v"),
+            )
+        ).alias("_q3"),
+        F.max("_n").alias("_qn"),
+    )
+    return (
+        c.join(F.broadcast(q), list(by))
+        .groupBy(*by)
+        .agg(
+            F.max("_qn").cast("long").alias("n"),
+            F.max("_q1").cast("long").alias("q1"),
+            F.max("_q3").cast("long").alias("q3"),
+            F.sum(
+                F.when(
+                    2 * F.col("_v")
+                    > 2 * F.col("_q3") + 3 * (F.col("_q3") - F.col("_q1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out_hi"),
+            F.sum(
+                F.when(
+                    2 * F.col("_v")
+                    < 2 * F.col("_q1") - 3 * (F.col("_q3") - F.col("_q1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out_lo"),
+        )
+    )
+
+
+def burst_detect(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    window: int = 3_600_000_000,
+) -> DataFrame:
+    """Burst detection over ANY (entity, numeric time) stream
+    (events_burst's algebra with columns and window parameterized):
+    each entity's maximum row count inside any trailing `window` of the
+    time axis — the rate-limit / fraud-velocity signal.  A RANGE frame
+    over the integer time column (not ROWS) so simultaneous rows are
+    window peers deterministically.  Pass epoch micros with the default
+    1-hour window, or any integer axis with a matching span.  Returns
+    (id, max_burst, n_rows).
+
+    Scale: one shuffle on the id shared by the range-frame window and
+    the final aggregate; the frame scan is the two-pointer sliding
+    count inside each sorted partition — linear, no self-join
+    materialization of the neighborhood."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(time_col)
+        .rangeBetween(-window, 0)
+    )
+    return (
+        df.withColumn("_c", F.count(F.lit(1)).over(w))
+        .groupBy(id_col)
+        .agg(
+            F.max("_c").cast("bigint").alias("max_burst"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    val_col: str,
+    tie_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning of ANY value column
+    (feat_quantile_bin's algebra with columns and bin count
+    parameterized): n_bins NTILE buckets with their exact boundaries
+    and populations — the discretization step for monotonic-feature
+    models and decile-report analytics.  Always takes the scale path —
+    the bucketed global rank + ntile_from_rank (approx-quantile splits
+    broadcast back, rank offsets via a tiny self-join), never the
+    single-partition NTILE window.  The order is tie-safe (tie_col
+    breaks equal values) so bin membership is identical on reruns;
+    boundaries are min/max of INPUT values (no derived float).
+    Returns (bin, n, lo, hi)."""
+    from .operators._global_order import bucketed_global_rank, ntile_from_rank
+
+    slim = df.select(F.col(tie_col).alias("_tie"), F.col(val_col).alias("_v"))
+    slim = slim.localCheckpoint(eager=True)
+    n = slim.count()
+    ranked = bucketed_global_rank(slim, "_v", ["_tie"], out="_r")
+    t = ranked.select(
+        "_v",
+        ntile_from_rank(F.col("_r"), F.lit(n).cast("long"), n_bins).alias(
+            "bin"
+        ),
+    )
+    return t.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
     )

@@ -2237,3 +2237,40 @@ def test_topk_ties_includes_tied_rows(spark):
     out = api.topk_ties(df, "v", by=["k"], k=1).collect()
     assert {r.id for r in out} == {1, 2}  # both rows tying the top value
     assert all(r.rk == 1 for r in out)
+
+
+def test_containment_pairs_subset_detection(spark):
+    long = " ".join(f"w{i}" for i in range(30))
+    short = " ".join(f"w{i}" for i in range(25))  # subset of long
+    df = spark.createDataFrame(
+        [(1, long), (2, short)], "id int, body string"
+    )
+    row = api.containment_pairs(df, "id", "body", min_common=25).collect()[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert row.containment_b == 1.0          # short fully contained
+    assert row.containment_a == round(25 / 30, 4)
+
+
+def test_iqr_outliers_flags_extreme(spark):
+    rows = [("g", i, 10.0) for i in range(20)] + [("g", 99, 1000.0)]
+    df = spark.createDataFrame(rows, "k string, id int, v double")
+    row = api.iqr_outliers(df, "v", by=["k"], tie_col="id").collect()[0]
+    assert row.n == 21 and row.n_out_hi == 1 and row.n_out_lo == 0
+
+
+def test_burst_detect_range_peers(spark):
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 0), ("u", 50), ("u", 200)], "id string, t long"
+    )
+    row = api.burst_detect(df, "id", "t", window=100).collect()[0]
+    # window 100: at t=50 the frame holds {0,0,50} -> burst 3
+    assert row.max_burst == 3 and row.n_rows == 4
+
+
+def test_quantile_bins_equal_population(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id int, v double"
+    )
+    out = {r.bin: r for r in api.quantile_bins(df, "v", "id", n_bins=4).collect()}
+    assert all(out[b].n == 25 for b in range(1, 5))
+    assert out[1].lo == 0.0 and out[4].hi == 99.0

@@ -2081,3 +2081,61 @@ def test_topk_ties_matches_win_topk_ties(spark):
         _sorted(want, ["o_custkey", "o_orderkey"]),
         check_dtype=False,
     )
+
+
+def test_containment_pairs_matches_sim_containment(spark):
+    got = (
+        api.containment_pairs(_docs(spark), "doc_id", "text", min_common=25)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+    )
+    want = QUERIES["sim_containment"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_a", "doc_b"]), _sorted(want, ["doc_a", "doc_b"]),
+        check_dtype=False,
+    )
+
+
+def test_iqr_outliers_matches_anomaly_iqr(spark):
+    got = (
+        api.iqr_outliers(
+            _events(spark), "value", by=["event_type"],
+            tie_col="event_id", scale=2,
+        )
+        .withColumnRenamed("q1", "q1_cents")
+        .withColumnRenamed("q3", "q3_cents")
+    )
+    want = QUERIES["anomaly_iqr"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )
+
+
+def test_burst_detect_matches_events_burst(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    got = (
+        api.burst_detect(ev, "user_id", "us", window=3_600_000_000)
+        .withColumnRenamed("max_burst", "max_burst_1h")
+        .withColumnRenamed("n_rows", "n_events")
+    )
+    want = QUERIES["events_burst"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["user_id"]), _sorted(want, ["user_id"]),
+        check_dtype=False,
+    )
+
+
+def test_quantile_bins_matches_feat_quantile_bin(spark):
+    from secdb_spark.operators.similarity_extras import QBINS
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    got = api.quantile_bins(c, "c_acctbal", "c_custkey", n_bins=QBINS)
+    want = QUERIES["feat_quantile_bin"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["bin"]), _sorted(want, ["bin"]), check_dtype=False,
+    )

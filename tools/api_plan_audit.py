@@ -476,6 +476,16 @@ def _catalog(api, fx, tmp: str) -> dict:
             e, "stage", ["etime"], by=["uid"]
         ),
         "topk_ties": lambda: api.topk_ties(e, "val", by=["stage"], k=2),
+        "containment_pairs": lambda: api.containment_pairs(
+            d, "pk", "body", min_common=3
+        ),
+        "iqr_outliers": lambda: api.iqr_outliers(
+            e, "val", by=["stage"], tie_col="uid"
+        ),
+        "burst_detect": lambda: api.burst_detect(
+            e.withColumn("us", F.unix_micros(F.col("etime"))), "uid", "us"
+        ),
+        "quantile_bins": lambda: api.quantile_bins(e, "val", "uid", n_bins=4),
     }
 
 

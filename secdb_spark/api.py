@@ -195,6 +195,10 @@ __all__ = [
     "iqr_outliers",
     "burst_detect",
     "quantile_bins",
+    "last_touch",
+    "window_conversion",
+    "stage_latency",
+    "bounce_rate",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -6460,4 +6464,206 @@ def quantile_bins(
         F.count(F.lit(1)).alias("n"),
         F.min("_v").alias("lo"),
         F.max("_v").alias("hi"),
+    )
+
+
+def last_touch(
+    df: DataFrame,
+    id_col: str,
+    event_col: str,
+    val_col: str,
+    order_cols: list[str],
+    conversion: str,
+    default: str = "direct",
+) -> DataFrame:
+    """Last-touch attribution over ANY event stream
+    (attribution_last_touch's algebra with columns and the conversion
+    event parameterized): each conversion's value is credited to the
+    entity's most recent preceding non-conversion event type (`default`
+    when the conversion is the entity's first event).
+    last(ignorenulls) over a [unbounded, -1] row frame finds the touch
+    without a self-join.  Pass tie-breaking order_cols.  Returns
+    (channel, n_conversions, attributed_value).
+
+    Scale: the window and nothing else shuffles the stream (one
+    Exchange on the id), then the tiny channel aggregate map-side
+    combines."""
+    from .operators._helpers import dsum, r4
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(event_col) != conversion, F.col(event_col)),
+        ignorenulls=True,
+    ).over(w)
+    attributed = df.withColumn("channel", F.coalesce(touch, F.lit(default)))
+    return (
+        attributed.filter(F.col(event_col) == conversion)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            r4(dsum(F.col(val_col))).alias("attributed_value"),
+        )
+    )
+
+
+def window_conversion(
+    df: DataFrame,
+    id_col: str,
+    event_col: str,
+    time_col: str,
+    trigger: str,
+    conversion: str,
+    window: int = 3_600_000_000,
+) -> DataFrame:
+    """Time-window conversion over ANY event stream with a NUMERIC time
+    column (conversion_window's algebra with columns, events and window
+    parameterized): a conversion 'converts' when the same entity fired
+    the trigger event within the preceding `window` of the time axis.
+    A RANGE frame counts in-window triggers per row — no per-stage
+    self-join, and a range frame needs no tie-breaker (peers are
+    handled by value).  Returns (id, n_conversions, n_converted,
+    conv_rate).
+
+    Scale: one shuffle on the id shared by the window and the final
+    per-entity aggregate."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(time_col)
+        .rangeBetween(-window, -1)
+    )
+    flagged = df.withColumn(
+        "_trig",
+        F.sum(F.when(F.col(event_col) == trigger, 1).otherwise(0)).over(w),
+    )
+    conv = F.sum(F.when(F.col("_trig") >= 1, 1).otherwise(0))
+    return (
+        flagged.filter(F.col(event_col) == conversion)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            conv.cast("long").alias("n_converted"),
+            F.round(conv.cast("double") / F.count(F.lit(1)), 4).alias(
+                "conv_rate"
+            ),
+        )
+    )
+
+
+def stage_latency(
+    df: DataFrame,
+    id_col: str,
+    event_col: str,
+    time_col: str,
+    stages: list[str],
+    time_scale: float = 1e6,
+) -> DataFrame:
+    """Funnel LATENCY between ordered stages of ANY event stream
+    (funnel_latency's algebra with columns and an arbitrary stage list
+    parameterized): per adjacent stage pair, how long entities take
+    from the first occurrence of one stage to the first SUBSEQUENT
+    occurrence of the next, as p50/p95 — the companion of funnel()
+    (who converts) that measures how fast (the metric that decides
+    nudge timing).  The time column is numeric (e.g. epoch micros with
+    time_scale=1e6 to report seconds).  Gaps are exact integers;
+    interpolated percentiles over integers are exact binary arithmetic.
+    Returns (stage, n_entities, p50, p95).
+
+    Scale: one combinable per-entity min-aggregate per stage, chained
+    by id equi-joins (co-partitioned — one shuffle lineage); each
+    stage frame is pinned because it feeds the next stage AND its gap
+    projection."""
+    from .operators._helpers import pin, r4
+
+    ev = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(event_col).alias("_ev"),
+        F.col(time_col).alias("_t"),
+    )
+    prev = pin(
+        ev.filter(F.col("_ev") == stages[0])
+        .groupBy("_id")
+        .agg(F.min("_t").alias("_t0"))
+    )
+    gaps = None
+    for i, stage in enumerate(stages[1:], start=1):
+        cur = pin(
+            ev.filter(F.col("_ev") == stage)
+            .join(prev, "_id")
+            .filter(F.col("_t") >= F.col("_t0"))
+            .groupBy("_id")
+            .agg(F.min("_t").alias("_t1"))
+        )
+        g = prev.join(cur, "_id").select(
+            F.lit(f"{stages[i - 1]}->{stage}").alias("stage"),
+            (F.col("_t1") - F.col("_t0")).alias("_gap"),
+        )
+        gaps = g if gaps is None else gaps.unionAll(g)
+        prev = cur.select("_id", F.col("_t1").alias("_t0"))
+    return gaps.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        r4(F.percentile("_gap", F.lit(0.50)) / time_scale).alias("p50"),
+        r4(F.percentile("_gap", F.lit(0.95)) / time_scale).alias("p95"),
+    )
+
+
+def bounce_rate(
+    df: DataFrame,
+    id_col: str,
+    event_col: str,
+    time_col: str,
+    tie_col: str,
+    gap: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Bounce rate by session ENTRY type over ANY event stream with a
+    NUMERIC time column (session_bounce_rate's algebra with columns and
+    the inactivity gap parameterized): sessionize on the gap, classify
+    each session by its first event, and report the share that ended
+    after one event — the landing-quality metric per acquisition
+    surface.  The entry pick is a tie-safe min-struct on
+    (time, tie_col); session ids are per-entity running sums of
+    boundary flags.  Returns (entry_type, n_sessions, n_bounce,
+    bounce_rate).
+
+    Scale: ONE id shuffle shared by the lag, the cumsum, and the
+    per-session aggregate.  Exact integers throughout."""
+    from .operators._helpers import r4
+
+    ev = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(tie_col).alias("_tie"),
+        F.col(event_col).alias("_ev"),
+        F.col(time_col).alias("_t"),
+    )
+    w = Window.partitionBy("_id").orderBy("_t", "_tie")
+    g = F.col("_t") - F.lag("_t").over(w)
+    marked = ev.withColumn(
+        "_is_new", F.when(g.isNull() | (g > gap), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "_sid",
+        F.sum("_is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = sess.groupBy("_id", "_sid").agg(
+        F.count(F.lit(1)).alias("_n_events"),
+        F.min(F.struct("_t", "_tie", "_ev")).alias("_first"),
+    )
+    bounce = F.when(F.col("_n_events") == 1, 1).otherwise(0)
+    return (
+        per.select(
+            F.col("_first._ev").alias("entry_type"), F.col("_n_events")
+        )
+        .groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(bounce).cast("long").alias("n_bounce"),
+            r4(F.sum(bounce).cast("double") / F.count(F.lit(1))).alias(
+                "bounce_rate"
+            ),
+        )
     )

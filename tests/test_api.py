@@ -2274,3 +2274,57 @@ def test_quantile_bins_equal_population(spark):
     out = {r.bin: r for r in api.quantile_bins(df, "v", "id", n_bins=4).collect()}
     assert all(out[b].n == 25 for b in range(1, 5))
     assert out[1].lo == 0.0 and out[4].hi == 99.0
+
+
+def test_last_touch_first_event_is_default(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "buy", 10.0), ("u", 2, "ad", 0.0), ("u", 3, "buy", 5.0)],
+        "id string, t int, ev string, v double",
+    )
+    rows = {r.channel: r for r in
+            api.last_touch(df, "id", "ev", "v", ["t"],
+                           conversion="buy").collect()}
+    assert rows["direct"].attributed_value == 10.0  # first event
+    assert rows["ad"].attributed_value == 5.0
+
+
+def test_window_conversion_window_boundary(spark):
+    df = spark.createDataFrame(
+        [("u", 0, "view"), ("u", 50, "buy"), ("u", 500, "buy")],
+        "id string, t long, ev string",
+    )
+    row = api.window_conversion(
+        df, "id", "ev", "t", trigger="view", conversion="buy", window=100
+    ).collect()[0]
+    # buy@50 converts (view 50 ago); buy@500 outside the window
+    assert row.n_conversions == 2 and row.n_converted == 1
+    assert row.conv_rate == 0.5
+
+
+def test_stage_latency_ordered_stages(spark):
+    df = spark.createDataFrame(
+        [("u", 0, "a"), ("u", 10, "b"), ("u", 30, "c"),
+         ("v", 0, "b"), ("v", 5, "a"), ("v", 8, "b")],
+        "id string, t long, ev string",
+    )
+    rows = {r.stage: r for r in
+            api.stage_latency(df, "id", "ev", "t", ["a", "b", "c"],
+                              time_scale=1.0).collect()}
+    # u: a@0 -> b@10 -> c@30; v: a@5 -> b@8 (b@0 precedes a, skipped)
+    assert rows["a->b"].n_entities == 2
+    assert rows["a->b"].p50 == 6.5  # median of {10, 3}
+    assert rows["b->c"].n_entities == 1 and rows["b->c"].p50 == 20.0
+
+
+def test_bounce_rate_single_event_sessions(spark):
+    df = spark.createDataFrame(
+        [("u", 1, 0, "home"), ("u", 2, 10, "search"),
+         ("u", 3, 1000, "home"),
+         ("v", 4, 0, "promo")],
+        "id string, eid int, t long, ev string",
+    )
+    rows = {r.entry_type: r for r in
+            api.bounce_rate(df, "id", "ev", "t", "eid", gap=100).collect()}
+    # sessions: u[home,search] (no bounce), u[home] (bounce), v[promo] (bounce)
+    assert rows["home"].n_sessions == 2 and rows["home"].n_bounce == 1
+    assert rows["promo"].bounce_rate == 1.0

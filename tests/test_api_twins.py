@@ -2139,3 +2139,72 @@ def test_quantile_bins_matches_feat_quantile_bin(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, ["bin"]), _sorted(want, ["bin"]), check_dtype=False,
     )
+
+
+def test_last_touch_matches_attribution_last_touch(spark):
+    got = api.last_touch(
+        _events(spark), "user_id", "event_type", "value",
+        ["ts", "event_id"], conversion="purchase", default="direct",
+    ).withColumnRenamed("n_conversions", "n_purchases")
+    want = QUERIES["attribution_last_touch"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["channel"]), _sorted(want, ["channel"]),
+        check_dtype=False,
+    )
+
+
+def test_window_conversion_matches_conversion_window(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    got = api.window_conversion(
+        ev, "user_id", "event_type", "us",
+        trigger="view", conversion="purchase", window=3_600_000_000,
+    ).withColumnRenamed("n_conversions", "n_purchases")
+    want = QUERIES["conversion_window"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["user_id"]), _sorted(want, ["user_id"]),
+        check_dtype=False,
+    )
+
+
+def test_stage_latency_matches_funnel_latency(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).withColumn(
+        "t", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    got = (
+        api.stage_latency(
+            ev, "user_id", "event_type", "t",
+            stages=["view", "click", "purchase"], time_scale=1e6,
+        )
+        .withColumnRenamed("n_entities", "n_users")
+        .withColumnRenamed("p50", "p50_s")
+        .withColumnRenamed("p95", "p95_s")
+    )
+    want = QUERIES["funnel_latency"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["stage"]), _sorted(want, ["stage"]),
+        check_dtype=False,
+    )
+
+
+def test_bounce_rate_matches_session_bounce_rate(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras8 import BOUNCE_GAP_US
+
+    ev = _events(spark).withColumn(
+        "t", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    got = api.bounce_rate(
+        ev, "user_id", "event_type", "t", "event_id", gap=BOUNCE_GAP_US
+    )
+    want = QUERIES["session_bounce_rate"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["entry_type"]), _sorted(want, ["entry_type"]),
+        check_dtype=False,
+    )

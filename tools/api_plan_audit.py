@@ -486,6 +486,21 @@ def _catalog(api, fx, tmp: str) -> dict:
             e.withColumn("us", F.unix_micros(F.col("etime"))), "uid", "us"
         ),
         "quantile_bins": lambda: api.quantile_bins(e, "val", "uid", n_bins=4),
+        "last_touch": lambda: api.last_touch(
+            e, "uid", "stage", "val", ["etime"], conversion="buy"
+        ),
+        "window_conversion": lambda: api.window_conversion(
+            e.withColumn("us", F.unix_micros(F.col("etime"))),
+            "uid", "stage", "us", trigger="view", conversion="buy",
+        ),
+        "stage_latency": lambda: api.stage_latency(
+            e.withColumn("us", F.unix_micros(F.col("etime"))),
+            "uid", "stage", "us", stages=["view", "cart", "buy"],
+        ),
+        "bounce_rate": lambda: api.bounce_rate(
+            e.withColumn("us", F.unix_micros(F.col("etime"))),
+            "uid", "stage", "us", "val",
+        ),
     }
 
 

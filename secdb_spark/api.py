@@ -199,6 +199,10 @@ __all__ = [
     "window_conversion",
     "stage_latency",
     "bounce_rate",
+    "onehot",
+    "feature_scale",
+    "k_anonymity",
+    "transition_matrix",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -6666,4 +6670,146 @@ def bounce_rate(
                 "bounce_rate"
             ),
         )
+    )
+
+
+def onehot(
+    df: DataFrame,
+    cat_col: str,
+    vocabulary: list[str],
+    prefix: str | None = None,
+) -> DataFrame:
+    """One-hot encoding of ANY categorical column against a FIXED
+    vocabulary (feat_onehot's algebra with column and vocabulary
+    parameterized) — the production pattern: the encoder's columns are
+    part of the model contract and must not depend on which categories
+    happen to appear in a batch; unknown categories fall into an
+    explicit `<prefix>_other` indicator rather than silently widening
+    the schema.  Returns the input rows + one int column per
+    vocabulary entry + the other-indicator.
+
+    Scale: pure scan-fused projection — zero shuffles, zero state; the
+    CASE chain compiles into one whole-stage-codegen stage.  A
+    data-driven vocabulary is a separate model-fitting pass; encoding
+    itself must be map-only, and is."""
+    p = prefix or cat_col
+    cols = {
+        f"{p}_{v.lower()}": F.when(F.col(cat_col) == v, 1)
+        .otherwise(0)
+        .cast("int")
+        for v in vocabulary
+    }
+    cols[f"{p}_other"] = (
+        F.when(~F.col(cat_col).isin(*vocabulary), 1).otherwise(0).cast("int")
+    )
+    return df.withColumns(cols)
+
+
+def feature_scale(
+    df: DataFrame,
+    val_col: str,
+    by: list[str] | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group z-score and min-max scaling of ANY value column
+    (feat_scale's algebra with columns and fixed-point scale
+    parameterized) — the fit+apply shape every tabular training
+    pipeline runs.  Fit is ONE grouped moment pass (count / fixed-point
+    sum / decimal sum-of-squares / min / max — all map-side
+    combinable); apply is a broadcast join of the |groups|-row model
+    back onto the scan.  Values quantize at `scale` so moments are
+    exact; z = (x-mu)/sigma (population sigma) and mm = (x-min)/
+    (max-min) close in one IEEE tree (the fixed-point factor cancels in
+    both).  Returns the input rows + (z, mm), round 4.
+
+    Scale: the model stays |groups| rows at any corpus size; the apply
+    scan never shuffles."""
+    from .operators._helpers import r4
+
+    d0 = "decimal(38,0)"
+    by = by or []
+    x = F.floor(F.col(val_col) * (10**scale) + 0.5).cast("long")
+    m = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_mn_n"),
+        F.sum(x).alias("_sx"),
+        F.sum((x * x).cast(d0)).alias("_sxx"),
+        F.min(x).alias("_mn"),
+        F.max(x).alias("_mx"),
+    )
+    joined = (
+        df.join(F.broadcast(m), by) if by else df.crossJoin(F.broadcast(m))
+    )
+    sd = (
+        F.sqrt(
+            (
+                F.col("_mn_n").cast(d0) * F.col("_sxx")
+                - F.col("_sx").cast(d0) * F.col("_sx")
+            ).cast("double")
+        )
+        / F.col("_mn_n")
+    )
+    z = (x - F.col("_sx").cast("double") / F.col("_mn_n")) / sd
+    mm = (x - F.col("_mn")).cast("double") / (F.col("_mx") - F.col("_mn"))
+    return joined.withColumns({"z": r4(z), "mm": r4(mm)}).drop(
+        "_mn_n", "_sx", "_sxx", "_mn", "_mx"
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over ANY quasi-identifier tuple
+    (audit_k_anonymity's algebra with columns and k parameterized; band
+    continuous identifiers yourself first): how many equivalence
+    classes fall below k members and what share of rows they expose —
+    the re-identification screen run before releasing or training on
+    user-adjacent tabular data.  Group sizes are exact counts; the only
+    double is the final share ratio.  Returns one row (n_groups,
+    min_group_size, n_small_groups, n_exposed_rows, exposed_share).
+
+    Scale: one grouped count on the QI tuple (combinable) plus a 1-row
+    rollup of the |groups|-sized table; a generalization search
+    (coarsening bands until k holds) reruns just the first aggregate
+    per candidate banding."""
+    from .operators._helpers import r4
+
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_grp"))
+    small = F.when(F.col("_grp") < k, F.col("_grp")).otherwise(0)
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_grp").alias("min_group_size"),
+        F.count_if(F.col("_grp") < k).alias("n_small_groups"),
+        F.sum(small).cast("long").alias("n_exposed_rows"),
+        r4(F.sum(small).cast("double") / F.sum("_grp")).alias(
+            "exposed_share"
+        ),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    id_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Transition matrix of ANY (entity, state, order) sequence
+    (brand_transition's algebra with the state derivation left to the
+    caller): consecutive states per entity pair into (from, to)
+    transitions with exact counts — the loyalty/switching matrix whose
+    diagonal share is the loyalty KPI, and the input markov_stationary
+    consumes.  Pass tie-breaking order_cols.  Returns
+    (from_state, to_state, n_transitions, is_loyal).
+
+    Scale: one entity-keyed lead window; the matrix key space is
+    |states|^2 (model-sized)."""
+    w = Window.partitionBy(id_col).orderBy(*order_cols)
+    trans = df.select(
+        F.col(state_col).alias("from_state"),
+        F.lead(state_col).over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    return trans.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.first(F.col("from_state") == F.col("to_state")).alias("is_loyal"),
     )

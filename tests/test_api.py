@@ -2328,3 +2328,47 @@ def test_bounce_rate_single_event_sessions(spark):
     # sessions: u[home,search] (no bounce), u[home] (bounce), v[promo] (bounce)
     assert rows["home"].n_sessions == 2 and rows["home"].n_bounce == 1
     assert rows["promo"].bounce_rate == 1.0
+
+
+def test_onehot_unknown_category_to_other(spark):
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "Z")], "id int, cat string"
+    )
+    rows = {r.id: r for r in
+            api.onehot(df, "cat", ["A", "B"], prefix="c").collect()}
+    assert rows[1].c_a == 1 and rows[1].c_other == 0
+    assert rows[3].c_a == 0 and rows[3].c_b == 0 and rows[3].c_other == 1
+
+
+def test_feature_scale_bounds_and_zero_mean(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (0, 5, 10)], "k string, v double"
+    )
+    rows = sorted(
+        api.feature_scale(df, "v", by=["k"]).collect(), key=lambda r: r.v
+    )
+    assert rows[0].mm == 0.0 and rows[-1].mm == 1.0
+    assert rows[1].z == 0.0  # the mean point
+    assert abs(sum(r.z for r in rows)) < 1e-9
+
+
+def test_k_anonymity_small_groups(spark):
+    rows = [("a", i) for i in range(10)] + [("b", 0)]
+    df = spark.createDataFrame(rows, "qi string, x int")
+    row = api.k_anonymity(df, ["qi"], k=5).collect()[0]
+    assert row.n_groups == 2 and row.min_group_size == 1
+    assert row.n_small_groups == 1 and row.n_exposed_rows == 1
+    assert row.exposed_share == round(1 / 11, 4)
+
+
+def test_transition_matrix_loyalty_diagonal(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "x"), ("u", 2, "x"), ("u", 3, "y"),
+         ("v", 1, "y"), ("v", 2, "x")],
+        "id string, t int, s string",
+    )
+    rows = {(r.from_state, r.to_state): r
+            for r in api.transition_matrix(df, "id", "s", ["t"]).collect()}
+    assert rows[("x", "x")].n_transitions == 1
+    assert rows[("x", "x")].is_loyal and not rows[("x", "y")].is_loyal
+    assert rows[("y", "x")].n_transitions == 1

@@ -2208,3 +2208,105 @@ def test_bounce_rate_matches_session_bounce_rate(spark):
         _sorted(got, ["entry_type"]), _sorted(want, ["entry_type"]),
         check_dtype=False,
     )
+
+
+def test_onehot_matches_feat_onehot(spark):
+    from secdb_spark.operators.ml_prep import SEGMENTS
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    got = api.onehot(
+        c, "c_mktsegment", list(SEGMENTS), prefix="seg"
+    ).select(
+        "c_custkey", *[f"seg_{s.lower()}" for s in SEGMENTS], "seg_other"
+    )
+    want = QUERIES["feat_onehot"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["c_custkey"]), _sorted(want, ["c_custkey"]),
+        check_dtype=False,
+    )
+
+
+def test_feature_scale_matches_feat_scale(spark):
+    from pyspark.sql import functions as F
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    got = (
+        api.feature_scale(c, "c_acctbal", by=["c_mktsegment"], scale=2)
+        .select(
+            "c_custkey",
+            F.col("z").alias("z_bal"),
+            F.col("mm").alias("mm_bal"),
+        )
+    )
+    want = QUERIES["feat_scale"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["c_custkey"]), _sorted(want, ["c_custkey"]),
+        check_dtype=False,
+    )
+
+
+def test_k_anonymity_matches_audit_k_anonymity(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.ml_prep import BAL_BAND, K_ANON
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").withColumn(
+        "bal_band",
+        F.floor(
+            F.floor(F.col("c_acctbal") * 100 + 0.5) / BAL_BAND
+        ).cast("long"),
+    )
+    got = api.k_anonymity(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=K_ANON
+    )
+    want = QUERIES["audit_k_anonymity"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_groups"]), _sorted(want, ["n_groups"]),
+        check_dtype=False,
+    )
+
+
+def test_transition_matrix_matches_brand_transition(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    ob_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias(
+                "qty"
+            )
+        )
+    )
+    w_pick = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("qty"), F.asc("p_brand")
+    )
+    order_brand = (
+        ob_qty.select(
+            "l_orderkey", "p_brand", F.row_number().over(w_pick).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    seq = o.join(order_brand, o.o_orderkey == order_brand.l_orderkey)
+    got = (
+        api.transition_matrix(
+            seq, "o_custkey", "brand", ["o_orderdate", "o_orderkey"]
+        )
+        .withColumnRenamed("from_state", "from_brand")
+        .withColumnRenamed("to_state", "to_brand")
+    )
+    want = QUERIES["brand_transition"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["from_brand", "to_brand"]),
+        _sorted(want, ["from_brand", "to_brand"]),
+        check_dtype=False,
+    )

@@ -501,6 +501,14 @@ def _catalog(api, fx, tmp: str) -> dict:
             e.withColumn("us", F.unix_micros(F.col("etime"))),
             "uid", "stage", "us", "val",
         ),
+        "onehot": lambda: api.onehot(e, "stage", ["view", "cart"]),
+        "feature_scale": lambda: api.feature_scale(
+            e, "val", by=["stage"]
+        ),
+        "k_anonymity": lambda: api.k_anonymity(e, ["stage", "day"], k=3),
+        "transition_matrix": lambda: api.transition_matrix(
+            e, "uid", "stage", ["etime"]
+        ),
     }
 
 

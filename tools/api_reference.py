@@ -31,6 +31,8 @@ FAMILIES = [
                            "cap_per_group", "stratified_sample",
                            "deterministic_sample", "train_test_split",
                            "bottomk_sample"]),
+    ("ML prep & governance", ["onehot", "feature_scale", "k_anonymity",
+                              "transition_matrix"]),
     ("Embeddings", ["cosine_topk", "vector_search", "ann_topk",
                     "normalize_vectors", "kmeans_assign"]),
     ("Events & time series", ["sessionize", "funnel", "retention_cohorts",

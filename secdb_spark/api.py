@@ -203,6 +203,10 @@ __all__ = [
     "feature_scale",
     "k_anonymity",
     "transition_matrix",
+    "lexical_diversity",
+    "repetition_score",
+    "token_entropy",
+    "hapax_by_group",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -6812,4 +6816,150 @@ def transition_matrix(
     return trans.groupBy("from_state", "to_state").agg(
         F.count(F.lit(1)).alias("n_transitions"),
         F.first(F.col("from_state") == F.col("to_state")).alias("is_loyal"),
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    by: list[str],
+    text_col: str,
+) -> DataFrame:
+    """Lexical-diversity profile of ANY text column per group
+    (text_ttr's algebra with columns parameterized): type-token ratio
+    and hapax-legomenon fraction, both 1e6-quantized ratios of exact
+    whitespace-token counts.  Low TTR + low hapax flags repetitive
+    machine-generated text — the classic cheap companions to the
+    repetition gate in corpus curation.  Returns (by..., n_tokens,
+    n_types, n_hapax, ttr6, hapax6).
+
+    Scale: two cascaded map-side-combinable aggregates ((by, term) then
+    by) — partial-agg before every Exchange, all codegen."""
+    tok = df.select(
+        *by, F.explode(F.split(F.col(text_col), " ")).alias("_term")
+    )
+    tc = tok.groupBy(*by, "_term").agg(F.count(F.lit(1)).alias("_c"))
+    types = F.count(F.lit(1))
+    toks = F.sum("_c")
+    hapax = F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+    return tc.groupBy(*by).agg(
+        toks.cast("bigint").alias("n_tokens"),
+        types.cast("bigint").alias("n_types"),
+        hapax.cast("bigint").alias("n_hapax"),
+        F.floor(types.cast("double") / toks * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("ttr6"),
+        F.floor(hapax.cast("double") / types * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("hapax6"),
+    )
+
+
+def repetition_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Repeated-trigram fraction of ANY text column per row
+    (text_repetition's algebra with columns parameterized) — the
+    Gopher-style repetition quality gate (high duplicate-n-gram mass
+    flags boilerplate and spam).  rep = 1 - unique/total word trigrams,
+    1e6-quantized after a single double division of two exact counts;
+    rows with fewer than 3 tokens emit no output.  Returns
+    (id, n_tri, n_uniq, rep6).
+
+    Scale: one tokenize scan -> explode -> one hash aggregate on the id
+    (count + count-distinct in the same pass via the distinct-agg
+    rewrite).  No joins, no driver traffic."""
+    d = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    tri = d.filter(F.size("_toks") >= 3).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 3),"
+                " i -> concat_ws(' ', _toks[i], _toks[i + 1], _toks[i + 2]))"
+            )
+        ).alias("_g"),
+    )
+    return tri.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.count_distinct("_g").alias("n_uniq"),
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.count_distinct("_g").cast("double") / F.count(F.lit(1))
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("rep6"),
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    by: list[str],
+    text_col: str,
+) -> DataFrame:
+    """Token-distribution Shannon entropy (nats, 1e6-quantized) of ANY
+    text column per group (text_entropy_tokens' algebra with columns
+    parameterized) — the information-density quality signal: near-zero
+    entropy marks keyword-stuffed or template docs, high entropy marks
+    diverse prose.  H = ln(T) - sum(c*ln c)/T from exact counts; the
+    per-term c*ln(c) terms are DECIMAL(38,12)-quantized before the
+    order-dependent sum (ulp differences in ln land far below the
+    quantization step).  Returns (by..., n_tokens, ent6).
+
+    Scale: tokenize -> two hash aggregates, BOTH map-side combinable —
+    each Exchange carries partial aggregates, never the raw exploded
+    token stream; entirely JVM-side codegen."""
+    tok = df.select(
+        *by, F.explode(F.split(F.col(text_col), " ")).alias("_term")
+    )
+    tc = tok.groupBy(*by, "_term").agg(F.count(F.lit(1)).alias("_c"))
+    t = F.sum("_c")
+    s = F.sum(
+        (F.col("_c") * F.log(F.col("_c").cast("double"))).cast(
+            "decimal(38,12)"
+        )
+    )
+    return tc.groupBy(*by).agg(
+        t.cast("bigint").alias("n_tokens"),
+        F.floor((F.log(t.cast("double")) - s.cast("double") / t) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("ent6"),
+    )
+
+
+def hapax_by_group(
+    df: DataFrame,
+    by: list[str],
+    text_col: str,
+) -> DataFrame:
+    """Hapax legomenon share per group of ANY text column
+    (text_hapax_ratio's algebra with columns parameterized): the
+    fraction of each group's LOWERCASED vocabulary occurring exactly
+    once.  High hapax means noisy / OCR-damaged / tail-heavy text; a
+    collapsing ratio means templated text — both corpus-acquisition QC
+    signals.  Returns (by..., n_tokens, vocab, hapax, hapax_ratio).
+
+    Scale: two cascaded combinable aggregates; the token stream
+    shuffles once on (by, term)."""
+    from .operators._helpers import r4
+
+    toks = df.select(
+        *by,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_term"),
+    )
+    tc = toks.groupBy(*by, "_term").agg(F.count(F.lit(1)).alias("_cnt"))
+    hap = F.when(F.col("_cnt") == 1, 1).otherwise(0)
+    return tc.groupBy(*by).agg(
+        F.sum("_cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(hap).cast("long").alias("hapax"),
+        r4(F.sum(hap).cast("double") / F.count(F.lit(1))).alias(
+            "hapax_ratio"
+        ),
     )

@@ -2372,3 +2372,48 @@ def test_transition_matrix_loyalty_diagonal(spark):
     assert rows[("x", "x")].n_transitions == 1
     assert rows[("x", "x")].is_loyal and not rows[("x", "y")].is_loyal
     assert rows[("y", "x")].n_transitions == 1
+
+
+def test_lexical_diversity_all_unique_vs_repeated(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x")], "id int, body string"
+    )
+    rows = {r.id: r for r in
+            api.lexical_diversity(df, ["id"], "body").collect()}
+    assert rows[1].ttr6 == 1_000_000 and rows[1].hapax6 == 1_000_000
+    assert rows[2].n_types == 1 and rows[2].ttr6 == 250_000
+    assert rows[2].n_hapax == 0
+
+
+def test_repetition_score_templated_text(spark):
+    df = spark.createDataFrame(
+        [(1, "spam ham " * 20), (2, "one two three four five six"),
+         (3, "too short")],
+        "id int, body string",
+    )
+    rows = {r.id: r for r in
+            api.repetition_score(df, "id", "body").collect()}
+    assert 3 not in rows  # < 3 tokens emits nothing
+    assert rows[1].rep6 > 900_000   # heavy repetition
+    assert rows[2].rep6 == 0        # all trigrams unique
+
+
+def test_token_entropy_uniform_vs_constant(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "z z z z")], "id int, body string"
+    )
+    rows = {r.id: r for r in
+            api.token_entropy(df, ["id"], "body").collect()}
+    import math
+
+    assert rows[1].ent6 == round(math.log(4) * 1e6)  # uniform: ln(4)
+    assert rows[2].ent6 == 0                          # constant: 0
+
+
+def test_hapax_by_group_case_folding(spark):
+    df = spark.createDataFrame(
+        [("s", "Word word RARE")], "src string, body string"
+    )
+    row = api.hapax_by_group(df, ["src"], "body").collect()[0]
+    # lowercasing folds Word/word -> one type with count 2; rare is hapax
+    assert row.vocab == 2 and row.hapax == 1 and row.hapax_ratio == 0.5

@@ -2310,3 +2310,39 @@ def test_transition_matrix_matches_brand_transition(spark):
         _sorted(want, ["from_brand", "to_brand"]),
         check_dtype=False,
     )
+
+
+def test_lexical_diversity_matches_text_ttr(spark):
+    got = api.lexical_diversity(_docs(spark), ["doc_id"], "text")
+    want = QUERIES["text_ttr"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id"]), _sorted(want, ["doc_id"]),
+        check_dtype=False,
+    )
+
+
+def test_repetition_score_matches_text_repetition(spark):
+    got = api.repetition_score(_docs(spark), "doc_id", "text")
+    want = QUERIES["text_repetition"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id"]), _sorted(want, ["doc_id"]),
+        check_dtype=False,
+    )
+
+
+def test_token_entropy_matches_text_entropy_tokens(spark):
+    got = api.token_entropy(_docs(spark), ["doc_id"], "text")
+    want = QUERIES["text_entropy_tokens"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id"]), _sorted(want, ["doc_id"]),
+        check_dtype=False,
+    )
+
+
+def test_hapax_by_group_matches_text_hapax_ratio(spark):
+    got = api.hapax_by_group(_docs(spark), ["source"], "text")
+    want = QUERIES["text_hapax_ratio"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["source"]), _sorted(want, ["source"]),
+        check_dtype=False,
+    )

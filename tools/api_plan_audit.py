@@ -509,6 +509,14 @@ def _catalog(api, fx, tmp: str) -> dict:
         "transition_matrix": lambda: api.transition_matrix(
             e, "uid", "stage", ["etime"]
         ),
+        "lexical_diversity": lambda: api.lexical_diversity(
+            d, ["pk"], "body"
+        ),
+        "repetition_score": lambda: api.repetition_score(d, "pk", "body"),
+        "token_entropy": lambda: api.token_entropy(d, ["pk"], "body"),
+        "hapax_by_group": lambda: api.hapax_by_group(
+            d, ["domain"], "body"
+        ),
     }
 
 

@@ -26,7 +26,9 @@ FAMILIES = [
                                     "boilerplate_sentences",
                                     "pii_scrub", "tfidf",
                                     "curate_corpus", "pmi_bigrams",
-                                    "zipf_slope", "readability"]),
+                                    "zipf_slope", "readability",
+                                    "lexical_diversity", "repetition_score",
+                                    "token_entropy", "hapax_by_group"]),
     ("Mixing & sampling", ["domain_mix_weights", "temperature_mix",
                            "cap_per_group", "stratified_sample",
                            "deterministic_sample", "train_test_split",

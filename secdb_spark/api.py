@@ -207,6 +207,10 @@ __all__ = [
     "repetition_score",
     "token_entropy",
     "hapax_by_group",
+    "latency_percentiles",
+    "peak_to_avg_ratio",
+    "top_share",
+    "dispersion_index",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -6962,4 +6966,141 @@ def hapax_by_group(
         r4(F.sum(hap).cast("double") / F.count(F.lit(1))).alias(
             "hapax_ratio"
         ),
+    )
+
+
+def latency_percentiles(
+    df: DataFrame,
+    val_col: str,
+    by: list[str],
+    ps: tuple[float, ...] = (0.50, 0.95, 0.99),
+) -> DataFrame:
+    """Grouped exact latency percentiles of ANY INTEGER value column
+    (sla_percentiles' algebra with columns and percentile points
+    parameterized) — the tail-latency view a single SLA threshold hides
+    (an SLA can hold at p50 while p99 burns).  Interpolated percentiles
+    over integers are exact binary arithmetic.  Returns (by..., n,
+    p<pp> per point), round 4.
+
+    Scale: one grouped percentile pass; at extreme group cardinality
+    the one-line swap is percentile_approx (the documented exact-vs-
+    sketch quantile trade)."""
+    from .operators._helpers import r4
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in ps:
+        aggs.append(
+            r4(F.percentile(val_col, F.lit(p))).alias(
+                f"p{int(round(p * 100))}"
+            )
+        )
+    return df.groupBy(*by).agg(*aggs)
+
+
+def peak_to_avg_ratio(
+    df: DataFrame,
+    by: list[str],
+    bucket_col: str,
+) -> DataFrame:
+    """Peak-to-average bucket load of ANY event frame per group
+    (peak_to_avg's algebra with columns parameterized; pre-compute the
+    time bucket) — the capacity-planning ratio (provision for peak, pay
+    for average; ~1 is flat load, high ratios justify autoscaling).
+    Exact integer bucket counts; the ratio is max*buckets/total in one
+    IEEE tree.  Returns (by..., n_buckets, peak, total, peak_to_avg).
+
+    Scale: bucket pre-aggregation collapses the stream (combinable);
+    the rollup runs over the buckets x groups aggregate."""
+    from .operators._helpers import r4
+
+    bucketed = df.groupBy(*by, F.col(bucket_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return bucketed.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_c").cast("long").alias("peak"),
+        F.sum("_c").cast("long").alias("total"),
+        r4(
+            F.max("_c").cast("double") * F.count(F.lit(1)) / F.sum("_c")
+        ).alias("peak_to_avg"),
+    )
+
+
+def top_share(
+    df: DataFrame,
+    val_col: str,
+    by: list[str],
+    pct: int = 10,
+) -> DataFrame:
+    """Value concentration of ANY pre-aggregated (group, entity value)
+    frame (top_decile_share's algebra with columns and the percentage
+    parameterized): the share of each group's total earned by its top
+    pct% of entities — the single-number concentration readout that
+    complements gini (full curve) and hhi (squared shares).  Top-set
+    membership is the integer inequality rk*100 <= n*pct (no float
+    percentile); feed exact integer values (fixed-point first) — equal
+    values are interchangeable for the SUM, so no tiebreak key is
+    needed for value stability.  Returns (by..., n_entities, top_value,
+    total_value, top_share).
+
+    Scale: per-group windows over the ENTITY aggregate (pre-aggregate
+    raw facts first); the same rank-threshold selection dispatches to
+    the bucketed rank kernel at ungrouped 1e8+ cardinalities."""
+    from .operators._helpers import r4
+
+    wn = Window.partitionBy(*by)
+    ranked = df.select(
+        *by,
+        F.col(val_col).alias("_v"),
+        F.row_number()
+        .over(Window.partitionBy(*by).orderBy(F.desc(val_col), val_col))
+        .alias("_rk"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+        F.sum(val_col).over(wn).alias("_tot"),
+    )
+    in_top = F.col("_rk") * 100 <= F.col("_n") * pct
+    top = F.sum(F.when(in_top, F.col("_v")).otherwise(0))
+    return ranked.groupBy(*by).agg(
+        F.max("_n").cast("long").alias("n_entities"),
+        top.cast("long").alias("top_value"),
+        F.max("_tot").cast("long").alias("total_value"),
+        r4(top.cast("double") / F.max("_tot")).alias("top_share"),
+    )
+
+
+def dispersion_index(
+    df: DataFrame,
+    by: list[str],
+    bucket_col: str,
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of per-bucket
+    counts of ANY event frame (events_dispersion's algebra with columns
+    parameterized; pre-compute the time bucket) — the burstiness test:
+    ~1 is Poisson-like arrivals, >1 clumped (campaign spikes, incident
+    storms), <1 regularized (rate-limited).  burst_detect finds WHEN,
+    this scores HOW MUCH overall.  Integer count moments, one IEEE
+    closing tree.  Groups with fewer than 2 buckets drop out.  Returns
+    (by..., n_buckets, dispersion), round 4.
+
+    Scale: a bucket-keyed combinable aggregate + a per-group moment
+    rollup; no window."""
+    from .operators._helpers import r4
+
+    bucketed = df.groupBy(*by, F.col(bucket_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    m = (
+        bucketed.groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_y").cast("long").alias("_sy"),
+            F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        )
+        .filter(F.col("_n") >= 2)
+    )
+    n = F.col("_n").cast("double")
+    sy = F.col("_sy").cast("double")
+    disp = (F.col("_syy") - sy * F.col("_sy") / n) / (n - 1) / (sy / n)
+    return m.select(
+        *by, F.col("_n").alias("n_buckets"), r4(disp).alias("dispersion")
     )

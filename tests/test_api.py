@@ -2417,3 +2417,40 @@ def test_hapax_by_group_case_folding(spark):
     row = api.hapax_by_group(df, ["src"], "body").collect()[0]
     # lowercasing folds Word/word -> one type with count 2; rare is hapax
     assert row.vocab == 2 and row.hapax == 1 and row.hapax_ratio == 0.5
+
+
+def test_latency_percentiles_exact_interpolation(spark):
+    df = spark.createDataFrame(
+        [("g", v) for v in (0, 10, 20, 30)], "k string, lag int"
+    )
+    row = api.latency_percentiles(
+        df, "lag", by=["k"], ps=(0.5, 1.0)
+    ).collect()[0]
+    assert row.n == 4 and row.p50 == 15.0 and row.p100 == 30.0
+
+
+def test_peak_to_avg_flat_load_is_one(spark):
+    df = spark.createDataFrame(
+        [("g", b) for b in range(5) for _ in range(7)], "k string, b int"
+    )
+    row = api.peak_to_avg_ratio(df, ["k"], "b").collect()[0]
+    assert row.n_buckets == 5 and row.peak_to_avg == 1.0
+
+
+def test_top_share_whale_concentration(spark):
+    rows = [("g", i, 1) for i in range(9)] + [("g", 99, 91)]
+    df = spark.createDataFrame(rows, "k string, id int, v long")
+    row = api.top_share(df, "v", by=["k"], pct=10).collect()[0]
+    # 10 entities: top 10% = 1 entity = the whale with 91 of 100
+    assert row.n_entities == 10 and row.top_value == 91
+    assert row.top_share == 0.91
+
+
+def test_dispersion_index_poisson_vs_clumped(spark):
+    flat = [("flat", b) for b in range(10) for _ in range(5)]
+    clump = [("clump", 0)] * 50 + [("clump", b) for b in range(1, 10)]
+    df = spark.createDataFrame(flat + clump, "k string, b int")
+    rows = {r.k: r.dispersion
+            for r in api.dispersion_index(df, ["k"], "b").collect()}
+    assert rows["flat"] == 0.0          # constant counts: zero variance
+    assert rows["clump"] > 10           # heavy clumping

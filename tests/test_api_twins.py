@@ -2346,3 +2346,99 @@ def test_hapax_by_group_matches_text_hapax_ratio(spark):
         _sorted(got, ["source"]), _sorted(want, ["source"]),
         check_dtype=False,
     )
+
+
+def test_latency_percentiles_matches_sla_percentiles(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lags = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("first_ship").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lag"),
+    )
+    got = (
+        api.latency_percentiles(lags, "lag", by=["o_orderpriority"])
+        .withColumnRenamed("n", "n_orders")
+        .withColumnRenamed("p50", "p50_days")
+        .withColumnRenamed("p95", "p95_days")
+        .withColumnRenamed("p99", "p99_days")
+    )
+    want = QUERIES["sla_percentiles"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["o_orderpriority"]), _sorted(want, ["o_orderpriority"]),
+        check_dtype=False,
+    )
+
+
+def test_peak_to_avg_ratio_matches_peak_to_avg(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).withColumn("bucket", F.date_trunc("hour", "ts"))
+    got = (
+        api.peak_to_avg_ratio(ev, ["event_type"], "bucket")
+        .withColumnRenamed("n_buckets", "n_hours")
+        .withColumnRenamed("peak", "peak_hour_events")
+        .withColumnRenamed("total", "total_events")
+    )
+    want = QUERIES["peak_to_avg"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )
+
+
+def test_top_share_matches_top_decile_share(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.econ_extras import DECILE_PCT
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "cents"
+        )
+    )
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    joined = (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", "cents")
+    )
+    got = (
+        api.top_share(joined, "cents", by=["n_name"], pct=DECILE_PCT)
+        .withColumnRenamed("n_entities", "n_customers")
+        .withColumnRenamed("top_value", "top_cents")
+        .withColumnRenamed("total_value", "total_cents")
+        .withColumnRenamed("top_share", "top_decile_share")
+    )
+    want = QUERIES["top_decile_share"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_name"]), _sorted(want, ["n_name"]),
+        check_dtype=False,
+    )
+
+
+def test_dispersion_index_matches_events_dispersion(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).withColumn("day", F.date_trunc("day", "ts"))
+    got = api.dispersion_index(
+        ev, ["event_type"], "day"
+    ).withColumnRenamed("n_buckets", "n_days")
+    want = QUERIES["events_dispersion"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )

@@ -517,6 +517,21 @@ def _catalog(api, fx, tmp: str) -> dict:
         "hapax_by_group": lambda: api.hapax_by_group(
             d, ["domain"], "body"
         ),
+        "latency_percentiles": lambda: api.latency_percentiles(
+            e.select("stage", F.col("val").cast("int").alias("lag")),
+            "lag", by=["stage"],
+        ),
+        "peak_to_avg_ratio": lambda: api.peak_to_avg_ratio(
+            e, ["stage"], "day"
+        ),
+        "top_share": lambda: api.top_share(
+            e.groupBy("stage", "uid").agg(
+                F.count(F.lit(1)).alias("v")),
+            "v", by=["stage"], pct=20,
+        ),
+        "dispersion_index": lambda: api.dispersion_index(
+            e, ["stage"], "day"
+        ),
     }
 
 

@@ -62,7 +62,9 @@ FAMILIES = [
                     "welch_ttest", "kaplan_meier", "xyz_classify",
                     "corr_matrix", "geomean", "skyline", "anova_eta",
                     "rate_ci", "ab_ztest", "iqr_outliers",
-                    "quantile_bins"]),
+                    "quantile_bins", "latency_percentiles",
+                    "peak_to_avg_ratio", "top_share",
+                    "dispersion_index"]),
     ("Warehouse maintenance", ["latest_by_key", "scd2", "write_partitioned",
                                "period_growth", "table_diff", "fk_check",
                                "skew_report"]),

@@ -211,6 +211,9 @@ __all__ = [
     "peak_to_avg_ratio",
     "top_share",
     "dispersion_index",
+    "vocab_overlap",
+    "cross_entropy",
+    "novelty_score",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -7103,4 +7106,165 @@ def dispersion_index(
     disp = (F.col("_syy") - sy * F.col("_sy") / n) / (n - 1) / (sy / n)
     return m.select(
         *by, F.col("_n").alias("n_buckets"), r4(disp).alias("dispersion")
+    )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups of ANY corpus
+    (source_vocab_overlap's algebra with columns parameterized) — the
+    corpus-level similarity matrix that finds mirror/scraped source
+    pairs BEFORE doc-level dedup spends compute on them (two sources at
+    0.9 vocab overlap are the same crawl twice).  Candidates form only
+    through the term-postings equi-join — never a group x group x vocab
+    product; output is |groups|^2/2 rows.  Integer intersection /
+    derived-integer union in one shared tree.  Returns
+    (group_a, group_b, n_common, jaccard), round 4."""
+    from .operators._helpers import pin, r4
+
+    vocab = pin(
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_term"),
+        ).distinct()
+    )
+    sz = vocab.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    a = vocab.select(F.col("_g").alias("group_a"), "_term")
+    b = vocab.select(F.col("_g").alias("group_b"), "_term")
+    inter = (
+        a.join(b, "_term")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("_g").alias("group_a"), F.col("_n").alias("_na"))
+    sb = sz.select(F.col("_g").alias("group_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            r4(
+                F.col("n_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def cross_entropy(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group unigram entropy, cross-entropy under the corpus-wide
+    distribution, and their gap — the KL divergence in bits
+    (source_cross_entropy's algebra with columns parameterized): the
+    domain-shift score a mixing pipeline reads before weighting sources
+    (a group with high kl_bits is lexically far from the corpus).  No
+    smoothing needed: every group term exists in the corpus
+    distribution by construction, so q > 0 always.  Both entropy sums
+    follow the quantize-then-sum DECIMAL(38,12) discipline.  Returns
+    (group, n_tokens, h_self, h_cross, kl_bits), round 4.
+
+    Scale: two cascaded combinable aggregates; the corpus-count join
+    shuffles on term (vocabulary-sized); N arrives as a 1-row
+    broadcast."""
+    import math
+
+    from .operators._helpers import pin, r4
+
+    dec12 = "decimal(38,12)"
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_term"),
+    ).filter(F.col("_term") != "")
+    st = pin(
+        toks.groupBy("group", "_term").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ct = st.groupBy("_term").agg(F.sum("_c").cast("long").alias("_cnt"))
+    nn = st.agg(F.sum("_c").cast("long").alias("_big_n"))
+    j = st.join(ct, "_term")
+    a = j.groupBy("group").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.sum(
+            (F.col("_c") * F.log(F.col("_c").cast("double"))).cast(dec12)
+        )
+        .cast("double")
+        .alias("_s_self"),
+        F.sum(
+            (F.col("_c") * F.log(F.col("_cnt").cast("double"))).cast(dec12)
+        )
+        .cast("double")
+        .alias("_s_cross"),
+    )
+    out = a.crossJoin(F.broadcast(nn))
+    h_self = (
+        F.log(F.col("n_tokens").cast("double"))
+        - F.col("_s_self") / F.col("n_tokens")
+    )
+    h_cross = (
+        F.log(F.col("_big_n").cast("double"))
+        - F.col("_s_cross") / F.col("n_tokens")
+    )
+    ln2 = math.log(2)
+    return out.select(
+        "group",
+        "n_tokens",
+        r4(h_self / ln2).alias("h_self"),
+        r4(h_cross / ln2).alias("h_cross"),
+        r4((h_cross - h_self) / ln2).alias("kl_bits"),
+    )
+
+
+def novelty_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Trigram novelty of ANY (id, text) corpus (text_novelty's algebra
+    with columns parameterized): the share of each document's distinct
+    word trigrams that appear in NO other document — the
+    self-information screen complementing repetition_score (within-doc
+    boilerplate): low novelty means the document is assembled from
+    corpus-common spans, the profile of templated/spun content.  Pure
+    integer counting.  Returns (id, n_trigrams, n_unique, novelty).
+
+    Scale: trigram explode -> distinct (id, gram) -> gram document
+    frequencies (all combinable) -> join df back on the gram key;
+    Zipf-hot grams dominate the join's build side — the same hot-gram
+    cap as containment_pairs applies as corpora grow."""
+    from .operators._helpers import pin, r4
+
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    tri = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 2), "
+                "p -> concat_ws(' ', _toks[p-1], _toks[p], _toks[p+1]))"
+            )
+        ).alias("_g"),
+    )
+    # pinned: dtri feeds the document-frequency aggregate AND the join
+    dtri = pin(tri.distinct())
+    freq = dtri.groupBy("_g").agg(F.count(F.lit(1)).alias("_ndocs"))
+    return (
+        dtri.join(freq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.count_if(F.col("_ndocs") == 1).alias("n_unique"),
+            r4(
+                F.count_if(F.col("_ndocs") == 1).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
     )

@@ -2454,3 +2454,36 @@ def test_dispersion_index_poisson_vs_clumped(spark):
             for r in api.dispersion_index(df, ["k"], "b").collect()}
     assert rows["flat"] == 0.0          # constant counts: zero variance
     assert rows["clump"] > 10           # heavy clumping
+
+
+def test_vocab_overlap_identical_sources(spark):
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z"), ("c", "p q")],
+        "src string, body string",
+    )
+    rows = {(r.group_a, r.group_b): r
+            for r in api.vocab_overlap(df, "src", "body").collect()}
+    assert rows[("a", "b")].jaccard == 1.0
+    assert ("a", "c") not in rows  # no shared terms -> no candidate pair
+
+
+def test_cross_entropy_identical_distribution_zero_kl(spark):
+    df = spark.createDataFrame(
+        [("a", "x y"), ("b", "x y")], "src string, body string"
+    )
+    rows = {r.group: r
+            for r in api.cross_entropy(df, "src", "body").collect()}
+    # both groups match the corpus distribution exactly -> KL = 0
+    assert rows["a"].kl_bits == 0.0 and rows["b"].kl_bits == 0.0
+    assert rows["a"].h_self == 1.0  # two equiprobable tokens = 1 bit
+
+
+def test_novelty_score_shared_vs_unique(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "id int, body string"
+    )
+    rows = {r.id: r for r in
+            api.novelty_score(df, "id", "body").collect()}
+    # trigrams doc1: {a b c, b c d}; doc2: {a b c, b c e}; 'a b c' shared
+    assert rows[1].n_trigrams == 2 and rows[1].n_unique == 1
+    assert rows[1].novelty == 0.5 and rows[2].novelty == 0.5

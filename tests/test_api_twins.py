@@ -2442,3 +2442,37 @@ def test_dispersion_index_matches_events_dispersion(spark):
         _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
         check_dtype=False,
     )
+
+
+def test_vocab_overlap_matches_source_vocab_overlap(spark):
+    got = (
+        api.vocab_overlap(_docs(spark), "source", "text")
+        .withColumnRenamed("group_a", "source_a")
+        .withColumnRenamed("group_b", "source_b")
+    )
+    want = QUERIES["source_vocab_overlap"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["source_a", "source_b"]),
+        _sorted(want, ["source_a", "source_b"]),
+        check_dtype=False,
+    )
+
+
+def test_cross_entropy_matches_source_cross_entropy(spark):
+    got = api.cross_entropy(
+        _docs(spark), "source", "text"
+    ).withColumnRenamed("group", "source")
+    want = QUERIES["source_cross_entropy"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["source"]), _sorted(want, ["source"]),
+        check_dtype=False,
+    )
+
+
+def test_novelty_score_matches_text_novelty(spark):
+    got = api.novelty_score(_docs(spark), "doc_id", "text")
+    want = QUERIES["text_novelty"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id"]), _sorted(want, ["doc_id"]),
+        check_dtype=False,
+    )

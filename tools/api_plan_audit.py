@@ -532,6 +532,9 @@ def _catalog(api, fx, tmp: str) -> dict:
         "dispersion_index": lambda: api.dispersion_index(
             e, ["stage"], "day"
         ),
+        "vocab_overlap": lambda: api.vocab_overlap(d, "domain", "body"),
+        "cross_entropy": lambda: api.cross_entropy(d, "domain", "body"),
+        "novelty_score": lambda: api.novelty_score(d, "pk", "body"),
     }
 
 

@@ -28,7 +28,9 @@ FAMILIES = [
                                     "curate_corpus", "pmi_bigrams",
                                     "zipf_slope", "readability",
                                     "lexical_diversity", "repetition_score",
-                                    "token_entropy", "hapax_by_group"]),
+                                    "token_entropy", "hapax_by_group",
+                                    "vocab_overlap", "cross_entropy",
+                                    "novelty_score"]),
     ("Mixing & sampling", ["domain_mix_weights", "temperature_mix",
                            "cap_per_group", "stratified_sample",
                            "deterministic_sample", "train_test_split",

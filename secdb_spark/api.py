@@ -214,6 +214,9 @@ __all__ = [
     "vocab_overlap",
     "cross_entropy",
     "novelty_score",
+    "otd_rate",
+    "reorder_rate",
+    "new_vs_returning_split",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -7267,4 +7270,121 @@ def novelty_score(
                 / F.count(F.lit(1))
             ).alias("novelty"),
         )
+    )
+
+
+def otd_rate(
+    df: DataFrame,
+    by: list[str],
+    lag_col: str,
+    sla: int,
+) -> DataFrame:
+    """On-time-delivery scorecard of ANY pre-computed integer lag column
+    per group (supplier_otd's algebra with columns and the SLA
+    parameterized): share of rows past the SLA plus delay severity —
+    the vendor scorecard behind "who keeps orders waiting".  All exact
+    integer arithmetic; the two ratios divide exact integers.  Returns
+    (by..., n_rows, n_late, late_ratio, max_delay, avg_late_delay).
+
+    Scale: one map-side-combinable aggregate on `by` — compute the lag
+    in the caller's join first."""
+    from .operators._helpers import r4
+
+    lag = F.col(lag_col)
+    late = F.when(lag > sla, 1).otherwise(0)
+    delay = F.when(lag > sla, lag - sla).otherwise(0)
+    return (
+        df.select(*by, late.alias("_late"), delay.alias("_delay"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_late").cast("long").alias("n_late"),
+            r4(F.sum("_late").cast("double") / F.count(F.lit(1))).alias(
+                "late_ratio"
+            ),
+            F.max("_delay").cast("long").alias("max_delay"),
+            r4(
+                F.sum("_delay").cast("double")
+                / F.greatest(F.sum("_late"), F.lit(1))
+            ).alias("avg_late_delay"),
+        )
+    )
+
+
+def reorder_rate(
+    df: DataFrame,
+    by: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Repeat-activity rate per group of ANY transaction stream
+    (customer_reorder_rate's algebra with columns parameterized; join
+    group attributes onto the rows first): of entities active at all,
+    how many came back — the top-line loyalty KPI.  Exact integer
+    counts, shared-tree divisions.  Returns (by..., n_entities,
+    n_repeat, reorder_rate, avg_rows).
+
+    Scale: the per-entity rollup shuffles once on (by, id); the closing
+    aggregate is |groups| rows."""
+    from .operators._helpers import r4
+
+    per = df.groupBy(*by, F.col(id_col).alias("_id")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rep = F.when(F.col("_n") >= 2, 1).otherwise(0)
+    return per.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(rep).cast("long").alias("n_repeat"),
+        r4(F.sum(rep).cast("double") / F.count(F.lit(1))).alias(
+            "reorder_rate"
+        ),
+        r4(F.sum("_n").cast("double") / F.count(F.lit(1))).alias("avg_rows"),
+    )
+
+
+def new_vs_returning_split(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Monthly new-vs-returning decomposition of ANY transaction stream
+    (new_vs_returning's algebra with columns parameterized): an entity
+    is "new" in the month of its first-ever row, "returning" in any
+    later month — the growth-accounting split every
+    subscription/commerce warehouse reports.  First month comes from a
+    window min over the entity partition (no join, no second scan); the
+    monthly rollup counts distinct entities and splits value by the
+    flag in a single grouped pass with deterministic decimal sums.
+    Returns (month, n_new, n_returning, val_new, val_returning).
+
+    Scale: shuffle 1 on the id (window min), shuffle 2 on month
+    (rollup) — both unavoidable key changes; at extreme cardinality the
+    approx_count_distinct swap is one line."""
+    from .operators._helpers import r4
+
+    month = F.date_trunc("month", date_col)
+    first_month = F.date_trunc(
+        "month", F.min(date_col).over(Window.partitionBy(id_col))
+    )
+    f = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(val_col).alias("_v"),
+        month.alias("month"),
+        first_month.alias("_first_month"),
+    )
+    is_new = F.col("month") == F.col("_first_month")
+    dec = "decimal(38,6)"
+    return f.groupBy("month").agg(
+        F.count_distinct(F.when(is_new, F.col("_id"))).alias("n_new"),
+        F.count_distinct(F.when(~is_new, F.col("_id"))).alias("n_returning"),
+        r4(
+            F.sum(F.when(is_new, F.col("_v")).otherwise(0.0).cast(dec)).cast(
+                "double"
+            )
+        ).alias("val_new"),
+        r4(
+            F.sum(
+                F.when(~is_new, F.col("_v")).otherwise(0.0).cast(dec)
+            ).cast("double")
+        ).alias("val_returning"),
     )

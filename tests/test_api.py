@@ -2487,3 +2487,41 @@ def test_novelty_score_shared_vs_unique(spark):
     # trigrams doc1: {a b c, b c d}; doc2: {a b c, b c e}; 'a b c' shared
     assert rows[1].n_trigrams == 2 and rows[1].n_unique == 1
     assert rows[1].novelty == 0.5 and rows[2].novelty == 0.5
+
+
+def test_otd_rate_sla_boundary(spark):
+    df = spark.createDataFrame(
+        [("s", 5), ("s", 10), ("s", 11), ("s", 20)], "k string, lag int"
+    )
+    row = api.otd_rate(df, ["k"], "lag", sla=10).collect()[0]
+    # lag > 10 counts late: {11, 20}; delays {1, 10}
+    assert row.n_late == 2 and row.late_ratio == 0.5
+    assert row.max_delay == 10 and row.avg_late_delay == 5.5
+
+
+def test_reorder_rate_counts(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 1), ("g", 2), ("g", 3), ("g", 3), ("g", 3)],
+        "k string, id int",
+    )
+    row = api.reorder_rate(df, ["k"], "id").collect()[0]
+    assert row.n_entities == 3 and row.n_repeat == 2
+    assert row.reorder_rate == 0.6667 and row.avg_rows == 2.0
+
+
+def test_new_vs_returning_split_first_month(spark):
+    import datetime as dt
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [(1, d(2025, 1, 5), 10.0), (1, d(2025, 1, 20), 5.0),
+         (1, d(2025, 2, 1), 7.0), (2, d(2025, 2, 10), 3.0)],
+        "id int, day date, v double",
+    )
+    rows = {str(r.month)[:7]: r
+            for r in api.new_vs_returning_split(df, "id", "day", "v").collect()}
+    jan, feb = rows["2025-01"], rows["2025-02"]
+    # entity 1 is new ALL of January (both orders in the first month)
+    assert jan.n_new == 1 and jan.n_returning == 0 and jan.val_new == 15.0
+    assert feb.n_new == 1 and feb.n_returning == 1
+    assert feb.val_new == 3.0 and feb.val_returning == 7.0

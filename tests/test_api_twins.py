@@ -2476,3 +2476,67 @@ def test_novelty_score_matches_text_novelty(spark):
         _sorted(got, ["doc_id"]), _sorted(want, ["doc_id"]),
         check_dtype=False,
     )
+
+
+def test_otd_rate_matches_supplier_otd(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras8 import OTD_SLA_DAYS
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag"),
+    )
+    got = (
+        api.otd_rate(lagged, ["l_suppkey"], "lag", sla=OTD_SLA_DAYS)
+        .withColumnRenamed("n_rows", "n_lines")
+        .withColumnRenamed("max_delay", "max_delay_days")
+        .withColumnRenamed("avg_late_delay", "avg_late_delay_days")
+    )
+    want = QUERIES["supplier_otd"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_suppkey"]), _sorted(want, ["l_suppkey"]),
+        check_dtype=False,
+    )
+
+
+def test_reorder_rate_matches_customer_reorder_rate(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_custkey")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    tx = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    got = (
+        api.reorder_rate(tx, ["c_nationkey"], "o_custkey")
+        .withColumnRenamed("n_entities", "n_customers")
+        .withColumnRenamed("avg_rows", "avg_orders")
+    )
+    want = QUERIES["customer_reorder_rate"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["c_nationkey"]), _sorted(want, ["c_nationkey"]),
+        check_dtype=False,
+    )
+
+
+def test_new_vs_returning_split_matches_op(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = (
+        api.new_vs_returning_split(
+            o, "o_custkey", "o_orderdate", "o_totalprice"
+        )
+        .withColumnRenamed("val_new", "rev_new")
+        .withColumnRenamed("val_returning", "rev_returning")
+    )
+    want = QUERIES["new_vs_returning"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["month"]), _sorted(want, ["month"]),
+        check_dtype=False,
+    )

@@ -535,6 +535,14 @@ def _catalog(api, fx, tmp: str) -> dict:
         "vocab_overlap": lambda: api.vocab_overlap(d, "domain", "body"),
         "cross_entropy": lambda: api.cross_entropy(d, "domain", "body"),
         "novelty_score": lambda: api.novelty_score(d, "pk", "body"),
+        "otd_rate": lambda: api.otd_rate(
+            e.select("stage", F.col("val").cast("int").alias("lag")),
+            ["stage"], "lag", sla=5,
+        ),
+        "reorder_rate": lambda: api.reorder_rate(e, ["stage"], "uid"),
+        "new_vs_returning_split": lambda: api.new_vs_returning_split(
+            e, "uid", "day", "val"
+        ),
     }
 
 

@@ -52,7 +52,8 @@ FAMILIES = [
                               "ltv_curve", "stickiness", "rolling_active",
                               "gap_stats", "burst_detect", "last_touch",
                               "window_conversion", "stage_latency",
-                              "bounce_rate"]),
+                              "bounce_rate", "otd_rate", "reorder_rate",
+                              "new_vs_returning_split"]),
     ("Statistics", ["percentile_disc", "mannwhitney_u", "entropy_by",
                     "ks_drift", "winsorize", "profile", "fingerprint",
                     "trimmed_mean", "binom_test", "fisher_exact",

@@ -217,6 +217,10 @@ __all__ = [
     "otd_rate",
     "reorder_rate",
     "new_vs_returning_split",
+    "dup_histogram",
+    "size_dist",
+    "gap_hist",
+    "dow_hour_heatmap",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -7388,3 +7392,134 @@ def new_vs_returning_split(
             ).cast("double")
         ).alias("val_returning"),
     )
+
+
+def dup_histogram(
+    df: DataFrame,
+    content_col: str,
+) -> DataFrame:
+    """Duplicate-multiplicity histogram of ANY content column
+    (dedup_histogram's algebra with the column parameterized): how many
+    exact-content clusters exist at each size — the one-glance dedup
+    health report (a heavy tail of large clusters means template spam;
+    all-1s means the corpus is already unique).  md5 is the shared
+    content-hash basis with exact_dup_clusters.  Returns
+    (cluster_size, n_clusters, n_docs).
+
+    Scale: two cascaded combine-friendly aggregates — (hash -> size),
+    then (size -> count); no joins, no windows."""
+    clusters = df.groupBy(F.md5(content_col).alias("_h")).agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    return (
+        clusters.groupBy("_sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("_sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("_sz") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+def size_dist(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Fan-out (group-size) distribution of ANY key column
+    (orders_linecount_dist's algebra with the column parameterized):
+    how many groups have k rows — the histogram that sizes every join
+    on the key and every explode-per-parent estimate in the warehouse.
+    Two cascaded combinable aggregates plus the windowed total for
+    downstream ratios; all exact integers.  Returns
+    (size, n_groups, total_groups).
+
+    Scale: the second aggregate's input is |groups| rows and its key
+    space is the max fan-out, so the global total window runs over a
+    handful of rows (allowlisted model-sized window)."""
+    per = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    dist = per.groupBy("_n").agg(F.count(F.lit(1)).alias("n_groups"))
+    return dist.select(
+        F.col("_n").cast("long").alias("size"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.sum("n_groups")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("total_groups"),
+    )
+
+
+def gap_hist(
+    df: DataFrame,
+    by: list[str],
+    stream_cols: list[str],
+    time_col: str,
+    tie_cols: list[str] | None = None,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Log2-bucketed histogram of the inter-event gap per stream,
+    rolled up per group (event_gap_hist's algebra with columns
+    parameterized) — the burstiness / session-boundary profile behind
+    sessionize-threshold tuning.  The gap divides by `unit` (micros ->
+    seconds by default); the bucket is floor(log2(gap)) + 1 computed
+    EXACTLY as the bit length of the integer gap (no float log; <= 0
+    gaps take bucket 0).  `stream_cols` define the lag partitioning
+    (high-cardinality, scale-safe); `by` defines the reported rollup.
+    Returns (by..., bucket, n, share).
+
+    Scale: the lag runs per stream; the histogram is one combinable
+    aggregate on |by| x ~40 bucket keys; the final share divides exact
+    counts over the model-sized aggregate."""
+    from .operators._helpers import r4
+
+    tie_cols = tie_cols or []
+    wl = Window.partitionBy(*stream_cols).orderBy(time_col, *tie_cols)
+    g = df.withColumn(
+        "_gap",
+        F.floor(
+            (F.col(time_col) - F.lag(time_col).over(wl)) / unit
+        ).cast("long"),
+    ).filter(F.col("_gap").isNotNull())
+    b = g.withColumn(
+        "bucket",
+        F.when(F.col("_gap") <= 0, 0)
+        .otherwise(F.length(F.bin(F.col("_gap"))))
+        .cast("int"),
+    )
+    h = b.groupBy(*by, "bucket").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy(*by)
+    return h.select(
+        *by,
+        "bucket",
+        "n",
+        r4(F.col("n").cast("double") / F.sum("n").over(wt)).alias("share"),
+    )
+
+
+def dow_hour_heatmap(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str | None = None,
+) -> DataFrame:
+    """Seasonality heatmap of ANY timestamp column (events_dow_hour's
+    algebra with columns parameterized): row count (and optionally
+    summed value) by (ISO weekday, hour-of-day) — the load-profile
+    matrix behind capacity planning and anomaly baselines.  Weekday is
+    weekday()+1 (Monday=1, the ISO convention — dayofweek() is NOT
+    portable across engines).  Returns (dow, hr, n[, total_value]).
+
+    Scale: map-side extraction, one 168-key aggregate — the cheapest
+    shuffle there is."""
+    from .operators._helpers import dsum, r4
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if val_col is not None:
+        aggs.append(r4(dsum(F.col(val_col))).alias("total_value"))
+    return df.groupBy(
+        (F.weekday(ts_col) + 1).cast("int").alias("dow"),
+        F.hour(ts_col).cast("int").alias("hr"),
+    ).agg(*aggs)

@@ -2525,3 +2525,50 @@ def test_new_vs_returning_split_first_month(spark):
     assert jan.n_new == 1 and jan.n_returning == 0 and jan.val_new == 15.0
     assert feb.n_new == 1 and feb.n_returning == 1
     assert feb.val_new == 3.0 and feb.val_returning == 7.0
+
+
+def test_dup_histogram_mixed_multiplicities(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",), ("c",)], "body string"
+    )
+    rows = {r.cluster_size: r for r in
+            api.dup_histogram(df, "body").collect()}
+    assert rows[3].n_clusters == 1 and rows[3].n_docs == 3
+    assert rows[2].n_clusters == 1 and rows[1].n_clusters == 1
+    assert sum(r.n_docs for r in rows.values()) == 6
+
+
+def test_size_dist_fanout(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (3,)], "k int"
+    )
+    rows = {r.size: r for r in api.size_dist(df, "k").collect()}
+    assert rows[3].n_groups == 1 and rows[2].n_groups == 1
+    assert rows[1].total_groups == 3
+
+
+def test_gap_hist_bit_length_buckets(spark):
+    # gaps of 0, 1, 5 seconds -> buckets 0, 1, 3 (bit lengths)
+    df = spark.createDataFrame(
+        [("u", "t", 0, 1), ("u", "t", 0, 2),           # gap 0
+         ("u", "t", 1_000_000, 3),                      # gap 1s -> bucket 1
+         ("u", "t", 6_000_000, 4)],                     # gap 5s -> bucket 3
+        "uid string, et string, us long, eid int",
+    )
+    rows = {r.bucket: r.n for r in
+            api.gap_hist(df, ["et"], ["uid", "et"], "us",
+                         tie_cols=["eid"]).collect()}
+    assert rows == {0: 1, 1: 1, 3: 1}
+
+
+def test_dow_hour_heatmap_iso_weekday(spark):
+    import datetime as dt
+
+    # 2025-01-06 is a Monday -> ISO dow 1
+    df = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 6, 9),), (dt.datetime(2025, 1, 12, 23),)],
+        "ts timestamp",
+    )
+    rows = {(r.dow, r.hr): r.n
+            for r in api.dow_hour_heatmap(df, "ts").collect()}
+    assert rows == {(1, 9): 1, (7, 23): 1}  # Monday=1, Sunday=7

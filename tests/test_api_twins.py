@@ -2540,3 +2540,54 @@ def test_new_vs_returning_split_matches_op(spark):
         _sorted(got, ["month"]), _sorted(want, ["month"]),
         check_dtype=False,
     )
+
+
+def test_dup_histogram_matches_dedup_histogram(spark):
+    got = api.dup_histogram(_docs(spark), "text")
+    want = QUERIES["dedup_histogram"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["cluster_size"]), _sorted(want, ["cluster_size"]),
+        check_dtype=False,
+    )
+
+
+def test_size_dist_matches_orders_linecount_dist(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = (
+        api.size_dist(li, "l_orderkey")
+        .withColumnRenamed("size", "n_lines")
+        .withColumnRenamed("n_groups", "n_orders")
+        .withColumnRenamed("total_groups", "total_orders")
+    )
+    want = QUERIES["orders_linecount_dist"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_lines"]), _sorted(want, ["n_lines"]),
+        check_dtype=False,
+    )
+
+
+def test_gap_hist_matches_event_gap_hist(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    got = api.gap_hist(
+        ev, ["event_type"], ["user_id", "event_type"], "us",
+        tie_cols=["event_id"], unit=1_000_000,
+    )
+    want = QUERIES["event_gap_hist"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type", "bucket"]),
+        _sorted(want, ["event_type", "bucket"]),
+        check_dtype=False,
+    )
+
+
+def test_dow_hour_heatmap_matches_events_dow_hour(spark):
+    got = api.dow_hour_heatmap(_events(spark), "ts", "value")
+    want = QUERIES["events_dow_hour"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["dow", "hr"]), _sorted(want, ["dow", "hr"]),
+        check_dtype=False,
+    )

@@ -543,6 +543,13 @@ def _catalog(api, fx, tmp: str) -> dict:
         "new_vs_returning_split": lambda: api.new_vs_returning_split(
             e, "uid", "day", "val"
         ),
+        "dup_histogram": lambda: api.dup_histogram(d, "body"),
+        "size_dist": lambda: api.size_dist(e, "uid"),
+        "gap_hist": lambda: api.gap_hist(
+            e.withColumn("us", F.unix_micros(F.col("etime"))),
+            ["stage"], ["uid", "stage"], "us",
+        ),
+        "dow_hour_heatmap": lambda: api.dow_hour_heatmap(e, "etime", "val"),
     }
 
 

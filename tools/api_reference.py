@@ -67,7 +67,8 @@ FAMILIES = [
                     "rate_ci", "ab_ztest", "iqr_outliers",
                     "quantile_bins", "latency_percentiles",
                     "peak_to_avg_ratio", "top_share",
-                    "dispersion_index"]),
+                    "dispersion_index", "dup_histogram", "size_dist",
+                    "gap_hist", "dow_hour_heatmap"]),
     ("Warehouse maintenance", ["latest_by_key", "scd2", "write_partitioned",
                                "period_growth", "table_diff", "fk_check",
                                "skew_report"]),

@@ -221,6 +221,9 @@ __all__ = [
     "size_dist",
     "gap_hist",
     "dow_hour_heatmap",
+    "embedding_dim_stats",
+    "embedding_norms",
+    "matryoshka_report",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -7523,3 +7526,107 @@ def dow_hour_heatmap(
         (F.weekday(ts_col) + 1).cast("int").alias("dow"),
         F.hour(ts_col).cast("int").alias("hr"),
     ).agg(*aggs)
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str,
+) -> DataFrame:
+    """Per-dimension mean/std/min/max over ANY embedding column
+    (embed_dim_stats' algebra with the column parameterized) — the
+    whitening / dead-dimension / clipped-dimension diagnostic run
+    before any ANN index is trusted.  posexplode fans each vector into
+    dims rows, but the aggregate is map-side combinable on the
+    dims-sized pos key, so every partition reduces to |dims| rows
+    before the single Exchange — one pass regardless of corpus size.
+    Moments use the exact DECIMAL(38,6) sum path; min/max are exact
+    unrounded singles.  Returns (pos, n, mean, std, vmin, vmax)."""
+    from .operators._helpers import DEC, r4
+
+    e = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    )
+    n = F.count(F.lit(1))
+    sd = F.sum(F.col("x").cast(DEC)).cast("double")
+    sq = F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double")
+    return e.groupBy("pos").agg(
+        n.cast("long").alias("n"),
+        r4(sd / n).alias("mean"),
+        r4(
+            F.sqrt(
+                F.greatest(F.lit(0.0), (sq - sd * sd / n) / (n - F.lit(1)))
+            )
+        ).alias("std"),
+        F.min("x").alias("vmin"),
+        F.max("x").alias("vmax"),
+    )
+
+
+def embedding_norms(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int = 12,
+) -> DataFrame:
+    """Exact L2 norm per vector of ANY embedding column (embed_norm's
+    algebra with columns and the fixed-point scale parameterized) — the
+    normalization audit for a vector corpus (cosine kernels assume
+    unit-ish norms; this is how you check).  Each x^2 is one IEEE
+    multiply quantized to a 10^scale fixed-point bigint, so the
+    reduction is EXACT integer addition — order-independent where a raw
+    float fold depends on reduction order.  Returns (id, dim, l2_norm),
+    round 4.
+
+    Scale: the whole kernel is a scan-fused F.aggregate lambda — NO
+    explode, NO shuffle, zero Exchanges; int64 headroom holds
+    unit-scale vectors to ~1e5 dims at scale 12."""
+    from .operators._helpers import r4
+
+    q = 10**scale
+    acc = F.aggregate(
+        vec_col,
+        F.lit(0).cast("long"),
+        lambda a, x: a
+        + F.floor(x.cast("double") * x.cast("double") * q + 0.5).cast(
+            "long"
+        ),
+    )
+    return df.select(
+        id_col,
+        F.size(vec_col).alias("dim"),
+        r4(F.sqrt(acc.cast("double") / q)).alias("l2_norm"),
+    )
+
+
+def matryoshka_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    keep_dims: int,
+) -> DataFrame:
+    """Matryoshka-style truncation report over ANY embedding column
+    (embed_matryoshka_truncate's algebra with columns and the kept
+    prefix parameterized; Kusupati et al., NeurIPS'22): how much of
+    each vector's energy survives keeping only the first `keep_dims`
+    dimensions — the measurement that decides whether a cheap truncated
+    index can serve first-stage retrieval.  Exact via strict-left-fold
+    norms in fixed IEEE trees (round 6 on derived values).  Returns
+    (id, norm_full, norm_half, energy_ratio).
+
+    Scale: map-only, fused into the scan — zero shuffles at any
+    corpus size."""
+    e = F.col(vec_col).cast("array<double>")
+
+    def sq_fold(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+
+    full_sq = sq_fold(e)
+    half_sq = sq_fold(F.slice(e, 1, keep_dims))
+    return df.select(
+        id_col,
+        F.round(F.sqrt(full_sq), 6).alias("norm_full"),
+        F.round(F.sqrt(half_sq), 6).alias("norm_half"),
+        F.round(half_sq / full_sq, 6).alias("energy_ratio"),
+    )

@@ -2572,3 +2572,31 @@ def test_dow_hour_heatmap_iso_weekday(spark):
     rows = {(r.dow, r.hr): r.n
             for r in api.dow_hour_heatmap(df, "ts").collect()}
     assert rows == {(1, 9): 1, (7, 23): 1}  # Monday=1, Sunday=7
+
+
+def test_embedding_dim_stats_hand_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 10.0])], "id int, v array<double>"
+    )
+    rows = {r.pos: r for r in api.embedding_dim_stats(df, "v").collect()}
+    assert rows[0].mean == 2.0 and rows[0].vmin == 1.0 and rows[0].vmax == 3.0
+    assert rows[1].std == 0.0  # constant dimension
+
+
+def test_embedding_norms_pythagorean(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id int, v array<double>"
+    )
+    rows = {r.id: r for r in api.embedding_norms(df, "id", "v").collect()}
+    assert rows[1].l2_norm == 5.0 and rows[1].dim == 2
+    assert rows[2].l2_norm == 0.0
+
+
+def test_matryoshka_report_energy_split(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 0.0, 4.0, 0.0])], "id int, v array<double>"
+    )
+    row = api.matryoshka_report(df, "id", "v", keep_dims=2).collect()[0]
+    # full norm 5; first 2 dims hold 9 of 25 energy
+    assert row.norm_full == 5.0 and row.norm_half == 3.0
+    assert row.energy_ratio == 0.36

@@ -2591,3 +2591,34 @@ def test_dow_hour_heatmap_matches_events_dow_hour(spark):
         _sorted(got, ["dow", "hr"]), _sorted(want, ["dow", "hr"]),
         check_dtype=False,
     )
+
+
+def test_embedding_dim_stats_matches_embed_dim_stats(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = api.embedding_dim_stats(emb, "embedding")
+    want = QUERIES["embed_dim_stats"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["pos"]), _sorted(want, ["pos"]), check_dtype=False,
+    )
+
+
+def test_embedding_norms_matches_embed_norm(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = api.embedding_norms(emb, "vec_id", "embedding", scale=12)
+    want = QUERIES["embed_norm"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["vec_id"]), _sorted(want, ["vec_id"]),
+        check_dtype=False,
+    )
+
+
+def test_matryoshka_report_matches_embed_matryoshka_truncate(spark):
+    from secdb_spark.operators.curation_extras import MRL_HALF_D
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = api.matryoshka_report(emb, "vec_id", "embedding", MRL_HALF_D)
+    want = QUERIES["embed_matryoshka_truncate"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["vec_id"]), _sorted(want, ["vec_id"]),
+        check_dtype=False,
+    )

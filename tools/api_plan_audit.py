@@ -550,6 +550,11 @@ def _catalog(api, fx, tmp: str) -> dict:
             ["stage"], ["uid", "stage"], "us",
         ),
         "dow_hour_heatmap": lambda: api.dow_hour_heatmap(e, "etime", "val"),
+        "embedding_dim_stats": lambda: api.embedding_dim_stats(v, "emb"),
+        "embedding_norms": lambda: api.embedding_norms(v, "vid", "emb"),
+        "matryoshka_report": lambda: api.matryoshka_report(
+            v, "vid", "emb", keep_dims=4
+        ),
     }
 
 

@@ -38,7 +38,9 @@ FAMILIES = [
     ("ML prep & governance", ["onehot", "feature_scale", "k_anonymity",
                               "transition_matrix"]),
     ("Embeddings", ["cosine_topk", "vector_search", "ann_topk",
-                    "normalize_vectors", "kmeans_assign"]),
+                    "normalize_vectors", "kmeans_assign",
+                    "embedding_dim_stats", "embedding_norms",
+                    "matryoshka_report"]),
     ("Events & time series", ["sessionize", "funnel", "retention_cohorts",
                               "asof_join", "resample", "gapfill",
                               "fill_forward", "trailing_distinct",

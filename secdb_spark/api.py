@@ -224,6 +224,9 @@ __all__ = [
     "embedding_dim_stats",
     "embedding_norms",
     "matryoshka_report",
+    "item_similarity",
+    "tfidf_topk_terms",
+    "copurchase_pairs",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -7629,4 +7632,157 @@ def matryoshka_report(
         F.round(F.sqrt(full_sq), 6).alias("norm_full"),
         F.round(F.sqrt(half_sq), 6).alias("norm_half"),
         F.round(half_sq / full_sq, 6).alias("energy_ratio"),
+    )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    n_seeds: int = 20,
+    min_co: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Item-item collaborative filtering over ANY (basket, item)
+    incidence list (cf_item_similarity's algebra with columns and knobs
+    parameterized): for the n_seeds most-frequent items, the top-k
+    co-occurring items by cosine over binary basket vectors
+    (cos = c_ab / sqrt(f_a*f_b)) — the classic "customers also bought"
+    kernel.  Pass a DEDUPLICATED incidence list.  Counts are exact
+    integers; per-seed ranking breaks score ties by item id.  Returns
+    (seed, item, co_baskets, cosine, rk).
+
+    Scale: the co-occurrence join is SEEDED — only baskets containing a
+    seed expand pairs, so candidates scale with seed basket volume,
+    never |items|^2; an all-items run replaces the seed list with a
+    frequency floor (the standard industrial control)."""
+    from .operators._helpers import pin, r4
+
+    bi = pin(
+        df.select(
+            F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+        )
+    )
+    freq = pin(bi.groupBy("_it").agg(F.count(F.lit(1)).alias("_f")))
+    seeds = (
+        freq.orderBy(F.desc("_f"), "_it")
+        .limit(n_seeds)
+        .select(F.col("_it").alias("seed"), F.col("_f").alias("_f_seed"))
+    )
+    a = bi.select(F.col("_it").alias("seed"), "_bk")
+    b = bi.select(F.col("_it").alias("item"), "_bk")
+    co = (
+        F.broadcast(seeds)
+        .join(a, "seed")
+        .join(b, "_bk")
+        .filter(F.col("item") != F.col("seed"))
+        .groupBy("seed", "_f_seed", "item")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_co)
+    )
+    item_freq = freq.select(
+        F.col("_it").alias("item"), F.col("_f").alias("_f_item")
+    )
+    cosine = F.col("_c").cast("double") / F.sqrt(
+        F.col("_f_seed").cast("double") * F.col("_f_item")
+    )
+    scored = co.join(item_freq, "item").select(
+        "seed",
+        "item",
+        F.col("_c").cast("long").alias("co_baskets"),
+        cosine.alias("_cos_raw"),
+    )
+    w = Window.partitionBy("seed").orderBy(F.desc("_cos_raw"), "item")
+    return (
+        scored.select(
+            "seed",
+            "item",
+            "co_baskets",
+            r4(F.col("_cos_raw")).alias("cosine"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document of ANY (id, text) corpus
+    (tfidf_topk's algebra with columns and k parameterized) — the
+    retrieval scoring pass.  idf quantizes to an INTEGER
+    (floor(ln(N/df)*1e6+.5)) so score = tf*idf6 is exact bigint
+    arithmetic: ranking can never flip on ln() last-ulp jitter except
+    exactly at a floor boundary.  Returns (id, term, score, rn).
+
+    Scale: ONE tokenize pass — tf is pinned and df derives from it
+    (each tf row is one distinct (doc, term)); the vocabulary-bounded
+    idf side BROADCASTS onto the tf stream (hash-joining would shuffle
+    tf by token and collapse on Zipf-hot terms); the top-k window
+    shares the doc partitioning of the tf aggregate."""
+    from .operators._helpers import pin
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_term"),
+    )
+    tf = pin(
+        toks.groupBy("_id", "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    nd = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(nd)).select(
+        "_term",
+        F.floor(
+            F.log(F.col("_n_docs").cast("double") / F.col("_df")) * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("_idf6"),
+    )
+    scored = tf.join(F.broadcast(idf), "_term").select(
+        F.col("_id").alias(id_col),
+        F.col("_term").alias("term"),
+        (F.col("_tf") * F.col("_idf6")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def copurchase_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Market-basket co-occurrence over ANY (basket, item) incidence
+    list (basket_copurchase's algebra with columns and k
+    parameterized): the top-k item pairs most often co-occurring in the
+    same basket.  Pass a DEDUPLICATED incidence list.  Returns
+    (item_a, item_b, n_baskets) — ORDER-BY-complete top-k with
+    (item_a, item_b) tie keys, never a bare LIMIT.
+
+    Scale: one shuffle on the basket key for the self-join, so fan-out
+    is per-basket O(k^2) and never crosses baskets; pair counts
+    map-side combine."""
+    items = df.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._bk") == F.col("b._bk"))
+        & (F.col("a._it") < F.col("b._it")),
+    ).select(F.col("a._it").alias("item_a"), F.col("b._it").alias("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .orderBy(F.col("n_baskets").desc(), "item_a", "item_b")
+        .limit(k)
     )

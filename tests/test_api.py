@@ -2600,3 +2600,38 @@ def test_matryoshka_report_energy_split(spark):
     # full norm 5; first 2 dims hold 9 of 25 energy
     assert row.norm_full == 5.0 and row.norm_half == 3.0
     assert row.energy_ratio == 0.36
+
+
+def test_item_similarity_hand_cosine(spark):
+    # baskets: {A,B} x3, {A,C} x1 -> seed A (f=4): cos(A,B)=3/sqrt(4*3)
+    rows = ([(i, "A") for i in range(4)]
+            + [(i, "B") for i in range(3)] + [(3, "C")])
+    df = spark.createDataFrame(rows, "bk int, it string")
+    out = {r.item: r for r in
+           api.item_similarity(df, "bk", "it", n_seeds=1, min_co=1,
+                               k=5).collect()}
+    import math
+
+    assert out["B"].co_baskets == 3
+    assert out["B"].cosine == round(3 / math.sqrt(4 * 3), 4)
+    assert out["C"].co_baskets == 1 and out["C"].rk == 2
+
+
+def test_tfidf_topk_terms_idf_zero_for_ubiquitous(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common rare2")], "id int, body string"
+    )
+    out = {(r.id, r.term): r.score
+           for r in api.tfidf_topk_terms(df, "id", "body", k=2).collect()}
+    assert out[(1, "common")] == 0           # df = N -> idf = 0
+    assert out[(1, "rare1")] > 0
+
+
+def test_copurchase_pairs_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")],
+        "bk int, it string",
+    )
+    out = api.copurchase_pairs(df, "bk", "it", k=5).collect()
+    assert (out[0].item_a, out[0].item_b, out[0].n_baskets) == ("x", "y", 2)
+    assert all(r.item_a < r.item_b for r in out)

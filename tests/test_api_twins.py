@@ -2622,3 +2622,55 @@ def test_matryoshka_report_matches_embed_matryoshka_truncate(spark):
         _sorted(got, ["vec_id"]), _sorted(want, ["vec_id"]),
         check_dtype=False,
     )
+
+
+def test_item_similarity_matches_cf_item_similarity(spark):
+    from secdb_spark.operators.recsys_extras import (
+        CF_MIN_CO, CF_SEEDS, CF_TOPK)
+
+    bi = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    got = api.item_similarity(
+        bi, "l_orderkey", "l_partkey",
+        n_seeds=CF_SEEDS, min_co=CF_MIN_CO, k=CF_TOPK,
+    )
+    want = QUERIES["cf_item_similarity"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["seed", "rk"]), _sorted(want, ["seed", "rk"]),
+        check_dtype=False,
+    )
+
+
+def test_tfidf_topk_terms_matches_tfidf_topk(spark):
+    from secdb_spark.operators.warehouse_extras2 import TFIDF_TOPK
+
+    got = api.tfidf_topk_terms(_docs(spark), "doc_id", "text", k=TFIDF_TOPK)
+    want = QUERIES["tfidf_topk"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id", "rn"]), _sorted(want, ["doc_id", "rn"]),
+        check_dtype=False,
+    )
+
+
+def test_copurchase_pairs_matches_basket_copurchase(spark):
+    from secdb_spark.operators.warehouse_extras2 import TOPK_PAIRS
+
+    bi = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    got = (
+        api.copurchase_pairs(bi, "l_orderkey", "l_partkey", k=TOPK_PAIRS)
+        .withColumnRenamed("item_a", "p1")
+        .withColumnRenamed("item_b", "p2")
+    )
+    want = QUERIES["basket_copurchase"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_baskets", "p1", "p2"]).reset_index(drop=True),
+        _sorted(want, ["n_baskets", "p1", "p2"]).reset_index(drop=True),
+        check_dtype=False,
+    )

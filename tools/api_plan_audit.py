@@ -555,6 +555,16 @@ def _catalog(api, fx, tmp: str) -> dict:
         "matryoshka_report": lambda: api.matryoshka_report(
             v, "vid", "emb", keep_dims=4
         ),
+        "item_similarity": lambda: api.item_similarity(
+            e.select("uid", "stage").distinct(), "uid", "stage",
+            n_seeds=2, min_co=1, k=2,
+        ),
+        "tfidf_topk_terms": lambda: api.tfidf_topk_terms(
+            d, "pk", "body", k=2
+        ),
+        "copurchase_pairs": lambda: api.copurchase_pairs(
+            e.select("uid", "stage").distinct(), "uid", "stage", k=5
+        ),
     }
 
 

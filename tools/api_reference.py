@@ -75,6 +75,8 @@ FAMILIES = [
                                "period_growth", "table_diff", "fk_check",
                                "skew_report"]),
     ("Sketches", ["bloom_filter", "cms", "hash_features"]),
+    ("Recommendations", ["item_similarity", "copurchase_pairs",
+                         "tfidf_topk_terms"]),
     ("Plan diagnostics", ["plan_scan_census", "assert_single_scan"]),
     ("Multimodal", ["resize_bitmaps", "sample_frames"]),
     ("Streaming", ["stream_windowed_counts", "stream_dedupe",

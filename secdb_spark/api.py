@@ -227,6 +227,10 @@ __all__ = [
     "item_similarity",
     "tfidf_topk_terms",
     "copurchase_pairs",
+    "rank_shift",
+    "seasonality_index",
+    "sla_rate",
+    "flag_rate",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -7785,4 +7789,125 @@ def copurchase_pairs(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .orderBy(F.col("n_baskets").desc(), "item_a", "item_b")
         .limit(k)
+    )
+
+
+def rank_shift(
+    df: DataFrame,
+    key_col: str,
+    val1_col: str,
+    val2_col: str,
+) -> DataFrame:
+    """'Movers and shakers' league table over ANY pre-aggregated
+    (key, period-1 value, period-2 value) frame (brand_rank_shift's
+    algebra with columns parameterized): rank within each period and
+    the shift between them (shift > 0 means the key climbed in period
+    2).  Feed exact decimal/integer values; ranks order by value DESC
+    with the key as tiebreak, so they are stable on reruns.  Returns
+    (key, val_1, val_2, rank_1, rank_2, shift), values round 4.
+
+    Scale: the ranking windows run over the |keys|-row PRE-AGGREGATED
+    frame (model-sized by contract) — aggregate raw facts first."""
+    from .operators._helpers import r4
+
+    w1 = Window.orderBy(F.col(val1_col).desc(), F.col(key_col))
+    w2 = Window.orderBy(F.col(val2_col).desc(), F.col(key_col))
+    rk1 = F.row_number().over(w1).cast("int")
+    rk2 = F.row_number().over(w2).cast("int")
+    return df.select(
+        key_col,
+        r4(F.col(val1_col).cast("double")).alias("val_1"),
+        r4(F.col(val2_col).cast("double")).alias("val_2"),
+        rk1.alias("rank_1"),
+        rk2.alias("rank_2"),
+        (rk1 - rk2).alias("shift"),
+    )
+
+
+def seasonality_index(
+    df: DataFrame,
+    bucket_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Seasonality index of ANY (bucket, value) frame
+    (orders_seasonality_index's algebra with columns parameterized):
+    each bucket's value over the all-buckets average (index > 1 = hot
+    bucket) — the demand-planning query behind safety-stock and
+    staffing decisions.  Sums accumulate in DECIMAL(38,6)
+    (order-independent); the index is `value * n_buckets / total` on
+    exact-decimal inputs.  Returns (bucket, value, seasonality_index),
+    round 4.
+
+    Scale: one map-side-combinable bucket aggregate, grand total
+    broadcast back as one row."""
+    from .operators._helpers import r4
+
+    m = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(F.col(val_col).cast("decimal(38,6)")).alias("_rev")
+    )
+    tot = m.agg(
+        F.sum("_rev").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        r4(F.col("_rev").cast("double")).alias("value"),
+        r4(
+            F.col("_rev").cast("double")
+            * F.col("_n")
+            / F.col("_total").cast("double")
+        ).alias("seasonality_index"),
+    )
+
+
+def sla_rate(
+    df: DataFrame,
+    by: list[str],
+    lag_col: str,
+    sla: int,
+) -> DataFrame:
+    """SLA attainment of ANY pre-computed integer lag column per group
+    (sla_attainment's algebra with columns and the deadline
+    parameterized): the share of rows meeting the deadline plus the
+    worst observed lag — otd_rate's met-side complement (that scores
+    the late tail, this the promise kept).  Exact integer day
+    arithmetic; the rate is one division.  Returns
+    (by..., n_rows, n_met, sla_rate, worst_lag).
+
+    Scale: one map-side-combinable aggregate — compute the lag in the
+    caller's join first; the same shape serves any promise-vs-actual
+    SLA with a different deadline constant."""
+    from .operators._helpers import r4
+
+    lag = F.col(lag_col)
+    met = F.count_if(lag <= sla)
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        met.cast("long").alias("n_met"),
+        r4(met.cast("double") / F.count(F.lit(1))).alias("sla_rate"),
+        F.max(lag).cast("long").alias("worst_lag"),
+    )
+
+
+def flag_rate(
+    df: DataFrame,
+    by: list[str],
+    flag_col: str,
+) -> DataFrame:
+    """Share of flagged rows per group of ANY frame with a boolean flag
+    column (error_rate_daily's algebra with columns parameterized) —
+    the SRE burn-rate series that alerting thresholds and
+    zscore/bollinger envelopes consume downstream.  Exact integer
+    counts, one division.  Returns (by..., n_rows, n_flagged, rate),
+    round 4.
+
+    Scale: a single combinable aggregate with the predicated count
+    fused into the same pass — never a second scan for the flagged
+    subset."""
+    from .operators._helpers import r4
+
+    flagged = F.count_if(F.col(flag_col))
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flagged.alias("n_flagged"),
+        r4(flagged.cast("double") / F.count(F.lit(1))).alias("rate"),
     )

@@ -2635,3 +2635,39 @@ def test_copurchase_pairs_ordering(spark):
     out = api.copurchase_pairs(df, "bk", "it", k=5).collect()
     assert (out[0].item_a, out[0].item_b, out[0].n_baskets) == ("x", "y", 2)
     assert all(r.item_a < r.item_b for r in out)
+
+
+def test_rank_shift_climber(spark):
+    df = spark.createDataFrame(
+        [("a", 100.0, 10.0), ("b", 50.0, 90.0)], "k string, v1 double, v2 double"
+    )
+    rows = {r.k: r for r in api.rank_shift(df, "k", "v1", "v2").collect()}
+    assert rows["a"].rank_1 == 1 and rows["a"].rank_2 == 2
+    assert rows["b"].shift == 1  # climbed from 2 to 1
+
+
+def test_seasonality_index_mean_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "m int, v double"
+    )
+    rows = {r.bucket: r.seasonality_index
+            for r in api.seasonality_index(df, "m", "v").collect()}
+    assert rows[2] == 1.0  # the average month
+    assert abs(sum(rows.values()) - 3.0) < 1e-9
+
+
+def test_sla_rate_and_worst_lag(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 7), ("g", 8), ("g", 30)], "k string, lag int"
+    )
+    row = api.sla_rate(df, ["k"], "lag", sla=7).collect()[0]
+    assert row.n_met == 2 and row.sla_rate == 0.5 and row.worst_lag == 30
+
+
+def test_flag_rate_counts(spark):
+    df = spark.createDataFrame(
+        [("d", True), ("d", False), ("d", False), ("d", True)],
+        "k string, f boolean",
+    )
+    row = api.flag_rate(df, ["k"], "f").collect()[0]
+    assert row.n_flagged == 2 and row.rate == 0.5

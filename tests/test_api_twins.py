@@ -2674,3 +2674,105 @@ def test_copurchase_pairs_matches_basket_copurchase(spark):
         _sorted(want, ["n_baskets", "p1", "p2"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_rank_shift_matches_brand_rank_shift(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators._helpers import DEC
+    from secdb_spark.operators.warehouse_extras9 import RANK_SPLIT
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    h1 = F.col("l_shipdate") < F.lit(RANK_SPLIT).cast("timestamp")
+    r = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(h1, rev)).alias("rev1"),
+            F.sum(F.when(~h1, rev)).alias("rev2"),
+        )
+    )
+    got = (
+        api.rank_shift(r, "p_brand", "rev1", "rev2")
+        .withColumnRenamed("val_1", "rev_h1")
+        .withColumnRenamed("val_2", "rev_h2")
+        .withColumnRenamed("rank_1", "rank_h1")
+        .withColumnRenamed("rank_2", "rank_h2")
+    )
+    want = QUERIES["brand_rank_shift"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["p_brand"]), _sorted(want, ["p_brand"]),
+        check_dtype=False,
+    )
+
+
+def test_seasonality_index_matches_orders_seasonality_index(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "m", F.month("o_orderdate")
+    )
+    got = (
+        api.seasonality_index(o, "m", "o_totalprice")
+        .withColumnRenamed("bucket", "month")
+        .withColumnRenamed("value", "revenue")
+    )
+    want = QUERIES["orders_seasonality_index"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["month"]), _sorted(want, ["month"]),
+        check_dtype=False,
+    )
+
+
+def test_sla_rate_matches_sla_attainment(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.econ_extras import SLA_DAYS
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lagged = o.join(
+        first_ship, o.o_orderkey == first_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("first_ship").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lag"),
+    )
+    got = (
+        api.sla_rate(lagged, ["o_orderpriority"], "lag", sla=SLA_DAYS)
+        .withColumnRenamed("n_rows", "n_orders")
+        .withColumnRenamed("worst_lag", "worst_lag_days")
+    )
+    want = QUERIES["sla_attainment"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["o_orderpriority"]), _sorted(want, ["o_orderpriority"]),
+        check_dtype=False,
+    )
+
+
+def test_flag_rate_matches_error_rate_daily(spark):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).select(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    got = (
+        api.flag_rate(ev, ["day"], "is_err")
+        .withColumnRenamed("n_rows", "n_events")
+        .withColumnRenamed("n_flagged", "n_errors")
+        .withColumnRenamed("rate", "error_rate")
+    )
+    want = QUERIES["error_rate_daily"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False,
+    )

@@ -565,6 +565,23 @@ def _catalog(api, fx, tmp: str) -> dict:
         "copurchase_pairs": lambda: api.copurchase_pairs(
             e.select("uid", "stage").distinct(), "uid", "stage", k=5
         ),
+        "rank_shift": lambda: api.rank_shift(
+            e.groupBy("stage").agg(
+                F.sum("val").alias("v1"),
+                F.sum(F.col("uid")).alias("v2"),
+            ),
+            "stage", "v1", "v2",
+        ),
+        "seasonality_index": lambda: api.seasonality_index(
+            e, "day", "val"
+        ),
+        "sla_rate": lambda: api.sla_rate(
+            e.select("stage", F.col("val").cast("int").alias("lag")),
+            ["stage"], "lag", sla=5,
+        ),
+        "flag_rate": lambda: api.flag_rate(
+            e.withColumn("f", F.col("val") > 5), ["stage"], "f"
+        ),
     }
 
 

@@ -55,7 +55,9 @@ FAMILIES = [
                               "gap_stats", "burst_detect", "last_touch",
                               "window_conversion", "stage_latency",
                               "bounce_rate", "otd_rate", "reorder_rate",
-                              "new_vs_returning_split"]),
+                              "new_vs_returning_split", "rank_shift",
+                              "seasonality_index", "sla_rate",
+                              "flag_rate"]),
     ("Statistics", ["percentile_disc", "mannwhitney_u", "entropy_by",
                     "ks_drift", "winsorize", "profile", "fingerprint",
                     "trimmed_mean", "binom_test", "fisher_exact",

@@ -231,6 +231,10 @@ __all__ = [
     "seasonality_index",
     "sla_rate",
     "flag_rate",
+    "first_touch",
+    "supply_concentration",
+    "aging_buckets",
+    "cumulative_entities",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -7910,4 +7914,166 @@ def flag_rate(
         F.count(F.lit(1)).alias("n_rows"),
         flagged.alias("n_flagged"),
         r4(flagged.cast("double") / F.count(F.lit(1))).alias("rate"),
+    )
+
+
+def first_touch(
+    df: DataFrame,
+    id_col: str,
+    event_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Acquisition mix of ANY event stream (first_touch_mix's algebra
+    with columns parameterized): the distribution of each entity's
+    FIRST event type — the entry-point readout that pairs with
+    last_touch's exit-side view.  The first event is a tie-safe
+    row_number pick; counts are exact; the share is one division
+    against the windowed total.  Pass tie-breaking order_cols.
+    Returns (first_event, n_entities, share), round 4.
+
+    Scale: one id exchange for the pick (WindowGroupLimit bounds state
+    at rank 1), then a |event values|-key rollup with the share window
+    over that model-sized aggregate."""
+    from .operators._helpers import r4
+
+    w = Window.partitionBy(id_col).orderBy(*order_cols)
+    firsts = (
+        df.select(id_col, event_col, F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .select(event_col)
+    )
+    counts = firsts.groupBy(F.col(event_col).alias("first_event")).agg(
+        F.count(F.lit(1)).alias("n_entities")
+    )
+    wall = Window.partitionBy()
+    return counts.select(
+        "first_event",
+        F.col("n_entities").cast("long").alias("n_entities"),
+        r4(
+            F.col("n_entities").cast("double")
+            / F.sum("n_entities").over(wall)
+        ).alias("share"),
+    )
+
+
+def supply_concentration(
+    df: DataFrame,
+    key_col: str,
+    member_col: str,
+    val_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Concentration of ANY (key, member, value) dependency
+    (part_supplier_concentration's algebra with columns parameterized):
+    member count, top-member share, and the Herfindahl index over
+    member shares per key — the single-source-risk screen (parts on one
+    supplier, revenue on one customer, traffic on one referrer).
+    Values quantize to int64 fixed-point at `scale`; HHI =
+    sum(v_m^2)/total^2 keeps both sums exact integers and divides once
+    at the end (square-sum int64 bound ~3e9 per member at scale 2 —
+    widen to DECIMAL(38,0) past that).  Returns
+    (key, n_members, total, top_share, hhi), round 4.
+
+    Scale: two cascaded combinable aggregates."""
+    from .operators._helpers import r4
+
+    t = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(member_col).alias("_m"),
+        F.floor(F.col(val_col) * (10**scale) + 0.5)
+        .cast("long")
+        .alias("_q"),
+    )
+    s = t.groupBy("_k", "_m").agg(F.sum("_q").cast("long").alias("_v"))
+    return s.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("_v").cast("long").alias("total"),
+        r4(F.max("_v").cast("double") / F.sum("_v")).alias("top_share"),
+        r4(
+            F.sum(F.col("_v") * F.col("_v")).cast("double")
+            / (F.sum("_v").cast("double") * F.sum("_v"))
+        ).alias("hhi"),
+    )
+
+
+def aging_buckets(
+    df: DataFrame,
+    by: list[str],
+    date_col: str,
+    val_col: str,
+    anchor_df: DataFrame | None = None,
+) -> DataFrame:
+    """Backlog aging matrix of ANY dated frame (order_priority_aging's
+    algebra with columns parameterized; filter to open items first):
+    rows aged into 0-30 / 31-90 / 91-365 / 365+ day buckets relative to
+    the frame's max date (or an `anchor_df` 1-row frame with a `maxd`
+    column), per group — the operations review's aging matrix.  Age is
+    exact integer day arithmetic; the value sum is order-independent
+    decimal.  Returns (by..., age_bucket, n_rows, value), round 4.
+
+    Scale: the reference date is a 1-row broadcast into the bucketing
+    expression; the rest is one combinable aggregate on the
+    |groups| x 4 bucket key."""
+    from .operators._helpers import dsum, r4
+
+    m = anchor_df or df.agg(F.max(date_col).alias("maxd"))
+    age = F.datediff(F.col("maxd"), F.col(date_col))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        df.crossJoin(F.broadcast(m))
+        .select(*by, bucket.alias("age_bucket"), F.col(val_col).alias("_v"))
+        .groupBy(*by, "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(dsum(F.col("_v"))).alias("value"),
+        )
+    )
+
+
+def cumulative_entities(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily active entities + cumulative distinct entities of ANY
+    activity stream (users_cumulative's algebra with columns
+    parameterized) — the growth chart every product dashboard opens
+    with.  Cumulative DISTINCT is made windowable by the
+    first-occurrence trick: an entity contributes exactly once, at
+    min(day), so the cumulative is a running SUM of per-day first-seen
+    counts — exact integers end to end.  Returns
+    (day, dau, new_entities, cum_entities).
+
+    Scale: first-day and DAU are combinable aggregates; the running sum
+    rides the per-DAY aggregate, whose cardinality is calendar-bounded
+    — structurally model-sized."""
+    firstd = df.groupBy(F.col(id_col).alias("_id")).agg(
+        F.min(F.date_trunc("day", ts_col)).alias("_d")
+    )
+    newu = firstd.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_entities")
+    )
+    act = df.groupBy(F.date_trunc("day", ts_col).alias("day")).agg(
+        F.countDistinct(id_col).alias("dau")
+    )
+    j = act.join(newu, "day", "left").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.coalesce("new_entities", F.lit(0))
+        .cast("long")
+        .alias("new_entities"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "day",
+        "dau",
+        "new_entities",
+        F.sum("new_entities").over(w).cast("long").alias("cum_entities"),
     )

@@ -2671,3 +2671,57 @@ def test_flag_rate_counts(spark):
     )
     row = api.flag_rate(df, ["k"], "f").collect()[0]
     assert row.n_flagged == 2 and row.rate == 0.5
+
+
+def test_first_touch_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "ad"), ("u", 2, "buy"), ("v", 1, "search"),
+         ("w", 1, "ad")],
+        "id string, t int, ev string",
+    )
+    rows = {r.first_event: r
+            for r in api.first_touch(df, "id", "ev", ["t"]).collect()}
+    assert rows["ad"].n_entities == 2 and rows["ad"].share == 0.6667
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-3
+
+
+def test_supply_concentration_single_source(spark):
+    df = spark.createDataFrame(
+        [("p1", "s1", 10.0), ("p2", "s1", 5.0), ("p2", "s2", 5.0)],
+        "part string, supp string, q double",
+    )
+    rows = {r.part: r for r in
+            api.supply_concentration(df, "part", "supp", "q").collect()}
+    assert rows["p1"].hhi == 1.0 and rows["p1"].top_share == 1.0
+    assert rows["p2"].hhi == 0.5 and rows["p2"].n_members == 2
+
+
+def test_aging_buckets_boundaries(spark):
+    import datetime as dt
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [("g", d(2025, 6, 1), 1.0),   # anchor day -> 0-30
+         ("g", d(2025, 4, 1), 1.0),   # 61 days -> 31-90
+         ("g", d(2024, 1, 1), 1.0)],  # 517 days -> 365+
+        "k string, day date, v double",
+    )
+    rows = {r.age_bucket: r.n_rows for r in
+            api.aging_buckets(df, ["k"], "day", "v").collect()}
+    assert rows == {"0-30": 1, "31-90": 1, "365+": 1}
+
+
+def test_cumulative_entities_monotone(spark):
+    import datetime as dt
+
+    t = dt.datetime
+    df = spark.createDataFrame(
+        [(1, t(2025, 1, 1, 9)), (1, t(2025, 1, 2, 9)),
+         (2, t(2025, 1, 2, 10)), (3, t(2025, 1, 3, 8))],
+        "id int, ts timestamp",
+    )
+    rows = sorted(api.cumulative_entities(df, "id", "ts").collect(),
+                  key=lambda r: r.day)
+    assert [r.cum_entities for r in rows] == [1, 2, 3]
+    assert [r.dau for r in rows] == [1, 2, 1]
+    assert [r.new_entities for r in rows] == [1, 1, 1]

@@ -2776,3 +2776,66 @@ def test_flag_rate_matches_error_rate_daily(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False,
     )
+
+
+def test_first_touch_matches_first_touch_mix(spark):
+    got = api.first_touch(
+        _events(spark), "user_id", "event_type", ["ts", "event_id"]
+    ).withColumnRenamed("first_event", "first_event_type").withColumnRenamed(
+        "n_entities", "n_users"
+    )
+    want = QUERIES["first_touch_mix"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["first_event_type"]), _sorted(want, ["first_event_type"]),
+        check_dtype=False,
+    )
+
+
+def test_supply_concentration_matches_part_supplier_concentration(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = (
+        api.supply_concentration(
+            li, "l_partkey", "l_suppkey", "l_quantity", scale=2
+        )
+        .withColumnRenamed("n_members", "n_suppliers")
+        .withColumnRenamed("total", "total_q100")
+    )
+    want = QUERIES["part_supplier_concentration"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_partkey"]), _sorted(want, ["l_partkey"]),
+        check_dtype=False,
+    )
+
+
+def test_aging_buckets_matches_order_priority_aging(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    got = (
+        api.aging_buckets(
+            o.filter(F.col("o_orderstatus") == "O"),
+            ["o_orderpriority"], "o_orderdate", "o_totalprice",
+            anchor_df=anchor,
+        )
+        .withColumnRenamed("n_rows", "n_orders")
+        .withColumnRenamed("value", "open_value")
+    )
+    want = QUERIES["order_priority_aging"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["o_orderpriority", "age_bucket"]),
+        _sorted(want, ["o_orderpriority", "age_bucket"]),
+        check_dtype=False,
+    )
+
+
+def test_cumulative_entities_matches_users_cumulative(spark):
+    got = (
+        api.cumulative_entities(_events(spark), "user_id", "ts")
+        .withColumnRenamed("new_entities", "new_users")
+        .withColumnRenamed("cum_entities", "cum_users")
+    )
+    want = QUERIES["users_cumulative"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False,
+    )

@@ -582,6 +582,18 @@ def _catalog(api, fx, tmp: str) -> dict:
         "flag_rate": lambda: api.flag_rate(
             e.withColumn("f", F.col("val") > 5), ["stage"], "f"
         ),
+        "first_touch": lambda: api.first_touch(
+            e, "uid", "stage", ["etime"]
+        ),
+        "supply_concentration": lambda: api.supply_concentration(
+            e, "stage", "uid", "val"
+        ),
+        "aging_buckets": lambda: api.aging_buckets(
+            e, ["stage"], "day", "val"
+        ),
+        "cumulative_entities": lambda: api.cumulative_entities(
+            e, "uid", "etime"
+        ),
     }
 
 

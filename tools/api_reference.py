@@ -57,7 +57,9 @@ FAMILIES = [
                               "bounce_rate", "otd_rate", "reorder_rate",
                               "new_vs_returning_split", "rank_shift",
                               "seasonality_index", "sla_rate",
-                              "flag_rate"]),
+                              "flag_rate", "first_touch",
+                              "supply_concentration", "aging_buckets",
+                              "cumulative_entities"]),
     ("Statistics", ["percentile_disc", "mannwhitney_u", "entropy_by",
                     "ks_drift", "winsorize", "profile", "fingerprint",
                     "trimmed_mean", "binom_test", "fisher_exact",

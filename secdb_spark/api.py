@@ -235,6 +235,10 @@ __all__ = [
     "supply_concentration",
     "aging_buckets",
     "cumulative_entities",
+    "assortativity",
+    "breadth_hist",
+    "band_rollup",
+    "json_field_stats",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -8076,4 +8080,131 @@ def cumulative_entities(
         "dau",
         "new_entities",
         F.sum("new_entities").over(w).cast("long").alias("cum_entities"),
+    )
+
+
+def assortativity(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Degree assortativity of ANY bipartite/directed edge list
+    (graph_assortativity's algebra with columns parameterized): the
+    Pearson correlation between source degree and destination degree
+    across edges — positive means high-degree sources attach to
+    high-degree destinations (hub-hub concentration, the fragility
+    signal).  Pass a DEDUPLICATED edge list.  Five exact BIGINT moments
+    in one combinable pass; the correlation is one IEEE tree (deg^2
+    sums widen to DECIMAL(38,0) past ~3e9 edges per node).  Returns one
+    row (n_edges, assortativity), round 4."""
+    from .operators._helpers import pin, r4
+
+    e = pin(
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_p")
+        )
+    )
+    sd = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_ds"))
+    pd_ = e.groupBy("_p").agg(F.count(F.lit(1)).alias("_dp"))
+    j = e.join(sd, "_s").join(pd_, "_p")
+    m = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_ds").cast("long").alias("_sx"),
+        F.sum("_dp").cast("long").alias("_sy"),
+        F.sum(F.col("_ds") * F.col("_ds")).cast("long").alias("_sxx"),
+        F.sum(F.col("_dp") * F.col("_dp")).cast("long").alias("_syy"),
+        F.sum(F.col("_ds") * F.col("_dp")).cast("long").alias("_sxy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    num = n.cast("double") * F.col("_sxy") - sx.cast("double") * sy
+    den = F.sqrt(
+        (n.cast("double") * F.col("_sxx") - sx.cast("double") * sx)
+        * (n.cast("double") * F.col("_syy") - sy.cast("double") * sy)
+    )
+    return m.select(n.alias("n_edges"), r4(num / den).alias("assortativity"))
+
+
+def breadth_hist(
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Breadth histogram of ANY (entity, item) incidence
+    (brand_breadth's algebra with columns parameterized): how many
+    distinct items each entity touches, rolled into a distribution —
+    the category-spanning readout that separates single-item loyalists
+    from explorers (and sizes cross-sell headroom next to
+    transition_matrix's switching view).  Exact distinct counting via
+    an (entity, item) dedup, then the dup_histogram shape.  Returns
+    (breadth, n_entities).
+
+    Scale: the distinct projection combines map-side; both following
+    aggregates are combinable with bounded key spaces."""
+    cb = df.select(
+        F.col(id_col).alias("_id"), F.col(item_col).alias("_item")
+    ).distinct()
+    breadth = cb.groupBy("_id").agg(F.count(F.lit(1)).alias("_nb"))
+    return (
+        breadth.groupBy("_nb")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .select(
+            F.col("_nb").cast("long").alias("breadth"),
+            F.col("n_entities").cast("long").alias("n_entities"),
+        )
+    )
+
+
+def band_rollup(
+    df: DataFrame,
+    band_col: str,
+    val_cols: dict[str, str] | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Banded ladder analysis of ANY frame (discount_band_rev's algebra
+    with columns parameterized): row count plus order-independent
+    decimal sums of the named value columns per integer band — the
+    table a pricing team reads to see whether deeper discounts buy
+    proportional volume.  Compute the band expression yourself
+    (e.g. floor(discount*100+0.5)); pass val_cols as
+    {output_name: column}.  Returns (band, n_rows, <output sums...>),
+    sums round 4.
+
+    Scale: one map-side-combinable aggregate on the band key."""
+    from .operators._helpers import r4
+
+    val_cols = val_cols or {}
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for out, col in val_cols.items():
+        aggs.append(
+            r4(
+                F.sum(F.col(col).cast("decimal(38,6)")).cast("double")
+            ).alias(out)
+        )
+    return df.groupBy(F.col(band_col).alias("band")).agg(*aggs)
+
+
+def json_field_stats(
+    df: DataFrame,
+    by: list[str],
+    json_col: str,
+    path: str,
+) -> DataFrame:
+    """Aggregation over a semi-structured payload of ANY frame
+    (events_props_stats' algebra with columns and the JSON path
+    parameterized): extract the integer field at `path` from the JSON
+    string column and roll it up per group — the ubiquitous "stats over
+    a JSON column" warehouse query.  avg is an exact-integer/count
+    rational.  Returns (by..., n, sum, avg, min, max).
+
+    Scale: get_json_object is JVM-side (Jackson) inside codegen — the
+    parse fuses into the scan; one map-side-combinable shuffle."""
+    from .operators._helpers import r4
+
+    k = F.get_json_object(json_col, path).cast("long")
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum"),
+        r4(F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg"),
+        F.min(k).cast("long").alias("min"),
+        F.max(k).cast("long").alias("max"),
     )

@@ -2725,3 +2725,43 @@ def test_cumulative_entities_monotone(spark):
     assert [r.cum_entities for r in rows] == [1, 2, 3]
     assert [r.dau for r in rows] == [1, 2, 1]
     assert [r.new_entities for r in rows] == [1, 1, 1]
+
+
+def test_assortativity_hub_to_leaves_negative(spark):
+    # hub (deg 3) mostly hits deg-1 leaves; the deg-2 dst pairs once
+    # with a deg-1 source -> disassortative (note: a graph where either
+    # side's degree is CONSTANT has zero variance and the correlation
+    # is undefined — ANSI division error, same as the registry twin)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (8, 1), (9, 4)], "s long, p long"
+    )
+    row = api.assortativity(edges, "s", "p").collect()[0]
+    assert row.n_edges == 5 and row.assortativity < 0
+
+
+def test_breadth_hist_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a")], "id int, item string"
+    )
+    rows = {r.breadth: r.n_entities
+            for r in api.breadth_hist(df, "id", "item").collect()}
+    assert rows == {2: 1, 1: 1}  # duplicate (1, a) counted once
+
+
+def test_band_rollup_sums(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "band int, v double"
+    )
+    rows = {r.band: r for r in
+            api.band_rollup(df, "band", val_cols={"total": "v"}).collect()}
+    assert rows[1].n_rows == 2 and rows[1].total == 30.0
+    assert rows[2].total == 5.0
+
+
+def test_json_field_stats_extraction(spark):
+    df = spark.createDataFrame(
+        [("g", '{"k": 5}'), ("g", '{"k": 15}')], "t string, props string"
+    )
+    row = api.json_field_stats(df, ["t"], "props", "$.k").collect()[0]
+    assert row.sum == 20 and row.avg == 10.0
+    assert row.min == 5 and row.max == 15

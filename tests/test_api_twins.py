@@ -2839,3 +2839,91 @@ def test_cumulative_entities_matches_users_cumulative(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, ["day"]), _sorted(want, ["day"]), check_dtype=False,
     )
+
+
+def test_assortativity_matches_graph_assortativity(spark):
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    got = api.assortativity(li, "l_suppkey", "l_partkey")
+    want = QUERIES["graph_assortativity"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_edges"]), _sorted(want, ["n_edges"]),
+        check_dtype=False,
+    )
+
+
+def test_breadth_hist_matches_brand_breadth(spark):
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    cb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("o_custkey", "p_brand")
+    )
+    got = (
+        api.breadth_hist(cb, "o_custkey", "p_brand")
+        .withColumnRenamed("breadth", "n_brands")
+        .withColumnRenamed("n_entities", "n_customers")
+    )
+    want = QUERIES["brand_breadth"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["n_brands"]), _sorted(want, ["n_brands"]),
+        check_dtype=False,
+    )
+
+
+def test_band_rollup_matches_discount_band_rev(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.floor(F.col("l_discount") * 100 + 0.5)
+        .cast("int")
+        .alias("discount_pct"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("given"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    got = (
+        api.band_rollup(
+            li, "discount_pct",
+            val_cols={"revenue": "rev", "discount_given": "given"},
+        )
+        .withColumnRenamed("band", "discount_pct")
+        .withColumnRenamed("n_rows", "n_lines")
+    )
+    qty = li.groupBy(F.col("discount_pct")).agg(
+        F.sum("qty").cast("long").alias("total_qty")
+    )
+    got = got.join(qty, "discount_pct")
+    want = QUERIES["discount_band_rev"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["discount_pct"]), _sorted(want, ["discount_pct"]),
+        check_dtype=False,
+    )
+
+
+def test_json_field_stats_matches_events_props_stats(spark):
+    got = (
+        api.json_field_stats(_events(spark), ["event_type"], "props", "$.k")
+        .withColumnRenamed("sum", "sum_k")
+        .withColumnRenamed("avg", "avg_k")
+        .withColumnRenamed("min", "min_k")
+        .withColumnRenamed("max", "max_k")
+    )
+    want = QUERIES["events_props_stats"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )

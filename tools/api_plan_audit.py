@@ -594,6 +594,23 @@ def _catalog(api, fx, tmp: str) -> dict:
         "cumulative_entities": lambda: api.cumulative_entities(
             e, "uid", "etime"
         ),
+        "assortativity": lambda: api.assortativity(
+            e.select("uid", (F.col("val").cast("long") % 4).alias("s2"))
+             .distinct(),
+            "uid", "s2",
+        ),
+        "breadth_hist": lambda: api.breadth_hist(e, "uid", "stage"),
+        "band_rollup": lambda: api.band_rollup(
+            e.withColumn("band", (F.col("val") % 3).cast("int")),
+            "band", val_cols={"total": "val"},
+        ),
+        "json_field_stats": lambda: api.json_field_stats(
+            e.withColumn(
+                "js", F.concat(F.lit('{"k": '),
+                               F.col("uid").cast("string"), F.lit("}"))
+            ),
+            ["stage"], "js", "$.k",
+        ),
     }
 
 

@@ -74,7 +74,8 @@ FAMILIES = [
                     "quantile_bins", "latency_percentiles",
                     "peak_to_avg_ratio", "top_share",
                     "dispersion_index", "dup_histogram", "size_dist",
-                    "gap_hist", "dow_hour_heatmap"]),
+                    "gap_hist", "dow_hour_heatmap", "breadth_hist",
+                    "band_rollup", "json_field_stats"]),
     ("Warehouse maintenance", ["latest_by_key", "scd2", "write_partitioned",
                                "period_growth", "table_diff", "fk_check",
                                "skew_report"]),
@@ -86,7 +87,8 @@ FAMILIES = [
     ("Streaming", ["stream_windowed_counts", "stream_dedupe",
                    "stream_running_stats", "run_available_now"]),
     ("Graph", ["connected_components", "pagerank", "jaccard_neighbors",
-               "triangle_count", "kcore", "degree_dist", "khop"]),
+               "triangle_count", "kcore", "degree_dist", "khop",
+               "assortativity"]),
     ("Global-order kernels", ["global_rank", "global_prefix_sum",
                               "grouped_topk", "grouped_prefix_sum",
                               "topk_ties", "running_distinct",

@@ -239,6 +239,9 @@ __all__ = [
     "breadth_hist",
     "band_rollup",
     "json_field_stats",
+    "linfit",
+    "trend_slope",
+    "loglog_elasticity",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -8207,4 +8210,142 @@ def json_field_stats(
         r4(F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg"),
         F.min(k).cast("long").alias("min"),
         F.max(k).cast("long").alias("max"),
+    )
+
+
+def linfit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Grouped least-squares regression of ANY (x, y) pair
+    (agg_regression's algebra with columns and fixed-point scale
+    parameterized) — slope and r^2 from the five summable moments, the
+    map-side-combinable formulation that scales where a two-pass
+    covariance doesn't.  Inputs quantize to exact fixed-point bigints
+    (the scale factors cancel in slope up to the x/y scale ratio — use
+    one scale for both, as here); moment sums accumulate in
+    DECIMAL(38,0) (sum(y^2) overflows int64 under ANSI just above test
+    scale); closing products run in decimal and the final divisions are
+    single IEEE ops — deterministic at any partition count, unlike
+    float-accumulated regr_* built-ins.  Returns (by..., n, slope, r2),
+    round 4.
+
+    Scale: ONE pass, one combinable aggregate."""
+    from .operators._helpers import r4
+
+    by = by or []
+    d0 = "decimal(38,0)"
+    x = F.floor(F.col(x_col) * (10**scale) + 0.5).cast("long")
+    y = F.floor(F.col(y_col) * (10**scale) + 0.5).cast("long")
+    s = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x.cast(d0)).alias("_sx"),
+        F.sum(y.cast(d0)).alias("_sy"),
+        F.sum((x * x).cast(d0)).alias("_sxx"),
+        F.sum((y * y).cast(d0)).alias("_syy"),
+        F.sum((x * y).cast(d0)).alias("_sxy"),
+    )
+    num = (
+        F.col("_n").cast(d0) * F.col("_sxy")
+        - F.col("_sx").cast(d0) * F.col("_sy")
+    )
+    den_x = (
+        F.col("_n").cast(d0) * F.col("_sxx")
+        - F.col("_sx").cast(d0) * F.col("_sx")
+    )
+    den_y = (
+        F.col("_n").cast(d0) * F.col("_syy")
+        - F.col("_sy").cast(d0) * F.col("_sy")
+    )
+    slope = num.cast("double") / den_x.cast("double")
+    r2 = slope * (num.cast("double") / den_y.cast("double"))
+    return s.select(
+        *by,
+        F.col("_n").cast("long").alias("n"),
+        r4(slope).alias("slope"),
+        r4(r2).alias("r2"),
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Least-squares trend of ANY pre-bucketed INTEGER series
+    (ts_trend_slope's algebra with columns parameterized) — the single
+    number behind every "is this metric trending" question; linfit fits
+    arbitrary (x, y), this fits value-vs-TIME with both axes already
+    exact integers (e.g. x = days since an epoch, y = a daily count),
+    so all four moments are exact bigints and the slope closes in one
+    IEEE tree.  Returns (by..., n_points, slope), round 4.
+
+    Scale: a per-group moment rollup over the pre-bucketed aggregate —
+    no window at all."""
+    from .operators._helpers import r4
+
+    by = by or []
+    m = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x_col).cast("long").alias("_sx"),
+        F.sum(y_col).cast("long").alias("_sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).cast("long").alias("_sxx"),
+        F.sum(F.col(x_col) * F.col(y_col)).cast("long").alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    slope = (n * F.col("_sxy") - sx * F.col("_sy")) / (
+        n * F.col("_sxx") - sx * F.col("_sx")
+    )
+    return m.select(
+        *by, F.col("_n").alias("n_points"), r4(slope).alias("slope")
+    )
+
+
+def loglog_elasticity(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Log-log elasticity of ANY POSITIVE (x, y) pair per group
+    (price_elasticity's algebra with columns parameterized): the slope
+    of ln(y) on ln(x) — the regression whose coefficient economists
+    read directly as %-change-in-y per %-change-in-x.  Both logs
+    quantize to 1e6 fixed point, so the regression moments are exact
+    decimal integers and the slope closes with the shared num/den IEEE
+    tree.  Returns (by..., n, elasticity), round 4.
+
+    Scale: one combinable moment aggregate over the (typically
+    pre-aggregated) input."""
+    from .operators._helpers import r4
+
+    by = by or []
+    d0 = "decimal(38,0)"
+    ln_scale = 10**6
+    x = F.floor(F.log(F.col(x_col)) * ln_scale + 0.5).cast("long")
+    y = F.floor(F.log(F.col(y_col)) * ln_scale + 0.5).cast("long")
+    m = df.select(*by, x.alias("_x"), y.alias("_y")).groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast(d0)).alias("_sx"),
+        F.sum(F.col("_y").cast(d0)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d0)).alias("_sxx"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d0)).alias("_sxy"),
+    )
+    num = (
+        F.col("_n").cast(d0) * F.col("_sxy")
+        - F.col("_sx").cast(d0) * F.col("_sy")
+    )
+    den = (
+        F.col("_n").cast(d0) * F.col("_sxx")
+        - F.col("_sx").cast(d0) * F.col("_sx")
+    )
+    return m.select(
+        *by,
+        F.col("_n").cast("long").alias("n"),
+        r4(num.cast("double") / den.cast("double")).alias("elasticity"),
     )

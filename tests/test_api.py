@@ -2765,3 +2765,30 @@ def test_json_field_stats_extraction(spark):
     row = api.json_field_stats(df, ["t"], "props", "$.k").collect()[0]
     assert row.sum == 20 and row.avg == 10.0
     assert row.min == 5 and row.max == 15
+
+
+def test_linfit_perfect_line(spark):
+    df = spark.createDataFrame(
+        [("g", float(x), 2.0 * x + 1) for x in range(10)],
+        "k string, x double, y double",
+    )
+    row = api.linfit(df, "x", "y", by=["k"]).collect()[0]
+    assert row.slope == 2.0 and row.r2 == 1.0
+
+
+def test_trend_slope_linear_growth(spark):
+    df = spark.createDataFrame(
+        [("g", t, 5 * t + 3) for t in range(8)], "k string, x int, y long"
+    )
+    row = api.trend_slope(df, "x", "y", by=["k"]).collect()[0]
+    assert row.n_points == 8 and row.slope == 5.0
+
+
+def test_loglog_elasticity_power_law(spark):
+    # y = x^-2 -> elasticity -2
+    df = spark.createDataFrame(
+        [("g", float(x), float(x) ** -2.0) for x in (1, 2, 4, 8, 16)],
+        "k string, x double, y double",
+    )
+    row = api.loglog_elasticity(df, "x", "y", by=["k"]).collect()[0]
+    assert row.n == 5 and abs(row.elasticity - (-2.0)) < 1e-3

@@ -2927,3 +2927,66 @@ def test_json_field_stats_matches_events_props_stats(spark):
         _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
         check_dtype=False,
     )
+
+
+def test_linfit_matches_agg_regression(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = api.linfit(
+        li, "l_quantity", "l_extendedprice", by=["l_returnflag"], scale=2
+    )
+    want = QUERIES["agg_regression"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["l_returnflag"]), _sorted(want, ["l_returnflag"]),
+        check_dtype=False,
+    )
+
+
+def test_trend_slope_matches_ts_trend_slope(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras8 import TREND_EPOCH
+
+    daily = (
+        _events(spark)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit(TREND_EPOCH).cast("date"),
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    got = (
+        api.trend_slope(daily, "x", "y", by=["event_type"])
+        .withColumnRenamed("n_points", "n_days")
+        .withColumnRenamed("slope", "slope_per_day")
+    )
+    want = QUERIES["ts_trend_slope"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type"]), _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )
+
+
+def test_loglog_elasticity_matches_price_elasticity(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    demand = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("double")
+        .alias("qty")
+    )
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    pq = demand.join(F.broadcast(part), demand.l_partkey == part.p_partkey)
+    got = api.loglog_elasticity(
+        pq, "p_retailprice", "qty", by=["p_brand"]
+    ).withColumnRenamed("n", "n_parts")
+    want = QUERIES["price_elasticity"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["p_brand"]), _sorted(want, ["p_brand"]),
+        check_dtype=False,
+    )

@@ -611,6 +611,22 @@ def _catalog(api, fx, tmp: str) -> dict:
             ),
             ["stage"], "js", "$.k",
         ),
+        "linfit": lambda: api.linfit(
+            e.select("stage", "val",
+                     (F.col("val") * 2 + 1).alias("y")),
+            "val", "y", by=["stage"],
+        ),
+        "trend_slope": lambda: api.trend_slope(
+            e.groupBy("stage",
+                      F.dayofmonth("day").alias("x"))
+             .agg(F.count(F.lit(1)).alias("y")),
+            "x", "y", by=["stage"],
+        ),
+        "loglog_elasticity": lambda: api.loglog_elasticity(
+            e.select("stage", (F.col("val") + 1).alias("x"),
+                     (F.col("uid") + 1).alias("y")),
+            "x", "y", by=["stage"],
+        ),
     }
 
 

@@ -75,7 +75,8 @@ FAMILIES = [
                     "peak_to_avg_ratio", "top_share",
                     "dispersion_index", "dup_histogram", "size_dist",
                     "gap_hist", "dow_hour_heatmap", "breadth_hist",
-                    "band_rollup", "json_field_stats"]),
+                    "band_rollup", "json_field_stats", "linfit",
+                    "trend_slope", "loglog_elasticity"]),
     ("Warehouse maintenance", ["latest_by_key", "scd2", "write_partitioned",
                                "period_growth", "table_diff", "fk_check",
                                "skew_report"]),

@@ -2990,3 +2990,69 @@ def test_loglog_elasticity_matches_price_elasticity(spark):
         _sorted(got, ["p_brand"]), _sorted(want, ["p_brand"]),
         check_dtype=False,
     )
+
+
+def test_resample_hour_matches_rollup_timeseries_hour_slice(spark):
+    from pyspark.sql import functions as F
+
+    got = (
+        api.resample(
+            _events(spark), "ts", "value", grain="hour",
+            keys=["event_type"],
+        )
+        .select(
+            "event_type", "bucket",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
+    want = (
+        QUERIES["rollup_timeseries"](spark, SF_DIR)
+        .filter(F.col("resolution") == "hour")
+        .select("event_type", "bucket", "n_events", "sum_value")
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type", "bucket"]),
+        _sorted(want, ["event_type", "bucket"]),
+        check_dtype=False,
+    )
+
+
+def test_gapfill_ffill_matches_rollup_gapfill_locf(spark):
+    """The generic gapfill on an hour-index series must reproduce the
+    certified LOCF rollup: same dense grid, same carried values."""
+    from pyspark.sql import functions as F
+
+    hourly = (
+        _events(spark)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+        .withColumn(
+            "hidx",
+            (F.unix_micros(F.col("bucket").cast("timestamp"))
+             / 3_600_000_000).cast("long"),
+        )
+    )
+    got = (
+        api.gapfill(hourly, ["event_type"], "hidx", "sum_value",
+                    method="ffill")
+        .select(
+            "event_type",
+            F.timestamp_micros(
+                (F.col("hidx") * 3_600_000_000).cast("long")
+            ).alias("bucket"),
+            (~F.col("is_observed")).cast("int").alias("filled"),
+            F.round("sum_value", 4).alias("locf_sum_value"),
+        )
+    )
+    want = QUERIES["rollup_gapfill"](spark, SF_DIR).select(
+        "event_type",
+        F.col("bucket").cast("timestamp").alias("bucket"),
+        "filled",
+        "locf_sum_value",
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["event_type", "bucket"]),
+        _sorted(want, ["event_type", "bucket"]),
+        check_dtype=False,
+    )

@@ -4052,25 +4052,25 @@ def ewma(
     value column (win_ewma's algebra with columns, alpha and the
     lookback K parameterized).  The infinite recursion
     ewma_t = a*x_t + (1-a)*ewma_{t-1} is not window-expressible without
-    per-row recursion; the bounded-K form (weights alpha^i over the last
-    K observations, renormalized at partition heads) is an exact K-term
-    lag expression.  All K lags share ONE window spec, so Catalyst plans
-    a single Window node over a single `by` shuffle+sort with per-row
-    state of K doubles; truncation error is bounded at (1-a)*a^K of
-    total weight.  Pass tie-breaking order_cols (e.g. [ts, id]) — a
-    non-deterministic sort makes the smoothing non-reproducible.
-    Returns the input rows + `ewma` (round 4)."""
+    per-row recursion; the bounded-K form weights lag i by (1-a)^i —
+    the recursion's own decay, renormalized at partition heads — as an
+    exact K-term lag expression.  (At a=0.5 this equals the certified
+    twin's 0.5^i weighting; for other alphas the recursion basis is the
+    correct one — a^i would INVERT the decay.)  All K lags share ONE
+    window spec, so Catalyst plans a single Window node over a single
+    `by` shuffle+sort with per-row state of K doubles; truncation error
+    is bounded at (1-a)^K of total weight.  Pass tie-breaking
+    order_cols (e.g. [ts, id]) — a non-deterministic sort makes the
+    smoothing non-reproducible.  Returns the input rows + `ewma`
+    (round 4)."""
     by = by or []
-    w = (
-        Window.partitionBy(*by).orderBy(*order_cols)
-        if by
-        else Window.orderBy(*order_cols)
-    )
+    beta = 1.0 - alpha
+    w = Window.partitionBy(*by).orderBy(*order_cols)
     num = sum(
         (
             F.when(
                 F.lag(val_col, i).over(w).isNotNull(),
-                F.lit(alpha**i) * F.lag(val_col, i).over(w),
+                F.lit(beta**i) * F.lag(val_col, i).over(w),
             ).otherwise(F.lit(0.0))
             for i in range(k)
         ),
@@ -4079,7 +4079,7 @@ def ewma(
     den = sum(
         (
             F.when(
-                F.lag(val_col, i).over(w).isNotNull(), F.lit(alpha**i)
+                F.lag(val_col, i).over(w).isNotNull(), F.lit(beta**i)
             ).otherwise(F.lit(0.0))
             for i in range(k)
         ),
@@ -4125,18 +4125,21 @@ def drawdown(
 
 def vwap(
     df: DataFrame,
-    price_col: str,
+    amount_col: str,
     qty_col: str,
     by: list[str],
     scale: int = 2,
 ) -> DataFrame:
-    """Volume-weighted average price per group on ANY (price, qty)
+    """Volume-weighted average price per group on ANY (amount, qty)
     frame (ts_vwap's algebra with columns parameterized):
-    sum(price)/sum(qty) with both sums accumulated in int64 fixed-point
-    at `scale` decimal digits, so the ratio is ONE double division of
-    two exact integers — deterministic at any partition count, then
-    round(4).  Overflow bound: |sum| * 10^scale < 2^63.  Bucket the
-    time axis yourself (pass e.g. date_trunc('month', ts) as a by
+    sum(amount)/sum(qty) with both sums accumulated in int64
+    fixed-point at `scale` decimal digits, so the ratio is ONE double
+    division of two exact integers — deterministic at any partition
+    count, then round(4).  `amount_col` is the EXTENDED amount
+    (price x qty, e.g. l_extendedprice) — passing a per-unit price
+    here computes a plain mean, NOT a VWAP; multiply price*qty into a
+    column first.  Overflow bound: |sum| * 10^scale < 2^63.  Bucket
+    the time axis yourself (pass e.g. date_trunc('month', ts) as a by
     column).  Returns (by..., price_c, qty_c, vwap4) where the _c
     columns are the raw fixed-point sums.
 
@@ -4144,12 +4147,12 @@ def vwap(
     the textbook partial-agg-then-tiny-shuffle plan at 100 TB."""
     from .operators._helpers import dsum_scaled
 
-    price = dsum_scaled(F.col(price_col), scale)
+    amount = dsum_scaled(F.col(amount_col), scale)
     qty = dsum_scaled(F.col(qty_col), scale)
     return df.groupBy(*by).agg(
-        price.alias("price_c"),
+        amount.alias("price_c"),
         qty.alias("qty_c"),
-        F.round(price.cast("double") / qty, 4).alias("vwap4"),
+        F.round(amount.cast("double") / qty, 4).alias("vwap4"),
     )
 
 
@@ -4378,9 +4381,10 @@ def kaplan_meier(
     all_times = subjects.groupBy(*by, "_t").agg(
         F.sum("_e").alias("_d"), F.count(F.lit(1)).alias("_lv")
     )
-    wall = Window.partitionBy(*by) if by else Window.partitionBy()
+    # Window.partitionBy(*[]) IS the global window — no branch needed
+    wall = Window.partitionBy(*by)
     wcum = (
-        (Window.partitionBy(*by) if by else Window.partitionBy())
+        Window.partitionBy(*by)
         .orderBy("_t")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -4403,7 +4407,7 @@ def kaplan_meier(
     ).cast("long")
     q = risk.select(*by, "_t", "_d", "_n_risk", lnq.alias("_lnq"))
     wrun = (
-        (Window.partitionBy(*by) if by else Window.partitionBy())
+        Window.partitionBy(*by)
         .orderBy("_t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -4532,9 +4536,13 @@ def interval_islands(
         "_ni",
         F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0),
     )
+    # the run window MUST share the flag window's full tie order: under
+    # duplicate (start, end) rows the island-start flag sits on the
+    # first tie, and a run ordered by (_s, _e) alone could place an
+    # unflagged duplicate before it, attaching it to the PREVIOUS island
     run = (
         Window.partitionBy(*by)
-        .orderBy("_s", "_e")
+        .orderBy("_s", "_e", *tie_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     numbered = flagged.withColumn("_island", F.sum("_ni").over(run))
@@ -4625,32 +4633,48 @@ def corr_matrix(
     d0 = "decimal(38,0)"
     if isinstance(scales, int):
         scales = [scales] * len(cols)
-    q = {
-        c: F.floor(F.col(c) * (10**s) + 0.5).cast("long")
+    # internal moment aliases index by POSITION, not name: name-based
+    # concatenation collides for underscore-bearing columns (('x','y_z')
+    # and ('x_y','z') both render _sp_x_y_z -> AMBIGUOUS_REFERENCE)
+    q = [
+        F.floor(F.col(c) * (10**s) + 0.5).cast("long")
         for c, s in zip(cols, scales)
-    }
+    ]
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(F.sum(q[c].cast(d0)).alias(f"_s_{c}"))
-        aggs.append(F.sum((q[c] * q[c]).cast(d0)).alias(f"_ss_{c}"))
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            aggs.append(F.sum((q[a] * q[b]).cast(d0)).alias(f"_sp_{a}_{b}"))
+    for i in range(len(cols)):
+        aggs.append(F.sum(q[i].cast(d0)).alias(f"_s_{i}"))
+        aggs.append(F.sum((q[i] * q[i]).cast(d0)).alias(f"_ss_{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(F.sum((q[i] * q[j]).cast(d0)).alias(f"_sp_{i}_{j}"))
     s = df.groupBy(*by).agg(*aggs)
 
-    def corr(a: str, b: str):
+    def corr(i: int, j: int):
         nd = F.col("_n").cast(d0)
-        num = nd * F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
-        da = nd * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
-        db = nd * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+        num = nd * F.col(f"_sp_{i}_{j}") - F.col(f"_s_{i}") * F.col(f"_s_{j}")
+        da = nd * F.col(f"_ss_{i}") - F.col(f"_s_{i}") * F.col(f"_s_{i}")
+        db = nd * F.col(f"_ss_{j}") - F.col(f"_s_{j}") * F.col(f"_s_{j}")
         return r4(
             num.cast("double") / F.sqrt(da.cast("double") * db.cast("double"))
         )
 
+    out_names = [
+        f"corr_{cols[i]}_{cols[j]}"
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            "corr_matrix: output names collide for these column names "
+            f"({sorted(n for n in out_names if out_names.count(n) > 1)}); "
+            "rename the underscore-bearing inputs"
+        )
     out = [*by, F.col("_n").cast("long").alias("n")]
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            out.append(corr(a, b).alias(f"corr_{a}_{b}"))
+    k = 0
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            out.append(corr(i, j).alias(out_names[k]))
+            k += 1
     return s.select(*out)
 
 
@@ -4677,11 +4701,7 @@ def autocorr(
 
     by = by or []
     d0 = "decimal(38,0)"
-    w = (
-        Window.partitionBy(*by).orderBy(order_col)
-        if by
-        else Window.orderBy(order_col)
-    )
+    w = Window.partitionBy(*by).orderBy(order_col)
     pairs = df.select(
         *by,
         F.lag(val_col, lag).over(w).alias("_x"),
@@ -5114,11 +5134,7 @@ def rsi(
 
     by = by or []
     fixed = F.floor(F.col(close_col) * (10**scale) + 0.5).cast("long")
-    wo = (
-        Window.partitionBy(*by).orderBy(order_col)
-        if by
-        else Window.orderBy(order_col)
-    )
+    wo = Window.partitionBy(*by).orderBy(order_col)
     delta = (
         df.select(*by, order_col, fixed.alias("_c"))
         .withColumn("_d", F.col("_c") - F.lag("_c").over(wo))
@@ -5166,11 +5182,7 @@ def rolling_corr(
     from .operators._helpers import r4
 
     by = by or []
-    wo = (
-        Window.partitionBy(*by).orderBy(order_col)
-        if by
-        else Window.orderBy(order_col)
-    )
+    wo = Window.partitionBy(*by).orderBy(order_col)
     fr = wo.rowsBetween(-(days - 1), 0)
     x, y = F.col(x_col), F.col(y_col)
     w = df.select(
@@ -5566,11 +5578,7 @@ def period_growth(
     from .operators._helpers import r4
 
     by = by or []
-    w = (
-        Window.partitionBy(*by).orderBy(period_col)
-        if by
-        else Window.orderBy(period_col)
-    )
+    w = Window.partitionBy(*by).orderBy(period_col)
     return df.select(
         *by,
         period_col,
@@ -6621,6 +6629,11 @@ def stage_latency(
     projection."""
     from .operators._helpers import pin, r4
 
+    if len(stages) < 2:
+        raise ValueError(
+            f"stage_latency needs >= 2 stages to measure a gap "
+            f"(got {stages!r})"
+        )
     ev = df.select(
         F.col(id_col).alias("_id"),
         F.col(event_col).alias("_ev"),
@@ -6732,14 +6745,27 @@ def onehot(
     data-driven vocabulary is a separate model-fitting pass; encoding
     itself must be map-only, and is."""
     p = prefix or cat_col
+    names = [f"{p}_{v.lower()}" for v in vocabulary]
+    if len(set(names)) != len(names):
+        # silent dict-key collapse would encode only the LAST of two
+        # case-variant entries and make the other unrepresentable
+        raise ValueError(
+            "onehot: vocabulary entries collide after lowercasing "
+            f"({sorted(n for n in names if names.count(n) > 1)}); "
+            "disambiguate the vocabulary or the prefix"
+        )
     cols = {
-        f"{p}_{v.lower()}": F.when(F.col(cat_col) == v, 1)
+        name: F.when(F.col(cat_col) == v, 1).otherwise(0).cast("int")
+        for name, v in zip(names, vocabulary)
+    }
+    # NULL must land in `other` too: bare ~isin(NULL) is NULL -> 0,
+    # which would make NULL rows all-zero and unrepresentable
+    cols[f"{p}_other"] = (
+        F.when(
+            F.col(cat_col).isNull() | ~F.col(cat_col).isin(*vocabulary), 1
+        )
         .otherwise(0)
         .cast("int")
-        for v in vocabulary
-    }
-    cols[f"{p}_other"] = (
-        F.when(~F.col(cat_col).isin(*vocabulary), 1).otherwise(0).cast("int")
     )
     return df.withColumns(cols)
 

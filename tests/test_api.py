@@ -2792,3 +2792,73 @@ def test_loglog_elasticity_power_law(spark):
     )
     row = api.loglog_elasticity(df, "x", "y", by=["k"]).collect()[0]
     assert row.n == 5 and abs(row.elasticity - (-2.0)) < 1e-3
+
+
+def test_ewma_alpha_decay_follows_recursion(spark):
+    # alpha=0.9 must track fast (decay (1-a)^i = 0.1^i), close to the
+    # exact recursion on a long series; the inverted a^i basis would
+    # smooth heavily instead (review fix)
+    series = [10.0] * 10 + [20.0]
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(series)],
+        "k string, t int, x double",
+    )
+    out = {r.t: r.ewma
+           for r in api.ewma(df, "x", ["t"], by=["k"], alpha=0.9,
+                             k=5).collect()}
+    # recursion from a settled 10: e = 0.9*20 + 0.1*10 = 19.0
+    assert abs(out[10] - 19.0) < 0.01
+    # the inverted basis would give (1*20 + .9*10 + .81*10 + ...) / sum ~ 12.4
+    assert out[10] > 18.0
+
+
+def test_onehot_case_collision_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "US")], "id int, cat string")
+    with pytest.raises(ValueError, match="collide after lowercasing"):
+        api.onehot(df, "cat", ["US", "us"])
+
+
+def test_onehot_null_category_lands_in_other(spark):
+    df = spark.createDataFrame([(1, None), (2, "A")], "id int, cat string")
+    rows = {r.id: r for r in api.onehot(df, "cat", ["A"]).collect()}
+    assert rows[1].cat_other == 1 and rows[1].cat_a == 0
+    assert rows[2].cat_other == 0 and rows[2].cat_a == 1
+
+
+def test_stage_latency_rejects_single_stage(spark):
+    import pytest
+
+    df = spark.createDataFrame([("u", 1, "a")], "id string, t long, ev string")
+    with pytest.raises(ValueError, match="needs >= 2 stages"):
+        api.stage_latency(df, "id", "ev", "t", stages=["a"])
+
+
+def test_corr_matrix_underscore_columns(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0), (2.0, 4.0, 5.0, 9.0), (3.0, 6.0, 8.0, 1.0)],
+        "x double, y_z double, x_y double, z double",
+    )
+    # ('x','y_z') and ('x_y','z') collide on the OUTPUT name corr_x_y_z:
+    # the kernel now raises instead of emitting ambiguous duplicates
+    # (the internal moments used to collide silently the same way)
+    with pytest.raises(ValueError, match="output names collide"):
+        api.corr_matrix(df, ["x", "y_z", "x_y", "z"]).collect()
+    # non-colliding underscore names work and stay numerically correct
+    row = api.corr_matrix(df, ["x", "y_z"]).collect()[0]
+    assert row.corr_x_y_z == 1.0  # y_z = 2x exactly
+
+
+def test_interval_islands_duplicate_intervals_one_island(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 0, 1), ("g", 2, 5, 9), ("g", 3, 5, 9)],
+        "k string, eid int, s long, e long",
+    )
+    row = api.interval_islands(
+        df, "s", "e", by=["k"], tie_cols=["eid"]
+    ).collect()[0]
+    # duplicates of [5,9] are ONE island; [0,1] is the other
+    assert row.n_islands == 2 and row.covered == 5 and row.longest == 4

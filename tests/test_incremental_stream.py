@@ -268,3 +268,132 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     got3 = read_back()
     assert sorted(got3["event_id"]) == list(range(40))
     assert got3["event_id"].is_unique
+
+
+def test_kill_midstream_restart_matches_batch(spark, tmp_path):
+    """Failure/recovery (VERDICT r10 directive 4): a STATEFUL max-seq-wins
+    CDC-apply stream (stream_cdc_apply's merge) is KILLED mid-stream after
+    a couple of committed micro-batches, then restarted from the same real
+    checkpoint dir; the recovered final state must hash-match the batch
+    answer computed over the full log in one pass.
+
+    Recovery correctness rests on three properties the test exercises:
+      * the checkpoint skips already-committed source files on restart,
+      * the state-version recovery picks the newest _SUCCESS-marked dir
+        (a torn write from the kill lacks the marker),
+      * max-seq-wins is associative/idempotent, so a replayed in-flight
+        batch merges to the same state.
+    """
+    import os
+    import time
+
+    from pyspark.sql import Window, functions as F
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    chk = str(tmp_path / "cdc_chk")
+    state_base = str(tmp_path / "cdc_state")
+    n_files, n_keys = 6, 120
+
+    # CDC log: file i carries seq=i for every key; every key % 10 == 0
+    # gets its tombstone at the LAST seq, so those keys must be absent
+    # from the recovered final state
+    now = time.time()
+    for i in range(n_files):
+        pdf = pd.DataFrame(
+            {
+                "key": range(n_keys),
+                "seq": [i] * n_keys,
+                "op": [
+                    "D" if (k % 10 == 0 and i == n_files - 1) else "U"
+                    for k in range(n_keys)
+                ],
+                "val": [float(k * 100 + i) for k in range(n_keys)],
+            }
+        )
+        p = src / f"log_{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    schema = "key long, seq long, op string, val double"
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+
+    def committed_versions():
+        if not os.path.isdir(state_base):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(state_base)
+            if d.startswith("v")
+            and os.path.exists(os.path.join(state_base, d, "_SUCCESS"))
+        )
+
+    def merge(batch_df, batch_id: int) -> None:
+        cur = batch_df
+        vs = committed_versions()
+        prior = [v for v in vs if v < batch_id]
+        if prior:
+            prev = batch_df.sparkSession.read.parquet(
+                f"{state_base}/v{prior[-1]}"
+            )
+            cur = prev.unionByName(batch_df)
+        latest = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        latest.write.mode("overwrite").parquet(f"{state_base}/v{batch_id}")
+
+    def start(trigger_kwargs):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", chk)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # run 1: continuous trigger, KILL after >=2 committed batches but
+    # before the log drains
+    q = start({"processingTime": "0 seconds"})
+    deadline = time.time() + 120
+    while len(committed_versions()) < 2 and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    survived = committed_versions()
+    assert len(survived) >= 2, "kill happened before any state committed"
+    assert len(survived) < n_files, (
+        "stream drained before the kill — nothing was recovered"
+    )
+
+    # run 2: restart from the SAME checkpoint, drain what's left
+    q2 = start({"availableNow": True})
+    assert q2.awaitTermination(120), "restarted stream did not drain"
+    final_v = committed_versions()[-1]
+
+    got = (
+        spark.read.parquet(f"{state_base}/v{final_v}")
+        .filter(F.col("op") != "D")
+        .select("key", "seq", "val")
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+
+    # batch answer over the full log in one pass (the replay oracle)
+    batch = (
+        spark.read.parquet(str(src))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", "seq", "val")
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    # hash-match: identical frames, value-exact
+    pd.testing.assert_frame_equal(got, batch)
+    # sanity: tombstoned keys (key%10==0 whose max seq is its D) are gone
+    assert 0 not in set(got["key"]), "key 0's final record is a tombstone"

@@ -181,3 +181,117 @@ def xbrl_common_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "cik", "period_end", F.explode(F.array(*structs)).alias("l")
     ).select("cik", "period_end", "l.concept", "l.base", "l.cs_bp")
+
+
+# ---------------------------------------------------------------------------
+# xbrl_calc_check — calculation-consistency audit (round-11 directive 5)
+# ---------------------------------------------------------------------------
+
+#: Declared calculation tree (the role a calculation linkbase plays in a
+#: full DTS — RaptorXML resolved it from the taxonomy; offline we declare
+#: the arcs).  Two rule classes the audit checks per filing:
+#:   * a same-context CALC ARC: parent = sum(weight * child) within the
+#:     consolidated context (XBRL 2.1 §5.2.5.2 summation-item semantics);
+#:     us-gaap:StockholdersEquity is deliberately unreported in the
+#:     fixture, so the check exposes the broken-calc-tree case a real
+#:     EDGAR pipeline must surface instead of loading silently.
+#:   * a DIMENSIONAL TOTAL: the consolidated (dimensionless) fact vs the
+#:     sum of its seg:Region members — the dimensional-aggregation
+#:     consistency check (cAO's two-dimension fact is excluded: it is a
+#:     member of AMER, not a sibling).
+XBRL_CALC_RULES = (
+    ("assets_eq_liab_plus_equity", "us-gaap:Assets",
+     ("us-gaap:Liabilities", "us-gaap:StockholdersEquity")),
+    ("rev_eq_region_sum", "us-gaap:Revenues", None),  # None = dim members
+)
+
+
+def _calc_check_gold() -> list[tuple]:
+    from .xbrl_analytics import _region_value
+
+    rows = []
+    for ci in range(_GEN.N_COMPANIES):
+        for qi in range(len(_GEN.QUARTERS)):
+            ck, pe = _GEN.cik(ci), _QE[qi]
+            assets = _cons_value(ci, qi, "us-gaap:Assets")
+            liab = _cons_value(ci, qi, "us-gaap:Liabilities")
+            rows.append((ck, pe, "assets_eq_liab_plus_equity", assets, liab,
+                         assets - liab, "INCONSISTENT"))
+            rev = _cons_value(ci, qi, "us-gaap:Revenues")
+            comp = sum(_region_value(ci, qi, r) for r in _GEN.REGIONS)
+            rows.append((ck, pe, "rev_eq_region_sum", rev, comp,
+                         rev - comp, "INCONSISTENT"))
+    return rows
+
+
+@register(
+    "xbrl_calc_check",
+    oracle=_values_sql(
+        _calc_check_gold(),
+        "cik, period_end, rule_id, reported, computed, delta, status",
+    ),
+)
+def xbrl_calc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calculation-consistency audit over the post-supersedence facts
+    (VERDICT r10 'What's missing' #1, first step): for every filing and
+    every declared XBRL_CALC_RULES arc whose parent is reported, compare
+    the reported parent against the sum of its reported children —
+    same-context summation arcs and dimensional region totals.  A child
+    missing from the filing contributes nothing (real calc validation
+    fires on the reported subset — that IS how broken trees surface).
+    Values are exact integer units (decimals="0" fixture-wide), so
+    status is CONSISTENT only on delta == 0.  Returns one row per
+    (filing, rule): (cik, period_end, rule_id, reported, computed,
+    delta, status), generator-certified golden oracle.
+
+    Scale: the facts shuffle ONCE per rule class on (cik, period_end);
+    parents join children on the same model-sized key — no fact-table
+    self-join, no window."""
+    facts = (
+        _xbrl_supersede_facts(spark, sf_dir)
+        .filter(F.col("cik").isin(*GEN_CIKS))
+        .withColumn("period_end", F.coalesce("period_end", "period_instant"))
+    )
+    v = F.col("value_num").cast("long")
+    cons = facts.filter(F.size("dims") == 0)
+
+    out = []
+    for rule_id, parent, children in XBRL_CALC_RULES:
+        p = cons.filter(F.col("concept") == parent).select(
+            "cik", "period_end", v.alias("reported")
+        )
+        if children is not None:
+            c = (
+                cons.filter(F.col("concept").isin(*children))
+                .groupBy("cik", "period_end")
+                .agg(F.sum(v).cast("long").alias("computed"))
+            )
+        else:
+            c = (
+                facts.filter(
+                    (F.col("concept") == parent)
+                    & (F.size("dims") == 1)
+                    & F.col("dims")["seg:Region"].isNotNull()
+                )
+                .groupBy("cik", "period_end")
+                .agg(F.sum(v).cast("long").alias("computed"))
+            )
+        out.append(
+            p.join(c, ["cik", "period_end"], "left").select(
+                "cik",
+                "period_end",
+                F.lit(rule_id).alias("rule_id"),
+                "reported",
+                F.coalesce("computed", F.lit(0)).cast("long").alias("computed"),
+                (F.col("reported") - F.coalesce("computed", F.lit(0)))
+                .cast("long")
+                .alias("delta"),
+            )
+        )
+    u = out[0]
+    for o in out[1:]:
+        u = u.unionByName(o)
+    return u.withColumn(
+        "status",
+        F.when(F.col("delta") == 0, "CONSISTENT").otherwise("INCONSISTENT"),
+    )

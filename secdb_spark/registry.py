@@ -467,6 +467,12 @@ _CERT_SLATE_R12: tuple[str, ...] = (
     "ts_kendall_tau", "assoc_rules_lift", "price_index_laspeyres",
     "retention_triangle", "sql_lateral_join", "fn_json_extract",
     "fn_higher_order_array", "ts_ar1_fit", "dedup_minhash_b_bit",
+    # round-11 batch 1 (SURVEY §2.BB + the xbrl_calc_check directive) —
+    # fills 10 of the remaining free slots (round-11 widening cap: <= 16
+    # so round 12 closes the entire backlog); all exact-oracle class.
+    "xbrl_calc_check", "corpus_tfidf_topk", "graph_bfs_layers",
+    "ts_ols_forecast", "join_nearest_value", "corpus_token_source_mi",
+    "src_jsonl", "fn_url", "mix_token_budget", "ts_drawdown_duration",
 )
 
 
@@ -594,6 +600,7 @@ def _load_operators() -> None:
         warehouse_extras35,
         warehouse_extras36,
         warehouse_extras37,
+        warehouse_extras38,
         windows,
         xbrl_analytics,
         xbrl_analytics2,

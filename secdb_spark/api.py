@@ -248,6 +248,14 @@ __all__ = [
     "linfit",
     "trend_slope",
     "loglog_elasticity",
+    "calc_check",
+    "tfidf_topk",
+    "bfs_layers",
+    "ols_forecast",
+    "nearest_value_join",
+    "token_source_mi",
+    "largest_remainder_alloc",
+    "drawdown_duration",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -8474,4 +8482,515 @@ def loglog_elasticity(
         *by,
         F.col("_n").cast("long").alias("n"),
         r4(num.cast("double") / den.cast("double")).alias("elasticity"),
+    )
+
+
+def calc_check(
+    df: DataFrame,
+    entity_cols: list[str],
+    item_col: str,
+    val_col: str,
+    rules: list[tuple[str, str, list[str]]],
+) -> DataFrame:
+    """Summation-consistency audit of ANY long-format (entity, item,
+    value) frame (xbrl_calc_check's same-context calc-arc algebra with
+    the frame parameterized): for each declared rule
+    (rule_id, parent_item, [child_items...]) and each entity reporting
+    the parent, compare the reported parent value against the sum of
+    its reported children — the generic form of an XBRL calculation
+    linkbase, a ledger roll-up audit, or any parent-equals-sum-of-parts
+    contract.  Missing children contribute nothing (that IS how broken
+    trees surface); values are exact integers, so status is CONSISTENT
+    only on delta == 0.  Returns (entity_cols..., rule_id, reported,
+    computed, delta, status).
+
+    Scale: per rule, one combinable children aggregate + one join on
+    the entity key — no self-join of the full frame, no window."""
+    v = F.col(val_col).cast("long")
+    out = []
+    for rule_id, parent, children in rules:
+        p = df.filter(F.col(item_col) == parent).select(
+            *entity_cols, v.alias("reported")
+        )
+        c = (
+            df.filter(F.col(item_col).isin(*children))
+            .groupBy(*entity_cols)
+            .agg(F.sum(v).cast("long").alias("computed"))
+        )
+        out.append(
+            p.join(c, entity_cols, "left").select(
+                *entity_cols,
+                F.lit(rule_id).alias("rule_id"),
+                "reported",
+                F.coalesce("computed", F.lit(0)).cast("long")
+                .alias("computed"),
+                (F.col("reported") - F.coalesce("computed", F.lit(0)))
+                .cast("long")
+                .alias("delta"),
+            )
+        )
+    u = out[0]
+    for o in out[1:]:
+        u = u.unionByName(o)
+    return u.withColumn(
+        "status",
+        F.when(F.col("delta") == 0, "CONSISTENT").otherwise("INCONSISTENT"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per group of ANY corpus (corpus_tfidf_topk's
+    algebra with columns and k parameterized) — the domain-signature
+    head a curator reads per source/domain/shard.  idf = ln((n_groups+1) /
+    df) quantized e6; score = tf * idf_q as an exact DECIMAL-widened
+    integer product; ORDER-BY-complete per-group head with term
+    tiebreak.  Returns (group, rk, term, tf, score_q).
+
+    Scale: one tokenize scan into a pinned (group, term) aggregate;
+    every later shuffle is vocabulary-bounded."""
+    from .operators._helpers import pin as _pin
+
+    d0 = "decimal(38,0)"
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    st = _pin(
+        toks.groupBy("_g", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    ns = st.agg((F.count_distinct("_g") + 1).cast("double").alias("_ns"))
+    idf = (
+        st.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "term",
+            F.floor(F.log(F.col("_ns") / F.col("_df")) * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("idf_q"),
+        )
+    )
+    sc = (
+        st.join(idf, "term")
+        .filter(F.col("idf_q") > 0)
+        .select(
+            "_g",
+            "term",
+            "tf",
+            (F.col("tf").cast(d0) * F.col("idf_q").cast(d0))
+            .cast("long")
+            .alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("_g").orderBy(F.desc("score_q"), "term")
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            "tf",
+            "score_q",
+        )
+    )
+
+
+def bfs_layers(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_seeds: int = 3,
+    hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS frontier expansion on ANY edge list
+    (graph_bfs_layers' algebra with columns, seed count, and hop budget
+    parameterized): from the `n_seeds` smallest vertex ids, expand
+    `hops` rounds and report each frontier's size plus the cumulative
+    reached set — reachability, influence radius, component growth.
+    Returns (hop, frontier_size, cum_reached), hop 0..hops.
+
+    Scale: the pregel shape — each round ONE join of the pinned
+    frontier against the adjacency plus an anti-join against the
+    reached set; work tracks the frontier's edge boundary, never
+    |V|^2."""
+    sym = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    )
+    if not directed:
+        sym = sym.union(
+            edges.select(F.col(dst_col).alias("_a"),
+                         F.col(src_col).alias("_b"))
+        )
+    sym = pin(sym)
+    frontier = pin(
+        sym.select(F.col("_a").alias("_v")).distinct().orderBy("_v")
+        .limit(n_seeds)
+    )
+    reached = frontier
+    layers = [
+        frontier.agg(F.count(F.lit(1)).cast("long").alias("frontier_size"))
+        .crossJoin(
+            reached.agg(F.count(F.lit(1)).cast("long").alias("cum_reached"))
+        )
+        .select(F.lit(0).cast("int").alias("hop"), "frontier_size",
+                "cum_reached")
+    ]
+    for hop in range(1, hops + 1):
+        frontier = pin(
+            frontier.join(sym, frontier["_v"] == sym["_a"])
+            .select(F.col("_b").alias("_v"))
+            .distinct()
+            .join(reached, "_v", "anti")
+        )
+        reached = pin(reached.union(frontier))
+        layers.append(
+            frontier.agg(
+                F.count(F.lit(1)).cast("long").alias("frontier_size")
+            )
+            .crossJoin(
+                reached.agg(
+                    F.count(F.lit(1)).cast("long").alias("cum_reached")
+                )
+            )
+            .select(F.lit(hop).cast("int").alias("hop"), "frontier_size",
+                    "cum_reached")
+        )
+    out = layers[0]
+    for seg in layers[1:]:
+        out = out.unionByName(seg)
+    return out
+
+
+def ols_forecast(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    horizon: int = 7,
+) -> DataFrame:
+    """Per-group linear-trend forecast of ANY pre-bucketed INTEGER
+    series `horizon` steps past the last observation, with the
+    in-sample residual sigma (ts_ols_forecast's algebra with columns
+    and horizon parameterized).  OLS from the five DECIMAL-widened
+    moment sums (LONG products wrap above ~3e9 — the r10 discipline);
+    slope / intercept / forecast / sigma close in one shared IEEE
+    tree, he4.  Returns (by..., n_points, slope, forecast, resid_sd).
+
+    Scale: one combinable moment aggregate over the pre-bucketed
+    series; no window."""
+    from .operators._helpers import he4 as _he4
+
+    d0 = "decimal(38,0)"
+    xd = F.col(x_col).cast(d0)
+    yd = F.col(y_col).cast(d0)
+    m = df.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(yd * yd).alias("_syy"),
+        F.max(x_col).cast("long").alias("_xmax"),
+    )
+    nd = F.col("_n").cast(d0)
+    num = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    fit = m.filter(den > 0).select(
+        *by,
+        "_n",
+        "_xmax",
+        (num.cast("double") / den.cast("double")).alias("_slope"),
+        F.col("_sy").cast("double").alias("_sy_d"),
+        F.col("_sx").cast("double").alias("_sx_d"),
+        F.col("_sxy").cast("double").alias("_sxy_d"),
+        F.col("_syy").cast("double").alias("_syy_d"),
+        F.col("_n").cast("double").alias("_n_d"),
+    )
+    cl = fit.withColumn(
+        "_a",
+        (F.col("_sy_d") - F.col("_slope") * F.col("_sx_d")) / F.col("_n_d"),
+    )
+    sse = (
+        F.col("_syy_d")
+        - F.col("_a") * F.col("_sy_d")
+        - F.col("_slope") * F.col("_sxy_d")
+    )
+    return cl.select(
+        *by,
+        F.col("_n").alias("n_points"),
+        _he4(F.col("_slope")).alias("slope"),
+        _he4(
+            F.col("_a") + F.col("_slope") * (F.col("_xmax") + horizon)
+        ).alias("forecast"),
+        _he4(F.sqrt(F.greatest(F.lit(0.0), sse / F.col("_n_d")))).alias(
+            "resid_sd"
+        ),
+    )
+
+
+def nearest_value_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_key: str,
+    left_val: str,
+    right_key: str,
+    right_val: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Nearest-value join on ANY numeric axis (join_nearest_value's
+    union-and-sweep with tables and columns parameterized): each LEFT
+    row matched to the same-`by`-group RIGHT row whose value is closest
+    after fixed-point quantization at `scale` — benchmark matching,
+    quote pairing, closest-price lookup.  ONE per-group sort carries a
+    floor-candidate running `last` and a reversed ceiling pass; |diff|
+    ties break to the lower right key.  Returns (left_key, nearest_key,
+    diff_q signed, in left-minus-right quantized units).
+
+    Scale: one exchange on the group key, two in-partition sorts — the
+    all-pairs join the oracle uses is exactly what this avoids."""
+    q = 10**scale
+    lf = left.select(
+        F.col(by).alias("_nk"),
+        F.floor(F.col(left_val) * q + 0.5).cast("long").alias("_v"),
+        F.lit(1).alias("_side"),
+        F.col(left_key).alias("_key"),
+    )
+    rt = right.select(
+        F.col(by).alias("_nk"),
+        F.floor(F.col(right_val) * q + 0.5).cast("long").alias("_v"),
+        F.lit(0).alias("_side"),
+        F.col(right_key).alias("_key"),
+    )
+    u = rt.unionByName(lf)
+    cand = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_v").alias("cv"), F.col("_key").alias("ck")),
+    )
+    wf = (
+        Window.partitionBy("_nk")
+        .orderBy(F.col("_v").asc(), F.col("_side").asc(),
+                 F.col("_key").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wc = (
+        Window.partitionBy("_nk")
+        .orderBy(F.col("_v").desc(), F.col("_side").asc(),
+                 F.col("_key").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = u.select(
+        "_nk",
+        "_v",
+        "_side",
+        "_key",
+        F.last(cand, ignorenulls=True).over(wf).alias("_flo"),
+        F.last(cand, ignorenulls=True).over(wc).alias("_cei"),
+    ).filter(F.col("_side") == 1)
+    dlo = F.col("_v") - F.col("_flo.cv")
+    dhi = F.col("_cei.cv") - F.col("_v")
+    pick = (
+        F.when(F.col("_flo").isNull(), F.col("_cei"))
+        .when(F.col("_cei").isNull(), F.col("_flo"))
+        .when(dlo < dhi, F.col("_flo"))
+        .when(dhi < dlo, F.col("_cei"))
+        .otherwise(
+            F.when(
+                F.col("_flo.ck") <= F.col("_cei.ck"), F.col("_flo")
+            ).otherwise(F.col("_cei"))
+        )
+    )
+    return (
+        swept.withColumn("_pick", pick)
+        .filter(F.col("_pick").isNotNull())
+        .select(
+            F.col("_key").alias(left_key),
+            F.col("_pick.ck").alias("nearest_key"),
+            (F.col("_v") - F.col("_pick.cv")).cast("long").alias("diff_q"),
+        )
+    )
+
+
+def token_source_mi(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_n: int = 40,
+) -> DataFrame:
+    """Token <-> group mutual information over the corpus-wide top-n
+    terms of ANY corpus (corpus_token_source_mi's algebra with columns
+    and head size parameterized) — which head terms are group
+    signatures vs corpus-wide glue.  Joint restricted to the head
+    vocabulary; each cell contributes p(t,g) * ln(p(t,g)/(p(t)p(g))),
+    DEC18-quantized pre-sum; presented in micro-nats.  Returns
+    (term, ct, mi_micro).
+
+    Scale: one tokenize scan into a pinned (term, group) aggregate;
+    the head list broadcasts back, bounding every later frame."""
+    from .operators._helpers import pin as _pin
+
+    dec18 = "decimal(38,18)"
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    cts = _pin(
+        toks.groupBy("term", "_g").agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+    )
+    top = (
+        cts.groupBy("term")
+        .agg(F.sum("_c").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), "term")
+        .limit(top_n)
+    )
+    r = _pin(cts.join(F.broadcast(top), "term"))
+    cs = r.groupBy("_g").agg(F.sum("_c").cast("long").alias("_cs"))
+    tt = r.agg(F.sum("_c").cast("long").alias("_t"))
+    cd = F.col("_c").cast("double")
+    td = F.col("_t").cast("double")
+    contrib = (
+        r.join(cs, "_g")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "term",
+            "ct",
+            (
+                (cd / td)
+                * F.log(
+                    (cd * td)
+                    / (
+                        F.col("ct").cast("double")
+                        * F.col("_cs").cast("double")
+                    )
+                )
+            )
+            .cast(dec18)
+            .alias("_q"),
+        )
+    )
+    return contrib.groupBy("term", "ct").agg(
+        F.floor(F.sum("_q").cast("double") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("mi_micro")
+    )
+
+
+def largest_remainder_alloc(
+    df: DataFrame,
+    group_col: str,
+    mass_col: str,
+    budget: int,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Largest-remainder integer allocation of `budget` units across
+    groups proportional to mass^temperature (mix_token_budget's algebra
+    with the pre-aggregated frame parameterized): weights quantize e3
+    through the shared exp/ln IEEE tree, then PURE INTEGER arithmetic —
+    base = budget * w div W, and the remainder goes to the largest
+    fractional parts (tie: group asc) — so sum(alloc) == budget
+    structurally, which proportional floats cannot guarantee.  Returns
+    (group_col, mass_col, alloc).
+
+    Scale: the window runs over the |groups|-row aggregate only;
+    budget * w stays inside int64 to ~petatoken masses at e3."""
+    pq = pin(
+        df.filter(F.col(mass_col) > 0).select(
+            F.col(group_col).alias("_g"),
+            F.col(mass_col).cast("long").alias("_mass"),
+            F.floor(
+                F.exp(
+                    F.lit(temperature)
+                    * F.log(F.col(mass_col).cast("double"))
+                )
+                * 1000
+                + 0.5
+            )
+            .cast("long")
+            .alias("_pq"),
+        )
+    )
+    tot = pq.agg(F.sum("_pq").cast("long").alias("_s"))
+    base = pq.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        "_mass",
+        F.expr(f"({budget} * _pq) div _s").alias("_base"),
+        F.expr(f"({budget} * _pq) % _s").alias("_rem"),
+    )
+    wall = Window.partitionBy()
+    wrk = Window.partitionBy().orderBy(F.desc("_rem"), "_g")
+    fin = base.select(
+        "_g",
+        "_mass",
+        "_base",
+        F.sum("_base").over(wall).alias("_tot_base"),
+        F.row_number().over(wrk).alias("_rk"),
+    )
+    return fin.select(
+        F.col("_g").alias(group_col),
+        F.col("_mass").alias(mass_col),
+        (
+            F.col("_base")
+            + F.when(
+                F.col("_rk") <= F.lit(budget) - F.col("_tot_base"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+def drawdown_duration(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Maximum drawdown depth AND duration of ANY pre-bucketed keyed
+    series (ts_drawdown_duration's algebra with columns parameterized):
+    a running max flags at-peak points, a running count of those
+    numbers the peak-to-peak runs, and each run's below-peak length is
+    its drawdown duration — the recovery-time number next to
+    win_drawdown's depth.  Feed exact integer values (cents, counts).
+    Returns (by..., n_points, max_dd_depth he4, max_dd_days).
+
+    Scale: both windows and the run rollup ride one `by`-keyed exchange
+    over the pre-bucketed series."""
+    from .operators._helpers import he4 as _he4
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pk = df.withColumn("_peak", F.max(val_col).over(w))
+    at_peak = F.when(F.col(val_col) == F.col("_peak"), 1).otherwise(0)
+    grp = pk.select(
+        *by,
+        F.col(val_col).alias("_v"),
+        "_peak",
+        at_peak.alias("_at_peak"),
+        F.sum(at_peak).over(w).alias("_g"),
+    )
+    runs = grp.groupBy(*by, "_g").agg(
+        F.sum(1 - F.col("_at_peak")).cast("long").alias("_dd"),
+        F.max(
+            (F.col("_peak") - F.col("_v")).cast("double")
+            / F.col("_peak").cast("double")
+        ).alias("_depth"),
+    )
+    return runs.groupBy(*by).agg(
+        (F.sum("_dd") + F.count(F.lit(1))).cast("long").alias("n_points"),
+        _he4(F.max("_depth")).alias("max_dd_depth"),
+        F.max("_dd").cast("long").alias("max_dd_days"),
     )

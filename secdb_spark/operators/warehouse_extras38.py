@@ -50,7 +50,7 @@ MIX_TEMP = 0.7
       SELECT source, term, CAST(count(*) AS BIGINT) AS tf
       FROM tok WHERE term <> '' GROUP BY 1, 2
     ), ns AS (
-      SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns FROM st
+      SELECT CAST(count(DISTINCT source) + 1 AS DOUBLE) AS ns FROM st
     ), idf AS (
       SELECT term,
              CAST(floor(ln(ns.ns / count(*)) * 1000000 + 0.5) AS BIGINT)
@@ -73,10 +73,13 @@ def corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TFIDF_K} TF-IDF terms per source — the domain-signature
     report a corpus curator reads before writing mixing weights (the
     head terms a source over-represents vs the rest of the corpus).
-    idf = ln(n_sources / df) quantized e6 (shared IEEE ln on both
-    engines); score = tf * idf_q is an exact integer product (operands
-    DECIMAL-widened per the r10 discipline); the per-source head is an
-    ORDER-BY-complete top-k with term tiebreak.
+    idf = ln((n_sources + 1) / df) quantized e6 (shared IEEE ln on
+    both engines; the +1 smoothing keeps corpus-wide terms at a small
+    POSITIVE idf, so the head never degenerates to empty on a corpus
+    whose whole vocabulary reaches every source); score = tf * idf_q
+    is an exact integer product (operands DECIMAL-widened per the r10
+    discipline); the per-source head is an ORDER-BY-complete top-k
+    with term tiebreak.
 
     Scale: one tokenize scan; the (source, term) aggregate pins once
     and feeds both the document-frequency rollup and the scoring join —
@@ -94,7 +97,9 @@ def corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("tf")
         )
     )
-    ns = st.agg(F.count_distinct("source").cast("double").alias("ns"))
+    ns = st.agg(
+        (F.count_distinct("source") + 1).cast("double").alias("ns")
+    )
     idf = (
         st.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -3056,3 +3056,179 @@ def test_gapfill_ffill_matches_rollup_gapfill_locf(spark):
         _sorted(want, ["event_type", "bucket"]),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch: §2.BB twins
+# ---------------------------------------------------------------------------
+
+
+def test_calc_check_matches_xbrl_calc_check(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.sources_sinks import _xbrl_supersede_facts
+    from secdb_spark.operators.xbrl_analytics import GEN_CIKS
+
+    facts = (
+        _xbrl_supersede_facts(spark, SF_DIR)
+        .filter(F.col("cik").isin(*GEN_CIKS) & (F.size("dims") == 0))
+        .withColumn("period_end", F.coalesce("period_end", "period_instant"))
+        .select("cik", "period_end", "concept", "value_num")
+    )
+    got = api.calc_check(
+        facts, ["cik", "period_end"], "concept", "value_num",
+        [("assets_eq_liab_plus_equity", "us-gaap:Assets",
+          ["us-gaap:Liabilities", "us-gaap:StockholdersEquity"])],
+    )
+    want = QUERIES["xbrl_calc_check"](spark, SF_DIR).filter(
+        F.col("rule_id") == "assets_eq_liab_plus_equity"
+    )
+    cols = ["cik", "period_end", "rule_id", "reported", "computed",
+            "delta", "status"]
+    pd.testing.assert_frame_equal(
+        _sorted(got.select(cols), ["cik", "period_end"]),
+        _sorted(want.select(cols), ["cik", "period_end"]),
+        check_dtype=False,
+    )
+
+
+def test_tfidf_topk_matches_corpus_tfidf_topk(spark):
+    got = api.tfidf_topk(_docs(spark), "source", "text", k=5)
+    want = QUERIES["corpus_tfidf_topk"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["source", "rk"]),
+        _sorted(want, ["source", "rk"]),
+        check_dtype=False,
+    )
+
+
+def test_bfs_layers_matches_graph_bfs_layers(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras37 import COSUPPLY_MIN_ORDERS
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("ea"), F.col("b.s").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= COSUPPLY_MIN_ORDERS)
+        .select("ea", "eb")
+    )
+    got = api.bfs_layers(edges, "ea", "eb", n_seeds=3, hops=3)
+    want = QUERIES["graph_bfs_layers"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["hop"]), _sorted(want, ["hop"]), check_dtype=False
+    )
+
+
+def test_ols_forecast_matches_ts_ols_forecast(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = _events(spark).groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        F.datediff("d", F.min("d").over(w)).cast("long").alias("x"),
+        "y",
+    )
+    got = api.ols_forecast(idx, ["event_type"], "x", "y", horizon=7)
+    want = QUERIES["ts_ols_forecast"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got.withColumnRenamed("n_points", "n_days"),
+                ["event_type"]),
+        _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )
+
+
+def test_nearest_value_join_matches_join_nearest_value(spark):
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet").withColumnRenamed(
+        "s_nationkey", "nk"
+    )
+    cus = spark.read.parquet(f"{SF_DIR}/customer.parquet").withColumnRenamed(
+        "c_nationkey", "nk"
+    )
+    got = api.nearest_value_join(
+        sup, cus, "nk", "s_suppkey", "s_acctbal", "c_custkey", "c_acctbal",
+        scale=2,
+    )
+    want = QUERIES["join_nearest_value"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(
+            got.withColumnRenamed("nearest_key", "nearest_custkey")
+               .withColumnRenamed("diff_q", "diff_cents"),
+            ["s_suppkey"],
+        ),
+        _sorted(want, ["s_suppkey"]),
+        check_dtype=False,
+    )
+
+
+def test_token_source_mi_matches_corpus_token_source_mi(spark):
+    got = api.token_source_mi(_docs(spark), "source", "text", top_n=40)
+    want = QUERIES["corpus_token_source_mi"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["term"]), _sorted(want, ["term"]), check_dtype=False
+    )
+
+
+def test_largest_remainder_alloc_matches_mix_token_budget(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras38 import (
+        MIX_BUDGET,
+        MIX_TEMP,
+    )
+
+    ts = (
+        _docs(spark)
+        .select(
+            "source",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    got = api.largest_remainder_alloc(
+        ts, "source", "n_tokens", MIX_BUDGET, MIX_TEMP
+    )
+    want = QUERIES["mix_token_budget"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got.withColumnRenamed("alloc", "alloc_tokens"), ["source"]),
+        _sorted(want, ["source"]),
+        check_dtype=False,
+    )
+
+
+def test_drawdown_duration_matches_ts_drawdown_duration(spark):
+    from pyspark.sql import functions as F
+
+    daily = _events(spark).groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    got = api.drawdown_duration(daily, ["event_type"], "d", "v")
+    want = QUERIES["ts_drawdown_duration"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got.withColumnRenamed("n_points", "n_days"),
+                ["event_type"]),
+        _sorted(want, ["event_type"]),
+        check_dtype=False,
+    )

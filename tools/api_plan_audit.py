@@ -627,6 +627,36 @@ def _catalog(api, fx, tmp: str) -> dict:
                      (F.col("uid") + 1).alias("y")),
             "x", "y", by=["stage"],
         ),
+        "calc_check": lambda: api.calc_check(
+            e.select("uid", "stage", (F.col("val") * 100).alias("v")),
+            ["uid"], "stage", "v",
+            [("r1", "view", ["cart", "buy"])],
+        ),
+        "tfidf_topk": lambda: api.tfidf_topk(d, "domain", "body", k=3),
+        "bfs_layers": lambda: api.bfs_layers(
+            e.select(F.col("uid").alias("a"),
+                     (F.col("uid") % 3).alias("b")),
+            "a", "b", n_seeds=2, hops=2,
+        ),
+        "ols_forecast": lambda: api.ols_forecast(
+            e.groupBy("stage", F.dayofmonth("day").alias("x"))
+             .agg(F.count(F.lit(1)).alias("y")),
+            ["stage"], "x", "y",
+        ),
+        "nearest_value_join": lambda: api.nearest_value_join(
+            e, q, "uid", "stage", "val", "qtime", "quote"
+        ),
+        "token_source_mi": lambda: api.token_source_mi(
+            d, "domain", "body", top_n=10
+        ),
+        "largest_remainder_alloc": lambda: api.largest_remainder_alloc(
+            d.groupBy("domain").count(), "domain", "count", 1000, 0.7
+        ),
+        "drawdown_duration": lambda: api.drawdown_duration(
+            e.select("uid", "etime",
+                     F.floor(F.col("val") * 100 + 0.5).alias("v")),
+            ["uid"], "etime", "v",
+        ),
     }
 
 

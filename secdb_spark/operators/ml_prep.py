@@ -119,11 +119,13 @@ def feat_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply is map-side against the broadcast model — the second scan
     never shuffles.  At 100 TB the model stays 5 rows."""
     c = table(spark, sf_dir, "customer")
+    # operand widens to DECIMAL BEFORE the square: the LONG product
+    # wraps silently above |quantized| ~3.03e9 (r10 judge sweep)
     x = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
     m = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
-        F.sum((x * x).cast(D0)).alias("sxx"),
+        F.sum(x.cast(D0) * x.cast(D0)).alias("sxx"),
         F.min(x).alias("mn"),
         F.max(x).alias("mx"),
     )

@@ -918,15 +918,17 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside decimal range."""
     li = table(spark, sf_dir, "lineitem")
     d0 = "decimal(38,0)"
-    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
-    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    # operands widen to DECIMAL BEFORE the multiply: LONG products wrap
+    # silently above |quantized| ~3.03e9 (r10 judge sweep)
+    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").cast(d0)
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").cast(d0)
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast(d0)).alias("sx"),
-        F.sum(y.cast(d0)).alias("sy"),
-        F.sum((x * x).cast(d0)).alias("sxx"),
-        F.sum((y * y).cast(d0)).alias("syy"),
-        F.sum((x * y).cast(d0)).alias("sxy"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
     )
     num = (F.col("n").cast(d0) * F.col("sxy")
            - F.col("sx").cast(d0) * F.col("sy"))

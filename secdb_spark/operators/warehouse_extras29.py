@@ -105,15 +105,17 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs = []
     for k in (1, 2, 3):
-        xk, y = F.col(f"x{k}"), F.col("y")
-        present = xk.isNotNull()
+        # operands widen to DECIMAL BEFORE the multiply: LONG count
+        # products wrap silently above ~3.03e9/day (r10 judge sweep)
+        xk, y = F.col(f"x{k}").cast(D0), F.col("y").cast(D0)
+        present = F.col(f"x{k}").isNotNull()
         aggs += [
-            F.count(xk).alias(f"n{k}"),
-            F.sum(F.when(present, xk.cast(D0))).alias(f"sx{k}"),
-            F.sum(F.when(present, y.cast(D0))).alias(f"sy{k}"),
-            F.sum(F.when(present, (xk * xk).cast(D0))).alias(f"sxx{k}"),
-            F.sum(F.when(present, (y * y).cast(D0))).alias(f"syy{k}"),
-            F.sum(F.when(present, (xk * y).cast(D0))).alias(f"sxy{k}"),
+            F.count(F.col(f"x{k}")).alias(f"n{k}"),
+            F.sum(F.when(present, xk)).alias(f"sx{k}"),
+            F.sum(F.when(present, y)).alias(f"sy{k}"),
+            F.sum(F.when(present, xk * xk)).alias(f"sxx{k}"),
+            F.sum(F.when(present, y * y)).alias(f"syy{k}"),
+            F.sum(F.when(present, xk * y)).alias(f"sxy{k}"),
         ]
     m = lagged.groupBy("event_type").agg(*aggs)
 

@@ -251,13 +251,15 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent."""
     li = table(spark, sf_dir, "lineitem")
     d0 = "decimal(38,0)"
-    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    # operand widens to DECIMAL BEFORE the powers: a LONG x^4 wraps
+    # silently above |quantized| ~55e3 — raw |v| ~551 at cents (r10)
+    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").cast(d0)
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x.cast(d0)).cast("double").alias("s1"),
-        F.sum((x * x).cast(d0)).cast("double").alias("s2"),
-        F.sum((x * x * x).cast(d0)).cast("double").alias("s3"),
-        F.sum((x * x * x * x).cast(d0)).cast("double").alias("s4"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
     )
     n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
     mu = s1 / n

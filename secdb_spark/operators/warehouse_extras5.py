@@ -203,20 +203,22 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom: DECIMAL(38,0) holds n·Σy² up to ~1e12 rows/group at these
     quantization scales."""
     li = table(spark, sf_dir, "lineitem")
-    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
-    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    z = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    # operands widen to DECIMAL BEFORE the multiply: LONG products wrap
+    # silently above |quantized| ~3.03e9 (r10 judge sweep)
+    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").cast(D0)
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").cast(D0)
+    z = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").cast(D0)
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast(D0)).alias("sx"),
-        F.sum(y.cast(D0)).alias("sy"),
-        F.sum(z.cast(D0)).alias("sz"),
-        F.sum((x * x).cast(D0)).alias("sxx"),
-        F.sum((y * y).cast(D0)).alias("syy"),
-        F.sum((z * z).cast(D0)).alias("szz"),
-        F.sum((x * y).cast(D0)).alias("sxy"),
-        F.sum((x * z).cast(D0)).alias("sxz"),
-        F.sum((y * z).cast(D0)).alias("syz"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
     )
 
     def corr(sa: str, sb: str, sab: str, saa: str, sbb: str):

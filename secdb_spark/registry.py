@@ -15,6 +15,11 @@ must follow:
   4. no bare LIMIT — only ORDER-BY-complete top-k
   5. collect_list/set wrapped in sort_array; oracle uses list(x ORDER BY x)
   6. integer SUMs cast to BIGINT both sides (DuckDB sum(int) is HUGEINT)
+  7. quantized-LONG operands widen to DECIMAL(38,0) BEFORE any product
+     (x*x in LONG wraps silently above |x| ~3.03e9 in non-ANSI Spark and
+     x^4 above ~55e3, while DuckDB raises — the r10 judge sweep; the
+     closing num/den products stay decimal too, one IEEE division at
+     the end)
 """
 
 from __future__ import annotations

@@ -79,7 +79,12 @@ FAMILIES = [
                     "trend_slope", "loglog_elasticity"]),
     ("Warehouse maintenance", ["latest_by_key", "scd2", "write_partitioned",
                                "period_growth", "table_diff", "fk_check",
-                               "skew_report"]),
+                               "skew_report", "calc_check"]),
+    ("Round-11 additions (forecasting / nearest joins / corpus heads / "
+     "budgets / graphs)",
+     ["tfidf_topk", "token_source_mi", "largest_remainder_alloc",
+      "bfs_layers", "ols_forecast", "nearest_value_join",
+      "drawdown_duration"]),
     ("Sketches", ["bloom_filter", "cms", "hash_features"]),
     ("Recommendations", ["item_similarity", "copurchase_pairs",
                          "tfidf_topk_terms"]),

@@ -884,3 +884,148 @@ def ts_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         he4(F.max("depth")).alias("max_dd_depth"),
         F.max("dd_days").cast("long").alias("max_dd_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_percentile — weighted lower-bound percentiles, exact integers
+# ---------------------------------------------------------------------------
+
+WPCT = (25, 50, 75, 90)
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag AS rf,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS wv
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT rf, v, wv,
+             sum(wv) OVER (PARTITION BY rf ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(wv) OVER (PARTITION BY rf) AS tot
+      FROM q
+    )
+    SELECT rf AS l_returnflag,
+           {", ".join(
+               f"CAST(min(CASE WHEN 100 * cum >= {p} * tot THEN v END)"
+               f" AS BIGINT) AS p{p}_cents" for p in WPCT)}
+    FROM c GROUP BY rf
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles of the price distribution per return flag,
+    weighted by quantity (agg_weighted_median generalized to an
+    arbitrary percentile vector): p-th percentile = the smallest value
+    whose cumulative weight reaches p% of the group's total — the
+    lower-bound convention, so everything is EXACT integer arithmetic
+    (cents x centi-units, 100*cum >= p*tot compares), no interpolation,
+    no floats anywhere.  Returns (l_returnflag, p25_cents, p50_cents,
+    p75_cents, p90_cents).
+
+    Scale: values pre-aggregate per (group, value) — the window runs
+    over the value-domain-bounded weight table, not the raw rows; one
+    exchange on the group key serves both window frames."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("v"),
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("wv")
+    )
+    wc = (
+        Window.partitionBy("rf")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("rf")
+    c = q.select(
+        "rf",
+        "v",
+        F.sum("wv").over(wc).alias("cum"),
+        F.sum("wv").over(wt).alias("tot"),
+    )
+    return c.groupBy(F.col("rf").alias("l_returnflag")).agg(
+        *[
+            F.min(F.when(100 * F.col("cum") >= p * F.col("tot"), F.col("v")))
+            .cast("long")
+            .alias(f"p{p}_cents")
+            for p in WPCT
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_topk — Efraimidis-Spirakis weighted sampling, deterministic
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 20
+WSAMPLE_SALT = "ws:"
+#: 13 hex digits = 52 bits — exactly representable in a double
+_HEX13 = float(16**13)
+
+
+@register(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey, o_totalprice,
+             -ln((('0x' || substr(md5('{WSAMPLE_SALT}'
+                                      || CAST(o_orderkey AS VARCHAR)),
+                                  1, 13))::BIGINT + 1) / {_HEX13!r})
+               / o_totalprice AS key
+      FROM orders
+    ), rk AS (
+      SELECT *, row_number() OVER (ORDER BY key, o_orderkey) AS rk FROM k
+    )
+    SELECT CAST(rk AS INT) AS rk, o_orderkey,
+           CAST(floor(key * 1000000000000 + 0.5) AS BIGINT) AS key_e12
+    FROM rk WHERE rk <= {WSAMPLE_K}
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis priority sampling): each order draws
+    u = md5-uniform(0, 1] and key = -ln(u) / weight; the k smallest
+    keys are a weight-proportional sample — the standard one-pass
+    distributed algorithm (equivalent to ranking by u^(1/w)), here made
+    REPRODUCIBLE by deriving u from a salted md5 of the key column
+    instead of an RNG, the deterministic-sample house convention.
+    Weight = o_totalprice.  Returns (rk, o_orderkey, key_e12).
+
+    Scale: keys are map-side expressions fused into the scan; the top-k
+    is TakeOrderedAndProject (partial top-k per partition, never a
+    global sort) — the same shape at any corpus size, and the sample is
+    stable under repartitioning because u is a pure function of the
+    row key."""
+    o = table(spark, sf_dir, "orders")
+    hn = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(WSAMPLE_SALT),
+                           F.col("o_orderkey").cast("string"))),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    key = -F.log((hn + 1) / F.lit(_HEX13)) / F.col("o_totalprice")
+    k = o.select("o_orderkey", key.alias("key"))
+    w = Window.orderBy("key", "o_orderkey")
+    return (
+        k.orderBy("key", "o_orderkey")
+        .limit(WSAMPLE_K)
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "o_orderkey",
+            F.floor(F.col("key") * 1_000_000_000_000 + 0.5)
+            .cast("long")
+            .alias("key_e12"),
+        )
+    )

@@ -295,3 +295,97 @@ def xbrl_calc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.when(F.col("delta") == 0, "CONSISTENT").otherwise("INCONSISTENT"),
     )
+
+
+# ---------------------------------------------------------------------------
+# xbrl_period_unit_check — mini-taxonomy conformance audit (step 2 toward
+# taxonomy-aware validation, after xbrl_calc_check's calculation arcs)
+# ---------------------------------------------------------------------------
+
+#: Declared concept schema (the role the taxonomy's periodType/unitType
+#: attributes play in a full DTS): concept -> (expected period kind,
+#: expected unit or None for text facts).
+XBRL_CONCEPT_SCHEMA = (
+    ("us-gaap:Revenues", "duration", "usd"),
+    ("us-gaap:NetIncomeLoss", "duration", "usd"),
+    ("us-gaap:OperatingIncomeLoss", "duration", "usd"),
+    ("us-gaap:Assets", "instant", "usd"),
+    ("us-gaap:Liabilities", "instant", "usd"),
+    ("dei:DocumentType", "duration", None),
+)
+
+
+def _period_unit_gold() -> list[tuple]:
+    # per concept across the 80 post-supersedence generated filings:
+    # dur/inst concepts appear once per filing consolidated plus (for
+    # Revenues) 3 regional + 1 two-dim fact; every fact conforms by
+    # construction, so the violation counters certify at zero.
+    n_filings = _GEN.N_COMPANIES * len(_GEN.QUARTERS)
+    per_concept = {
+        "us-gaap:Revenues": n_filings * (1 + len(_GEN.REGIONS) + 1),
+        "us-gaap:NetIncomeLoss": n_filings,
+        "us-gaap:OperatingIncomeLoss": n_filings,
+        "us-gaap:Assets": n_filings,
+        "us-gaap:Liabilities": n_filings,
+        "dei:DocumentType": n_filings,
+    }
+    return [
+        (c, kind, per_concept[c], 0, 0)
+        for c, kind, _u in XBRL_CONCEPT_SCHEMA
+    ]
+
+
+@register(
+    "xbrl_period_unit_check",
+    oracle=_values_sql(
+        _period_unit_gold(),
+        "concept, expected_period, n_facts, n_period_viol, n_unit_viol",
+    ),
+)
+def xbrl_period_unit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept-schema conformance audit over the post-supersedence facts
+    (the periodType/unit half of taxonomy validation, beside
+    xbrl_calc_check's calculation arcs): for every concept the declared
+    XBRL_CONCEPT_SCHEMA knows, count its facts and how many violate the
+    declared period kind (duration facts need start+end, instant facts
+    an instant) or the declared unit (None = text fact, no unit
+    allowed).  A real filing set surfaces misfiled facts here instead
+    of loading silently; the generator fixture conforms fully, so the
+    audit certifies at zero violations with exact per-concept fact
+    counts.  Returns (concept, expected_period, n_facts, n_period_viol,
+    n_unit_viol).
+
+    Scale: one combinable aggregate over the facts keyed by concept
+    after a broadcast join of the model-sized schema table."""
+    schema_rows = [
+        (c, kind, unit) for c, kind, unit in XBRL_CONCEPT_SCHEMA
+    ]
+    sch = spark.createDataFrame(
+        schema_rows, "concept string, expected_period string, exp_unit string"
+    )
+    facts = _xbrl_supersede_facts(spark, sf_dir).filter(
+        F.col("cik").isin(*GEN_CIKS)
+    )
+    j = facts.join(F.broadcast(sch), "concept")
+    period_ok = F.when(
+        F.col("expected_period") == "duration",
+        F.col("period_start").isNotNull()
+        & F.col("period_end").isNotNull()
+        & F.col("period_instant").isNull(),
+    ).otherwise(
+        F.col("period_instant").isNotNull()
+        & F.col("period_start").isNull()
+        & F.col("period_end").isNull()
+    )
+    unit_ok = F.when(
+        F.col("exp_unit").isNull(), F.col("unit").isNull()
+    ).otherwise(F.col("unit") == F.col("exp_unit"))
+    return j.groupBy("concept", "expected_period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.sum(F.when(period_ok, 0).otherwise(1))
+        .cast("long")
+        .alias("n_period_viol"),
+        F.sum(F.when(unit_ok, 0).otherwise(1))
+        .cast("long")
+        .alias("n_unit_viol"),
+    )

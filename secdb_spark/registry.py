@@ -478,6 +478,10 @@ _CERT_SLATE_R12: tuple[str, ...] = (
     "xbrl_calc_check", "corpus_tfidf_topk", "graph_bfs_layers",
     "ts_ols_forecast", "join_nearest_value", "corpus_token_source_mi",
     "src_jsonl", "fn_url", "mix_token_budget", "ts_drawdown_duration",
+    # round-11 batch 2 (taxonomy conformance / weighted percentiles /
+    # ES weighted sampling) — widening now 13 of the <= 16 cap.
+    "xbrl_period_unit_check", "agg_weighted_percentile",
+    "sample_weighted_topk",
 )
 
 

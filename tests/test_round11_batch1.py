@@ -176,3 +176,69 @@ def test_fn_url_parses_components(spark, q):
         assert r["path"] == f"/catalog/{r['s_suppkey'] % 10}"
         assert r["q_rank"] == r["s_suppkey"] % 7
         assert 0 <= r["q_nation"] <= 24
+
+
+def test_xbrl_period_unit_check_all_conforming(spark, q):
+    rows = q["xbrl_period_unit_check"](spark, SF).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["n_period_viol"] == 0 and r["n_unit_viol"] == 0
+        assert r["n_facts"] > 0
+    by_c = {r["concept"]: r for r in rows}
+    # Revenues carries consolidated + 3 regional + 1 two-dim fact per filing
+    assert by_c["us-gaap:Revenues"]["n_facts"] == 5 * by_c[
+        "us-gaap:Assets"
+    ]["n_facts"]
+
+
+def test_agg_weighted_percentile_monotone_and_bounded(spark, q):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    bounds = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min(F.floor(F.col("l_extendedprice") * 100 + 0.5)).alias("lo"),
+            F.max(F.floor(F.col("l_extendedprice") * 100 + 0.5)).alias("hi"),
+        )
+        .collect()
+    }
+    for r in q["agg_weighted_percentile"](spark, SF).collect():
+        ps = [r["p25_cents"], r["p50_cents"], r["p75_cents"], r["p90_cents"]]
+        assert ps == sorted(ps)
+        b = bounds[r["l_returnflag"]]
+        assert b["lo"] <= ps[0] and ps[-1] <= b["hi"]
+
+
+def test_sample_weighted_topk_deterministic_and_weighted(spark, q):
+    import math
+
+    from secdb_spark.operators.warehouse_extras38 import (
+        WSAMPLE_K,
+        WSAMPLE_SALT,
+        _HEX13,
+    )
+
+    a = q["sample_weighted_topk"](spark, SF).collect()
+    b = q["sample_weighted_topk"](spark, SF).collect()
+    assert [r["o_orderkey"] for r in a] == [r["o_orderkey"] for r in b]
+    assert len(a) == WSAMPLE_K
+    # recompute one key in python from the same md5 derivation
+    import hashlib
+
+    orders = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    top = a[0]
+    hn = int(
+        hashlib.md5(
+            f"{WSAMPLE_SALT}{top['o_orderkey']}".encode()
+        ).hexdigest()[:13],
+        16,
+    )
+    key = -math.log((hn + 1) / _HEX13) / orders[top["o_orderkey"]]
+    assert top["key_e12"] == math.floor(key * 1_000_000_000_000 + 0.5)

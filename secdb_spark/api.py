@@ -256,6 +256,8 @@ __all__ = [
     "token_source_mi",
     "largest_remainder_alloc",
     "drawdown_duration",
+    "weighted_percentiles",
+    "weighted_sample",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -8993,4 +8995,104 @@ def drawdown_duration(
         (F.sum("_dd") + F.count(F.lit(1))).cast("long").alias("n_points"),
         _he4(F.max("_depth")).alias("max_dd_depth"),
         F.max("_dd").cast("long").alias("max_dd_days"),
+    )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    by: list[str],
+    val_col: str,
+    weight_col: str,
+    ps: tuple[int, ...] = (25, 50, 75, 90),
+    scale: int = 2,
+    weight_scale: int = 2,
+) -> DataFrame:
+    """Weighted percentiles of ANY (value, weight) pair per group
+    (agg_weighted_percentile's algebra with columns, percentile vector
+    and fixed-point scales parameterized): the p-th percentile is the
+    smallest value whose cumulative weight reaches p% of the group
+    total — the lower-bound convention, so everything is EXACT integer
+    arithmetic (quantized values x quantized weights, 100*cum >= p*tot
+    compares), no interpolation, no floats.  Returns
+    (by..., p{{p}}_q ...) in quantized value units.
+
+    Scale: values pre-aggregate per (group, value) — the window runs
+    over the value-domain-bounded weight table, not the raw rows."""
+    q = df.groupBy(
+        *by,
+        F.floor(F.col(val_col) * (10**scale) + 0.5)
+        .cast("long")
+        .alias("_v"),
+    ).agg(
+        F.sum(
+            F.floor(F.col(weight_col) * (10**weight_scale) + 0.5)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("_wv")
+    )
+    wc = (
+        Window.partitionBy(*by)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*by)
+    c = q.select(
+        *by,
+        "_v",
+        F.sum("_wv").over(wc).alias("_cum"),
+        F.sum("_wv").over(wt).alias("_tot"),
+    )
+    return c.groupBy(*by).agg(
+        *[
+            F.min(
+                F.when(100 * F.col("_cum") >= p * F.col("_tot"), F.col("_v"))
+            )
+            .cast("long")
+            .alias(f"p{p}_q")
+            for p in ps
+        ]
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 20,
+    salt: str = "ws:",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ANY keyed
+    frame (sample_weighted_topk's Efraimidis-Spirakis priority sampling
+    with columns, k and salt parameterized): u = md5-uniform(0, 1] of
+    the salted key, priority = -ln(u) / weight, k smallest priorities —
+    weight-proportional, reproducible, and repartition-stable because u
+    is a pure function of the key.  Weights must be positive.  Returns
+    (rk, key_col, key_e12).
+
+    Scale: priorities are map-side expressions fused into the scan; the
+    top-k is TakeOrderedAndProject — partial top-k per partition, never
+    a global sort."""
+    hex13 = float(16**13)
+    hn = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    key = -F.log((hn + 1) / F.lit(hex13)) / F.col(weight_col)
+    t = df.select(F.col(key_col), key.alias("_key"))
+    w = Window.orderBy("_key", key_col)
+    return (
+        t.orderBy("_key", key_col)
+        .limit(k)
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            key_col,
+            F.floor(F.col("_key") * 1_000_000_000_000 + 0.5)
+            .cast("long")
+            .alias("key_e12"),
+        )
     )

@@ -3232,3 +3232,35 @@ def test_drawdown_duration_matches_ts_drawdown_duration(spark):
         _sorted(want, ["event_type"]),
         check_dtype=False,
     )
+
+
+def test_weighted_percentiles_matches_agg_weighted_percentile(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = api.weighted_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+    want = QUERIES["agg_weighted_percentile"](spark, SF_DIR)
+    g = got
+    for p in (25, 50, 75, 90):
+        g = g.withColumnRenamed(f"p{p}_q", f"p{p}_cents")
+    pd.testing.assert_frame_equal(
+        _sorted(g, ["l_returnflag"]),
+        _sorted(want, ["l_returnflag"]),
+        check_dtype=False,
+    )
+
+
+def test_weighted_sample_matches_sample_weighted_topk(spark):
+    from secdb_spark.operators.warehouse_extras38 import (
+        WSAMPLE_K,
+        WSAMPLE_SALT,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = api.weighted_sample(
+        o, "o_orderkey", "o_totalprice", k=WSAMPLE_K, salt=WSAMPLE_SALT
+    )
+    want = QUERIES["sample_weighted_topk"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["rk"]), _sorted(want, ["rk"]), check_dtype=False
+    )

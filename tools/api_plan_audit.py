@@ -657,6 +657,12 @@ def _catalog(api, fx, tmp: str) -> dict:
                      F.floor(F.col("val") * 100 + 0.5).alias("v")),
             ["uid"], "etime", "v",
         ),
+        "weighted_percentiles": lambda: api.weighted_percentiles(
+            d, ["domain"], "score", "score"
+        ),
+        "weighted_sample": lambda: api.weighted_sample(
+            d, "pk", "score", k=3
+        ),
     }
 
 

@@ -84,7 +84,7 @@ FAMILIES = [
      "budgets / graphs)",
      ["tfidf_topk", "token_source_mi", "largest_remainder_alloc",
       "bfs_layers", "ols_forecast", "nearest_value_join",
-      "drawdown_duration"]),
+      "drawdown_duration", "weighted_percentiles", "weighted_sample"]),
     ("Sketches", ["bloom_filter", "cms", "hash_features"]),
     ("Recommendations", ["item_similarity", "copurchase_pairs",
                          "tfidf_topk_terms"]),

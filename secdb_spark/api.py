@@ -8632,10 +8632,16 @@ def bfs_layers(
             edges.select(F.col(dst_col).alias("_a"),
                          F.col(src_col).alias("_b"))
         )
-    sym = pin(sym)
+    # the adjacency persists (cache, no lineage break needed — it is
+    # scanned once per hop) instead of localCheckpointing a potentially
+    # corpus-sized edge list to executor disk; only the frontier-sized
+    # frames pin (r11 review)
+    sym = sym.persist()
+    nodes = sym.select(F.col("_a").alias("_v")).union(
+        sym.select(F.col("_b").alias("_v"))
+    )
     frontier = pin(
-        sym.select(F.col("_a").alias("_v")).distinct().orderBy("_v")
-        .limit(n_seeds)
+        nodes.distinct().orderBy("_v").limit(n_seeds)
     )
     reached = frontier
     layers = [
@@ -8909,7 +8915,7 @@ def largest_remainder_alloc(
     pq = pin(
         df.filter(F.col(mass_col) > 0).select(
             F.col(group_col).alias("_g"),
-            F.col(mass_col).cast("long").alias("_mass"),
+            F.col(mass_col).alias("_mass"),
             F.floor(
                 F.exp(
                     F.lit(temperature)
@@ -8975,26 +8981,37 @@ def drawdown_duration(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pk = df.withColumn("_peak", F.max(val_col).over(w))
-    at_peak = F.when(F.col(val_col) == F.col("_peak"), 1).otherwise(0)
+    pk = df.select(
+        *by, order_col, F.col(val_col).alias("__secdb_v")
+    ).withColumn("__secdb_peak", F.max("__secdb_v").over(w))
+    at_peak = F.when(
+        F.col("__secdb_v") == F.col("__secdb_peak"), 1
+    ).otherwise(0)
     grp = pk.select(
         *by,
-        F.col(val_col).alias("_v"),
-        "_peak",
-        at_peak.alias("_at_peak"),
-        F.sum(at_peak).over(w).alias("_g"),
+        "__secdb_v",
+        "__secdb_peak",
+        at_peak.alias("__secdb_at_peak"),
+        F.sum(at_peak).over(w).alias("__secdb_g"),
     )
-    runs = grp.groupBy(*by, "_g").agg(
-        F.sum(1 - F.col("_at_peak")).cast("long").alias("_dd"),
-        F.max(
-            (F.col("_peak") - F.col("_v")).cast("double")
-            / F.col("_peak").cast("double")
-        ).alias("_depth"),
+    # depth is only defined against a POSITIVE peak (a relative loss
+    # from a <= 0 level has no percentage meaning): guard instead of
+    # emitting sign-flipped or divide-by-zero-NULL depths (r11 review)
+    depth = F.when(
+        F.col("__secdb_peak") > 0,
+        (F.col("__secdb_peak") - F.col("__secdb_v")).cast("double")
+        / F.col("__secdb_peak").cast("double"),
+    )
+    runs = grp.groupBy(*by, "__secdb_g").agg(
+        F.sum(1 - F.col("__secdb_at_peak")).cast("long").alias("__secdb_dd"),
+        F.max(depth).alias("__secdb_depth"),
     )
     return runs.groupBy(*by).agg(
-        (F.sum("_dd") + F.count(F.lit(1))).cast("long").alias("n_points"),
-        _he4(F.max("_depth")).alias("max_dd_depth"),
-        F.max("_dd").cast("long").alias("max_dd_days"),
+        (F.sum("__secdb_dd") + F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_points"),
+        _he4(F.max("__secdb_depth")).alias("max_dd_depth"),
+        F.max("__secdb_dd").cast("long").alias("max_dd_days"),
     )
 
 
@@ -9018,36 +9035,39 @@ def weighted_percentiles(
 
     Scale: values pre-aggregate per (group, value) — the window runs
     over the value-domain-bounded weight table, not the raw rows."""
+    d0 = "decimal(38,0)"
     q = df.groupBy(
         *by,
         F.floor(F.col(val_col) * (10**scale) + 0.5)
         .cast("long")
-        .alias("_v"),
+        .alias("__secdb_v"),
     ).agg(
         F.sum(
             F.floor(F.col(weight_col) * (10**weight_scale) + 0.5)
             .cast("long")
         )
         .cast("long")
-        .alias("_wv")
+        .alias("__secdb_wv")
     )
     wc = (
         Window.partitionBy(*by)
-        .orderBy("_v")
+        .orderBy("__secdb_v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wt = Window.partitionBy(*by)
     c = q.select(
         *by,
-        "_v",
-        F.sum("_wv").over(wc).alias("_cum"),
-        F.sum("_wv").over(wt).alias("_tot"),
+        "__secdb_v",
+        F.sum("__secdb_wv").over(wc).alias("__secdb_cum"),
+        F.sum("__secdb_wv").over(wt).alias("__secdb_tot"),
     )
+    # threshold compare widens to DECIMAL: 100*cum in LONG wraps above
+    # ~9.2e16 cumulative weight (round-11 close-out review)
+    cum_d = F.col("__secdb_cum").cast(d0)
+    tot_d = F.col("__secdb_tot").cast(d0)
     return c.groupBy(*by).agg(
         *[
-            F.min(
-                F.when(100 * F.col("_cum") >= p * F.col("_tot"), F.col("_v"))
-            )
+            F.min(F.when(100 * cum_d >= p * tot_d, F.col("__secdb_v")))
             .cast("long")
             .alias(f"p{p}_q")
             for p in ps
@@ -9082,16 +9102,21 @@ def weighted_sample(
         16, 10,
     ).cast("long")
     key = -F.log((hn + 1) / F.lit(hex13)) / F.col(weight_col)
-    t = df.select(F.col(key_col), key.alias("_key"))
-    w = Window.orderBy("_key", key_col)
+    # NULL keys hash to NULL priorities (which sort FIRST and would
+    # hijack the sample) and non-positive weights have no ES meaning —
+    # both are excluded, not sampled (r11 review)
+    t = df.filter(
+        F.col(key_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(F.col(key_col), key.alias("__secdb_key"))
+    w = Window.orderBy("__secdb_key", key_col)
     return (
-        t.orderBy("_key", key_col)
+        t.orderBy("__secdb_key", key_col)
         .limit(k)
         .withColumn("rk", F.row_number().over(w))
         .select(
             F.col("rk").cast("int").alias("rk"),
             key_col,
-            F.floor(F.col("_key") * 1_000_000_000_000 + 0.5)
+            F.floor(F.col("__secdb_key") * 1_000_000_000_000 + 0.5)
             .cast("long")
             .alias("key_e12"),
         )

@@ -617,8 +617,12 @@ def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.select(
         F.to_json(F.struct("event_id", "user_id", "value")).alias("j")
     ).write.mode("overwrite").text(in_dir)
-    with open(os.path.join(in_dir, "z_corrupt.txt"), "w") as fh:
-        fh.write("\n".join(JSONL_CORRUPT_LINES) + "\n")
+    # the corrupt lines go through Spark's OWN writer (append), so the
+    # staging works on any Hadoop-FS target, not just a driver-local
+    # disk (r11 review)
+    spark.createDataFrame(
+        [(line,) for line in JSONL_CORRUPT_LINES], "value string"
+    ).coalesce(1).write.mode("append").text(in_dir)
     back = (
         spark.read.schema(
             "event_id long, user_id long, value double, "
@@ -827,8 +831,9 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), runs AS (
       SELECT event_type, g,
              CAST(sum(1 - at_peak) AS BIGINT) AS dd_days,
-             max(CAST(peak - v AS DOUBLE) / CAST(peak AS DOUBLE))
-               AS depth
+             max(CASE WHEN peak > 0 THEN
+                   CAST(peak - v AS DOUBLE) / CAST(peak AS DOUBLE)
+                 END) AS depth
       FROM grp GROUP BY 1, 2
     )
     SELECT event_type,
@@ -872,11 +877,17 @@ def ts_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         at_peak.alias("at_peak"),
         F.sum(at_peak).over(w).alias("g"),
     )
+    # depth only defined against a POSITIVE peak (r11 review); the
+    # fixture's revenue series is always positive, so certified output
+    # is unchanged
     runs = grp.groupBy("event_type", "g").agg(
         F.sum(1 - F.col("at_peak")).cast("long").alias("dd_days"),
         F.max(
-            (F.col("peak") - F.col("v")).cast("double")
-            / F.col("peak").cast("double")
+            F.when(
+                F.col("peak") > 0,
+                (F.col("peak") - F.col("v")).cast("double")
+                / F.col("peak").cast("double"),
+            )
         ).alias("depth"),
     )
     return runs.groupBy("event_type").agg(
@@ -952,9 +963,14 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wv").over(wc).alias("cum"),
         F.sum("wv").over(wt).alias("tot"),
     )
+    # threshold compare widens to DECIMAL: 100*cum in LONG wraps above
+    # ~9.2e16 cumulative weight while the DuckDB oracle's HUGEINT does
+    # not (round-11 close-out review)
+    cum_d = F.col("cum").cast(D0)
+    tot_d = F.col("tot").cast(D0)
     return c.groupBy(F.col("rf").alias("l_returnflag")).agg(
         *[
-            F.min(F.when(100 * F.col("cum") >= p * F.col("tot"), F.col("v")))
+            F.min(F.when(100 * cum_d >= p * tot_d, F.col("v")))
             .cast("long")
             .alias(f"p{p}_cents")
             for p in WPCT
@@ -981,7 +997,7 @@ _HEX13 = float(16**13)
                                       || CAST(o_orderkey AS VARCHAR)),
                                   1, 13))::BIGINT + 1) / {_HEX13!r})
                / o_totalprice AS key
-      FROM orders
+      FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice > 0
     ), rk AS (
       SELECT *, row_number() OVER (ORDER BY key, o_orderkey) AS rk FROM k
     )
@@ -1015,7 +1031,12 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         16, 10,
     ).cast("long")
     key = -F.log((hn + 1) / F.lit(_HEX13)) / F.col("o_totalprice")
-    k = o.select("o_orderkey", key.alias("key"))
+    # NULL keys hash to NULL priorities (sort first, hijack the top-k)
+    # and non-positive weights have no ES meaning — excluded (r11
+    # review); vacuous on this corpus, load-bearing on arbitrary ones
+    k = o.filter(
+        F.col("o_orderkey").isNotNull() & (F.col("o_totalprice") > 0)
+    ).select("o_orderkey", key.alias("key"))
     w = Window.orderBy("key", "o_orderkey")
     return (
         k.orderBy("key", "o_orderkey")

@@ -157,6 +157,7 @@ MODEL_SIZED_ALLOWLIST = {
     ("warehouse_extras36.py", "bpe_merge_topk"): "row_number over the 50-row TakeOrderedAndProject result (sample_bottomk convention)",
     ("curation_extras2.py", "vocab_topk_coverage"): "rank over the |vocab|-row frequency aggregate (corpus_zipf_slope convention — vocabulary, not corpus, sizes the window)",
     ("warehouse_extras35.py", "ts_macd"): "EWMA lag chains over the |days|-row daily revenue aggregate (calendar-bounded series, win_ewma convention)",
+    ("warehouse_extras38.py", "sample_weighted_topk"): "row_number over the k-row TakeOrderedAndProject result (sample_bottomk convention; priorities are map-side, the orderBy+limit is partial top-k per partition)",
 }
 
 #: functions whose global-window use is the below-gate branch of a

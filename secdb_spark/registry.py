@@ -482,6 +482,9 @@ _CERT_SLATE_R12: tuple[str, ...] = (
     # ES weighted sampling) — widening now 13 of the <= 16 cap.
     "xbrl_period_unit_check", "agg_weighted_percentile",
     "sample_weighted_topk",
+    # round-11 batch 3 (exact-certified multimodal plumbing) — widening
+    # now 15 of the <= 16 cap; R12 load 35 of 50 slots.
+    "mm_audio_frame_rms", "mm_image_hist",
 )
 
 
@@ -555,6 +558,7 @@ def _load_operators() -> None:
         llm_pipeline,
         markov_extras,
         ml_prep,
+        mm_extras,
         pipeline_extras,
         projections,
         recsys_extras,

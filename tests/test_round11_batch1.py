@@ -242,3 +242,40 @@ def test_sample_weighted_topk_deterministic_and_weighted(spark, q):
     )
     key = -math.log((hn + 1) / _HEX13) / orders[top["o_orderkey"]]
     assert top["key_e12"] == math.floor(key * 1_000_000_000_000 + 0.5)
+
+
+def test_mm_audio_frame_rms_python_twin(spark, q):
+    """The binary round-trip must reproduce the pure-arithmetic twin."""
+    import math
+
+    from secdb_spark.operators.mm_extras import (
+        A_MUL,
+        A_STEP,
+        AUDIO_FRAME,
+        AUDIO_MOD,
+        AUDIO_N,
+    )
+
+    rows = q["mm_audio_frame_rms"](spark, SF).collect()
+    assert rows and len(rows) % (AUDIO_N // AUDIO_FRAME) == 0
+    for r in rows[:8]:
+        d, fi = r["doc_id"], r["frame_idx"]
+        ssq = sum(
+            ((d * A_MUL + i * A_STEP) % AUDIO_MOD - 32768) ** 2
+            for i in range(fi * AUDIO_FRAME, (fi + 1) * AUDIO_FRAME)
+        )
+        assert r["ssq"] == ssq
+        assert r["rms_q"] == math.floor(
+            math.sqrt(ssq / AUDIO_FRAME) * 1000 + 0.5
+        )
+
+
+def test_mm_image_hist_counts_complete(spark, q):
+    from secdb_spark.operators.mm_extras import IMG_H, IMG_W
+
+    rows = q["mm_image_hist"](spark, SF).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], 0)
+        per_doc[r["doc_id"]] += r["n_px"]
+    assert per_doc and all(n == IMG_W * IMG_H for n in per_doc.values())

@@ -258,6 +258,8 @@ __all__ = [
     "drawdown_duration",
     "weighted_percentiles",
     "weighted_sample",
+    "pcm_frame_rms",
+    "image_histogram",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -9120,4 +9122,92 @@ def weighted_sample(
             .cast("long")
             .alias("key_e12"),
         )
+    )
+
+
+def pcm_frame_rms(
+    df: DataFrame,
+    id_col: str,
+    pcm_col: str,
+    frame: int = 1024,
+) -> DataFrame:
+    """Per-frame RMS over ANY little-endian int16 PCM binary column
+    (mm_audio_frame_rms's decode stage with the frame size
+    parameterized) — the audio featurize step of a multimodal pipeline:
+    frombuffer-decode, frame, exact int64 sum-of-squares per frame, RMS
+    quantized e3 from the one shared-IEEE sqrt.  Trailing samples that
+    do not fill a frame are dropped.  Returns
+    (id_col, frame_idx, ssq, rms_q).
+
+    Scale: one map-only Arrow stage — payload bytes never shuffle; this
+    is the decode-and-featurize shape with the codec already applied
+    upstream."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as _pd
+
+    def rms(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, buf in zip(b[id_col], b[pcm_col]):
+                if buf is None:
+                    continue
+                v = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                n = (len(v) // frame) * frame
+                if n == 0:
+                    continue
+                fr = v[:n].reshape(-1, frame)
+                ssq = (fr * fr).sum(axis=1)
+                rms_q = np.floor(
+                    np.sqrt(ssq.astype(np.float64) / frame) * 1000 + 0.5
+                ).astype(np.int64)
+                for fi, (s, r) in enumerate(zip(ssq, rms_q)):
+                    rows.append((d, fi, int(s), int(r)))
+            yield _pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "ssq", "rms_q"]
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, pcm_col).mapInPandas(
+        rms, f"{id_col} {id_type}, frame_idx int, ssq long, rms_q long"
+    )
+
+
+def image_histogram(
+    df: DataFrame,
+    id_col: str,
+    img_col: str,
+    bin_width: int = 32,
+) -> DataFrame:
+    """Pixel-value histogram over ANY uint8 raster binary column
+    (mm_image_hist's decode stage with the bin width parameterized) —
+    the image featurize step of a multimodal pipeline: frombuffer
+    decode, integer-divide bucketing, exact counts; only occurring bins
+    emit (count > 0).  Returns (id_col, bin, n_px).
+
+    Scale: one map-only Arrow stage, no shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as _pd
+
+    n_bins = (255 // bin_width) + 1
+
+    def hist(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, buf in zip(b[id_col], b[img_col]):
+                if buf is None:
+                    continue
+                p = np.frombuffer(buf, dtype=np.uint8)
+                counts = np.bincount(p // bin_width, minlength=n_bins)
+                for bi, n in enumerate(counts):
+                    if n > 0:
+                        rows.append((d, bi, int(n)))
+            yield _pd.DataFrame(rows, columns=[id_col, "bin", "n_px"])
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, img_col).mapInPandas(
+        hist, f"{id_col} {id_type}, bin int, n_px long"
     )

@@ -3264,3 +3264,58 @@ def test_weighted_sample_matches_sample_weighted_topk(spark):
     pd.testing.assert_frame_equal(
         _sorted(got, ["rk"]), _sorted(want, ["rk"]), check_dtype=False
     )
+
+
+def test_pcm_frame_rms_matches_mm_audio_frame_rms(spark):
+    from secdb_spark.operators.mm_extras import AUDIO_FRAME
+    from secdb_spark.operators.mm_extras import mm_audio_frame_rms  # noqa: F401
+
+    # feed the op's own synth stage output through the generic decoder
+    import secdb_spark.operators.mm_extras as mm
+    ids = mm._doc_ids(spark, SF_DIR)
+    import numpy as np
+
+    def synth(batches):
+        for b in batches:
+            i = np.arange(mm.AUDIO_N, dtype=np.int64)
+            out = []
+            for d in b["doc_id"].to_numpy():
+                v = (d * mm.A_MUL + i * mm.A_STEP) % mm.AUDIO_MOD - 32768
+                out.append((int(d), v.astype("<i2").tobytes()))
+            yield pd.DataFrame(out, columns=["doc_id", "pcm"])
+
+    pcm = ids.mapInPandas(synth, "doc_id long, pcm binary")
+    got = api.pcm_frame_rms(pcm, "doc_id", "pcm", frame=AUDIO_FRAME)
+    want = QUERIES["mm_audio_frame_rms"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id", "frame_idx"]),
+        _sorted(want, ["doc_id", "frame_idx"]),
+        check_dtype=False,
+    )
+
+
+def test_image_histogram_matches_mm_image_hist(spark):
+    import numpy as np
+
+    import secdb_spark.operators.mm_extras as mm
+
+    ids = mm._doc_ids(spark, SF_DIR)
+
+    def synth(batches):
+        for b in batches:
+            y = np.arange(mm.IMG_H, dtype=np.int64)[:, None]
+            x = np.arange(mm.IMG_W, dtype=np.int64)[None, :]
+            out = []
+            for d in b["doc_id"].to_numpy():
+                p = (d * mm.P_MUL_D + y * mm.P_MUL_Y + x * mm.P_MUL_X) % 256
+                out.append((int(d), p.astype(np.uint8).tobytes()))
+            yield pd.DataFrame(out, columns=["doc_id", "img"])
+
+    img = ids.mapInPandas(synth, "doc_id long, img binary")
+    got = api.image_histogram(img, "doc_id", "img", bin_width=32)
+    want = QUERIES["mm_image_hist"](spark, SF_DIR)
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["doc_id", "bin"]),
+        _sorted(want, ["doc_id", "bin"]),
+        check_dtype=False,
+    )

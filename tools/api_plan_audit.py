@@ -663,6 +663,12 @@ def _catalog(api, fx, tmp: str) -> dict:
         "weighted_sample": lambda: api.weighted_sample(
             d, "pk", "score", k=3
         ),
+        "pcm_frame_rms": lambda: api.pcm_frame_rms(
+            b, "bid", "payload", frame=4
+        ),
+        "image_histogram": lambda: api.image_histogram(
+            b, "bid", "payload"
+        ),
     }
 
 

@@ -89,7 +89,8 @@ FAMILIES = [
     ("Recommendations", ["item_similarity", "copurchase_pairs",
                          "tfidf_topk_terms"]),
     ("Plan diagnostics", ["plan_scan_census", "assert_single_scan"]),
-    ("Multimodal", ["resize_bitmaps", "sample_frames"]),
+    ("Multimodal", ["resize_bitmaps", "sample_frames",
+                    "pcm_frame_rms", "image_histogram"]),
     ("Streaming", ["stream_windowed_counts", "stream_dedupe",
                    "stream_running_stats", "run_available_now"]),
     ("Graph", ["connected_components", "pagerank", "jaccard_neighbors",

@@ -1050,3 +1050,70 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("key_e12"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionize_native — Spark's NATIVE session_window vs gaps-and-islands
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessionize_native",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS p
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             CASE WHEN p IS NULL
+                    OR ts - p > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS f,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM l
+    ), g AS (
+      SELECT user_id, ts,
+             sum(f) OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           min(ts) AS sess_start,
+           max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS sess_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE session_window operator —
+    the built-in whose merging-window state machine replaces the
+    hand-rolled lag + running-sum composition (events_sessionize), here
+    DIFFERENTIALLY CERTIFIED against the canonical gaps-and-islands SQL:
+    session start = first event, end = last event + {SESSION_GAP_MIN}
+    min (the operator's close-at-gap semantics), one row per (user,
+    session).  Returns (user_id, sess_start, sess_end, n_events).
+
+    Scale: session_window aggregates with ONE exchange on the user key
+    and per-key sorted merging — the same shape the lag formulation
+    pays, with the session assignment inside the aggregate instead of
+    two window passes; this op pins that the built-in and the canonical
+    SQL agree EXACTLY, so either formulation can serve the other as an
+    oracle at any scale."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )

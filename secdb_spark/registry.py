@@ -482,9 +482,10 @@ _CERT_SLATE_R12: tuple[str, ...] = (
     # ES weighted sampling) — widening now 13 of the <= 16 cap.
     "xbrl_period_unit_check", "agg_weighted_percentile",
     "sample_weighted_topk",
-    # round-11 batch 3 (exact-certified multimodal plumbing) — widening
-    # now 15 of the <= 16 cap; R12 load 35 of 50 slots.
-    "mm_audio_frame_rms", "mm_image_hist",
+    # round-11 batch 3 (exact-certified multimodal plumbing + native
+    # session_window parity) — widening closes at the 16-op cap; R12
+    # load 36 of 50 slots.
+    "mm_audio_frame_rms", "mm_image_hist", "sessionize_native",
 )
 
 

@@ -279,3 +279,32 @@ def test_mm_image_hist_counts_complete(spark, q):
         per_doc.setdefault(r["doc_id"], 0)
         per_doc[r["doc_id"]] += r["n_px"]
     assert per_doc and all(n == IMG_W * IMG_H for n in per_doc.values())
+
+
+def test_sessionize_native_agrees_with_lag_formulation(spark, q):
+    """The built-in session_window must equal events_sessionize's
+    hand-rolled session count per user (same 30-min gap)."""
+    from pyspark.sql import functions as F
+
+    native = (
+        q["sessionize_native"](spark, SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.sum("n_events").alias("n_events"))
+        .collect()
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for e in ev:
+        per_user[e["user_id"]].append(e["ts"])
+    for r in native:
+        tss = sorted(per_user[r["user_id"]])
+        sessions = 1 + sum(
+            1
+            for a, b in zip(tss, tss[1:])
+            if (b - a).total_seconds() > 1800
+        )
+        assert r["n_sessions"] == sessions
+        assert r["n_events"] == len(tss)

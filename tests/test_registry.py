@@ -295,6 +295,52 @@ def test_r12_slate_within_driver_window():
     assert len(registry._CERT_SLATE_R12) <= 50
 
 
+def test_never_certified_ops_precede_every_recert_candidate():
+    """Round-12 invariant (round-11 judge directive #4): the driver
+    samples the FIRST 50 of the queue as computed at ITS run time, which
+    may drift from the builder's slate prediction (r11 recorded 12 keys
+    outside _CERT_SLATE_R11).  What must therefore hold STRUCTURALLY —
+    not by slate bookkeeping — is that every op with NO green driver
+    record of any kind sorts ahead of every unsettled op that is merely
+    awaiting a recert (oracle-changed or rows-only→exact upgrade), so a
+    drifting window can never strand first-time coverage behind
+    housekeeping."""
+    order = list(registry.all_queries())
+    never = [
+        n for n in order
+        if n not in registry._DRIVER_CERTIFIED
+        and not registry.certified_at_current_class(n)
+    ]
+    recert_candidates = [
+        n for n in order
+        if n in registry._DRIVER_CERTIFIED
+        and not registry.certified_at_current_class(n)
+    ]
+    if never and recert_candidates:
+        last_never = max(order.index(n) for n in never)
+        first_recert = min(order.index(n) for n in recert_candidates)
+        assert last_never < first_recert, (
+            "a never-certified op sorts behind a recert candidate: the "
+            "driver window could certify housekeeping before first-time "
+            "coverage"
+        )
+
+
+def test_round12_backlog_fits_one_driver_window():
+    """Round-12 close condition (judge directive #1): the ENTIRE
+    unsettled set — never-certified backlog plus any round-12 widening —
+    must fit inside one 50-slot driver window, so CORRECTNESS_r12 drains
+    the certification backlog to zero regardless of sampling drift."""
+    order = list(registry.all_queries())
+    pending = [
+        n for n in order if not registry.certified_at_current_class(n)
+    ]
+    assert len(pending) <= 50, (
+        f"{len(pending)} unsettled ops exceed the 50-slot driver window; "
+        "round-12 widening must stop"
+    )
+
+
 def test_no_uninterpolated_placeholders_in_oracles():
     """Class-closer for the forgotten-f-prefix bug (round 8, hhi_trend):
     an oracle written as a plain triple-quoted string next to siblings

@@ -1,0 +1,311 @@
+"""Round-12 additions, batch 1 — SURVEY §2.BC: the certified co-supply
+edge-list surface + connected components over it (completing the shared
+cosupply_edges kernel family of r11 judge directive #2), Jarque–Bera
+normality and Dickey–Fuller unit-root statistics.
+
+Widening budget: round-12 caps at 14 new ops so the 36-op certification
+backlog plus all widening fits one 50-slot driver window (r11 judge
+directive #1).  House conventions throughout: fixed-point quantization
+before any product, DECIMAL(38,0) power sums, one shared IEEE closing
+tree per derived double, he4 presentation, tie-safe orderings, and a
+scale note per op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._helpers import he4, pin, sql_he4
+from .warehouse_extras37 import SQL_COSUPPLY_EDGES, cosupply_edges
+
+D0 = "decimal(38,0)"
+
+
+# ---------------------------------------------------------------------------
+# graph_cosupply_edges — the shared edge-list kernel, certified directly
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_cosupply_edges",
+    oracle=f"""
+    WITH {SQL_COSUPPLY_EDGES}
+    SELECT a AS s1, b AS s2, n_orders FROM e
+    """,
+)
+def graph_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded supplier co-supply edge list itself — (s1, s2,
+    n_orders) with s1 < s2 and >= COSUPPLY_MIN_ORDERS distinct shared
+    orders — certified as a first-class surface so the kernel every
+    co-supply graph op (triangles, BFS layers, connected components)
+    builds on carries its own driver record, not just transitive
+    coverage (r11 judge directive #2's "pre-materialized edge table"
+    made queryable).
+
+    Scale: ONE pair-generation pass (cooccur_pairs: self-join on the
+    order key, bounded by per-order supplier fanout, never
+    |suppliers|^2), memoized per (session, dataset); at 100 TB this is
+    the op a pipeline materializes as a bucketed edge table and the
+    siblings read back."""
+    return cosupply_edges(spark, sf_dir).select(
+        F.col("ea").alias("s1"), F.col("eb").alias("s2"), "n_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_connected_components — min-label propagation to convergence
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {SQL_COSUPPLY_EDGES}, sym AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ), nodes AS (
+      SELECT DISTINCT u AS v FROM sym
+    ), r AS (
+      SELECT v, v AS m FROM nodes
+      UNION
+      SELECT s.v AS v, r.m AS m FROM r JOIN sym s ON s.u = r.v
+    ), lbl AS (
+      SELECT v, min(m) AS component_id FROM r GROUP BY v
+    )
+    SELECT component_id, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM lbl GROUP BY 1
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the supplier co-supply graph by iterative
+    min-label propagation run to CONVERGENCE (not a fixed hop count —
+    the genuinely iterative primitive under dedup clustering, entity
+    resolution, and community seeding): every vertex repeatedly takes
+    the minimum label among itself and its neighbors until no label
+    changes; the component id is the component's minimum vertex id,
+    exactly what the oracle's recursive reachability CTE computes.
+    Returns (component_id, n_nodes) per component.
+
+    Scale: each round is ONE join of the pinned label frame against the
+    symmetric edge list plus a combinable min-aggregate — O(|E|) per
+    round, O(diameter) rounds; the convergence probe is a 1-row count
+    (model-sized, annotated).  Label frames pin per round so Catalyst
+    never re-expands the lineage (the iterative-plan discipline of
+    graph_pagerank/graph_kcore); at 100 TB the pin becomes a durable
+    checkpoint and hub skew wants the large-star/small-star variant
+    (SCALE.md pricing).  Edge list from the shared memoized
+    cosupply_edges kernel."""
+    e = cosupply_edges(spark, sf_dir).select("ea", "eb")
+    lbl = min_label_components(e)
+    return lbl.groupBy(F.col("lbl").alias("component_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+def min_label_components(e: DataFrame) -> DataFrame:
+    """Min-label propagation to convergence over an undirected edge list
+    (ea, eb) — returns (v, lbl) with lbl = min vertex id of v's
+    component.  Split out from graph_connected_components so tests can
+    drive synthetic multi-component graphs through the identical loop
+    (the co-supply graph is one giant component at every test sf)."""
+    sym = pin(
+        e.select(F.col("ea").alias("u"), F.col("eb").alias("v")).union(
+            e.select(F.col("eb").alias("u"), F.col("ea").alias("v"))
+        )
+    )
+    lbl = pin(
+        sym.select(F.col("u").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+    )
+    for _ in range(64):  # diameter backstop; convergence breaks first
+        neigh = (
+            sym.join(lbl.withColumnRenamed("v", "u"), "u")
+            .select("v", "lbl")
+        )
+        nxt = pin(
+            lbl.select("v", "lbl")
+            .union(neigh)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # convergence probe: 1-row count over the joined label frames
+        # (model-sized driver collect, annotated)
+        changed = (
+            nxt.alias("n")
+            .join(lbl.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lbl = nxt
+        if changed == 0:
+            break
+    return lbl
+
+
+# ---------------------------------------------------------------------------
+# stat_jarque_bera — grouped normality statistic from exact power sums
+# ---------------------------------------------------------------------------
+
+_JB_X = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "stat_jarque_bera",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST({_JB_X} AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST({_JB_X} AS DECIMAL(38,0))
+                      * CAST({_JB_X} AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(sum(CAST({_JB_X} AS DECIMAL(38,0))
+                      * CAST({_JB_X} AS DECIMAL(38,0))
+                      * CAST({_JB_X} AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+             CAST(sum(CAST({_JB_X} AS DECIMAL(38,0))
+                      * CAST({_JB_X} AS DECIMAL(38,0))
+                      * CAST({_JB_X} AS DECIMAL(38,0))
+                      * CAST({_JB_X} AS DECIMAL(38,0))) AS DOUBLE) AS s4
+      FROM events GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {sql_he4("m3 / (m2 * sqrt(m2))")} AS skewness,
+           {sql_he4("m4 / (m2 * m2) - 3")} AS ex_kurtosis,
+           {sql_he4("n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2))) + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0)")}
+             AS jb_stat
+    FROM m
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality statistic per event type over the event
+    value distribution: JB = n/6·(S² + K²/4) from sample skewness S and
+    excess kurtosis K — the one-pass moment-based normality screen run
+    before parametric tests trust a column.  Returns (event_type, n,
+    skewness, ex_kurtosis, jb_stat), all he4.
+
+    Scale: ONE combinable aggregate of four power sums (agg_skew_kurt's
+    kernel plus the JB closing expression) — map-side partials, no
+    window, no second pass.  Values quantize to exact cents; power sums
+    accumulate in DECIMAL(38,0) (cents⁴ ≈ 1.2e18 per row — a LONG sum
+    wraps within one partition at 100 TB row counts; decimal keeps
+    1e8-row partials exact), and the closing arithmetic is the same
+    IEEE double tree in both engines."""
+    ev = table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100 + 0.5).cast("long").cast(D0)
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3) * mu * (s2 / n) + F.lit(2) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4) * mu * (s3 / n)
+        + F.lit(6) * mu * mu * (s2 / n)
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3
+    jb = n / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        he4(skew).alias("skewness"),
+        he4(exk).alias("ex_kurtosis"),
+        he4(jb).alias("jb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_adf_stat — Dickey–Fuller unit-root t-statistic per series
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_adf_stat",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), lagd AS (
+      SELECT event_type,
+             y - lag(y) OVER w AS dy,
+             lag(y) OVER w AS x
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), p AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(dy) AS DOUBLE) AS sy,
+             CAST(sum(x * dy) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(dy * dy) AS DOUBLE) AS syy
+      FROM lagd WHERE x IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           {sql_he4("(sxy - sx * sy / n) / (sxx - sx * sx / n)")} AS gamma,
+           {sql_he4("((sxy - sx * sy / n) / (sxx - sx * sx / n)) / sqrt((((syy - sy * sy / n) - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sxy - sx * sy / n)) / (n - 2)) / (sxx - sx * sx / n))")}
+             AS t_stat
+    FROM p
+    """,
+)
+def ts_adf_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root t-statistic per event type's daily count
+    series (lag order 0): regress Δy_t on y_{t-1} with intercept; γ is
+    the slope and t = γ/se(γ) — the stationarity screen run before
+    trusting trend/AR fits (a t far below ~-2.9 rejects the unit root).
+    Returns (event_type, n_obs, gamma, t_stat), he4.
+
+    Scale: ONE keyed aggregate to daily counts, one per-key lag window
+    (tie-free: d is unique per key), then ONE combinable moment
+    aggregate — integer sums are exact in BIGINT (daily counts ≤ ~1e6
+    even at 100 TB; products ≤ 1e12), and the closing γ/se/t arithmetic
+    is the same IEEE double tree in both engines, every division
+    written once and reused identically."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagd = daily.select(
+        "event_type",
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    p = lagd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    sxy_c = sxy - sx * sy / n
+    sxx_c = sxx - sx * sx / n
+    syy_c = syy - sy * sy / n
+    g = sxy_c / sxx_c
+    t = g / F.sqrt(((syy_c - g * sxy_c) / (n - 2)) / sxx_c)
+    return p.select(
+        "event_type",
+        n.cast("long").alias("n_obs"),
+        he4(g).alias("gamma"),
+        he4(t).alias("t_stat"),
+    )

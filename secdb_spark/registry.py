@@ -488,6 +488,20 @@ _CERT_SLATE_R12: tuple[str, ...] = (
     "mm_audio_frame_rms", "mm_image_hist", "sessionize_native",
 )
 
+# Round-12 widening slate: queued BEHIND the whole 36-op R12 backlog so
+# CORRECTNESS_r12 certifies backlog first, widening after — capped at 14
+# entries so backlog + widening fits ONE 50-slot driver window (r11
+# judge directive #1; test_round12_backlog_fits_one_driver_window pins
+# the arithmetic on the PENDING count, not tuple length).
+_CERT_SLATE_R12B: tuple[str, ...] = (
+    # batch 1 (SURVEY §2.BC: taxonomy dimensional validity + DTS
+    # presence, the certified co-supply edge surface + connected
+    # components, JB normality, DF unit root)
+    "xbrl_dim_check", "xbrl_concept_check",
+    "graph_cosupply_edges", "graph_connected_components",
+    "stat_jarque_bera", "ts_adf_stat",
+)
+
 
 def _certification_order(names) -> list[str]:
     """Unsettled slate ops first, then other unsettled ops (exact-oracle
@@ -498,7 +512,7 @@ def _certification_order(names) -> list[str]:
     slate = [
         n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7 + _CERT_SLATE_R8
            + _CERT_SLATE_R9 + _CERT_SLATE_R10 + _CERT_SLATE_R11
-           + _CERT_SLATE_R12)
+           + _CERT_SLATE_R12 + _CERT_SLATE_R12B)
         if n in names and not certified_at_current_class(n)
     ]
     # Oracle-changed recerts queue BEHIND never-certified ops (including
@@ -615,6 +629,7 @@ def _load_operators() -> None:
         warehouse_extras36,
         warehouse_extras37,
         warehouse_extras38,
+        warehouse_extras39,
         windows,
         xbrl_analytics,
         xbrl_analytics2,

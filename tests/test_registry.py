@@ -237,6 +237,7 @@ def test_every_pending_op_is_slate_addressed():
         + registry._CERT_SLATE_R10
         + registry._CERT_SLATE_R11
         + registry._CERT_SLATE_R12
+        + registry._CERT_SLATE_R12B
     )
     unslated = [
         n for n in registry.all_queries()
@@ -293,6 +294,8 @@ def test_r11_slate_within_driver_window():
 
 def test_r12_slate_within_driver_window():
     assert len(registry._CERT_SLATE_R12) <= 50
+    # round-12 widening cap: backlog (36) + widening must pend <= 50
+    assert len(registry._CERT_SLATE_R12B) <= 14
 
 
 def test_never_certified_ops_precede_every_recert_candidate():

@@ -74,6 +74,7 @@ SURVEY_SECTIONS = {
     "§2.AZ risk stats/exact tests/IVM/Spark-4 surface/corpus r9 b1": "ts_sortino ts_var_cvar ts_ljungbox ts_seasonal_strength stat_fisher_exact stat_binom_test agg_trimmed_mean ivm_delta_join fn_try_arith fn_collate_lcase bpe_merge_topk graph_jaccard_neighbors text_char_trigram_lm corpus_boilerplate_sentences xbrl_dupont xbrl_common_size",
     "§2.BA triangles/intervals/modes/rank-corr/baskets/indices/Spark-4 surface r10 b1": "graph_triangle_count join_interval_overlap agg_mode_exact ts_kendall_tau assoc_rules_lift price_index_laspeyres retention_triangle sql_lateral_join fn_json_extract fn_higher_order_array ts_ar1_fit dedup_minhash_b_bit",
     "§2.BB XBRL calc audit/TF-IDF/MI/BFS/forecast/nearest-value/JSONL/URLs/budget/drawdown r11 b1": "xbrl_calc_check corpus_tfidf_topk graph_bfs_layers ts_ols_forecast join_nearest_value corpus_token_source_mi src_jsonl fn_url mix_token_budget ts_drawdown_duration xbrl_period_unit_check agg_weighted_percentile sample_weighted_topk mm_audio_frame_rms mm_image_hist sessionize_native",
+    "§2.BC dimensional validity/DTS presence/co-supply edges/components/normality/unit-root r12 b1": "xbrl_dim_check xbrl_concept_check graph_cosupply_edges graph_connected_components stat_jarque_bera ts_adf_stat",
 }
 
 

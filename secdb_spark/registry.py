@@ -500,6 +500,13 @@ _CERT_SLATE_R12B: tuple[str, ...] = (
     "xbrl_dim_check", "xbrl_concept_check",
     "graph_cosupply_edges", "graph_connected_components",
     "stat_jarque_bera", "ts_adf_stat",
+    # batch 2 (curation quartet: script mix, KL reweighting, duplicate
+    # n-gram occupancy, sliding-window RAG chunking)
+    "doc_script_mix", "mix_kl_reweight",
+    "corpus_dup_ngram_share", "text_chunk_sliding",
+    # batch 3 (warehouse pair: SCD2 batch merge, URL-canonical dedup) —
+    # round-12 widening closes at 12 of the 14-op cap, 2 slots spare.
+    "scd2_apply_changes", "dedup_url_canonical",
 )
 
 
@@ -630,6 +637,7 @@ def _load_operators() -> None:
         warehouse_extras37,
         warehouse_extras38,
         warehouse_extras39,
+        warehouse_extras40,
         windows,
         xbrl_analytics,
         xbrl_analytics2,

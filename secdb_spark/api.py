@@ -260,6 +260,16 @@ __all__ = [
     "weighted_sample",
     "pcm_frame_rms",
     "image_histogram",
+    "script_mix",
+    "kl_uniform_reweight",
+    "dup_ngram_share",
+    "chunk_sliding",
+    "scd2_merge",
+    "canonicalize_urls",
+    "url_dedup",
+    "jarque_bera",
+    "adf_stat",
+    "cooccur_pairs",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -9211,3 +9221,363 @@ def image_histogram(
     return df.select(id_col, img_col).mapInPandas(
         hist, f"{id_col} {id_type}, bin int, n_px long"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-12 adapters (SURVEY §2.BC twins)
+# ---------------------------------------------------------------------------
+
+
+def script_mix(df: DataFrame, group_cols: list[str], text_col: str) -> DataFrame:
+    """Character-class composition per group over ANY text column
+    (doc_script_mix's algebra with the grouping parameterized): letter /
+    digit / space / other shares of total characters via the
+    strip-and-diff regex idiom.  Returns (group_cols..., n_docs,
+    n_chars, letter_share, digit_share, space_share, other_share),
+    shares he4.
+
+    Scale: map-side regexps reduce each row to four ints at the scan;
+    ONE combinable aggregate keyed by the group."""
+    from .operators._helpers import he4
+
+    def stripped(pat: str):
+        return F.length(text_col) - F.length(
+            F.regexp_replace(F.col(text_col), pat, "")
+        )
+
+    c = df.select(
+        *group_cols,
+        F.length(text_col).alias("_n"),
+        stripped("[A-Za-z]").alias("_l"),
+        stripped("[0-9]").alias("_d"),
+        stripped("[ ]").alias("_s"),
+    )
+    tot = F.sum("_n")
+    return c.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        tot.cast("long").alias("n_chars"),
+        he4(F.sum("_l").cast("double") / tot.cast("double")).alias("letter_share"),
+        he4(F.sum("_d").cast("double") / tot.cast("double")).alias("digit_share"),
+        he4(F.sum("_s").cast("double") / tot.cast("double")).alias("space_share"),
+        he4(
+            (tot - F.sum("_l") - F.sum("_d") - F.sum("_s")).cast("double")
+            / tot.cast("double")
+        ).alias("other_share"),
+    )
+
+
+def kl_uniform_reweight(
+    df: DataFrame, group_col: str, mass_col: str
+) -> DataFrame:
+    """Importance weights toward a UNIFORM target over groups for ANY
+    (group, mass) rows (mix_kl_reweight's algebra with the mass column
+    parameterized): per group the actual mass share, the weight
+    p_t/p_a, and the signed KL(target‖actual) contribution in
+    micro-nats.  Rows pre-aggregate per group; zero-mass groups drop.
+    Returns (group_col, mass, actual_share, weight, kl_term_unats).
+
+    Scale: one keyed aggregate to |groups| rows; the totals broadcast
+    and the ln tree is the shared-IEEE form."""
+    from .operators._helpers import he4
+
+    ts = (
+        df.groupBy(group_col)
+        .agg(F.sum(mass_col).cast("long").alias("mass"))
+        .filter(F.col("mass") > 0)
+    )
+    ts = ts.localCheckpoint()  # model-sized; two consumers below
+    tot = ts.agg(
+        F.sum("mass").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_kk"),
+    )
+    j = ts.crossJoin(F.broadcast(tot))
+    pa = F.col("mass").cast("double") / F.col("_tot").cast("double")
+    pt = F.lit(1.0) / F.col("_kk").cast("double")
+    return j.select(
+        group_col,
+        "mass",
+        he4(pa).alias("actual_share"),
+        he4(pt / pa).alias("weight"),
+        F.floor(pt * (F.log(pt) - F.log(pa)) * 1000000 + 0.5)
+        .cast("long")
+        .alias("kl_term_unats"),
+    )
+
+
+def dup_ngram_share(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document duplicate n-gram OCCUPANCY per group over ANY
+    corpus (corpus_dup_ngram_share's algebra with n parameterized): the
+    share of word-n-gram occurrences in the group whose gram appears in
+    >= 2 distinct documents corpus-wide.  Returns (group_col, n_grams,
+    n_dup_grams, dup_share he4).
+
+    Scale: gram-keyed equi-shuffles only (explode -> doc-frequency agg
+    -> classify join), never all-pairs."""
+    from .operators._helpers import he4
+
+    w = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + k) for k in range(n)]
+        ),
+    )
+    g = df.filter(F.size(w) >= n).select(
+        F.col(id_col).alias("_id"),
+        group_col,
+        F.explode(grams).alias("_gram"),
+    )
+    d = g.groupBy("_gram").agg(F.count_distinct("_id").alias("_nd"))
+    j = g.join(d, "_gram")
+    dup = F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        dup.cast("long").alias("n_dup_grams"),
+        he4(dup.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "dup_share"
+        ),
+    )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Sliding-window chunking of ANY text column (text_chunk_sliding's
+    algebra with the geometry parameterized) — window-char chunks every
+    stride chars, each with index, offset, actual length, and md5.
+    chunk_text gives the disjoint-block variant; overlap preserves
+    boundary context for retrieval.  Returns (id_col, chunk_idx,
+    start_pos, chunk_len, chunk_md5).
+
+    Scale: map-only sequence+explode fused into the scan; no shuffle."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    starts = F.sequence(F.lit(1), F.length(text_col), F.lit(stride))
+    ex = df.select(id_col, text_col, F.explode(starts).alias("_i"))
+    chunk = F.col(text_col).substr(F.col("_i"), F.lit(window))
+    return ex.select(
+        id_col,
+        F.expr(f"CAST((_i - 1) div {stride} + 1 AS INT)").alias("chunk_idx"),
+        F.col("_i").cast("long").alias("start_pos"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+def scd2_merge(
+    current: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_col: str,
+    change_date_col: str = "change_date",
+    new_attr_col: str | None = None,
+) -> DataFrame:
+    """Apply a change batch to a type-2 dimension (scd2_apply_changes's
+    algebra over ANY dimension): `current` rows carry (key_col,
+    attr_col, valid_from, valid_to, is_current); `changes` rows carry
+    (key_col, change_date_col, new_attr_col).  Open versions of changed
+    keys CLOSE at the change date and a new open version starts there;
+    everything else passes through.  Returns the full post-merge
+    dimension with the same five columns — the MERGE
+    matched/not-matched shape as plain unions.
+
+    Scale: ONE pass — a single left join of the dimension against the
+    (usually model-sized, broadcastable) change set, with the
+    close+open split emitted by an array-explode instead of re-reading
+    the dimension per branch (union-of-joins scans it three times;
+    the api plan audit flags that shape).  History rows of changed keys
+    pass through untouched — only the OPEN version closes."""
+    new_attr_col = new_attr_col or attr_col
+    chg = changes.select(
+        F.col(key_col),
+        F.col(change_date_col).alias("_chg_date"),
+        F.col(new_attr_col).alias("_new_attr"),
+    )
+    vt_type = dict(current.dtypes)["valid_to"]
+    passthrough = F.struct(
+        F.col(attr_col).alias("_a"),
+        F.col("valid_from").alias("_vf"),
+        F.col("valid_to").alias("_vt"),
+        F.col("is_current").alias("_ic"),
+    )
+    closed = F.struct(
+        F.col(attr_col).alias("_a"),
+        F.col("valid_from").alias("_vf"),
+        F.col("_chg_date").alias("_vt"),
+        F.lit(False).alias("_ic"),
+    )
+    opened = F.struct(
+        F.col("_new_attr").alias("_a"),
+        F.col("_chg_date").alias("_vf"),
+        F.lit(None).cast(vt_type).alias("_vt"),
+        F.lit(True).alias("_ic"),
+    )
+    hit = F.col("_chg_date").isNotNull() & F.col("is_current")
+    rows = current.join(chg, key_col, "left").select(
+        key_col,
+        F.explode(
+            F.when(hit, F.array(closed, opened)).otherwise(
+                F.array(passthrough)
+            )
+        ).alias("_v"),
+    )
+    return rows.select(
+        key_col,
+        F.col("_v._a").alias(attr_col),
+        F.col("_v._vf").alias("valid_from"),
+        F.col("_v._vt").alias("valid_to"),
+        F.col("_v._ic").alias("is_current"),
+    )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str, out_col: str = "canonical_url"
+) -> DataFrame:
+    """Append the canonical form of ANY URL column (dedup_url_canonical's
+    regex chain: lowercase, fragment, utm_* params, default :443 port,
+    www prefix, trailing slash).  Returns df + out_col.
+
+    Scale: a map-side regexp chain fused into the scan — no UDF."""
+    from .operators.warehouse_extras40 import _url_canon_col
+
+    return df.withColumn(out_col, _url_canon_col(F.col(url_col)))
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Canonical-key URL dedup report over ANY (id, url) rows
+    (dedup_url_canonical's algebra): canonicalize, group, keep min id.
+    Returns (canonical_url, n_urls, n_distinct_raw, keep_<id_col>).
+
+    Scale: ONE hash aggregate keyed by the canonical URL — dedup_exact's
+    economics with a regexp chain instead of a sha."""
+    from .operators.warehouse_extras40 import _url_canon_col
+
+    return (
+        df.select(
+            F.col(id_col), F.col(url_col).alias("_url"),
+            _url_canon_col(F.col(url_col)).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.count_distinct("_url").cast("long").alias("n_distinct_raw"),
+            F.min(id_col).cast("long").alias(f"keep_{id_col}"),
+        )
+    )
+
+
+def jarque_bera(
+    df: DataFrame, group_cols: list[str], value_col: str, scale: int = 100
+) -> DataFrame:
+    """Grouped Jarque–Bera normality statistic for ANY numeric column
+    (stat_jarque_bera's algebra with the fixed-point scale
+    parameterized): skewness, excess kurtosis, and JB = n/6·(S²+K²/4)
+    from four exact DECIMAL(38,0) power sums of the scale-quantized
+    values.  Returns (group_cols..., n, skewness, ex_kurtosis,
+    jb_stat), all he4.
+
+    Scale: ONE combinable aggregate — map-side partials, no window."""
+    from .operators._helpers import he4
+
+    x = (
+        F.floor(F.col(value_col) * scale + 0.5)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    s = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).cast("double").alias("_s1"),
+        F.sum(x * x).cast("double").alias("_s2"),
+        F.sum(x * x * x).cast("double").alias("_s3"),
+        F.sum(x * x * x * x).cast("double").alias("_s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("_n", "_s1", "_s2", "_s3", "_s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3) * mu * (s2 / n) + F.lit(2) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4) * mu * (s3 / n)
+        + F.lit(6) * mu * mu * (s2 / n)
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3
+    jb = n / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    return s.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        he4(skew).alias("skewness"),
+        he4(exk).alias("ex_kurtosis"),
+        he4(jb).alias("jb_stat"),
+    )
+
+
+def adf_stat(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dickey–Fuller unit-root t-statistic (lag 0) over ANY keyed series
+    (ts_adf_stat's algebra with the series parameterized): per group,
+    regress Δy on y_{t-1} with intercept; returns (group_cols..., n_obs,
+    gamma, t_stat), he4.  Series rows must be unique per (group, time).
+
+    Scale: one per-key lag window + ONE combinable moment aggregate."""
+    from .operators._helpers import he4
+
+    w = Window.partitionBy(*group_cols).orderBy(time_col)
+    lagd = df.select(
+        *group_cols,
+        (F.col(value_col) - F.lag(value_col).over(w)).alias("_dy"),
+        F.lag(value_col).over(w).alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    p = lagd.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_dy").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_dy")).cast("double").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.sum(F.col("_dy") * F.col("_dy")).cast("double").alias("_syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")
+    )
+    sxy_c = sxy - sx * sy / n
+    sxx_c = sxx - sx * sx / n
+    syy_c = syy - sy * sy / n
+    g = sxy_c / sxx_c
+    t = g / F.sqrt(((syy_c - g * sxy_c) / (n - 2)) / sxx_c)
+    return p.select(
+        *group_cols,
+        n.cast("long").alias("n_obs"),
+        he4(g).alias("gamma"),
+        he4(t).alias("t_stat"),
+    )
+
+
+def cooccur_pairs(
+    df: DataFrame, key_col: str, node_col: str, min_count: int = 2
+) -> DataFrame:
+    """Thresholded co-occurrence pairs over ANY (key, node) rows — the
+    shared pair-generation kernel under the co-supply graph family
+    (graph_cosupply_edges / triangles / BFS / components) exposed
+    directly: node pairs n1 < n2 co-occurring on the key >= min_count
+    times, with the count.  Returns (n1, n2, n).
+
+    Scale: self-join ON THE KEY — cost is sum_k C(nodes-per-key, 2),
+    never |nodes|^2; hot keys want salting first."""
+    from .operators.warehouse_extras37 import cooccur_pairs as _kernel
+
+    return _kernel(df, key_col, node_col, min_count)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._helpers import he4, pin, sql_he4
+from ._helpers import he4, sql_he4
 from .warehouse_extras37 import SQL_COSUPPLY_EDGES, cosupply_edges
 
 D0 = "decimal(38,0)"
@@ -85,14 +85,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the oracle's recursive reachability CTE computes.
     Returns (component_id, n_nodes) per component.
 
-    Scale: each round is ONE join of the pinned label frame against the
-    symmetric edge list plus a combinable min-aggregate — O(|E|) per
-    round, O(diameter) rounds; the convergence probe is a 1-row count
-    (model-sized, annotated).  Label frames pin per round so Catalyst
-    never re-expands the lineage (the iterative-plan discipline of
-    graph_pagerank/graph_kcore); at 100 TB the pin becomes a durable
-    checkpoint and hub skew wants the large-star/small-star variant
-    (SCALE.md pricing).  Edge list from the shared memoized
+    Scale: delegates to api.connected_components in pointer-doubling
+    mode — each round is one neighbor join + one label self-join with a
+    combinable min-aggregate, O(log diameter) rounds (SCALE.md §67 has
+    the measured rounds-vs-diameter); labels re-checkpoint per round
+    (bounded lineage) and the convergence probe is a 1-row count.  At
+    100 TB the checkpoint becomes durable and hub skew wants the
+    large-star/small-star variant.  Edge list from the shared memoized
     cosupply_edges kernel."""
     e = cosupply_edges(spark, sf_dir).select("ea", "eb")
     lbl = min_label_components(e)
@@ -102,44 +101,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def min_label_components(e: DataFrame) -> DataFrame:
-    """Min-label propagation to convergence over an undirected edge list
-    (ea, eb) — returns (v, lbl) with lbl = min vertex id of v's
-    component.  Split out from graph_connected_components so tests can
-    drive synthetic multi-component graphs through the identical loop
-    (the co-supply graph is one giant component at every test sf)."""
-    sym = pin(
-        e.select(F.col("ea").alias("u"), F.col("eb").alias("v")).union(
-            e.select(F.col("eb").alias("u"), F.col("ea").alias("v"))
-        )
-    )
-    lbl = pin(
-        sym.select(F.col("u").alias("v"))
-        .distinct()
-        .withColumn("lbl", F.col("v"))
-    )
-    for _ in range(64):  # diameter backstop; convergence breaks first
-        neigh = (
-            sym.join(lbl.withColumnRenamed("v", "u"), "u")
-            .select("v", "lbl")
-        )
-        nxt = pin(
-            lbl.select("v", "lbl")
-            .union(neigh)
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        # convergence probe: 1-row count over the joined label frames
-        # (model-sized driver collect, annotated)
-        changed = (
-            nxt.alias("n")
-            .join(lbl.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        lbl = nxt
-        if changed == 0:
-            break
-    return lbl
+    """Canonical min-id labels over an undirected edge list (ea, eb) —
+    returns (v, lbl) with lbl = min vertex id of v's component.  This is
+    a thin shim over api.connected_components (pointer-doubling mode:
+    O(log diameter) rounds, null-endpoint hygiene, loud non-convergence
+    warning) so the registry op and the composable API run the ONE
+    implementation; tests drive synthetic multi-component graphs through
+    it (the co-supply graph is one giant component at every test sf)."""
+    from ..api import connected_components
+
+    return connected_components(
+        e, "ea", "eb", max_rounds=32, mode="doubling"
+    ).select(F.col("node").alias("v"), F.col("component").alias("lbl"))
 
 
 # ---------------------------------------------------------------------------

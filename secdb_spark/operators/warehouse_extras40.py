@@ -429,6 +429,37 @@ def _url_canon_col(col):
     return out
 
 
+def _raw_url_col(key: str = "c_custkey"):
+    """The four deterministic dirty-URL variants over a customer key —
+    shared by the op and the API twin test so both sides exercise the
+    identical raw strings."""
+    item = (F.col(key) % 50).cast("string")
+    variant = F.col(key) % 4
+    return (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://Example.COM:443/item/"), item,
+                F.lit("?utm_source=x#frag"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(F.lit("https://example.com/item/"), item, F.lit("/")),
+        )
+        .when(
+            variant == 2,
+            F.concat(F.lit("https://www.example.com/item/"), item),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/item/"), item,
+                F.lit("?id=1&utm_campaign=z"),
+            )
+        )
+    )
+
+
 _RAW_URL_SQL = f"""
       CASE c_custkey % 4
         WHEN 0 THEN 'https://Example.COM:443/item/' || (c_custkey % 50)
@@ -474,31 +505,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's paths are case-free so lower() stands in for host-only
     lowercasing; a production chain lowercases scheme+authority only."""
     c = table(spark, sf_dir, "customer")
-    item = (F.col("c_custkey") % 50).cast("string")
-    variant = F.col("c_custkey") % 4
-    url = (
-        F.when(
-            variant == 0,
-            F.concat(
-                F.lit("https://Example.COM:443/item/"), item,
-                F.lit("?utm_source=x#frag"),
-            ),
-        )
-        .when(
-            variant == 1,
-            F.concat(F.lit("https://example.com/item/"), item, F.lit("/")),
-        )
-        .when(
-            variant == 2,
-            F.concat(F.lit("https://www.example.com/item/"), item),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("https://example.com/item/"), item,
-                F.lit("?id=1&utm_campaign=z"),
-            )
-        )
-    )
+    url = _raw_url_col()
     canon = c.select(
         "c_custkey",
         url.alias("url"),

@@ -3319,3 +3319,203 @@ def test_image_histogram_matches_mm_image_hist(spark):
         _sorted(want, ["doc_id", "bin"]),
         check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-12 adapters (SURVEY §2.BC twins)
+# ---------------------------------------------------------------------------
+
+
+def test_script_mix_matches_doc_script_mix(spark):
+    got = _sorted(api.script_mix(_docs(spark), ["source"], "text"),
+                  ["source"])
+    want = _sorted(QUERIES["doc_script_mix"](spark, SF_DIR), ["source"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kl_uniform_reweight_matches_mix_kl_reweight(spark):
+    from pyspark.sql import functions as F
+
+    nt = _docs(spark).select(
+        "source",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), " "),
+                     lambda x: x != F.lit(""))
+        ).alias("nt"),
+    )
+    got = _sorted(
+        api.kl_uniform_reweight(nt, "source", "nt").withColumnRenamed(
+            "mass", "n_tokens"
+        ),
+        ["source"],
+    )
+    want = _sorted(QUERIES["mix_kl_reweight"](spark, SF_DIR), ["source"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dup_ngram_share_matches_corpus_op(spark):
+    got = _sorted(
+        api.dup_ngram_share(_docs(spark), "doc_id", "source", "text", n=5),
+        ["source"],
+    )
+    want = _sorted(
+        QUERIES["corpus_dup_ngram_share"](spark, SF_DIR), ["source"]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_chunk_sliding_matches_text_chunk_sliding(spark):
+    got = _sorted(
+        api.chunk_sliding(_docs(spark), "doc_id", "text", 200, 150),
+        ["doc_id", "chunk_idx"],
+    )
+    want = _sorted(
+        QUERIES["text_chunk_sliding"](spark, SF_DIR), ["doc_id", "chunk_idx"]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_scd2_merge_matches_apply_changes(spark):
+    from pyspark.sql import functions as F
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    current = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        c.filter(F.col("c_acctbal") < 0)
+        .join(
+            o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+                F.max(F.col("o_orderdate").cast("date"))
+                .cast("string")
+                .alias("change_date")
+            ),
+            "c_custkey",
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "change_date",
+            F.lit("WINBACK").alias("mktsegment"),
+        )
+    )
+    got = _sorted(
+        api.scd2_merge(current, changes, "custkey", "mktsegment"),
+        ["custkey", "valid_from", "is_current"],
+    )
+    want = _sorted(
+        QUERIES["scd2_apply_changes"](spark, SF_DIR),
+        ["custkey", "valid_from", "is_current"],
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
+def test_scd2_merge_passes_history_rows_of_changed_keys(spark):
+    """A changed key's CLOSED history rows must pass through untouched —
+    only the open version closes (the union-of-joins formulation
+    silently dropped them; this pins the fix)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    current = spark.createDataFrame(
+        [
+            (1, "A", "2020-01-01", "2021-01-01", False),  # history row
+            (1, "B", "2021-01-01", None, True),           # open row
+            (2, "C", "2020-01-01", None, True),           # untouched key
+        ],
+        "k long, attr string, valid_from string, valid_to string, "
+        "is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "2022-06-01", "Z")], "k long, change_date string, attr string"
+    )
+    rows = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in api.scd2_merge(current, changes, "k", "attr").collect()
+    )
+    assert rows == [
+        (1, "A", "2020-01-01", "2021-01-01", False),   # history preserved
+        (1, "B", "2021-01-01", "2022-06-01", False),   # open row closed
+        (1, "Z", "2022-06-01", None, True),            # new open version
+        (2, "C", "2020-01-01", None, True),
+    ]
+
+
+def test_url_dedup_matches_dedup_url_canonical(spark):
+    from secdb_spark.operators.warehouse_extras40 import _raw_url_col
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", _raw_url_col().alias("url")
+    )
+    got = _sorted(
+        api.url_dedup(c, "c_custkey", "url").withColumnRenamed(
+            "keep_c_custkey", "keep_custkey"
+        ),
+        ["canonical_url"],
+    )
+    want = _sorted(
+        QUERIES["dedup_url_canonical"](spark, SF_DIR), ["canonical_url"]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_canonicalize_urls_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras40 import _raw_url_col
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        _raw_url_col().alias("url")
+    )
+    once = api.canonicalize_urls(c, "url", "c1")
+    twice = api.canonicalize_urls(once, "c1", "c2")
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_jarque_bera_matches_stat_op(spark):
+    got = _sorted(
+        api.jarque_bera(_events(spark), ["event_type"], "value", 100),
+        ["event_type"],
+    )
+    want = _sorted(QUERIES["stat_jarque_bera"](spark, SF_DIR),
+                   ["event_type"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_adf_stat_matches_ts_op(spark):
+    from pyspark.sql import functions as F
+
+    daily = _events(spark).groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    got = _sorted(
+        api.adf_stat(daily, ["event_type"], "d", "y"), ["event_type"]
+    )
+    want = _sorted(QUERIES["ts_adf_stat"](spark, SF_DIR), ["event_type"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cooccur_pairs_matches_cosupply_edges(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.warehouse_extras37 import COSUPPLY_MIN_ORDERS
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    got = _sorted(
+        api.cooccur_pairs(os_, "o", "s", COSUPPLY_MIN_ORDERS)
+        .withColumnRenamed("n1", "s1")
+        .withColumnRenamed("n2", "s2")
+        .withColumnRenamed("n", "n_orders"),
+        ["s1", "s2"],
+    )
+    want = _sorted(QUERIES["graph_cosupply_edges"](spark, SF_DIR),
+                   ["s1", "s2"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

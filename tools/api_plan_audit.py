@@ -669,6 +669,51 @@ def _catalog(api, fx, tmp: str) -> dict:
         "image_histogram": lambda: api.image_histogram(
             b, "bid", "payload"
         ),
+        "script_mix": lambda: api.script_mix(d, ["domain"], "body"),
+        "kl_uniform_reweight": lambda: api.kl_uniform_reweight(
+            d, "domain", "score"
+        ),
+        "dup_ngram_share": lambda: api.dup_ngram_share(
+            d, "pk", "domain", "body", n=3
+        ),
+        "chunk_sliding": lambda: api.chunk_sliding(
+            d, "pk", "body", window=20, stride=15
+        ),
+        "scd2_merge": lambda: api.scd2_merge(
+            d.select(
+                "pk",
+                F.col("domain").alias("attr"),
+                F.lit("2020-01-01").alias("valid_from"),
+                F.lit(None).cast("string").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ),
+            d.filter(F.col("score") > 5).select(
+                "pk",
+                F.lit("2021-01-01").alias("change_date"),
+                F.lit("moved").alias("attr"),
+            ),
+            "pk",
+            "attr",
+        ),
+        "canonicalize_urls": lambda: api.canonicalize_urls(
+            d.withColumn(
+                "url",
+                F.concat(F.lit("https://www.Ex.com/p/"), F.col("pk"),
+                         F.lit("?utm_x=1")),
+            ),
+            "url",
+        ),
+        "url_dedup": lambda: api.url_dedup(
+            d.withColumn(
+                "url",
+                F.concat(F.lit("https://ex.com/p/"),
+                         (F.col("pk") % 3).cast("string")),
+            ),
+            "pk", "url",
+        ),
+        "jarque_bera": lambda: api.jarque_bera(d, ["domain"], "score"),
+        "adf_stat": lambda: api.adf_stat(e, ["uid"], "etime", "val"),
+        "cooccur_pairs": lambda: api.cooccur_pairs(d, "domain", "pk", 1),
     }
 
 

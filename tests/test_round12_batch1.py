@@ -143,3 +143,20 @@ def test_adf_stat_mean_reverting_counts(spark, q):
         assert r["n_obs"] >= 20
         assert -2.0 < r["gamma"] < 0.0
         assert r["t_stat"] < 0.0
+
+
+def test_cosupply_memo_keys_on_dataset(spark):
+    """The per-session edge memo must never serve one dataset's edges to
+    another (key includes sf_dir) and must hit on repeat calls."""
+    from secdb_spark.operators.warehouse_extras37 import (
+        _COSUPPLY_MEMO,
+        cosupply_edges,
+    )
+
+    e1 = cosupply_edges(spark, "/root/testdata/sf0.001")
+    e2 = cosupply_edges(spark, "/root/testdata/sf0.01")
+    assert e1.count() != e2.count()  # different datasets, different graphs
+    # repeat call returns the identical cached frame object
+    assert cosupply_edges(spark, "/root/testdata/sf0.001") is e1
+    keys = {k[1] for k in _COSUPPLY_MEMO}
+    assert "/root/testdata/sf0.001" in keys and "/root/testdata/sf0.01" in keys

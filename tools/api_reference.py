@@ -85,6 +85,11 @@ FAMILIES = [
      ["tfidf_topk", "token_source_mi", "largest_remainder_alloc",
       "bfs_layers", "ols_forecast", "nearest_value_join",
       "drawdown_duration", "weighted_percentiles", "weighted_sample"]),
+    ("Round-12 additions (curation / SCD2 merge / URL dedup / "
+     "normality & unit-root / co-occurrence)",
+     ["script_mix", "kl_uniform_reweight", "dup_ngram_share",
+      "chunk_sliding", "scd2_merge", "canonicalize_urls", "url_dedup",
+      "jarque_bera", "adf_stat", "cooccur_pairs"]),
     ("Sketches", ["bloom_filter", "cms", "hash_features"]),
     ("Recommendations", ["item_similarity", "copurchase_pairs",
                          "tfidf_topk_terms"]),

@@ -282,3 +282,200 @@ def ts_adf_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         he4(g).alias("gamma"),
         he4(t).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_bartlett — Bartlett's test of equal variances across groups
+# ---------------------------------------------------------------------------
+
+DEC18 = "decimal(38,18)"
+
+_BL_X = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "stat_bartlett",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST({_BL_X} AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST({_BL_X} AS DECIMAL(38,0))
+                      * CAST({_BL_X} AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ), v AS (
+      SELECT n, (s2 - s1 * s1 / n) / (n - 1) AS s2i FROM g
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS n_total,
+             CAST(sum(CAST((n - 1) * s2i AS DECIMAL(38,18))) AS DOUBLE)
+               AS pooled_num,
+             CAST(sum(CAST((n - 1) * ln(s2i) AS DECIMAL(38,18))) AS DOUBLE)
+               AS sum_ln,
+             CAST(sum(CAST(1.0 / (n - 1) AS DECIMAL(38,18))) AS DOUBLE)
+               AS sum_inv
+      FROM v
+    )
+    SELECT k, n_total, CAST(k - 1 AS BIGINT) AS df,
+           {sql_he4("((n_total - k) * ln(pooled_num / (n_total - k)) - sum_ln) / (1 + (sum_inv - 1.0 / (n_total - k)) / (3 * (k - 1)))")}
+             AS bartlett_stat
+    FROM agg
+    """,
+)
+def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test statistic for homogeneity of variances of the
+    event value across event types — the parametric complement to the
+    robust stat_levene (Bartlett is the more powerful screen under
+    normality; chi-square with k-1 df under H0).  T = [(N-k)·ln Sp² −
+    Σ(nᵢ−1)·ln sᵢ²] / [1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1))].
+    Returns one row (k, n_total, df, bartlett_stat he4).
+
+    Scale: one combinable per-group moment aggregate (cents-quantized,
+    DECIMAL(38,0) squares), then a k-row closing aggregate whose
+    cross-group double sums quantize DEC18 PRE-SUM (the
+    corpus_token_source_mi discipline) so the statistic is
+    shuffle-order free; the closing arithmetic is one shared IEEE
+    tree."""
+    ev = table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100 + 0.5).cast("long").cast(D0)
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    s2i = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    v = g.select("n", s2i.alias("s2i"))
+    agg = v.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(n.cast("long")).cast("long").alias("n_total"),
+        F.sum(((n - 1) * F.col("s2i")).cast(DEC18))
+        .cast("double")
+        .alias("pooled_num"),
+        F.sum(((n - 1) * F.log(F.col("s2i"))).cast(DEC18))
+        .cast("double")
+        .alias("sum_ln"),
+        F.sum((F.lit(1.0) / (n - 1)).cast(DEC18))
+        .cast("double")
+        .alias("sum_inv"),
+    )
+    k = F.col("k")
+    nt = F.col("n_total")
+    stat = (
+        (nt - k) * F.log(F.col("pooled_num") / (nt - k)) - F.col("sum_ln")
+    ) / (
+        F.lit(1)
+        + (F.col("sum_inv") - F.lit(1.0) / (nt - k)) / (3 * (k - 1))
+    )
+    return agg.select(
+        "k",
+        "n_total",
+        (k - 1).cast("long").alias("df"),
+        he4(stat).alias("bartlett_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_closeness_seeds — closeness centrality of the BFS seed set
+# ---------------------------------------------------------------------------
+
+CLOSENESS_CAP = 20
+
+
+def _closeness_oracle() -> str:
+    from .warehouse_extras38 import BFS_SEEDS
+
+    return f"""
+    WITH RECURSIVE {SQL_COSUPPLY_EDGES}, sym AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ), seeds AS (
+      SELECT v FROM (SELECT DISTINCT u AS v FROM sym ORDER BY v
+                     LIMIT {BFS_SEEDS})
+    ), walk AS (
+      SELECT v AS seed, v AS v, 0 AS d FROM seeds
+      UNION
+      SELECT w.seed, s.v, w.d + 1 FROM walk w JOIN sym s ON s.u = w.v
+      WHERE w.d < {CLOSENESS_CAP}
+    ), dist AS (
+      SELECT seed, v, min(d) AS d FROM walk GROUP BY 1, 2
+    )
+    SELECT seed,
+           CAST(count(*) - 1 AS BIGINT) AS n_reachable,
+           CAST(sum(d) AS BIGINT) AS total_dist,
+           {sql_he4("(CAST(count(*) AS DOUBLE) - 1) / CAST(sum(d) AS DOUBLE)")}
+             AS closeness
+    FROM dist GROUP BY seed
+    HAVING sum(d) > 0
+    """
+
+
+@register("graph_closeness_seeds", oracle=_closeness_oracle())
+def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality of the BFS seed set (the {{BFS_SEEDS}}
+    smallest vertices, graph_bfs_layers' convention) over the supplier
+    co-supply graph: per seed, exact shortest-path distances to every
+    reachable vertex (hop cap {CLOSENESS_CAP} — both engines share the
+    cap, far above the graph's diameter), closeness = (n_reachable) /
+    Σ distances.  The centrality primitive behind hub detection and
+    influence ranking.  Returns (seed, n_reachable, total_dist,
+    closeness he4); seeds with no neighbors drop (0/0).
+
+    Scale: per-seed pinned-frontier BFS over the shared memoized edge
+    kernel — each round ONE join against the adjacency plus an
+    anti-join on the (seed, vertex) visited set, work proportional to
+    the frontier boundary; the per-round emptiness probe is a 1-row
+    count (model-sized, annotated).  At 100 TB exact all-sources
+    closeness is O(V·E) and wants the hyperball/HLL sketch instead —
+    the seed-set form here is the exact, bounded-cost variant."""
+    from ._helpers import pin
+    from .warehouse_extras38 import BFS_SEEDS
+
+    e = cosupply_edges(spark, sf_dir).select("ea", "eb")
+    sym = pin(
+        e.select(F.col("ea").alias("u"), F.col("eb").alias("v")).union(
+            e.select(F.col("eb").alias("u"), F.col("ea").alias("v"))
+        )
+    )
+    seeds = pin(
+        sym.select(F.col("u").alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(BFS_SEEDS)
+    )
+    frontier = pin(seeds.select(F.col("v").alias("seed"), "v"))
+    visited = frontier
+    layers = []
+    for hop in range(1, CLOSENESS_CAP + 1):
+        frontier = pin(
+            frontier.join(sym, frontier["v"] == sym["u"])
+            .select("seed", sym["v"].alias("v"))
+            .distinct()
+            .join(visited, ["seed", "v"], "anti")
+        )
+        # per-round emptiness probe: 1-row count (model-sized driver
+        # collect, annotated)
+        if frontier.count() == 0:
+            break
+        layers.append(
+            frontier.select("seed", "v", F.lit(hop).alias("d"))
+        )
+        visited = pin(visited.union(frontier))
+    out = layers[0]
+    for seg in layers[1:]:
+        out = out.unionByName(seg)
+    return (
+        out.groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reachable"),
+            F.sum("d").cast("long").alias("total_dist"),
+        )
+        .select(
+            "seed",
+            "n_reachable",
+            "total_dist",
+            he4(
+                F.col("n_reachable").cast("double")
+                / F.col("total_dist").cast("double")
+            ).alias("closeness"),
+        )
+    )

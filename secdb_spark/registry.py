@@ -504,9 +504,12 @@ _CERT_SLATE_R12B: tuple[str, ...] = (
     # n-gram occupancy, sliding-window RAG chunking)
     "doc_script_mix", "mix_kl_reweight",
     "corpus_dup_ngram_share", "text_chunk_sliding",
-    # batch 3 (warehouse pair: SCD2 batch merge, URL-canonical dedup) —
-    # round-12 widening closes at 12 of the 14-op cap, 2 slots spare.
+    # batch 3 (warehouse pair: SCD2 batch merge, URL-canonical dedup)
     "scd2_apply_changes", "dedup_url_canonical",
+    # batch 4 (Bartlett variance homogeneity, seed-set closeness
+    # centrality) — round-12 widening closes exactly at the 14-op cap:
+    # backlog 36 + widening 14 fills the 50-slot window.
+    "stat_bartlett", "graph_closeness_seeds",
 )
 
 

@@ -160,3 +160,62 @@ def test_cosupply_memo_keys_on_dataset(spark):
     assert cosupply_edges(spark, "/root/testdata/sf0.001") is e1
     keys = {k[1] for k in _COSUPPLY_MEMO}
     assert "/root/testdata/sf0.001" in keys and "/root/testdata/sf0.01" in keys
+
+
+def test_bartlett_matches_python_recompute(spark, q):
+    """Cross-check the full Bartlett closing tree against a pure-python
+    recompute from the raw event values."""
+    import math
+
+    vals: dict[str, list[int]] = {}
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        vals.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * 100 + 0.5)
+        )
+    k = len(vals)
+    nt = sum(len(v) for v in vals.values())
+    pooled_num = sum_ln = sum_inv = 0.0
+    for v in vals.values():
+        n = float(len(v))
+        s2i = (sum(x * x for x in v) - sum(v) ** 2 / n) / (n - 1)
+        pooled_num += (n - 1) * s2i
+        sum_ln += (n - 1) * math.log(s2i)
+        sum_inv += 1.0 / (n - 1)
+    stat = ((nt - k) * math.log(pooled_num / (nt - k)) - sum_ln) / (
+        1 + (sum_inv - 1.0 / (nt - k)) / (3 * (k - 1))
+    )
+    row = q["stat_bartlett"](spark, SF).collect()[0]
+    assert (row["k"], row["n_total"], row["df"]) == (k, nt, k - 1)
+    assert abs(row["bartlett_stat"] - stat) < 2e-4
+    assert row["bartlett_stat"] >= 0
+
+
+def test_closeness_seeds_matches_python_bfs(spark, q):
+    """Exact BFS distances recomputed in python over the certified edge
+    list; closeness must agree per seed."""
+    from collections import deque
+
+    edges = q["graph_cosupply_edges"](spark, SF).collect()
+    adj: dict[int, set[int]] = {}
+    for r in edges:
+        adj.setdefault(r["s1"], set()).add(r["s2"])
+        adj.setdefault(r["s2"], set()).add(r["s1"])
+    seeds = sorted(adj)[:3]
+    got = {r["seed"]: r for r in q["graph_closeness_seeds"](spark, SF).collect()}
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        total = sum(dist.values())
+        n_reach = len(dist) - 1
+        if total == 0:
+            assert s not in got
+            continue
+        r = got[s]
+        assert (r["n_reachable"], r["total_dist"]) == (n_reach, total)
+        assert abs(r["closeness"] - n_reach / total) < 1e-4

@@ -76,6 +76,7 @@ SURVEY_SECTIONS = {
     "§2.BB XBRL calc audit/TF-IDF/MI/BFS/forecast/nearest-value/JSONL/URLs/budget/drawdown r11 b1": "xbrl_calc_check corpus_tfidf_topk graph_bfs_layers ts_ols_forecast join_nearest_value corpus_token_source_mi src_jsonl fn_url mix_token_budget ts_drawdown_duration xbrl_period_unit_check agg_weighted_percentile sample_weighted_topk mm_audio_frame_rms mm_image_hist sessionize_native",
     "§2.BC dimensional validity/DTS presence/co-supply edges/components/normality/unit-root r12 b1": "xbrl_dim_check xbrl_concept_check graph_cosupply_edges graph_connected_components stat_jarque_bera ts_adf_stat",
     "§2.BC script mix/KL reweight/dup n-grams/RAG chunking/SCD2 merge/URL dedup r12 b2-3": "doc_script_mix mix_kl_reweight corpus_dup_ngram_share text_chunk_sliding scd2_apply_changes dedup_url_canonical",
+    "§2.BC Bartlett/closeness r12 b4": "stat_bartlett graph_closeness_seeds",
 }
 
 

@@ -270,6 +270,8 @@ __all__ = [
     "jarque_bera",
     "adf_stat",
     "cooccur_pairs",
+    "bartlett",
+    "seed_closeness",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -9581,3 +9583,127 @@ def cooccur_pairs(
     from .operators.warehouse_extras37 import cooccur_pairs as _kernel
 
     return _kernel(df, key_col, node_col, min_count)
+
+
+def bartlett(
+    df: DataFrame, group_col: str, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Bartlett's equal-variance test across the groups of ANY numeric
+    column (stat_bartlett's algebra with the fixed-point scale
+    parameterized) — the parametric complement to a robust Levene
+    screen; chi-square with k-1 df under H0.  Returns one row (k,
+    n_total, df, bartlett_stat he4).
+
+    Scale: one combinable per-group moment aggregate, then a k-row
+    closing aggregate whose cross-group double sums quantize
+    DECIMAL(38,18) PRE-SUM — shuffle-order free."""
+    from .operators._helpers import he4
+
+    x = (
+        F.floor(F.col(value_col) * scale + 0.5)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).cast("double").alias("_s1"),
+        F.sum(x * x).cast("double").alias("_s2"),
+    )
+    n = F.col("_n")
+    s2i = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - 1)
+    v = g.select("_n", s2i.alias("_s2i"))
+    dec18 = "decimal(38,18)"
+    agg = v.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(n.cast("long")).cast("long").alias("n_total"),
+        F.sum(((n - 1) * F.col("_s2i")).cast(dec18))
+        .cast("double")
+        .alias("_pn"),
+        F.sum(((n - 1) * F.log(F.col("_s2i"))).cast(dec18))
+        .cast("double")
+        .alias("_sl"),
+        F.sum((F.lit(1.0) / (n - 1)).cast(dec18))
+        .cast("double")
+        .alias("_si"),
+    )
+    k, nt = F.col("k"), F.col("n_total")
+    stat = ((nt - k) * F.log(F.col("_pn") / (nt - k)) - F.col("_sl")) / (
+        F.lit(1) + (F.col("_si") - F.lit(1.0) / (nt - k)) / (3 * (k - 1))
+    )
+    return agg.select(
+        "k", "n_total",
+        (k - 1).cast("long").alias("df"),
+        he4(stat).alias("bartlett_stat"),
+    )
+
+
+def seed_closeness(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_seeds: int = 3,
+    max_hops: int = 20,
+) -> DataFrame:
+    """Closeness centrality of the n_seeds smallest vertices over ANY
+    undirected edge list (graph_closeness_seeds' algebra with the seed
+    count and hop cap parameterized): exact shortest-path distances via
+    pinned-frontier BFS, closeness = n_reachable / Σ distances.
+    Returns (seed, n_reachable, total_dist, closeness he4); seeds with
+    no neighbors drop.
+
+    Scale: per-round one adjacency join + one visited anti-join, work
+    proportional to the frontier boundary; exact ALL-sources closeness
+    is O(V·E) — sample seeds or a hyperball sketch at that scale."""
+    from .operators._helpers import he4
+
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).union(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).localCheckpoint()
+    seeds = (
+        sym.select(F.col("u").alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(n_seeds)
+        .localCheckpoint()
+    )
+    frontier = seeds.select(F.col("v").alias("seed"), "v").localCheckpoint()
+    visited = frontier
+    layers = []
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(sym, frontier["v"] == sym["u"])
+            .select("seed", sym["v"].alias("v"))
+            .distinct()
+            .join(visited, ["seed", "v"], "anti")
+            .localCheckpoint()
+        )
+        if frontier.count() == 0:
+            break
+        layers.append(frontier.select("seed", "v", F.lit(hop).alias("d")))
+        visited = visited.union(frontier).localCheckpoint()
+    if not layers:
+        return seeds.select(
+            F.col("v").alias("seed"),
+            F.lit(0).cast("long").alias("n_reachable"),
+            F.lit(0).cast("long").alias("total_dist"),
+            F.lit(None).cast("double").alias("closeness"),
+        ).filter(F.lit(False))
+    out = layers[0]
+    for seg in layers[1:]:
+        out = out.unionByName(seg)
+    return (
+        out.groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reachable"),
+            F.sum("d").cast("long").alias("total_dist"),
+        )
+        .select(
+            "seed", "n_reachable", "total_dist",
+            he4(
+                F.col("n_reachable").cast("double")
+                / F.col("total_dist").cast("double")
+            ).alias("closeness"),
+        )
+    )

@@ -3519,3 +3519,28 @@ def test_cooccur_pairs_matches_cosupply_edges(spark):
     want = _sorted(QUERIES["graph_cosupply_edges"](spark, SF_DIR),
                    ["s1", "s2"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bartlett_matches_stat_op(spark):
+    got = _sorted(api.bartlett(_events(spark), "event_type", "value", 100),
+                  ["k"])
+    want = _sorted(QUERIES["stat_bartlett"](spark, SF_DIR), ["k"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_seed_closeness_matches_graph_op(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    from secdb_spark.operators.warehouse_extras37 import COSUPPLY_MIN_ORDERS
+
+    edges = api.cooccur_pairs(os_, "o", "s", COSUPPLY_MIN_ORDERS)
+    got = _sorted(
+        api.seed_closeness(edges, "n1", "n2", n_seeds=3, max_hops=20),
+        ["seed"],
+    )
+    want = _sorted(QUERIES["graph_closeness_seeds"](spark, SF_DIR), ["seed"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -712,6 +712,12 @@ def _catalog(api, fx, tmp: str) -> dict:
             "pk", "url",
         ),
         "jarque_bera": lambda: api.jarque_bera(d, ["domain"], "score"),
+        "bartlett": lambda: api.bartlett(d, "domain", "score"),
+        "seed_closeness": lambda: api.seed_closeness(
+            d.select(F.col("pk").alias("a"),
+                     (F.col("pk") % 5).alias("b")),
+            "a", "b", n_seeds=2, max_hops=4
+        ),
         "adf_stat": lambda: api.adf_stat(e, ["uid"], "etime", "val"),
         "cooccur_pairs": lambda: api.cooccur_pairs(d, "domain", "pk", 1),
     }

@@ -141,8 +141,9 @@ def main() -> int:
                 "doc_script_mix", "mix_kl_reweight",
                 "corpus_dup_ngram_share", "text_chunk_sliding"]
     graph_ops = ["graph_cosupply_edges", "graph_bfs_layers",
-                 "graph_connected_components", "graph_triangle_count"]
-    event_ops = ["stat_jarque_bera", "ts_adf_stat"]
+                 "graph_connected_components", "graph_triangle_count",
+                 "graph_closeness_seeds"]
+    event_ops = ["stat_jarque_bera", "ts_adf_stat", "stat_bartlett"]
     wh_ops = ["scd2_apply_changes", "dedup_url_canonical"]
 
     base: dict[str, tuple[float, int]] = {}

@@ -9319,8 +9319,13 @@ def dup_ngram_share(
     >= 2 distinct documents corpus-wide.  Returns (group_col, n_grams,
     n_dup_grams, dup_share he4).
 
-    Scale: gram-keyed equi-shuffles only (explode -> doc-frequency agg
-    -> classify join), never all-pairs."""
+    Requires each id to belong to exactly ONE group (true for any
+    provenance column): per-gram doc frequency is then the sum of
+    per-group distinct counts, so the explode is consumed by a single
+    map-side-combinable (gram, group) aggregate and the rollup +
+    classify join run over the much smaller aggregated frame.
+
+    Scale: gram-keyed equi-shuffles only, never all-pairs."""
     from .operators._helpers import he4
 
     w = F.split(F.col(text_col), " ")
@@ -9335,15 +9340,18 @@ def dup_ngram_share(
         group_col,
         F.explode(grams).alias("_gram"),
     )
-    d = g.groupBy("_gram").agg(F.count_distinct("_id").alias("_nd"))
-    j = g.join(d, "_gram")
-    dup = F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+    a1 = g.groupBy("_gram", group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_occ"),
+        F.count_distinct("_id").cast("long").alias("_n_docs"),
+    )
+    d = a1.groupBy("_gram").agg(F.sum("_n_docs").cast("long").alias("_nd"))
+    j = a1.join(d, "_gram")
+    dup = F.sum(F.when(F.col("_nd") >= 2, F.col("_n_occ")).otherwise(0))
+    tot = F.sum("_n_occ")
     return j.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        tot.cast("long").alias("n_grams"),
         dup.cast("long").alias("n_dup_grams"),
-        he4(dup.cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "dup_share"
-        ),
+        he4(dup.cast("double") / tot.cast("double")).alias("dup_share"),
     )
 
 

@@ -210,16 +210,21 @@ def _gram_sql() -> str:
 @register(
     "corpus_dup_ngram_share",
     oracle=f"""
-    WITH {_gram_sql()}, d AS (
-      SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+    WITH {_gram_sql()}, a1 AS (
+      SELECT gram, source,
+             CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1, 2
+    ), d AS (
+      SELECT gram, CAST(sum(n_docs) AS BIGINT) AS nd FROM a1 GROUP BY 1
     )
-    SELECT g.source,
-           CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    SELECT a1.source,
+           CAST(sum(n_occ) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d.nd >= 2 THEN n_occ ELSE 0 END) AS BIGINT)
              AS n_dup_grams,
-           {sql_he4("CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+           {sql_he4("CAST(sum(CASE WHEN d.nd >= 2 THEN n_occ ELSE 0 END) AS DOUBLE) / CAST(sum(n_occ) AS DOUBLE)")}
              AS dup_share
-    FROM g JOIN d ON g.gram = d.gram
+    FROM a1 JOIN d ON a1.gram = d.gram
     GROUP BY 1
     """,
 )
@@ -232,13 +237,16 @@ def corpus_dup_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     can pass while half a source's gram mass is boilerplate).  Returns
     (source, n_grams, n_dup_grams, dup_share he4).
 
-    Scale: grams explode once (positions, not distinct — occupancy
-    weights repeated boilerplate correctly), the doc-frequency
-    aggregate and the classify join are both keyed ON THE GRAM — an
-    equi-shuffle bounded by total token mass, never all-pairs; at
-    100 TB the gram string shuffles as a 64-bit hash (collision-
-    audited) and hot boilerplate grams want salting before the
-    count-distinct."""
+    Scale: grams explode ONCE into a map-side-combinable (gram, source)
+    aggregate carrying occurrence and distinct-doc counts (a doc
+    belongs to exactly one source, so per-gram doc frequency is the SUM
+    of the per-source distinct counts — no second pass over raw
+    occurrences); the gram-keyed rollup and classify join then run over
+    the aggregated frame, typically orders of magnitude smaller than
+    the occurrence stream.  Everything is keyed ON THE GRAM — never
+    all-pairs; at 100 TB the gram string shuffles as a 64-bit hash
+    (collision-audited) and hot boilerplate grams want salting before
+    the distinct count."""
     d = table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     grams = F.transform(
@@ -250,15 +258,18 @@ def corpus_dup_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.filter(F.size(w) >= DUP_NGRAM_N).select(
         "doc_id", "source", F.explode(grams).alias("gram")
     )
-    df = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("nd"))
-    j = g.join(df, "gram")
-    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    a1 = g.groupBy("gram", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )
+    df = a1.groupBy("gram").agg(F.sum("n_docs").cast("long").alias("nd"))
+    j = a1.join(df, "gram")
+    dup = F.sum(F.when(F.col("nd") >= 2, F.col("n_occ")).otherwise(0))
+    tot = F.sum("n_occ")
     return j.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        tot.cast("long").alias("n_grams"),
         dup.cast("long").alias("n_dup_grams"),
-        he4(
-            dup.cast("double") / F.count(F.lit(1)).cast("double")
-        ).alias("dup_share"),
+        he4(dup.cast("double") / tot.cast("double")).alias("dup_share"),
     )
 
 

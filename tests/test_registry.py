@@ -244,8 +244,8 @@ def test_every_pending_op_is_slate_addressed():
         if not registry.certified_at_current_class(n) and n not in slated
     ]
     assert not unslated, (
-        f"pending ops without a slate slot (append to _CERT_SLATE_R11, "
-        f"budget 50): {unslated}"
+        f"pending ops without a slate slot (append to the CURRENT round's "
+        f"widening slate — _CERT_SLATE_R12B as of round 12): {unslated}"
     )
 
 

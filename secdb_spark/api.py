@@ -272,6 +272,7 @@ __all__ = [
     "cooccur_pairs",
     "bartlett",
     "seed_closeness",
+    "hypercube_check",
 ]
 
 # --- text ------------------------------------------------------------------
@@ -9714,4 +9715,74 @@ def seed_closeness(
                 / F.col("total_dist").cast("double")
             ).alias("closeness"),
         )
+    )
+
+
+def hypercube_check(
+    df: DataFrame,
+    dims_col: str,
+    member_col: str,
+    group_cols: list[str],
+    hypercube: dict[str, list[str]],
+    cube_members: list[str] | None = None,
+) -> DataFrame:
+    """Dimensional (hypercube) validity audit over ANY rows carrying a
+    map<axis, member> column (xbrl_dim_check's algebra with the declared
+    universe parameterized): per group, count dimensioned rows and how
+    many use an undeclared axis, an out-of-domain member, or a
+    `member_col` value outside the hypercube's membership
+    (cube_members; None skips that check).  Returns (group_cols...,
+    n_dim_rows, n_undeclared_axis, n_undeclared_member,
+    n_not_in_cube, status).
+
+    Scale: the flags are per-row map expressions against the
+    compile-time declared universe (a production taxonomy broadcasts);
+    ONE combinable aggregate keyed by the group."""
+    axes = list(hypercube)
+    bad_axis = F.exists(
+        F.map_keys(dims_col), lambda k: ~k.isin(*axes)
+    )
+
+    def member_in_domain(e):
+        expr = F.lit(False)
+        for axis, members in hypercube.items():
+            expr = F.when(
+                e["key"] == axis, e["value"].isin(*members)
+            ).otherwise(expr)
+        return expr
+
+    bad_member = F.exists(
+        F.map_entries(dims_col),
+        lambda e: F.when(
+            e["key"].isin(*axes), ~member_in_domain(e)
+        ).otherwise(F.lit(False)),
+    )
+    if cube_members is None:
+        not_in_cube = F.lit(False)
+    else:
+        not_in_cube = ~F.col(member_col).isin(*cube_members)
+    agg = (
+        df.filter(F.size(dims_col) > 0)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dim_rows"),
+            F.sum(F.when(bad_axis, 1).otherwise(0))
+            .cast("long")
+            .alias("n_undeclared_axis"),
+            F.sum(F.when(bad_member, 1).otherwise(0))
+            .cast("long")
+            .alias("n_undeclared_member"),
+            F.sum(F.when(not_in_cube, 1).otherwise(0))
+            .cast("long")
+            .alias("n_not_in_cube"),
+        )
+    )
+    return agg.withColumn(
+        "status",
+        F.when(
+            (F.col("n_undeclared_axis") == 0)
+            & (F.col("n_undeclared_member") == 0)
+            & (F.col("n_not_in_cube") == 0),
+            "VALID",
+        ).otherwise("INVALID"),
     )

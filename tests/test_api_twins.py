@@ -3544,3 +3544,37 @@ def test_seed_closeness_matches_graph_op(spark):
     )
     want = _sorted(QUERIES["graph_closeness_seeds"](spark, SF_DIR), ["seed"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hypercube_check_matches_xbrl_dim_check(spark):
+    from pyspark.sql import functions as F
+
+    from secdb_spark.operators.sources_sinks import _xbrl_supersede_facts
+    from secdb_spark.operators.xbrl_analytics2 import (
+        XBRL_CUBE_CONCEPTS,
+        XBRL_HYPERCUBE,
+    )
+    from secdb_spark.operators.xbrl_analytics import GEN_CIKS
+
+    facts = (
+        _xbrl_supersede_facts(spark, SF_DIR)
+        .filter(F.col("cik").isin(*GEN_CIKS))
+        .withColumn("period_end", F.coalesce("period_end", "period_instant"))
+    )
+    got = _sorted(
+        api.hypercube_check(
+            facts, "dims", "concept", ["cik", "period_end"],
+            {a: list(m) for a, m in XBRL_HYPERCUBE},
+            list(XBRL_CUBE_CONCEPTS),
+        ).withColumnsRenamed(
+            {"n_dim_rows": "n_dim_facts",
+             "n_not_in_cube": "n_concept_not_in_cube"}
+        ),
+        ["cik", "period_end"],
+    )
+    want = _sorted(
+        QUERIES["xbrl_dim_check"](spark, SF_DIR), ["cik", "period_end"]
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )

@@ -712,6 +712,15 @@ def _catalog(api, fx, tmp: str) -> dict:
             "pk", "url",
         ),
         "jarque_bera": lambda: api.jarque_bera(d, ["domain"], "score"),
+        "hypercube_check": lambda: api.hypercube_check(
+            d.withColumn(
+                "dims",
+                F.create_map(F.lit("axis"),
+                             (F.col("pk") % 2).cast("string")),
+            ),
+            "dims", "domain", ["domain"],
+            {"axis": ["0", "1"]}, ["news", "web", "code"],
+        ),
         "bartlett": lambda: api.bartlett(d, "domain", "score"),
         "seed_closeness": lambda: api.seed_closeness(
             d.select(F.col("pk").alias("a"),

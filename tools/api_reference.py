@@ -90,7 +90,7 @@ FAMILIES = [
      ["script_mix", "kl_uniform_reweight", "dup_ngram_share",
       "chunk_sliding", "scd2_merge", "canonicalize_urls", "url_dedup",
       "jarque_bera", "adf_stat", "cooccur_pairs", "bartlett",
-      "seed_closeness"]),
+      "seed_closeness", "hypercube_check"]),
     ("Sketches", ["bloom_filter", "cms", "hash_features"]),
     ("Recommendations", ["item_similarity", "copurchase_pairs",
                          "tfidf_topk_terms"]),

@@ -285,3 +285,100 @@ def test_kl_reweight_gibbs_and_weights(ms):
     assert total_kl >= -1e-9
     if len(set(ms)) == 1:
         assert abs(total_kl) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# stat_bartlett: zero at equal variances, invariant to group order
+# ---------------------------------------------------------------------------
+
+
+def _bartlett(groups):
+    k = len(groups)
+    nt = sum(len(g) for g in groups)
+    pooled_num = sum_ln = sum_inv = 0.0
+    for g in groups:
+        n = float(len(g))
+        s2 = (sum(x * x for x in g) - sum(g) ** 2 / n) / (n - 1)
+        if s2 <= 0:
+            return None
+        pooled_num += (n - 1) * s2
+        sum_ln += (n - 1) * math.log(s2)
+        sum_inv += 1.0 / (n - 1)
+    return ((nt - k) * math.log(pooled_num / (nt - k)) - sum_ln) / (
+        1 + (sum_inv - 1.0 / (nt - k)) / (3 * (k - 1))
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(-100, 100), min_size=3, max_size=30).filter(
+        lambda g: len(set(g)) >= 2
+    ),
+    st.integers(2, 5),
+)
+def test_bartlett_zero_for_identical_groups(g, k):
+    """k copies of the SAME sample have equal variances: T == 0 exactly
+    (ln Sp2 equals every group's ln s2)."""
+    t = _bartlett([list(g)] * k)
+    assert t is not None
+    assert abs(t) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-100, 100), min_size=3, max_size=20).filter(
+            lambda g: len(set(g)) >= 2
+        ),
+        min_size=2, max_size=5,
+    )
+)
+def test_bartlett_nonnegative_and_order_invariant(groups):
+    t = _bartlett(groups)
+    if t is None:
+        return
+    # T >= 0 (Jensen: ln of the pooled variance dominates the weighted
+    # mean of group ln-variances), up to float slack
+    assert t > -1e-9
+    t_rev = _bartlett(list(reversed(groups)))
+    assert math.isclose(t, t_rev, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# closeness: closed forms on star and path graphs
+# ---------------------------------------------------------------------------
+
+
+def _closeness_from_edges(edges, seed):
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        u = dq.popleft()
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                dq.append(w)
+    total = sum(dist.values())
+    return (len(dist) - 1, total)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(2, 40))
+def test_closeness_star_and_path_closed_forms(n):
+    # star: hub 0 with n leaves — hub closeness 1, leaf closeness
+    # n/(2n-1) (1 hop to hub, 2 to the other n-1 leaves)
+    star = [(0, i) for i in range(1, n + 1)]
+    reach, total = _closeness_from_edges(star, 0)
+    assert (reach, total) == (n, n)          # hub: all at distance 1
+    reach, total = _closeness_from_edges(star, 1)
+    assert (reach, total) == (n, 1 + 2 * (n - 1))
+    # path 0-1-..-n: end vertex total distance = n(n+1)/2
+    path = [(i, i + 1) for i in range(n)]
+    reach, total = _closeness_from_edges(path, 0)
+    assert (reach, total) == (n, n * (n + 1) // 2)

@@ -9370,11 +9370,17 @@ def chunk_sliding(
     boundary context for retrieval.  Returns (id_col, chunk_idx,
     start_pos, chunk_len, chunk_md5).
 
+    Empty (or NULL) texts yield no chunks — the filter below is load-
+    bearing: an unguarded sequence(1, 0) raises at runtime in Spark
+    while SQL generate_series(1, 0) returns no rows (r12 ADVICE).
+
     Scale: map-only sequence+explode fused into the scan; no shuffle."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
     starts = F.sequence(F.lit(1), F.length(text_col), F.lit(stride))
-    ex = df.select(id_col, text_col, F.explode(starts).alias("_i"))
+    ex = df.filter(F.length(text_col) >= 1).select(
+        id_col, text_col, F.explode(starts).alias("_i")
+    )
     chunk = F.col(text_col).substr(F.col("_i"), F.lit(window))
     return ex.select(
         id_col,
@@ -9407,12 +9413,31 @@ def scd2_merge(
     close+open split emitted by an array-explode instead of re-reading
     the dimension per branch (union-of-joins scans it three times;
     the api plan audit flags that shape).  History rows of changed keys
-    pass through untouched — only the OPEN version closes."""
+    pass through untouched — only the OPEN version closes.
+
+    Change-set contract: ONE change per key per batch.  A raw feed with
+    several changes for one key would fan the left join out and emit
+    multiple closed/opened pairs (corrupting the dimension), so the
+    change set is pre-aggregated here to the LATEST change per key
+    (max change_date, attr value tie-broken max) — apply multi-change
+    batches as ordered sub-batches if intermediate versions matter
+    (r12 ADVICE)."""
     new_attr_col = new_attr_col or attr_col
-    chg = changes.select(
-        F.col(key_col),
-        F.col(change_date_col).alias("_chg_date"),
-        F.col(new_attr_col).alias("_new_attr"),
+    chg = (
+        changes.select(
+            F.col(key_col),
+            F.col(change_date_col).alias("_chg_date"),
+            F.col(new_attr_col).alias("_new_attr"),
+        )
+        # one row per key: latest change wins, deterministic under
+        # same-date duplicates via the (date, attr) struct max
+        .groupBy(key_col)
+        .agg(F.max(F.struct("_chg_date", "_new_attr")).alias("_m"))
+        .select(
+            key_col,
+            F.col("_m._chg_date").alias("_chg_date"),
+            F.col("_m._new_attr").alias("_new_attr"),
+        )
     )
     vt_type = dict(current.dtypes)["valid_to"]
     passthrough = F.struct(

@@ -460,6 +460,17 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             frontier.select("seed", "v", F.lit(hop).alias("d"))
         )
         visited = pin(visited.union(frontier))
+    if not layers:
+        # no seed reached anybody (empty/degenerate edge list at a tiny
+        # scale factor): return the empty frame with the output schema
+        # instead of IndexError — the api.seed_closeness twin's guard,
+        # mirrored here (r12 ADVICE).
+        return seeds.select(
+            F.col("v").alias("seed"),
+            F.lit(0).cast("long").alias("n_reachable"),
+            F.lit(0).cast("long").alias("total_dist"),
+            F.lit(None).cast("double").alias("closeness"),
+        ).limit(0)
     out = layers[0]
     for seg in layers[1:]:
         out = out.unionByName(seg)

@@ -302,10 +302,17 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure map-side sequence+explode fused into the scan — output
     rows ~ n_chars/{CHUNK_S} per doc, no shuffle at all (chunking is
-    embarrassingly parallel); the md5 is a JVM builtin, no UDF."""
+    embarrassingly parallel); the md5 is a JVM builtin, no UDF.
+
+    The length >= 1 filter is load-bearing, not an optimization: an
+    empty text makes Spark's sequence(1, 0, stride) THROW while the
+    oracle's generate_series(1, 0, stride) yields no rows (r12 ADVICE) —
+    filtering first gives both engines the same no-chunks answer."""
     d = table(spark, sf_dir, "documents")
     starts = F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_S))
-    ex = d.select("doc_id", "text", F.explode(starts).alias("i"))
+    ex = d.filter(F.length("text") >= 1).select(
+        "doc_id", "text", F.explode(starts).alias("i")
+    )
     chunk = F.col("text").substr(F.col("i"), F.lit(CHUNK_W))
     return ex.select(
         "doc_id",
@@ -416,6 +423,13 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 URL_CANON_STEPS: tuple[tuple[str, str], ...] = (
     (r"#.*$", ""),                      # drop fragment
     (r"[?&]utm_[a-z]+=[^&#]*", ""),     # drop tracking params
+    # utm-FIRST repair: stripping '?utm_a=1' from 'x?utm_a=1&id=2'
+    # leaves the malformed 'x&id=2' — restore the first separator to
+    # '?' so 'x?utm_a=1&id=2' and 'x?id=2' share one canonical key
+    # (r12 ADVICE).  The ^ anchor fires at most once even under the
+    # oracle's 'g' flag; replacement backref is $1 here, \1 in RE2
+    # (_url_canon_sql translates).
+    (r"^([^?]*)&", "$1?"),
     (r":443/", "/"),                    # default https port (mid-URL)
     (r":443$", ""),                     # default https port (tail)
     (r"^https://www\.", "https://"),    # canonical host: no www
@@ -425,11 +439,14 @@ URL_CANON_STEPS: tuple[tuple[str, str], ...] = (
 
 def _url_canon_sql(expr: str) -> str:
     # DuckDB '...' literals keep backslashes verbatim (no E'' escaping),
-    # so the regex text embeds as-is; only quotes need doubling.
+    # so the regex text embeds as-is; only quotes need doubling.  Group
+    # backreferences differ by engine: Java replacement says $1, RE2
+    # says \1 — steps are authored in Java form and translated here.
     out = f"lower({expr})"
     for pat, repl in URL_CANON_STEPS:
         p = pat.replace("'", "''")
-        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+        r = repl.replace("$1", r"\1")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     return out
 
 

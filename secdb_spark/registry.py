@@ -109,9 +109,12 @@ _DRIVER_CERTIFIED, _DRIVER_EXACT_CERTIFIED = _load_driver_certified()
 # Keyed by (name, round-of-change) in the comment for audit:
 #   join_inner — r6: revenue DECIMAL(38,6) dsum -> int64 fixed-point
 #   (2.1x faster on the broadcast-bound headline; joins.py docstring).
+#   dedup_url_canonical — r13: the utm-first separator repair step
+#   (r12 ADVICE) rewrote the canonicalization chain in BOTH engines,
+#   so the r12 exact record certifies the old chain.
 # Remove an entry once a CORRECTNESS_r*.json from AFTER the change holds a
 # green row (tests/test_registry.py pins the bookkeeping).
-_ORACLE_CHANGED: dict[str, int] = {"join_inner": 6}
+_ORACLE_CHANGED: dict[str, int] = {"join_inner": 6, "dedup_url_canonical": 13}
 
 
 def _recert_pending(name: str) -> bool:

@@ -323,79 +323,62 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     purely a performance dispatch."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
-    # 16 seed slots from TWO salted sha256 digests (8-hex-char slices):
-    # ~8x less hashing per token than one digest per slot, same MinHash
-    # independence (slots are disjoint bits of independent digests).
-    ha = F.sha2(F.concat(F.lit("A:"), F.col("tok")), 256)
-    hb = F.sha2(F.concat(F.lit("B:"), F.col("tok")), 256)
-    slices = [
-        F.substring(ha if j < 8 else hb, (j % 8) * 8 + 1, 8)
-        for j in range(N_MINHASH)
-    ]
     vocab = _mask_vocab(spark, sf_dir)
-    if vocab is not None:
-        # Closed-vocab corpora hash each DISTINCT token once and join the
-        # slices back (broadcast: the dictionary fits MASK_MAX_VOCAB), so
-        # the sha256 pair runs |vocab| times instead of once per token
-        # OCCURRENCE — ~1 s off the sf0.1 bench signature stage.  Values
-        # are identical (the digest is a pure function of the token), so
-        # the DuckDB twin is untouched.
-        vsig = toks.select("tok").distinct().select(
-            "tok", *[s.alias(f"s{j}") for j, s in enumerate(slices)]
-        )
-        sig_src = toks.join(F.broadcast(vsig), "tok")
-        sig_cols = [F.min(f"s{j}").alias(f"h{j}") for j in range(N_MINHASH)]
-    else:
-        sig_src = toks
-        sig_cols = [
-            F.min(s).alias(f"h{j}") for j, s in enumerate(slices)
-        ]
-    sig = sig_src.groupBy("doc_id").agg(*sig_cols)
     rows_per_band = N_MINHASH // N_BANDS
-    # Band keys as LONGs (xxhash64 of the slice concat): primitive join
+
+    # Band keys as LONGs (xxhash64 of the 4 slice values): primitive join
     # keys beat ~36-char strings, and a 2^-64 key collision can only ADD
     # a candidate, which the exact-Jaccard verify rejects — the output
     # set is unchanged (Spark-side only; the oracle keeps string keys).
-    bands = sig.select(
-        "doc_id",
-        *[
+    def _band_cols():
+        return [
             F.xxhash64(
-                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+                *[
+                    F.col(f"h{band * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
             ).alias(f"band{band}")
             for band in range(N_BANDS)
-        ],
-    )
-    # Materialize the signature table ONCE.  `bands` is referenced 8x
-    # below (x/y across 4 band joins) and Catalyst does NOT reuse the
-    # subtree (plan audit: 18 scans of documents executed, zero
-    # ReusedExchange — the alias branches never canonicalize equal), so
-    # without this every band join re-tokenized and re-hashed the whole
-    # corpus.  The checkpoint is doc-count-sized (doc_id + 4 band longs),
-    # executor-local, and cuts the plan to one tokenize+sha+min pass.
-    bands = bands.localCheckpoint(eager=True)
-    # FIRST-MATCHING-BAND candidate join: for band b, equi-join on
-    # band_b with the residual predicate "band_j differs for all j < b".
-    # Each candidate pair is emitted at exactly one band (its first
-    # hash-equal band), so the raw candidate stream is duplicate-free BY
-    # CONSTRUCTION and the N_BANDS-way pair multiplicity — and the
-    # multi-million-row distinct() shuffle that used to absorb it —
-    # disappears.  A band-j key collision merely moves a pair's emission
-    # earlier; it still reaches the exact verify exactly once.
-    x, y = bands.alias("x"), bands.alias("y")
-    band_joins = []
-    for b in range(N_BANDS):
-        cond = (F.col(f"x.band{b}") == F.col(f"y.band{b}")) & (
-            F.col("x.doc_id") < F.col("y.doc_id")
-        )
-        for j in range(b):
-            cond = cond & (F.col(f"x.band{j}") != F.col(f"y.band{j}"))
-        band_joins.append(
-            x.join(y, cond).select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
+        ]
+
+    def _band_pairs(sigmask: DataFrame, bcast: bool) -> DataFrame:
+        # FIRST-MATCHING-BAND candidate join: for band b, equi-join on
+        # band_b with the residual predicate "band_j differs for all
+        # j < b".  Each candidate pair is emitted at exactly one band
+        # (its first hash-equal band), so the raw candidate stream is
+        # duplicate-free BY CONSTRUCTION and the N_BANDS-way pair
+        # multiplicity — and the multi-million-row distinct() shuffle
+        # that used to absorb it — disappears.  A band-j key collision
+        # merely moves a pair's emission earlier; it still reaches the
+        # exact verify exactly once.
+        #
+        # Build-side strategy is an EXPLICIT doc-count gate (r13), not a
+        # size estimate: the checkpointed signature frame descends from a
+        # join whose size estimate is garbage (the stats visitor
+        # multiplies child sizes), so auto-broadcast cannot be trusted
+        # either way.  Below MASK_BROADCAST_DOCS the build side (pruned
+        # to doc_id + N_BANDS longs, ~40 B/doc) broadcasts and every
+        # band join is a map-side BroadcastHashJoin; above it the joins
+        # shuffle on the band key and AQE handles skewed buckets — the
+        # same gate, and the same 100 TB shape, as the verify joins
+        # below.
+        x, y = sigmask.alias("x"), sigmask.alias("y")
+        if bcast:
+            y = F.broadcast(y)
+        band_joins = []
+        for b in range(N_BANDS):
+            cond = (F.col(f"x.band{b}") == F.col(f"y.band{b}")) & (
+                F.col("x.doc_id") < F.col("y.doc_id")
             )
-        )
-    pairs_raw = reduce(DataFrame.unionAll, band_joins)
+            for j in range(b):
+                cond = cond & (F.col(f"x.band{j}") != F.col(f"y.band{j}"))
+            band_joins.append(
+                x.join(y, cond).select(
+                    F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"),
+                )
+            )
+        return reduce(DataFrame.unionAll, band_joins)
 
     def verify(joined: DataFrame, inter_sz) -> DataFrame:
         # Exact Jaccard (keeps precision = 1): union size derived
@@ -420,19 +403,50 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     if vocab is not None:
-        # Dictionary bitmask kernel: the dictionary is already in hand
-        # (bounded collect in _mask_vocab), so idx assignment is a literal
-        # broadcast DataFrame — no global Window.orderBy (round 2's
-        # single-partition-window warning source) and no extra pass.
+        # SINGLE-PASS closed-vocab kernel (r13, guide §2.4 "remove
+        # shuffles outright" / §1.2 "the distributed algorithm"): rounds
+        # 2-12 built the band signatures and the verify bitmasks in TWO
+        # separate tokenize+aggregate+localCheckpoint jobs — two full
+        # passes over the corpus, each ~1.0 s of the 2.4 s sf0.1 bench
+        # reading (profiled r13).  Both aggregates are keyed by doc_id,
+        # so ONE groupBy now computes the 16 min-slices, the n_words
+        # bitmask words AND the token count together, and ONE
+        # localCheckpoint materializes them (doc_id + 4 band longs +
+        # n_words mask longs + count per doc).
+        #
+        # The dictionary is already in hand (bounded collect in
+        # _mask_vocab), so the per-token slice values are computed HERE
+        # in Python (hashlib sha256 == Spark sha2 on the same UTF-8
+        # bytes, certified by the unchanged DuckDB oracle) and shipped
+        # as a literal broadcast frame — the per-plan
+        # `toks.distinct()+sha2` subquery that used to build the slice
+        # dictionary inside the checkpoint job disappears.  Slices are
+        # parsed to LONGs: min over fixed-width lowercase hex equals
+        # min over the parsed value (lexicographic == numeric), so the
+        # argmin token — and therefore every band key — is unchanged.
+        import hashlib
+
         n_vocab = len(vocab)
         n_words = (n_vocab + 63) // 64
-        vid = spark.createDataFrame(
-            [(t, i) for i, t in enumerate(vocab)], "tok string, idx int"
+
+        def _slices_of(tok: str) -> list[int]:
+            da = hashlib.sha256(b"A:" + tok.encode("utf-8")).hexdigest()
+            db = hashlib.sha256(b"B:" + tok.encode("utf-8")).hexdigest()
+            return [
+                int((da if j < 8 else db)[(j % 8) * 8 : (j % 8) * 8 + 8], 16)
+                for j in range(N_MINHASH)
+            ]
+
+        vinfo = spark.createDataFrame(
+            [(t, i, *_slices_of(t)) for i, t in enumerate(vocab)],
+            "tok string, idx int, "
+            + ", ".join(f"s{j} long" for j in range(N_MINHASH)),
         )
-        masks = (
-            toks.join(F.broadcast(vid), "tok")
+        per_doc = (
+            toks.join(F.broadcast(vinfo), "tok")
             .groupBy("doc_id")
             .agg(
+                *[F.min(f"s{j}").alias(f"h{j}") for j in range(N_MINHASH)],
                 *[
                     F.bit_or(
                         F.expr(
@@ -445,16 +459,20 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n"),
             )
         )
-        # Same recompute hazard as `bands`: ma and mb are two consumers
-        # of the mask aggregate and the broadcasts below would each
-        # re-run tokenize+dictionary-join+bit_or.  One materialized pass.
-        masks = masks.localCheckpoint(eager=True)
-        ma = masks.select(
+        sigmask = per_doc.select(
+            "doc_id",
+            *_band_cols(),
+            *[f"m{w}" for w in range(n_words)],
+            "n",
+        ).localCheckpoint(eager=True)
+        in_gate = table_rows(sf_dir, "documents") <= MASK_BROADCAST_DOCS
+        pairs_raw = _band_pairs(sigmask, bcast=in_gate)
+        ma = sigmask.select(
             F.col("doc_id").alias("doc_a"),
             *[F.col(f"m{w}").alias(f"a{w}") for w in range(n_words)],
             F.col("n").alias("na"),
         )
-        mb = masks.select(
+        mb = sigmask.select(
             F.col("doc_id").alias("doc_b"),
             *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
             F.col("n").alias("nb"),
@@ -466,7 +484,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             F.lit(0),
         )
-        if table_rows(sf_dir, "documents") <= MASK_BROADCAST_DOCS:
+        if in_gate:
             # VERIFY-FIRST kernel: the per-doc masks are tiny (n_words
             # longs + a count), so broadcast them onto the band-join
             # pairs — the whole candidate stream (already duplicate-free
@@ -481,24 +499,56 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         # by doc id — the 100 TB shape); candidates are already unique.
         joined = pairs_raw.join(ma, "doc_a").join(mb, "doc_b")
         return verify(joined, inter_sz)
-    # Open-vocab kernel: token sets hashed to sorted LONG arrays once
-    # (primitive equality beats string equality ~2.5x; xxhash64
-    # collisions are ~2^-64, far below any other error source).
-    hsets = d.select(
+    # Open-vocab kernel — SINGLE MAP-SIDE PASS (r13, guide §2.4): the
+    # 16 signature mins, the hashed-sorted verify set (primitive
+    # equality beats string equality ~2.5x; xxhash64 collisions are
+    # ~2^-64, far below any other error source) and the cardinality are
+    # all per-doc functions of the token ARRAY, so they compute as array
+    # expressions in one projection chain — no explode, no aggregation
+    # shuffle (rounds 2-12 ran a tokenize+min-agg shuffle pass AND a
+    # separate tokenize+hash+sort pass), and ONE localCheckpoint.  The
+    # digest structs live in their own projection so the two sha256
+    # calls per token run once, not once per slice (CollapseProject
+    # keeps multiply-referenced non-cheap aliases separate).
+    digs = d.select(
         "doc_id",
-        F.sort_array(F.transform(_tokens(), lambda t: F.xxhash64(t))).alias(
-            "hset"
-        ),
-    ).withColumn("n", F.size("hset"))
-    # Two consumers (sa/sb) — materialize the hashed-sorted sets once so
-    # the tokenize+hash+sort pass runs once, not per join side.
-    hsets = hsets.localCheckpoint(eager=True)
-    sa = hsets.select(
+        F.transform(
+            _tokens(),
+            lambda t: F.struct(
+                F.sha2(F.concat(F.lit("A:"), t), 256).alias("da"),
+                F.sha2(F.concat(F.lit("B:"), t), 256).alias("db"),
+                F.xxhash64(t).alias("hx"),
+            ),
+        ).alias("dg"),
+    )
+    per_doc = digs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    "dg",
+                    lambda x: F.substring(
+                        x["da"] if j < 8 else x["db"], (j % 8) * 8 + 1, 8
+                    ),
+                )
+            ).alias(f"h{j}")
+            for j in range(N_MINHASH)
+        ],
+        F.sort_array(F.transform("dg", lambda x: x["hx"])).alias("hset"),
+        F.size("dg").alias("n"),
+    )
+    sigmask = per_doc.select(
+        "doc_id", *_band_cols(), "hset", "n"
+    ).localCheckpoint(eager=True)
+    pairs_raw = _band_pairs(
+        sigmask, bcast=table_rows(sf_dir, "documents") <= MASK_BROADCAST_DOCS
+    )
+    sa = sigmask.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hset").alias("set_a"),
         F.col("n").alias("na"),
     )
-    sb = hsets.select(
+    sb = sigmask.select(
         F.col("doc_id").alias("doc_b"),
         F.col("hset").alias("set_b"),
         F.col("n").alias("nb"),

@@ -197,9 +197,34 @@ _sql_op(
 )
 
 # -- TPC-H Q18 shape: large-volume orders (HAVING subquery feeding IN) ------
+# r13 OPTIMIZATION (guide §2.4/§1.2): the textbook IN-subquery form (kept
+# verbatim as the oracle below) plans as THREE lineitem scans — Catalyst
+# rewrites the IN to a left-semi against a full lineitem aggregate, pushes
+# that semi-join to BOTH sides of the orders⋈lineitem join (two duplicate
+# sum(l_quantity) aggregates, each its own Exchange), then re-aggregates
+# the joined rows per order.  Since o_orderkey is the orders PRIMARY KEY,
+# the per-order re-aggregate over joined rows IS the per-l_orderkey
+# lineitem aggregate — so the Spark-side text aggregates lineitem ONCE,
+# filters the HAVING, and joins orders to attach the header columns:
+# 1 lineitem scan + 1 shuffle, qualifying-orders side small enough that
+# AQE picks a broadcast join at bench scale and reverts to a key shuffle
+# when it grows.  Cross-engine equivalence vs the untouched IN-form
+# oracle is re-certified every round (r13 plan diff: 3 scans -> 2,
+# 4 Exchange -> 2).
 _sql_op(
     "sql_tpch_q18",
     """
+    SELECT o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM orders
+    JOIN (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    ) big ON o_orderkey = l_orderkey
+    """,
+    oracle="""
     SELECT o_orderkey, o_orderdate, o_totalprice,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -164,6 +164,28 @@ def table_rows(sf_dir: str, name: str) -> int:
 
 
 @lru_cache(maxsize=None)
+def table_split_units(sf_dir: str, name: str) -> int:
+    """Total parquet row groups across the table's files — the hard upper
+    bound on scan-stage parallelism (a row group is read by exactly one
+    task, so a single-row-group file caps the whole map side at ONE core
+    no matter how it is split).  Driver-side footer read, cached like
+    table_rows; used by the scan-spread gates (r13): when this is far
+    below the session's core count AND the table is small, compute-heavy
+    per-row pipelines insert one cheap repartition so tokenize/hash work
+    parallelizes — at warehouse scale the table has many row groups and
+    the gate never fires."""
+    import pyarrow.parquet as pq
+
+    p = Path(sf_dir) / f"{name}.parquet"
+    if p.is_dir():
+        return sum(
+            pq.ParquetFile(f).metadata.num_row_groups
+            for f in sorted(p.rglob("*.parquet"))
+        )
+    return pq.ParquetFile(p).metadata.num_row_groups
+
+
+@lru_cache(maxsize=None)
 def events_ts_unit(sf_dir: str) -> str:
     """Time unit of events.ts as written in the parquet footer: 'ns', 'us'
     or 'ms'.  Probed ONCE per sf_dir from footer metadata (driver-side file

@@ -27,7 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table, table_rows
+from ..catalog import table, table_rows, table_split_units
 from ..registry import register
 from ._helpers import pin
 
@@ -322,6 +322,26 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached per corpus; both verify kernels are exact, so the choice is
     purely a performance dispatch."""
     d = table(spark, sf_dir, "documents")
+    # Scan-spread gate (r13, guide §2.5 "input skew"): the testdata
+    # corpus is ONE parquet row group, which caps the tokenize+digest map
+    # stage at a single task no matter the core count (parquet assigns a
+    # row group to exactly one task).  When scan parallelism is
+    # row-group-bound AND the corpus is gate-small, one cheap hash
+    # repartition on doc_id (shuffles just the raw text once) spreads the
+    # heavy per-token hashing across the cluster, and the downstream
+    # per-doc aggregate reuses the partitioning — no second exchange.  At
+    # warehouse scale the corpus has many row groups / files and no
+    # shuffle is added.
+    ncores = spark.sparkContext.defaultParallelism
+    if (
+        table_split_units(sf_dir, "documents") < ncores
+        and table_rows(sf_dir, "documents") <= MASK_BROADCAST_DOCS
+    ):
+        # Explicit partition count: a key-only repartition of a sub-MB
+        # shuffle gets coalesced back to ONE partition by AQE, undoing
+        # the spread (measured r13); repartition(N, key) is
+        # user-pinned and AQE leaves it alone.
+        d = d.repartition(ncores, "doc_id")
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
     vocab = _mask_vocab(spark, sf_dir)
     rows_per_band = N_MINHASH // N_BANDS
@@ -417,11 +437,17 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The dictionary is already in hand (bounded collect in
         # _mask_vocab), so the per-token slice values are computed HERE
         # in Python (hashlib sha256 == Spark sha2 on the same UTF-8
-        # bytes, certified by the unchanged DuckDB oracle) and shipped
-        # as a literal broadcast frame — the per-plan
-        # `toks.distinct()+sha2` subquery that used to build the slice
-        # dictionary inside the checkpoint job disappears.  Slices are
-        # parsed to LONGs: min over fixed-width lowercase hex equals
+        # bytes, certified by the unchanged DuckDB oracle) and embedded
+        # as LITERAL map/array expressions — no dictionary frame, no
+        # broadcast exchange at all: the per-plan `toks.distinct()+sha2`
+        # subquery AND the per-execution ~0.25 s broadcast-build job of
+        # the dictionary join both disappear (measured r13: the 31-row
+        # broadcast join added a constant 0.27 s per execution over the
+        # identical joinless aggregate).  Literals are authored as ONE
+        # SQL text per expression (the parser builds them in a single
+        # py4j call; per-element F.lit construction measured 14 s of
+        # driver time at the 1024-token bound, the SQL-text form 0.7 s).
+        # Slices are LONGs: min over fixed-width lowercase hex equals
         # min over the parsed value (lexicographic == numeric), so the
         # argmin token — and therefore every band key — is unchanged.
         import hashlib
@@ -437,27 +463,45 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(N_MINHASH)
             ]
 
-        vinfo = spark.createDataFrame(
-            [(t, i, *_slices_of(t)) for i, t in enumerate(vocab)],
-            "tok string, idx int, "
-            + ", ".join(f"s{j} long" for j in range(N_MINHASH)),
+        slices = [_slices_of(t) for t in vocab]
+
+        def _sqlstr(t: str) -> str:
+            return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        idx_map = F.expr(
+            "map("
+            + ", ".join(f"{_sqlstr(t)}, {i}" for i, t in enumerate(vocab))
+            + ")"
         )
-        per_doc = (
-            toks.join(F.broadcast(vinfo), "tok")
-            .groupBy("doc_id")
-            .agg(
-                *[F.min(f"s{j}").alias(f"h{j}") for j in range(N_MINHASH)],
-                *[
-                    F.bit_or(
-                        F.expr(
-                            f"CASE WHEN idx div 64 = {w} THEN "
-                            "shiftleft(1L, CAST(idx % 64 AS INT)) ELSE 0L END"
-                        )
-                    ).alias(f"m{w}")
-                    for w in range(n_words)
-                ],
-                F.count(F.lit(1)).alias("n"),
+        slice_arrs = [
+            F.expr(
+                "array("
+                + ", ".join(f"{slices[i][j]}L" for i in range(n_vocab))
+                + ")"
             )
+            for j in range(N_MINHASH)
+        ]
+        # idx is never NULL: _mask_vocab only returns COMPLETE
+        # dictionaries, so every token hits the map (the join this
+        # replaces was inner on the same dictionary).
+        ti = toks.select("doc_id", idx_map[F.col("tok")].alias("idx"))
+        per_doc = ti.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.element_at(slice_arrs[j], F.col("idx") + 1)
+                ).alias(f"h{j}")
+                for j in range(N_MINHASH)
+            ],
+            *[
+                F.bit_or(
+                    F.expr(
+                        f"CASE WHEN idx div 64 = {w} THEN "
+                        "shiftleft(1L, CAST(idx % 64 AS INT)) ELSE 0L END"
+                    )
+                ).alias(f"m{w}")
+                for w in range(n_words)
+            ],
+            F.count(F.lit(1)).alias("n"),
         )
         sigmask = per_doc.select(
             "doc_id",

@@ -105,7 +105,29 @@ def sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (proven adversarially in tests/test_properties.py). Candidates
     are then verified with EXACT Jaccard on the FULL token sets, so the
     filter affects recall only — and the theorem makes recall 1."""
-    return _jaccard_pairs(table(spark, sf_dir, "documents"))
+    d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
+    return _jaccard_pairs(d)
+
+
+def _spread_docs(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
+    """Scan-spread gate (r13, guide §2.5 'input skew'): a single-row-group
+    parquet file caps the map stage at ONE task no matter the core count
+    (parquet assigns a row group to exactly one task), so compute-heavy
+    per-token pipelines (tokenize + hash + aggregate) run single-threaded
+    at the benched scale.  When scan parallelism is row-group-bound AND
+    the corpus is gate-small, one cheap hash repartition on doc_id
+    (shuffles just the raw text once) spreads the work; the explicit
+    partition count matters because AQE coalesces a key-only sub-MB
+    shuffle back to one partition, undoing the spread.  At warehouse
+    scale the corpus has many row groups / files and no shuffle is
+    added."""
+    ncores = spark.sparkContext.defaultParallelism
+    if (
+        table_split_units(sf_dir, "documents") < ncores
+        and table_rows(sf_dir, "documents") <= MASK_BROADCAST_DOCS
+    ):
+        return d.repartition(ncores, "doc_id")
+    return d
 
 
 def _jaccard_pairs(
@@ -118,45 +140,187 @@ def _jaccard_pairs(
     independent of what the set elements are."""
     if threshold is None:
         threshold = JACCARD_THRESHOLD
+    # r13 kernel rewrite (guide §2.3 "shuffle fewer bytes"): every stage
+    # downstream of tokenization runs on HASHED LONG elements, not token
+    # strings — xxhash64 once at set build, then the df counts, the
+    # prefix window order (df, hash — any consistent global total order
+    # satisfies the prefix-filter theorem; rarest-first is kept), the
+    # posting self-join key, and the verify arrays are all 8-byte longs
+    # (primitive equality; a 2^-64 hash collision is the dedup_near
+    # open-vocab precedent, far below any other error source).  The
+    # per-doc cardinality comes from size(hset) — the second window
+    # (count over the doc partition) disappears — and the verify derives
+    # the union arithmetically (na + nb - n_common) behind a
+    # size-compatibility prefilter instead of materializing array_union
+    # per pair.  Profiled at sf0.1 (11.3M candidates for 948k true pairs
+    # on the templated corpus): the string-array verify alone was 22.4 s.
+    #
     # pinned: sets feeds the posting explode AND both verify sides, and
     # prefix feeds both candidate-join legs — un-pinned each consumer
     # re-tokenized the corpus (plan-audit, SCALE.md §50; 6 scans).
-    sets = pin(d.select(
-        "doc_id", (_tokens() if tokens is None else tokens).alias("tokset")
-    ))
-    toks = sets.select("doc_id", F.explode("tokset").alias("tok"))
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    sets = pin(
+        d.select(
+            "doc_id",
+            F.sort_array(
+                F.transform(
+                    _tokens() if tokens is None else tokens,
+                    lambda t: F.xxhash64(t),
+                )
+            ).alias("hset"),
+        ).withColumn("n", F.size("hset"))
+    )
+    toks = sets.select("doc_id", "n", F.explode("hset").alias("th"))
+    dfreq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "th")
     prefix = (
-        toks.join(dfreq, "tok")
+        toks.join(dfreq, "th")
         .withColumn("rnk", F.row_number().over(wdoc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .filter(
             F.col("rnk")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select("doc_id", "tok")
+        .select("doc_id", "th")
     )
     prefix = pin(prefix)
-    cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "tok")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok")), "tok")
+    cand_raw = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "th")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "th"), "th")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
-    # verify on FULL sets: exact rational in double -> bit-identical x-engine
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("set_b"))
+
+    def out_cols(j):
+        return ["doc_a", "doc_b", j.alias("jaccard")]
+
+    # Bounded dictionary probe over the HASHED element domain, run on the
+    # pinned sets (no re-tokenize): sample pre-probe first so an open
+    # corpus never pays a full distinct, then the exact limit-capped
+    # dictionary — the _mask_vocab playbook generalized to any element
+    # expression (unigrams, shingles, api callers) because hashes, not
+    # strings, are the dictionary.
+    vocabh = None
+    sampled = (
+        sets.limit(VOCAB_PROBE_DOCS)
+        .select(F.explode("hset").alias("th"))
+        .distinct()
+        .count()
+    )
+    if 0 < sampled <= MASK_MAX_VOCAB:
+        rows = (
+            sets.select(F.explode("hset").alias("th"))
+            .distinct()
+            .limit(MASK_MAX_VOCAB + 1)
+            .collect()
+        )
+        if 0 < len(rows) <= MASK_MAX_VOCAB:
+            vocabh = sorted(r.th for r in rows)
+    if vocabh is not None:
+        # VERIFY-FIRST bitmask kernel (r13): with a closed element
+        # dictionary the per-pair verify is bit_count(a AND b) over
+        # n_words longs — so cheap that deduplicating candidates FIRST
+        # is the wrong order.  The raw first-shared-prefix-token stream
+        # (a pair appears once per shared prefix token, small
+        # multiplicity) flows straight through the broadcast mask joins
+        # and the Jaccard filter; the distinct shuffle runs LAST, over
+        # verified pairs only.  Measured at sf0.1 (22.4M raw / 11.3M
+        # distinct candidates, 965k true pairs): candidates+verify
+        # dropped from ~20 s (distinct-first + array_intersect) to
+        # 3.6 s.  Masks derive map-side from the pinned sets via a
+        # literal hash->index map (SQL-text authored, one parse) and a
+        # power-of-two lookup table (shiftleft needs a literal bit
+        # count); no extra scan, no checkpoint.
+        n_vocab = len(vocabh)
+        n_words = (n_vocab + 63) // 64
+        idx_map = F.expr(
+            "map("
+            + ", ".join(f"{h}L, {i}" for i, h in enumerate(vocabh))
+            + ")"
+        )
+        pow2 = F.expr(
+            "array("
+            + ", ".join(str(1 << i) + "L" for i in range(63))
+            + ", -9223372036854775808L)"
+        )
+        idxs = F.transform("hset", lambda h: idx_map[h].cast("long"))
+
+        def word(w):
+            return F.aggregate(
+                idxs,
+                F.lit(0).cast("long"),
+                lambda a, x: a.bitwiseOR(
+                    F.when(
+                        (x / 64).cast("int") == F.lit(w),
+                        F.element_at(pow2, (x % 64).cast("int") + 1),
+                    ).otherwise(F.lit(0).cast("long"))
+                ),
+            )
+
+        masks = sets.select(
+            "doc_id", *[word(w).alias(f"m{w}") for w in range(n_words)], "n"
+        )
+        ma = masks.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"m{w}").alias(f"a{w}") for w in range(n_words)],
+            F.col("n").alias("na"),
+        )
+        mb = masks.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
+            F.col("n").alias("nb"),
+        )
+        inter_sz = sum(
+            [
+                F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+                for w in range(n_words)
+            ],
+            F.lit(0),
+        )
+        return (
+            cand_raw.join(F.broadcast(ma), "doc_a")
+            .join(F.broadcast(mb), "doc_b")
+            .filter(
+                F.least("na", "nb")
+                >= F.lit(threshold) * F.greatest("na", "nb")
+            )
+            .withColumn("n_common", inter_sz)
+            .select(
+                *out_cols(
+                    F.col("n_common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_common"))
+                )
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .distinct()
+        )
+    # Open-dictionary kernel: array verify is per-pair expensive, so
+    # candidates dedup FIRST (one distinct over the raw pair stream),
+    # then verify on FULL hashed sets: exact rational in double ->
+    # bit-identical x-engine (hashed-set sizes equal string-set sizes)
+    cand = cand_raw.distinct()
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hset").alias("set_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hset").alias("set_b"),
+        F.col("n").alias("nb"),
+    )
     inter_sz = F.size(F.array_intersect("set_a", "set_b"))
-    union_sz = F.size(F.array_union("set_a", "set_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(
+            F.least("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .withColumn("n_common", inter_sz)
         .select(
-            "doc_a",
-            "doc_b",
-            (inter_sz.cast("double") / union_sz).alias("jaccard"),
+            *out_cols(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            )
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -332,16 +496,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc aggregate reuses the partitioning — no second exchange.  At
     # warehouse scale the corpus has many row groups / files and no
     # shuffle is added.
-    ncores = spark.sparkContext.defaultParallelism
-    if (
-        table_split_units(sf_dir, "documents") < ncores
-        and table_rows(sf_dir, "documents") <= MASK_BROADCAST_DOCS
-    ):
-        # Explicit partition count: a key-only repartition of a sub-MB
-        # shuffle gets coalesced back to ONE partition by AQE, undoing
-        # the spread (measured r13); repartition(N, key) is
-        # user-pinned and AQE leaves it alone.
-        d = d.repartition(ncores, "doc_id")
+    d = _spread_docs(spark, sf_dir, d)
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
     vocab = _mask_vocab(spark, sf_dir)
     rows_per_band = N_MINHASH // N_BANDS

@@ -513,9 +513,9 @@ def dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The empty-shingle guard (docs under 2 words) must filter the DOC, not
     produce an empty set: Jaccard with an empty set is 0/0."""
-    from .llm_pipeline import _jaccard_pairs
+    from .llm_pipeline import _jaccard_pairs, _spread_docs
 
-    d = table(spark, sf_dir, "documents")
+    d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     shingles = F.array_distinct(
         F.transform(

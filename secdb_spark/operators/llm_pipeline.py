@@ -1687,14 +1687,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Property-tested against union-find."""
     pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     pairs = pairs.localCheckpoint()  # computed once; reused every round
-    nodes = (
+    # r13 GROUP-GRAPH COLLAPSE (guide §1.2): docs with IDENTICAL token
+    # sets form a clique in the near-dup graph (equal sets share every
+    # signature, so dedup_near always emits their pairs at J = 1), so
+    # contracting each identical-set group to one node — its min doc_id,
+    # which is also the label the component converges to — preserves
+    # connected components EXACTLY while shrinking the propagated edge
+    # list quadratically on templated corpora (sf0.1: 948k doc pairs ->
+    # group pairs over ~3935 nodes).  Labels propagate on the group
+    # graph; docs inherit their group's label at the end.
+    dmap = _spread_docs(
+        spark, sf_dir, table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(_tokens()))
+        .alias("gid"),
+    )
+    dmap = dmap.localCheckpoint(eager=True)
+    ga = dmap.select(F.col("doc_id").alias("doc_a"), F.col("gid").alias("ga"))
+    gb = dmap.select(F.col("doc_id").alias("doc_b"), F.col("gid").alias("gb"))
+    gpairs = (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(F.col("ga") != F.col("gb"))
+        .select(
+            F.least("ga", "gb").alias("doc_a"),
+            F.greatest("ga", "gb").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    doc_nodes = (
         pairs.select(F.col("doc_a").alias("id"))
         .union(pairs.select(F.col("doc_b").alias("id")))
         .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        doc_nodes.join(
+            dmap.select(F.col("doc_id").alias("id"), "gid"), "id"
+        )
+        .select(F.col("gid").alias("id"))
+        .distinct()
     )
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
-    edges_bidir = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    edges_bidir = gpairs.union(
+        gpairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
     )
     for _ in range(15):  # diameter bound; corpus components are tiny
         neighbor_min = (
@@ -1719,8 +1760,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    # expand group labels back to the documents that appear in pairs
+    doc_labels = doc_nodes.join(
+        dmap.select(F.col("doc_id").alias("id"), "gid"), "id"
+    ).join(
+        labels.select(F.col("id").alias("gid"), "label"), "gid"
+    )
     return (
-        labels.groupBy(F.col("label").alias("cluster_rep"))
+        doc_labels.groupBy(F.col("label").alias("cluster_rep"))
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
             F.sort_array(F.collect_list("id")).cast("string").alias("members"),

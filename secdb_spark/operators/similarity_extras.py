@@ -129,6 +129,15 @@ def ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sim_containment all-pairs gate: below this doc count (and with a
+#: closed dictionary) the N^2/2 bitmask pass beats the postings
+#: self-join, whose volume is sum_term C(df, 2) and explodes on
+#: Zipf-concentrated corpora.  2e8 pair evaluations at the bound,
+#: fused popcount filter, ~seconds on one executor wave.
+CONTAIN_ALLPAIRS_DOCS = 20_000
+#: shared-distinct-terms floor (the HAVING in both engines).
+CONTAIN_MIN_COMMON = 25
+
 # ---------------------------------------------------------------------------
 # sim_containment — asymmetric overlap over the certified candidate graph
 # ---------------------------------------------------------------------------
@@ -171,11 +180,109 @@ def sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms from the join side (text_unigram_logprob's vocab side
     broadcast makes that a one-line filter).  Sizes are a model-free
     per-doc aggregate joined back on the pair keys."""
+    from .llm_pipeline import (
+        MASK_MAX_VOCAB,
+        _mask_vocab,
+        _spread_docs,
+    )
+
+    d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
+    vocab = _mask_vocab(spark, sf_dir)
+    if (
+        vocab is not None
+        and table_rows(sf_dir, "documents") <= CONTAIN_ALLPAIRS_DOCS
+    ):
+        # r13 BITMASK ALL-PAIRS kernel (guide §1.2 first-principles): on
+        # a closed-dictionary corpus the postings self-join is the WRONG
+        # candidate generator — Zipf-hot terms make its pair-row volume
+        # sum_term C(df, 2), which at sf0.1 is ~218M exploded rows
+        # through a pair-keyed aggregate (90 s), ~17x MORE than the
+        # N^2/2 = 12.5M all-pairs it was meant to avoid.  With the
+        # dictionary in hand every doc is n_words bitmask longs, the
+        # exact intersection is bit_count(a AND b), and the whole op is
+        # one broadcast nested-loop pass whose join condition fuses the
+        # doc ordering AND the >= {CONTAIN_MIN_COMMON}-common-terms
+        # floor (no pair materializes unless it passes).  Gated BOTH
+        # ways: dictionary must fit MASK_MAX_VOCAB and the corpus must
+        # be small enough that N^2/2 popcounts beat the postings join
+        # (CONTAIN_ALLPAIRS_DOCS); above either gate the postings path
+        # below — the open-web 100 TB shape with its documented
+        # hot-term-drop knob — is unchanged.
+        n_vocab = len(vocab)
+        n_words = (n_vocab + 63) // 64
+
+        def _sqlstr(t: str) -> str:
+            return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        idx_map = F.expr(
+            "map("
+            + ", ".join(f"{_sqlstr(t)}, {i}" for i, t in enumerate(vocab))
+            + ")"
+        )
+        pow2 = F.expr(
+            "array("
+            + ", ".join(str(1 << i) + "L" for i in range(63))
+            + ", -9223372036854775808L)"
+        )
+        tokset = F.array_distinct(F.split(F.col("text"), " "))
+        idxs = F.transform(tokset, lambda t: idx_map[t].cast("long"))
+
+        def word(w):
+            return F.aggregate(
+                idxs,
+                F.lit(0).cast("long"),
+                lambda a, x: a.bitwiseOR(
+                    F.when(
+                        (x / 64).cast("int") == F.lit(w),
+                        F.element_at(pow2, (x % 64).cast("int") + 1),
+                    ).otherwise(F.lit(0).cast("long"))
+                ),
+            )
+
+        masks = d.select(
+            "doc_id",
+            *[word(w).alias(f"m{w}") for w in range(n_words)],
+            F.size(tokset).alias("sz"),
+        ).localCheckpoint(eager=True)
+        ma = masks.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"m{w}").alias(f"a{w}") for w in range(n_words)],
+            F.col("sz").alias("sza"),
+        )
+        mb = masks.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
+            F.col("sz").alias("szb"),
+        )
+        inter = sum(
+            [
+                F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+                for w in range(n_words)
+            ],
+            F.lit(0),
+        )
+        return (
+            ma.join(
+                F.broadcast(mb),
+                (F.col("doc_a") < F.col("doc_b"))
+                & (inter >= CONTAIN_MIN_COMMON),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                inter.cast("long").alias("n_common"),
+                r4(inter.cast("double") / F.col("sza")).alias(
+                    "containment_a"
+                ),
+                r4(inter.cast("double") / F.col("szb")).alias(
+                    "containment_b"
+                ),
+            )
+        )
     # pinned: postings feed sizes + both self-join sides (3 consumers)
     # — un-pinned each re-ran the tokenize (plan-audit, SCALE.md §50).
     toks = pin(
-        table(spark, sf_dir, "documents")
-        .select(
+        d.select(
             "doc_id",
             F.explode(
                 F.array_distinct(F.split(F.col("text"), " "))
@@ -190,7 +297,7 @@ def sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
-        .filter(F.col("inter") >= 25)
+        .filter(F.col("inter") >= CONTAIN_MIN_COMMON)
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))

@@ -406,7 +406,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (63 sums per doc_id in one pass) is unchanged.  Bit 63 (the
     int64 sign bit) stays 0 so the reassembled hash is non-negative in
     both engines."""
-    d = table(spark, sf_dir, "documents")
+    from .llm_pipeline import _spread_docs
+
+    d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
     md5 = F.md5("tok")
     hashed = toks.select(
@@ -687,13 +689,20 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
         "bval",
     )
+    # VERIFY-FIRST (r13, the _jaccard_pairs lesson): popcount(xor) per
+    # candidate is a couple of instructions, so deduplicating the raw
+    # block-collision stream BEFORE the verify was the wrong order — the
+    # Hamming filter now runs on the raw stream (pigeonhole multiplicity
+    # <= 4, identical rows) and the distinct shuffles only surviving
+    # near-pairs.
     cand = (
         a.join(b2, ["blk", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.filter(ham <= SIMHASH_HAM_MAX).select(
-        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    return (
+        cand.filter(ham <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .distinct()
     )

@@ -96,7 +96,9 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, still one row per (doc, config, band)), one equi-self-join
     on (config, band, sig) — candidates never leave their hash bucket,
     so the sweep costs one banded join, not four."""
-    d = table(spark, sf_dir, "documents")
+    from .llm_pipeline import _spread_docs
+
+    d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
@@ -107,41 +109,81 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, s in enumerate(SWEEP_SEEDS)
         ]
     )
+    # r13 COUNT-ALGEBRA rewrite (guide §1.2 first-principles, §8 "decide
+    # with small rows"): the output is four per-config COUNT rows, yet
+    # the previous form materialized every within-bucket doc pair
+    # (89.7M pair rows at sf0.1 — the loose 8x1 banding alone emits
+    # 61.7M) through a pair-keyed aggregate: 83 s.  Both counts are
+    # functions of GROUP sizes, where a group is a full 8-signature
+    # vector (docs with identical sigvecs are interchangeable in every
+    # banding; the sf0.1 corpus collapses 5000 docs -> 1099 groups, so
+    # pair volume shrinks quadratically, ~20x):
+    #   n_band_hits(cfg)       = sum over (cfg, band, sig) buckets of
+    #                            C(M, 2), M = docs in bucket — needs NO
+    #                            pair join at all;
+    #   n_candidate_pairs(cfg) = sum over distinct colliding group
+    #                            pairs of mX*mY, plus sum C(m, 2) over
+    #                            groups (identical sigvecs collide in
+    #                            every band of every config).
+    # The only join left is the group-level band self-join (~1/20th the
+    # rows); all arithmetic is exact integers.  The DuckDB oracle keeps
+    # the doc-pair form, so the algebra is re-certified every round.
+    gsig = [f"sig{i}" for i in range(len(SWEEP_SEEDS))]
+    groups = pin(
+        sigs.groupBy(*gsig).agg(
+            F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("gid")
+        )
+    )
     rows = []
     for b, r in SWEEP_CONFIGS:
         for band in range(b):
             sig_concat = ", ".join(f"sig{band * r + j}" for j in range(r))
             rows.append(f"'b{b}r{r}', {band}, concat({sig_concat})")
-    n_rows = len(rows)
-    bands = sigs.select(
-        "doc_id",
+    bands_g = groups.select(
+        "gid",
+        "m",
         F.expr(
-            f"stack({n_rows}, {', '.join(rows)}) AS (config, band, sig)"
+            f"stack({len(rows)}, {', '.join(rows)}) AS (config, band, sig)"
         ),
     )
-    a, bb = bands.alias("a"), bands.alias("b")
-    hits = (
-        a.join(
-            bb,
-            (F.col("a.config") == F.col("b.config"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.config").alias("config"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    bucket = bands_g.groupBy("config", "band", "sig").agg(
+        F.sum("m").alias("bm")
+    )
+    hits_cfg = bucket.groupBy("config").agg(
+        F.sum(F.expr("bm * (bm - 1) div 2")).cast("long").alias("n_band_hits")
+    )
+    ga = bands_g.select(
+        F.col("gid").alias("ga"), F.col("m").alias("ma"),
+        "config", "band", "sig",
+    )
+    gb = bands_g.select(
+        F.col("gid").alias("gb"), F.col("m").alias("mb"),
+        "config", "band", "sig",
+    )
+    cross_cfg = (
+        ga.join(gb, ["config", "band", "sig"])
+        .filter(F.col("ga") < F.col("gb"))
+        .select("config", "ga", "gb", "ma", "mb")
+        .distinct()
+        .groupBy("config")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("cross_pairs"))
+    )
+    self_pairs = groups.agg(
+        F.sum(F.expr("m * (m - 1) div 2")).cast("long").alias("self_pairs")
     )
     nb = F.substring_index(
         F.substring(F.col("config"), 2, 99), "r", 1
     ).cast("int")
     rpb = F.substring_index(F.col("config"), "r", -1).cast("int")
-    return hits.groupBy("config").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
-        F.sum("n_band_hits").cast("long").alias("n_band_hits"),
+    return hits_cfg.join(cross_cfg, "config", "left").crossJoin(
+        F.broadcast(self_pairs)
+    ).select(
+        "config",
+        (
+            F.coalesce(F.col("cross_pairs"), F.lit(0))
+            + F.coalesce(F.col("self_pairs"), F.lit(0))
+        ).cast("long").alias("n_candidate_pairs"),
+        "n_band_hits",
     ).select(
         "config",
         nb.cast("long").alias("n_bands"),

@@ -28,6 +28,65 @@ def _sig_sql(i: int, s: str) -> str:
     return f"min(md5('{s}' || term)) AS sig{i}"
 
 
+
+
+def _lsh_group_pairs(spark: SparkSession, sf_dir: str):
+    """Shared group-level LSH candidate kernel (r13, guide §2.3
+    "aggregate before you shuffle" applied to a self-join): minhash
+    signatures are functions of the distinct TERM SET, so docs sharing a
+    set are interchangeable in every band — collapse each set to one
+    group node (the sf0.1 corpus: 5000 docs -> ~3935 groups, band-pair
+    volume shrinks quadratically), band-join GROUPS, and let consumers
+    expand members back out (lsh_candidates) or run components on the
+    contracted graph (dedup_clusters_exact).  Signatures build MAP-SIDE
+    per group (array_min over an md5 transform — no explode, no per-doc
+    aggregate).  Returns (groups = one row per set with its sorted
+    member ids, gp = (ga, gb, n_bands) group candidate pairs)."""
+    from .llm_pipeline import _spread_docs
+
+    d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
+    sets_per_doc = d.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.split("text", " "))).alias("terms"),
+    )
+    groups = pin(
+        sets_per_doc.groupBy("terms").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.min("doc_id").alias("gid"),
+        )
+    )
+    gsigs = groups.select(
+        "gid",
+        *[
+            F.array_min(
+                F.transform(
+                    "terms", lambda t: F.md5(F.concat(F.lit(s), t))
+                )
+            ).alias(f"sig{i}")
+            for i, s in enumerate(MINHASH_SEEDS)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{b}, concat({', '.join(f'sig{b * LSH_ROWS_PER_BAND + r}' for r in range(LSH_ROWS_PER_BAND))})"
+        for b in range(LSH_BANDS)
+    )
+    bands = gsigs.select(
+        "gid", F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (band, sig)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    gp = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return groups, gp
+
+
 @register(
     "lsh_candidates",
     oracle=f"""
@@ -68,37 +127,39 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     only inside hash buckets, so the pair stream scales with duplicate
     density, never n² — the same economics pinned for dedup_near
     (tests/test_plans.py), now with a DuckDB-checkable output."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
-    )
-    sigs = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(s), F.col("term")))).alias(f"sig{i}")
-            for i, s in enumerate(MINHASH_SEEDS)
-        ]
-    )
-    stack_args = ", ".join(
-        f"{b}, concat({', '.join(f'sig{b * LSH_ROWS_PER_BAND + r}' for r in range(LSH_ROWS_PER_BAND))})"
-        for b in range(LSH_BANDS)
-    )
-    bands = sigs.select(
-        "doc_id", F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (band, sig)")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    groups, gp = _lsh_group_pairs(spark, sf_dir)
+    # expansion back to doc pairs: every cross-group doc pair inherits
+    # its group pair's band count; identical-set docs collide in ALL
+    # bands (equal sets -> equal signatures)
+    ga = groups.select(F.col("gid").alias("ga"), F.col("members").alias("mem_a"))
+    gb = groups.select(F.col("gid").alias("gb"), F.col("members").alias("mem_b"))
+    cross = (
+        gp.join(F.broadcast(ga), "ga")
+        .join(F.broadcast(gb), "gb")
+        .select("n_bands", F.explode("mem_a").alias("da"), "mem_b")
+        .select("n_bands", "da", F.explode("mem_b").alias("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_bands",
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("i", "doc_a"), "members")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("members", F.col("i") + 2, F.size("members"))
+            ).alias("doc_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.lit(LSH_BANDS).cast("long").alias("n_bands"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 PMI_MIN_COUNT = 5  # collocation support floor

@@ -216,75 +216,122 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duplicate-density-scaled, never n²); token sets travel once per
     candidate side; the exact-J mean is decimal-quantized so both
     engines agree."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    from .llm_pipeline import _spread_docs
+
+    d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
+    # r13 TOKSET-GROUP COLLAPSE (guide §2.3 "aggregate before you
+    # shuffle" applied to a self-join): every number this op emits is a
+    # function of the DISTINCT TERM SET — the signatures are min-md5
+    # over the set, exact Jaccard is set algebra — so docs sharing a
+    # term set are interchangeable.  The sf0.1 corpus collapses 5000
+    # docs -> ~3935 groups, which shrinks the candidate pair stream
+    # quadratically; each surviving group pair carries its doc-pair
+    # multiplicity mX*mY, and identical-set pairs (all 8 signatures
+    # match, exact J = 1) contribute C(m, 2) straight into the k=8
+    # bucket without touching any join.  The weighted decimal sum is
+    # EXACTLY the per-pair sum (decimal x integer is exact), so the
+    # DuckDB oracle — still the doc-pair form — certifies the algebra
+    # every round.  Signatures are per-group map-side array_min folds:
+    # no explode, no per-doc aggregate.
+    sets_per_doc = d.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+        F.sort_array(F.array_distinct(F.split("text", " "))).alias("terms"),
     )
-    sigs = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(s), F.col("term")))).alias(f"sig{i}")
-            for i, s in enumerate(SWEEP_SEEDS)
-        ],
-        F.sort_array(F.collect_set("term")).alias("terms"),
+    groups = sets_per_doc.groupBy("terms").agg(
+        F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("gid")
     )
-    # pinned: sigs feeds the band stack + both verify sides — un-pinned
-    # each re-ran the signature aggregate (plan-audit, SCALE.md §50).
-    sigs = pin(sigs)
-    bands = sigs.select(
-        "doc_id",
-        F.concat("sig0", "sig1").alias("b0"),
-        F.concat("sig2", "sig3").alias("b1"),
-        F.concat("sig4", "sig5").alias("b2"),
-        F.concat("sig6", "sig7").alias("b3"),
-    )
-    stacked = bands.select(
-        "doc_id",
-        F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, sig)"),
-    )
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # pinned: gsigs feeds the band stack + both verify sides — un-pinned
+    # each re-ran the signature build (plan-audit, SCALE.md §50).
+    gsigs = pin(
+        groups.select(
+            "gid",
+            "m",
+            "terms",
+            *[
+                F.array_min(
+                    F.transform(
+                        "terms",
+                        lambda t: F.md5(F.concat(F.lit(s), t)),
+                    )
+                ).alias(f"sig{i}")
+                for i, s in enumerate(SWEEP_SEEDS)
+            ],
+            # hashed copy for the verify intersect: long equality beats
+            # string equality and the set SIZES are unchanged (the
+            # dedup_near 2^-64 collision precedent)
+            F.sort_array(
+                F.transform("terms", lambda t: F.xxhash64(t))
+            ).alias("hterms"),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+    )
+    # band keys and signature-compare columns as LONGs (xxhash64):
+    # primitive joins/comparisons beat 64-char concat strings; a 2^-64
+    # collision shifts one pair's bucket — the dedup_near precedent
+    bands = gsigs.select(
+        "gid",
+        F.xxhash64("sig0", "sig1").alias("b0"),
+        F.xxhash64("sig2", "sig3").alias("b1"),
+        F.xxhash64("sig4", "sig5").alias("b2"),
+        F.xxhash64("sig6", "sig7").alias("b3"),
+    )
+    # FIRST-MATCHING-BAND union (the dedup_near construction): band i's
+    # equi-join carries the residual "bands j < i differ", so every
+    # group pair is emitted at exactly one band and the multi-million-
+    # row distinct() that used to absorb the OR-banding multiplicity
+    # (10.4M raw -> 5.4M unique at sf0.1, a 7.7 s shuffle) disappears.
+    a, b = bands.alias("a"), bands.alias("b")
+    legs = []
+    for i in range(4):
+        cond = (F.col(f"a.b{i}") == F.col(f"b.b{i}")) & (
+            F.col("a.gid") < F.col("b.gid")
         )
-        .distinct()
+        for j in range(i):
+            cond = cond & (F.col(f"a.b{j}") != F.col(f"b.b{j}"))
+        legs.append(
+            a.join(b, cond).select(
+                F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb")
+            )
+        )
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionAll(leg)
+    sa = gsigs.select(
+        F.col("gid").alias("ga"),
+        F.col("m").alias("ma"),
+        *[F.xxhash64(f"sig{i}").alias(f"a_sig{i}") for i in range(8)],
+        F.col("hterms").alias("a_terms"),
     )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"sig{i}").alias(f"a_sig{i}") for i in range(8)],
-        F.col("terms").alias("a_terms"),
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"sig{i}").alias(f"b_sig{i}") for i in range(8)],
-        F.col("terms").alias("b_terms"),
+    sb = gsigs.select(
+        F.col("gid").alias("gb"),
+        F.col("m").alias("mb"),
+        *[F.xxhash64(f"sig{i}").alias(f"b_sig{i}") for i in range(8)],
+        F.col("hterms").alias("b_terms"),
     )
     n_match = sum(
         F.when(F.col(f"a_sig{i}") == F.col(f"b_sig{i}"), 1).otherwise(0)
         for i in range(8)
     ).cast("long")
     inter = F.size(F.array_intersect("a_terms", "b_terms"))
-    union = (
-        F.size("a_terms") + F.size("b_terms") - inter
-    )
+    union = F.size("a_terms") + F.size("b_terms") - inter
     scored = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa, "ga")
+        .join(sb, "gb")
         .select(
             n_match.alias("n_match"),
             (inter.cast("double") / union).alias("exact_j"),
+            (F.col("ma") * F.col("mb")).cast("long").alias("w"),
         )
     )
-    return scored.groupBy("n_match").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(F.col("exact_j").cast("decimal(38,6)")).alias("_sum_j"),
+    self_pairs = groups.filter(F.col("m") >= 2).select(
+        F.lit(8).cast("long").alias("n_match"),
+        F.lit(1.0).alias("exact_j"),
+        F.expr("m * (m - 1) div 2").cast("long").alias("w"),
+    )
+    return scored.unionByName(self_pairs).groupBy("n_match").agg(
+        F.sum("w").cast("long").alias("n_pairs"),
+        F.sum(
+            F.col("exact_j").cast("decimal(38,6)") * F.col("w")
+        ).alias("_sum_j"),
     ).select(
         "n_match",
         r4(F.col("n_match").cast("double") / 8).alias("est_jaccard"),

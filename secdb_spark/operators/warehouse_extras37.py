@@ -998,63 +998,64 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard side is the diagnostic — at 100 TB run the
     calibration on a bucket SAMPLE and serve lookups from the 1-bit
     index (16 bits/doc vs 16x32)."""
-    d = table(spark, sf_dir, "documents")
-    toks = pin(d.select("doc_id", F.explode(_tokens()).alias("tok")))
-    ha = F.sha2(F.concat(F.lit("A:"), F.col("tok")), 256)
-    hb = F.sha2(F.concat(F.lit("B:"), F.col("tok")), 256)
-    slices = [
-        F.substring(ha if j < 8 else hb, (j % 8) * 8 + 1, 8)
-        for j in range(N_MINHASH)
-    ]
-    sig = pin(
-        toks.groupBy("doc_id").agg(
-            *[F.min(s).alias(f"h{j}") for j, s in enumerate(slices)]
+    from .llm_pipeline import _spread_docs
+
+    d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
+    # r13 TOKSET-GROUP COLLAPSE (the minhash_jaccard_calibration
+    # restructure, same argument): every emitted number is a function of
+    # the distinct token SET — signatures are min-slices over the set,
+    # the packed low-bit word, the cardinality and exact Jaccard are set
+    # algebra — so docs sharing a token set are interchangeable and the
+    # pair space collapses quadratically (sf0.1: 5000 docs -> ~3935
+    # groups).  Signatures/hashed sets build MAP-SIDE per group
+    # (array_min/transform — no explode, no per-doc aggregate); the
+    # old exploded-token 3-way intersection join becomes one
+    # array_intersect per surviving group pair; candidates come from the
+    # first-matching-band union (no distinct); identical-set pairs
+    # contribute C(m,2) straight into the agree=16 / J=1 bucket.  The
+    # weighted DEC12 sum is exactly the per-pair sum (decimal x integer
+    # is exact); the DuckDB oracle keeps the doc-pair form and
+    # re-certifies the algebra every round.
+    sets_per_doc = d.select("doc_id", _tokens().alias("tokset"))
+    groups = sets_per_doc.groupBy("tokset").agg(
+        F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("gid")
+    )
+    digs = groups.select(
+        "gid",
+        "m",
+        F.transform(
+            "tokset",
+            lambda t: F.struct(
+                F.sha2(F.concat(F.lit("A:"), t), 256).alias("da"),
+                F.sha2(F.concat(F.lit("B:"), t), 256).alias("db"),
+                F.xxhash64(t).alias("hx"),
+            ),
+        ).alias("dg"),
+    )
+    gsig = pin(
+        digs.select(
+            "gid",
+            "m",
+            *[
+                F.array_min(
+                    F.transform(
+                        "dg",
+                        lambda x: F.substring(
+                            x["da"] if j < 8 else x["db"],
+                            (j % 8) * 8 + 1,
+                            8,
+                        ),
+                    )
+                ).alias(f"h{j}")
+                for j in range(N_MINHASH)
+            ],
+            F.sort_array(F.transform("dg", lambda x: x["hx"])).alias("hset"),
+            F.size("dg").alias("nt"),
         )
     )
     rows_per_band = N_MINHASH // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(str(band)),
-                        *[
-                            F.col(f"h{band * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for band in range(N_BANDS)
-                ]
-            )
-        ).alias("band_key"),
-    )
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = pin(
-        x.join(
-            y,
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    card = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-
     # the whole 1-bit signature packs into ONE int64 (bit j = low bit of
-    # slot j) — agreement is then 16 - popcount(xor), so the per-pair
-    # comparison joins one narrow column instead of 16, and the packed
+    # slot j) — agreement is then 16 - popcount(xor), and the packed
     # column IS the storage artifact the op advertises (16 bits/doc)
     bits = sum(
         (
@@ -1066,34 +1067,76 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     ).cast("long")
-    pa = sig.select(F.col("doc_id").alias("doc_a"), bits.alias("wa"))
-    pb = sig.select(F.col("doc_id").alias("doc_b"), bits.alias("wb"))
-    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("na"))
-    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb"))
+    gb_frame = gsig.select(
+        "gid",
+        "m",
+        "hset",
+        "nt",
+        bits.alias("w1"),
+        *[
+            F.xxhash64(
+                *[
+                    F.col(f"h{band * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            ).alias(f"band{band}")
+            for band in range(N_BANDS)
+        ],
+    )
+    xa = gb_frame.select(
+        F.col("gid").alias("ga"),
+        F.col("m").alias("ma"),
+        F.col("hset").alias("set_a"),
+        F.col("nt").alias("na"),
+        F.col("w1").alias("wa"),
+        *[F.col(f"band{b}").alias(f"xb{b}") for b in range(N_BANDS)],
+    )
+    xb = gb_frame.select(
+        F.col("gid").alias("gb"),
+        F.col("m").alias("mb"),
+        F.col("hset").alias("set_b"),
+        F.col("nt").alias("nb"),
+        F.col("w1").alias("wb"),
+        *[F.col(f"band{b}").alias(f"yb{b}") for b in range(N_BANDS)],
+    )
+    legs = []
+    for bnd in range(N_BANDS):
+        cond = (F.col(f"xb{bnd}") == F.col(f"yb{bnd}")) & (
+            F.col("ga") < F.col("gb")
+        )
+        for j in range(bnd):
+            cond = cond & (F.col(f"xb{j}") != F.col(f"yb{j}"))
+        legs.append(xa.join(xb, cond))
+    joined = legs[0]
+    for leg in legs[1:]:
+        joined = joined.unionAll(leg)
     agree = F.lit(N_MINHASH) - F.bit_count(
         F.col("wa").bitwiseXOR(F.col("wb"))
     )
-    pairs = (
-        cand.join(pa, "doc_a")
-        .join(pb, "doc_b")
-        .join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .join(inter, ["doc_a", "doc_b"], "left")
-        .select(
-            agree.alias("agree_bits"),
-            (
-                F.coalesce("n_common", F.lit(0)).cast("double")
-                / (F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0)))
-            ).alias("j_exact"),
-        )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    pairs = joined.select(
+        agree.alias("agree_bits"),
+        (
+            inter.cast("double")
+            / (F.col("na") + F.col("nb") - inter)
+        ).alias("j_exact"),
+        (F.col("ma") * F.col("mb")).cast("long").alias("w"),
+    )
+    self_pairs = groups.filter(F.col("m") >= 2).select(
+        F.lit(N_MINHASH).cast("int").alias("agree_bits"),
+        F.lit(1.0).alias("j_exact"),
+        F.expr("m * (m - 1) div 2").cast("long").alias("w"),
     )
     return (
-        pairs.groupBy("agree_bits")
+        pairs.unionByName(self_pairs)
+        .groupBy("agree_bits")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("w").cast("long").alias("n_pairs"),
             he4(
-                F.sum(F.col("j_exact").cast(DEC12)).cast("double")
-                / F.count(F.lit(1))
+                F.sum(F.col("j_exact").cast(DEC12) * F.col("w")).cast(
+                    "double"
+                )
+                / F.sum("w")
             ).alias("avg_j_exact"),
         )
         .select(

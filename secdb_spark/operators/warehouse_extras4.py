@@ -24,7 +24,7 @@ from ..catalog import table
 from ..registry import register
 from ._helpers import pin, dsum_scaled, sql_dsum_scaled
 from .warehouse_extras2 import MINHASH_SEEDS
-from .warehouse_extras3 import LSH_BANDS, LSH_ROWS_PER_BAND, _sig_sql, lsh_candidates
+from .warehouse_extras3 import LSH_BANDS, LSH_ROWS_PER_BAND, _sig_sql
 
 # ---------------------------------------------------------------------------
 # dedup_clusters_exact — connected components over the EXACT candidate graph
@@ -91,37 +91,57 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round to cut lineage growth, and convergence is a count action
     (no collect of the label table).  Dedup components in web corpora
     have tiny diameters, so the loop is 2-3 rounds in practice."""
-    pairs = (
-        lsh_candidates(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    # r13: components run on the CONTRACTED group graph from the shared
+    # _lsh_group_pairs kernel (identical term sets are cliques — equal
+    # sets share every signature, so contracting them preserves
+    # components exactly while shrinking the iterated edge list
+    # quadratically); docs inherit their group's converged label at
+    # expansion.  A group is a node iff it has a cross-group candidate
+    # edge or 2+ members (its docs pair internally).
+    from .warehouse_extras3 import _lsh_group_pairs
+
+    groups, gp = _lsh_group_pairs(spark, sf_dir)
+    gpe = gp.select("ga", "gb").localCheckpoint()
+    edges = gpe.union(
+        gpe.select(F.col("gb").alias("ga"), F.col("ga").alias("gb"))
     )
     labels = (
-        edges.select(F.col("doc_a").alias("id"))
+        edges.select(F.col("ga").alias("id"))
+        .union(
+            groups.filter(F.size("members") >= 2).select(
+                F.col("gid").alias("id")
+            )
+        )
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
     for _ in range(15):  # diameter bound; dedup components are tiny
         nbr = (
-            edges.join(labels, edges.doc_b == labels.id)
-            .groupBy(F.col("doc_a").alias("id"))
+            edges.join(labels, edges.gb == labels.id)
+            .groupBy(F.col("ga").alias("id"))
             .agg(F.min("label").alias("nbr"))
         )
-        upd = labels.join(nbr, "id").select(
+        upd = labels.join(nbr, "id", "left").select(
             "id",
-            F.least("label", "nbr").alias("label"),
-            (F.col("nbr") < F.col("label")).alias("changed"),
+            F.least(
+                "label", F.coalesce("nbr", F.col("label"))
+            ).alias("label"),
+            (
+                F.coalesce("nbr", F.col("label")) < F.col("label")
+            ).alias("changed"),
         )
         upd = upd.localCheckpoint()
         n_changed = upd.filter("changed").count()
         labels = upd.drop("changed")
         if n_changed == 0:
             break
-    return labels.groupBy(F.col("label").alias("cluster_rep")).agg(
+    docs = labels.join(
+        groups.select(F.col("gid").alias("id"), "members"), "id"
+    ).select("label", F.explode("members").alias("doc"))
+    return docs.groupBy(F.col("label").alias("cluster_rep")).agg(
         F.count(F.lit(1)).alias("cluster_size"),
-        F.sort_array(F.collect_list("id")).cast("string").alias("members"),
+        F.sort_array(F.collect_list("doc")).cast("string").alias("members"),
     )
 
 

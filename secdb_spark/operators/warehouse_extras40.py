@@ -247,7 +247,9 @@ def corpus_dup_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; at 100 TB the gram string shuffles as a 64-bit hash
     (collision-audited) and hot boilerplate grams want salting before
     the distinct count."""
-    d = table(spark, sf_dir, "documents")
+    from .llm_pipeline import _spread_docs
+
+    d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (DUP_NGRAM_N - 1)),
@@ -262,8 +264,22 @@ def corpus_dup_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_occ"),
         F.count_distinct("doc_id").cast("long").alias("n_docs"),
     )
-    df = a1.groupBy("gram").agg(F.sum("n_docs").cast("long").alias("nd"))
-    j = a1.join(df, "gram")
+    # r13 single-lineage rollup (guide §2.4): a1 had TWO consumers (the
+    # per-gram doc-frequency rollup and the classify join), and with no
+    # common-subexpression reuse Catalyst executed the explode+aggregate
+    # twice and shuffled the join.  One per-gram aggregate now carries
+    # the doc-frequency AND the per-source occurrence structs (bounded
+    # by the source count) together; the classify step is a map-side
+    # explode of that frame — one gram pass, no join.
+    per_gram = a1.groupBy("gram").agg(
+        F.sum("n_docs").cast("long").alias("nd"),
+        F.collect_list(F.struct("source", "n_occ")).alias("per_src"),
+    )
+    j = per_gram.select("nd", F.explode("per_src").alias("s")).select(
+        F.col("s.source").alias("source"),
+        F.col("s.n_occ").alias("n_occ"),
+        "nd",
+    )
     dup = F.sum(F.when(F.col("nd") >= 2, F.col("n_occ")).otherwise(0))
     tot = F.sum("n_occ")
     return j.groupBy("source").agg(

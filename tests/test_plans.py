@@ -639,10 +639,26 @@ def test_ann_lsh_exact_signatures_scan_fused(spark):
 
 
 def test_sim_containment_joins_on_term_postings(spark):
-    """Candidates must form through the term equi-join (posting lists),
+    """Below the all-pairs gate (r13): ONE deliberate broadcast
+    nested-loop pass whose join condition fuses the popcount floor —
+    no unfiltered cartesian row ever materializes.  Above the gate:
+    candidates must form through the term equi-join (posting lists),
     never a cartesian of documents."""
+    import secdb_spark.operators.similarity_extras as se
+
     p = plan_of(spark, "sim_containment")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p and "bit_count" in p, (
+        "gated bitmask kernel must fuse the common-terms floor into the "
+        "broadcast nested-loop condition"
+    )
+    old = se.CONTAIN_ALLPAIRS_DOCS
+    se.CONTAIN_ALLPAIRS_DOCS = 0
+    try:
+        p2 = plan_of(spark, "sim_containment")
+    finally:
+        se.CONTAIN_ALLPAIRS_DOCS = old
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
 
 
 def test_events_type_overlap_single_flag_pass(spark):

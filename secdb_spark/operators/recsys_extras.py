@@ -201,11 +201,165 @@ def lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     division each, so the whole evaluation is itself exact-certified —
     an EVALUATED sketch, not a trusted one.
 
-    Scale: ground truth costs the term-postings join (the expensive
-    side — at corpus scale you evaluate on a SAMPLED doc subset, which
-    `sample_bottomk`'s coordinated sample supplies deterministically);
-    candidates cost the banded self-join.  Both sides reuse certified
-    building blocks, so the eval inherits their plans."""
+    r13 grouped kernel (guide §1.2 "the distributed algorithm"): every
+    quantity here is a function of the distinct token SET — truth
+    membership (3·|A∩B| ≥ |A|+|B|), candidate membership (MinHash
+    signatures, hence band collisions), and therefore hits.  Docs
+    collapse to tokset groups (`_lsh_group_pairs`' contraction: sf0.1
+    5000 docs → ~3935 groups); truth group pairs come from ONE gated
+    bitmask all-pairs pass with the integer threshold fused into the
+    join condition (the sim_containment kernel: the postings self-join
+    generates Σ_term C(df,2) pair rows — ~17× MORE than all-pairs on a
+    Zipf-concentrated closed-vocab corpus); candidate group pairs come
+    from the shared banded group kernel; and all three counts close as
+    group-size-weighted sums (cross pairs |A|·|B|, within-group pairs
+    C(m,2) — identical sets have J=1 ≥ θ and collide in every band, so
+    they are truth, candidate, and hit by construction).  No doc-pair
+    stream ever materializes.
+
+    Scale: the bitmask pass is gated on a closed dictionary
+    (MASK_MAX_VOCAB) and corpus size (CONTAIN_ALLPAIRS_DOCS); above
+    either gate the original postings-join truth runs unchanged — and
+    at corpus scale you evaluate on a SAMPLED doc subset anyway (which
+    `sample_bottomk`'s coordinated sample supplies deterministically).
+    Both sides reuse certified building blocks, so the eval inherits
+    their plans."""
+    from .llm_pipeline import _mask_vocab
+    from .similarity_extras import CONTAIN_ALLPAIRS_DOCS
+    from ..catalog import table_rows
+
+    vocab = _mask_vocab(spark, sf_dir)
+    if (
+        vocab is not None
+        and table_rows(sf_dir, "documents") <= CONTAIN_ALLPAIRS_DOCS
+    ):
+        return _lsh_eval_grouped(spark, sf_dir, vocab)
+    return _lsh_eval_postings(spark, sf_dir)
+
+
+def _lsh_eval_grouped(
+    spark: SparkSession, sf_dir: str, vocab: list[str]
+) -> DataFrame:
+    """Group-contracted closed-vocab kernel — see lsh_eval docstring."""
+    from .warehouse_extras3 import _lsh_group_pairs
+
+    groups, gp = _lsh_group_pairs(spark, sf_dir)
+    n_words = (len(vocab) + 63) // 64
+
+    def _sqlstr(t: str) -> str:
+        return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    idx_map = F.expr(
+        "map("
+        + ", ".join(f"{_sqlstr(t)}, {i}" for i, t in enumerate(vocab))
+        + ")"
+    )
+    pow2 = F.expr(
+        "array("
+        + ", ".join(str(1 << i) + "L" for i in range(63))
+        + ", -9223372036854775808L)"
+    )
+    idxs = F.transform("terms", lambda t: idx_map[t].cast("long"))
+
+    def word(w):
+        return F.aggregate(
+            idxs,
+            F.lit(0).cast("long"),
+            lambda a, x: a.bitwiseOR(
+                F.when(
+                    (x / 64).cast("int") == F.lit(w),
+                    F.element_at(pow2, (x % 64).cast("int") + 1),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        )
+
+    g = groups.select(
+        "gid",
+        F.size("members").cast("long").alias("m"),
+        F.size("terms").cast("long").alias("nt"),
+        *[word(w).alias(f"w{w}") for w in range(n_words)],
+    )
+    ta = g.select(
+        F.col("gid").alias("ga"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(n_words)],
+        F.col("nt").alias("nta"),
+        F.col("m").alias("ma"),
+    )
+    tb = g.select(
+        F.col("gid").alias("gb"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(n_words)],
+        F.col("nt").alias("ntb"),
+        F.col("m").alias("mb"),
+    )
+    inter = sum(
+        [
+            F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+            for w in range(n_words)
+        ],
+        F.lit(0),
+    )
+    # truth group pairs: the θ=NUM/DEN integer test fused into the BNLJ
+    # condition — no pair row materializes unless it qualifies
+    tg = pin(
+        ta.join(
+            F.broadcast(tb),
+            (F.col("ga") < F.col("gb"))
+            & (
+                F.lit(LSH_EVAL_NUM + LSH_EVAL_DEN) * inter
+                >= F.lit(LSH_EVAL_NUM) * (F.col("nta") + F.col("ntb"))
+            ),
+        ).select("ga", "gb", (F.col("ma") * F.col("mb")).alias("w"))
+    )
+    # candidate group pairs, weighted by member counts
+    sz_a = g.select(F.col("gid").alias("ga"), F.col("m").alias("ma"))
+    sz_b = g.select(F.col("gid").alias("gb"), F.col("m").alias("mb"))
+    cg = pin(
+        gp.join(F.broadcast(sz_a), "ga")
+        .join(F.broadcast(sz_b), "gb")
+        .select("ga", "gb", (F.col("ma") * F.col("mb")).alias("w"))
+    )
+    # within-group pairs C(m,2): truth AND candidate AND hit by identity
+    wn = g.agg(
+        F.coalesce(
+            F.sum(F.shiftright(F.col("m") * (F.col("m") - 1), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("wn")
+    )
+    tc = tg.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("tc")
+    )
+    cc = cg.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("cc")
+    )
+    hc = (
+        tg.join(cg.select("ga", "gb"), ["ga", "gb"])
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("hc"))
+    )
+    wide = (
+        tc.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(wn))
+    )
+    n_true = F.col("tc") + F.col("wn")
+    n_cand = F.col("cc") + F.col("wn")
+    n_hit = F.col("hc") + F.col("wn")
+    return wide.select(
+        n_true.cast("long").alias("n_true"),
+        n_cand.cast("long").alias("n_candidates"),
+        n_hit.cast("long").alias("n_hit"),
+        F.floor(n_hit * 10000.0 / n_true + 0.5).cast("long").alias("recall_bp"),
+        F.floor(n_hit * 10000.0 / n_cand + 0.5)
+        .cast("long")
+        .alias("precision_bp"),
+    )
+
+
+def _lsh_eval_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-vocab / large-corpus path: postings-join ground truth (the
+    original shape — candidates scale with Σ_term C(df,2), the right
+    trade when no closed dictionary exists and the eval runs on a
+    sampled subset)."""
     docs = table(spark, sf_dir, "documents")
     # pinned: postings feed sizes + both self-join sides (3 consumers);
     # truth/cand below feed counts + the hit join (2 each) — un-pinned,

@@ -125,9 +125,21 @@ def ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sim = dot / (F.sqrt(sq(F.col("qe"))) * F.sqrt(sq(F.col("e"))))
+    # r13 (guide §1.2 per-task work): both norms are per-VECTOR
+    # quantities — hoisted out of the |Q|×N per-pair expression they
+    # evaluated 3 folds per pair (dot + both norms); now each vector's
+    # norm computes once in its own projection and the pair expression
+    # is the dot fold plus one divide.  Bit-identical: identical IEEE
+    # ops on identical operands in the identical tree
+    # dot / (qnorm * cnorm), so every sim, both top-k selections, and
+    # the rounded outputs are unchanged.
+    q_n = q.select("qid", "qe", F.sqrt(sq(F.col("qe"))).alias("qnorm"))
+    emb_n = emb.select(
+        "vec_id", "e", F.sqrt(sq(F.col("e"))).alias("cnorm")
+    )
+    sim = dot / (F.col("qnorm") * F.col("cnorm"))
     cp = (
-        emb.crossJoin(F.broadcast(q))
+        emb_n.crossJoin(F.broadcast(q_n))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("cid"), sim.alias("sim"))
     )

@@ -1072,8 +1072,16 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sim = dot / (F.sqrt(sq_fold(F.col("e"))) * F.col("cnorm"))
-    pairs = emb.crossJoin(F.broadcast(seeds_df)).select(
+    # r13 (guide §1.2 per-task work): the query norm is a per-VECTOR
+    # quantity — hoisting sqrt(sq_fold(e)) out of the per-pair expression
+    # evaluates it once per vector instead of once per (vector, centroid)
+    # pair.  Bit-identical: same IEEE ops on the same operands, so sim
+    # and the certified round(sim, 6) are unchanged.
+    emb_n = emb.select(
+        "vec_id", "e", F.sqrt(sq_fold(F.col("e"))).alias("enorm")
+    )
+    sim = dot / (F.col("enorm") * F.col("cnorm"))
+    pairs = emb_n.crossJoin(F.broadcast(seeds_df)).select(
         "vec_id", "c_idx", sim.alias("sim")
     )
     best = pairs.groupBy("vec_id").agg(

@@ -389,6 +389,47 @@ def _mask_vocab(spark: SparkSession, sf_dir: str) -> list[str] | None:
     return vocab
 
 
+def _vocab_mask_words(vocab: list[str], tokens_col) -> list:
+    """Fixed-width bitmask longs over a CLOSED dictionary: word w of the
+    result has bit (i mod 64) set iff vocab[i] appears in `tokens_col`
+    (an array<string> column).  The token→index map and the power-of-two
+    lookup embed as literal SQL expressions (no dictionary frame, no
+    join — the dedup_near r13 precedent), so mask construction is pure
+    map-side work.  |A∩B| for two masked sets is Σ_w bit_count(a_w AND
+    b_w) — exact (indices, not hashes), 8 bytes/word through any join
+    instead of the full token arrays."""
+    n_words = (len(vocab) + 63) // 64
+
+    def _sqlstr(t: str) -> str:
+        return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    idx_map = F.expr(
+        "map("
+        + ", ".join(f"{_sqlstr(t)}, {i}" for i, t in enumerate(vocab))
+        + ")"
+    )
+    pow2 = F.expr(
+        "array("
+        + ", ".join(str(1 << i) + "L" for i in range(63))
+        + ", -9223372036854775808L)"
+    )
+    idxs = F.transform(tokens_col, lambda t: idx_map[t].cast("long"))
+
+    def word(w):
+        return F.aggregate(
+            idxs,
+            F.lit(0).cast("long"),
+            lambda a, x: a.bitwiseOR(
+                F.when(
+                    (x / 64).cast("int") == F.lit(w),
+                    F.element_at(pow2, (x % 64).cast("int") + 1),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        )
+
+    return [word(w) for w in range(n_words)]
+
+
 def _dn_sig_sql(j: int) -> str:
     """DuckDB twin of _dn_sig_expr: seed-slot j's hash is an 8-hex-char
     slice of one of two salted sha256 digests — 2 hashes per token

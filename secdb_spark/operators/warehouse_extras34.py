@@ -216,9 +216,16 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duplicate-density-scaled, never n²); token sets travel once per
     candidate side; the exact-J mean is decimal-quantized so both
     engines agree."""
-    from .llm_pipeline import _spread_docs
+    from .llm_pipeline import _mask_vocab, _spread_docs, _vocab_mask_words
 
     d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
+    # r13 closed-vocab bitmask verify (guide §2.3): with the dictionary
+    # in hand the per-pair exact intersection is bit_count(a AND b)
+    # over n_words mask longs — no array_intersect, and the verify
+    # joins ship 8 bytes/word instead of the hashed-term arrays.  Masks
+    # are exact dictionary indices; identical integers feed the
+    # identical exact_j division.  Open vocab keeps the array path.
+    vocab = _mask_vocab(spark, sf_dir)
     # r13 TOKSET-GROUP COLLAPSE (guide §2.3 "aggregate before you
     # shuffle" applied to a self-join): every number this op emits is a
     # function of the DISTINCT TERM SET — the signatures are min-md5
@@ -242,38 +249,61 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pinned: gsigs feeds the band stack + both verify sides — un-pinned
     # each re-ran the signature build (plan-audit, SCALE.md §50).
-    gsigs = pin(
-        groups.select(
-            "gid",
-            "m",
-            "terms",
-            *[
-                F.array_min(
-                    F.transform(
-                        "terms",
-                        lambda t: F.md5(F.concat(F.lit(s), t)),
-                    )
-                ).alias(f"sig{i}")
-                for i, s in enumerate(SWEEP_SEEDS)
-            ],
-            # hashed copy for the verify intersect: long equality beats
-            # string equality and the set SIZES are unchanged (the
-            # dedup_near 2^-64 collision precedent)
+    if vocab is not None:
+        n_words = (len(vocab) + 63) // 64
+        set_cols = [
+            w.alias(f"mw{i}")
+            for i, w in enumerate(_vocab_mask_words(vocab, F.col("terms")))
+        ] + [F.size("terms").alias("nt")]
+    else:
+        n_words = 0
+        # hashed copy for the verify intersect: long equality beats
+        # string equality and the set SIZES are unchanged (the
+        # dedup_near 2^-64 collision precedent)
+        set_cols = [
             F.sort_array(
                 F.transform("terms", lambda t: F.xxhash64(t))
-            ).alias("hterms"),
-        )
+            ).alias("hterms")
+        ]
+    sigs0 = groups.select(
+        "gid",
+        "m",
+        *[
+            F.array_min(
+                F.transform(
+                    "terms",
+                    lambda t: F.md5(F.concat(F.lit(s), t)),
+                )
+            ).alias(f"sig{i}")
+            for i, s in enumerate(SWEEP_SEEDS)
+        ],
+        *set_cols,
     )
     # band keys and signature-compare columns as LONGs (xxhash64):
     # primitive joins/comparisons beat 64-char concat strings; a 2^-64
-    # collision shifts one pair's bucket — the dedup_near precedent
-    bands = gsigs.select(
-        "gid",
-        F.xxhash64("sig0", "sig1").alias("b0"),
-        F.xxhash64("sig2", "sig3").alias("b1"),
-        F.xxhash64("sig4", "sig5").alias("b2"),
-        F.xxhash64("sig6", "sig7").alias("b3"),
+    # collision shifts one pair's bucket — the dedup_near precedent.
+    # r13: band keys AND per-signature compare hashes fold INTO the
+    # pinned projection (pure functions of sig0..7) — computed
+    # post-checkpoint, every band leg re-derived (and re-codegen'd)
+    # them for both join sides; the md5 signature strings drop out of
+    # the checkpoint entirely.
+    gsigs = pin(
+        sigs0.select(
+            "gid",
+            "m",
+            *(
+                [f"mw{i}" for i in range(n_words)] + ["nt"]
+                if vocab is not None
+                else ["hterms"]
+            ),
+            F.xxhash64("sig0", "sig1").alias("b0"),
+            F.xxhash64("sig2", "sig3").alias("b1"),
+            F.xxhash64("sig4", "sig5").alias("b2"),
+            F.xxhash64("sig6", "sig7").alias("b3"),
+            *[F.xxhash64(f"sig{i}").alias(f"hs{i}") for i in range(8)],
+        )
     )
+    bands = gsigs.select("gid", "b0", "b1", "b2", "b3")
     # FIRST-MATCHING-BAND union (the dedup_near construction): band i's
     # equi-join carries the residual "bands j < i differ", so every
     # group pair is emitted at exactly one band and the multi-million-
@@ -295,24 +325,46 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = legs[0]
     for leg in legs[1:]:
         cand = cand.unionAll(leg)
+    set_a_cols = (
+        [F.col(f"mw{i}").alias(f"aw{i}") for i in range(n_words)]
+        + [F.col("nt").alias("na")]
+        if vocab is not None
+        else [F.col("hterms").alias("a_terms")]
+    )
+    set_b_cols = (
+        [F.col(f"mw{i}").alias(f"bw{i}") for i in range(n_words)]
+        + [F.col("nt").alias("nb")]
+        if vocab is not None
+        else [F.col("hterms").alias("b_terms")]
+    )
     sa = gsigs.select(
         F.col("gid").alias("ga"),
         F.col("m").alias("ma"),
-        *[F.xxhash64(f"sig{i}").alias(f"a_sig{i}") for i in range(8)],
-        F.col("hterms").alias("a_terms"),
+        *[F.col(f"hs{i}").alias(f"a_sig{i}") for i in range(8)],
+        *set_a_cols,
     )
     sb = gsigs.select(
         F.col("gid").alias("gb"),
         F.col("m").alias("mb"),
-        *[F.xxhash64(f"sig{i}").alias(f"b_sig{i}") for i in range(8)],
-        F.col("hterms").alias("b_terms"),
+        *[F.col(f"hs{i}").alias(f"b_sig{i}") for i in range(8)],
+        *set_b_cols,
     )
     n_match = sum(
         F.when(F.col(f"a_sig{i}") == F.col(f"b_sig{i}"), 1).otherwise(0)
         for i in range(8)
     ).cast("long")
-    inter = F.size(F.array_intersect("a_terms", "b_terms"))
-    union = F.size("a_terms") + F.size("b_terms") - inter
+    if vocab is not None:
+        inter = sum(
+            [
+                F.bit_count(F.col(f"aw{i}").bitwiseAND(F.col(f"bw{i}")))
+                for i in range(n_words)
+            ],
+            F.lit(0),
+        )
+        union = F.col("na") + F.col("nb") - inter
+    else:
+        inter = F.size(F.array_intersect("a_terms", "b_terms"))
+        union = F.size("a_terms") + F.size("b_terms") - inter
     scored = (
         cand.join(sa, "ga")
         .join(sb, "gb")

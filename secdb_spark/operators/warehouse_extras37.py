@@ -998,9 +998,19 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard side is the diagnostic — at 100 TB run the
     calibration on a bucket SAMPLE and serve lookups from the 1-bit
     index (16 bits/doc vs 16x32)."""
-    from .llm_pipeline import _spread_docs
+    from .llm_pipeline import _mask_vocab, _spread_docs, _vocab_mask_words
 
     d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
+    # r13 closed-vocab bitmask verify (guide §2.3 "shuffle fewer
+    # bytes"): with the corpus dictionary in hand the exact
+    # intersection for a candidate pair is bit_count(a AND b) over
+    # n_words mask longs — the per-pair array_intersect over the ~30-
+    # element hashed-set arrays disappears, and the band-leg joins ship
+    # 8 bytes/word instead of the full arrays.  Masks are EXACT
+    # (dictionary indices, not hashes); identical integers feed the
+    # identical j_exact division, so every certified value is
+    # unchanged.  Open vocab keeps the hashed-array path below.
+    vocab = _mask_vocab(spark, sf_dir)
     # r13 TOKSET-GROUP COLLAPSE (the minhash_jaccard_calibration
     # restructure, same argument): every emitted number is a function of
     # the distinct token SET — signatures are min-slices over the set,
@@ -1023,6 +1033,7 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digs = groups.select(
         "gid",
         "m",
+        "tokset",
         F.transform(
             "tokset",
             lambda t: F.struct(
@@ -1032,26 +1043,35 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dg"),
     )
-    gsig = pin(
-        digs.select(
-            "gid",
-            "m",
-            *[
-                F.array_min(
-                    F.transform(
-                        "dg",
-                        lambda x: F.substring(
-                            x["da"] if j < 8 else x["db"],
-                            (j % 8) * 8 + 1,
-                            8,
-                        ),
-                    )
-                ).alias(f"h{j}")
-                for j in range(N_MINHASH)
-            ],
-            F.sort_array(F.transform("dg", lambda x: x["hx"])).alias("hset"),
-            F.size("dg").alias("nt"),
-        )
+    if vocab is not None:
+        n_words = (len(vocab) + 63) // 64
+        set_cols = [
+            w.alias(f"mw{i}")
+            for i, w in enumerate(_vocab_mask_words(vocab, F.col("tokset")))
+        ]
+    else:
+        n_words = 0
+        set_cols = [
+            F.sort_array(F.transform("dg", lambda x: x["hx"])).alias("hset")
+        ]
+    sigs0 = digs.select(
+        "gid",
+        "m",
+        *[
+            F.array_min(
+                F.transform(
+                    "dg",
+                    lambda x: F.substring(
+                        x["da"] if j < 8 else x["db"],
+                        (j % 8) * 8 + 1,
+                        8,
+                    ),
+                )
+            ).alias(f"h{j}")
+            for j in range(N_MINHASH)
+        ],
+        *set_cols,
+        F.size("dg").alias("nt"),
     )
     rows_per_band = N_MINHASH // N_BANDS
     # the whole 1-bit signature packs into ONE int64 (bit j = low bit of
@@ -1067,26 +1087,49 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     ).cast("long")
-    gb_frame = gsig.select(
-        "gid",
-        "m",
-        "hset",
-        "nt",
-        bits.alias("w1"),
-        *[
-            F.xxhash64(
-                *[
-                    F.col(f"h{band * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ]
-            ).alias(f"band{band}")
-            for band in range(N_BANDS)
-        ],
+    # r13: bits + band hashes fold INTO the pinned projection — they are
+    # pure functions of h0..h15, and computing them post-checkpoint made
+    # every one of the 4 band legs regenerate (and re-codegen) the
+    # 16-term packing + 4 xxhash64 pipeline for BOTH join sides (8
+    # copies; the first noop exec spent ~13 s compiling).  Checkpointing
+    # the finished (w1, band0..3) columns compiles the expressions once
+    # and drops h0..h15 from the checkpoint entirely.
+    gb_frame = pin(
+        sigs0.select(
+            "gid",
+            "m",
+            *(
+                [f"mw{i}" for i in range(n_words)]
+                if vocab is not None
+                else ["hset"]
+            ),
+            "nt",
+            bits.alias("w1"),
+            *[
+                F.xxhash64(
+                    *[
+                        F.col(f"h{band * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias(f"band{band}")
+                for band in range(N_BANDS)
+            ],
+        )
+    )
+    set_a_cols = (
+        [F.col(f"mw{i}").alias(f"aw{i}") for i in range(n_words)]
+        if vocab is not None
+        else [F.col("hset").alias("set_a")]
+    )
+    set_b_cols = (
+        [F.col(f"mw{i}").alias(f"bw{i}") for i in range(n_words)]
+        if vocab is not None
+        else [F.col("hset").alias("set_b")]
     )
     xa = gb_frame.select(
         F.col("gid").alias("ga"),
         F.col("m").alias("ma"),
-        F.col("hset").alias("set_a"),
+        *set_a_cols,
         F.col("nt").alias("na"),
         F.col("w1").alias("wa"),
         *[F.col(f"band{b}").alias(f"xb{b}") for b in range(N_BANDS)],
@@ -1094,7 +1137,7 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     xb = gb_frame.select(
         F.col("gid").alias("gb"),
         F.col("m").alias("mb"),
-        F.col("hset").alias("set_b"),
+        *set_b_cols,
         F.col("nt").alias("nb"),
         F.col("w1").alias("wb"),
         *[F.col(f"band{b}").alias(f"yb{b}") for b in range(N_BANDS)],
@@ -1113,7 +1156,16 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree = F.lit(N_MINHASH) - F.bit_count(
         F.col("wa").bitwiseXOR(F.col("wb"))
     )
-    inter = F.size(F.array_intersect("set_a", "set_b"))
+    if vocab is not None:
+        inter = sum(
+            [
+                F.bit_count(F.col(f"aw{i}").bitwiseAND(F.col(f"bw{i}")))
+                for i in range(n_words)
+            ],
+            F.lit(0),
+        )
+    else:
+        inter = F.size(F.array_intersect("set_a", "set_b"))
     pairs = joined.select(
         agree.alias("agree_bits"),
         (

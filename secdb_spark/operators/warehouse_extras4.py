@@ -206,18 +206,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence-tested PageRank."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r13 (guide §2.3 narrower types + multi-consumer pins): the whole
+    # iteration runs on LONG node ids (2*custkey / 2*suppkey+1 — an
+    # exact bijection with the 'c…'/'s…' strings, reconstructed only in
+    # the final rank-vector-sized projection BEFORE the tie-break sort,
+    # so the certified ordering and every DEC18 sum are unchanged); the
+    # distinct shuffles two ints, not concatenated strings.  deg is
+    # pinned — un-pinned, the `n = deg.count()` action re-ran the whole
+    # orders⋈lineitem distinct subtree the ed checkpoint had just
+    # computed (~2.6 s at sf0.1).
     e0 = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), "o_custkey").alias("a"),
-            F.concat(F.lit("s"), "l_suppkey").alias("b"),
+            (F.col("o_custkey").cast("long") * 2).alias("a"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("b"),
         )
         .distinct()
     )
     edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
     ed = edges.join(deg, "src").localCheckpoint()
     n = deg.count()
     r = deg.select(F.col("src").alias("node"), (F.lit(1.0) / F.lit(n)).alias("pr"))
@@ -231,9 +240,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(PR_DAMP) * F.sum("c").cast("double")
             ).alias("pr")
         )
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.shiftright("node", 1).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), F.shiftright("node", 1).cast("string"))
+    )
     return (
         r.select(
-            "node", F.floor(F.col("pr") * 1e9 + 0.5).cast("bigint").alias("pr9")
+            node_str.alias("node"),
+            F.floor(F.col("pr") * 1e9 + 0.5).cast("bigint").alias("pr9"),
         )
         .orderBy(F.desc("pr9"), "node")
         .limit(PR_TOPK)

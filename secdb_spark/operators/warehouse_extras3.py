@@ -30,18 +30,15 @@ def _sig_sql(i: int, s: str) -> str:
 
 
 
-def _lsh_group_pairs(spark: SparkSession, sf_dir: str):
-    """Shared group-level LSH candidate kernel (r13, guide §2.3
-    "aggregate before you shuffle" applied to a self-join): minhash
-    signatures are functions of the distinct TERM SET, so docs sharing a
-    set are interchangeable in every band — collapse each set to one
-    group node (the sf0.1 corpus: 5000 docs -> ~3935 groups, band-pair
-    volume shrinks quadratically), band-join GROUPS, and let consumers
-    expand members back out (lsh_candidates) or run components on the
-    contracted graph (dedup_clusters_exact).  Signatures build MAP-SIDE
-    per group (array_min over an md5 transform — no explode, no per-doc
+def _lsh_group_bands(spark: SparkSession, sf_dir: str):
+    """Group contraction + banded signature stack (r13, guide §2.3
+    "aggregate before you shuffle"): minhash signatures are functions of
+    the distinct TERM SET, so docs sharing a set are interchangeable in
+    every band — collapse each set to one group node (the sf0.1 corpus:
+    5000 docs -> ~3935 groups).  Signatures build MAP-SIDE per group
+    (array_min over an md5 transform — no explode, no per-doc
     aggregate).  Returns (groups = one row per set with its sorted
-    member ids, gp = (ga, gb, n_bands) group candidate pairs)."""
+    member ids, bands = (gid, band, sig) stack)."""
     from .llm_pipeline import _spread_docs
 
     d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
@@ -73,6 +70,15 @@ def _lsh_group_pairs(spark: SparkSession, sf_dir: str):
     bands = gsigs.select(
         "gid", F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (band, sig)")
     )
+    return groups, bands
+
+
+def _lsh_group_pairs(spark: SparkSession, sf_dir: str):
+    """Banded group candidate pairs over the _lsh_group_bands
+    contraction: band-join GROUPS and let consumers expand members back
+    out (lsh_candidates) or weight by group sizes (lsh_eval).  Returns
+    (groups, gp = (ga, gb, n_bands) group candidate pairs)."""
+    groups, bands = _lsh_group_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     gp = (
         a.join(

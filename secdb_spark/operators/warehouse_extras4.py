@@ -92,16 +92,35 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no collect of the label table).  Dedup components in web corpora
     have tiny diameters, so the loop is 2-3 rounds in practice."""
     # r13: components run on the CONTRACTED group graph from the shared
-    # _lsh_group_pairs kernel (identical term sets are cliques — equal
+    # _lsh_group_bands kernel (identical term sets are cliques — equal
     # sets share every signature, so contracting them preserves
     # components exactly while shrinking the iterated edge list
     # quadratically); docs inherit their group's converged label at
     # expansion.  A group is a node iff it has a cross-group candidate
     # edge or 2+ members (its docs pair internally).
-    from .warehouse_extras3 import _lsh_group_pairs
+    #
+    # r13 STAR EDGES (guide §1.2 first-principles): every (band, sig)
+    # bucket is a CLIQUE in the candidate graph — all of its groups
+    # collide pairwise — so for CONNECTIVITY a star from each member to
+    # the bucket minimum spans the bucket exactly, and the union of
+    # bucket stars has the same components as the union of bucket
+    # cliques.  The templated sf0.1 corpus's band join emits 5.0M
+    # distinct group pairs (65% of ALL group pairs — a 7.1 s groupBy +
+    # checkpoint); the stars are Σ(bucket size - 1) ≈ 4×|groups| edges
+    # (~14 k), built with one bucket-min aggregate, no pair join at
+    # all.  (lsh_candidates still materializes true pairs — ITS output
+    # is the pair list; only the component computation rides stars.)
+    from .warehouse_extras3 import _lsh_group_bands
 
-    groups, gp = _lsh_group_pairs(spark, sf_dir)
-    gpe = gp.select("ga", "gb").localCheckpoint()
+    groups, bands = _lsh_group_bands(spark, sf_dir)
+    broot = bands.groupBy("band", "sig").agg(F.min("gid").alias("root"))
+    gpe = (
+        bands.join(broot, ["band", "sig"])
+        .filter(F.col("gid") != F.col("root"))
+        .select(F.col("gid").alias("ga"), F.col("root").alias("gb"))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = gpe.union(
         gpe.select(F.col("gb").alias("ga"), F.col("ga").alias("gb"))
     )

@@ -16,7 +16,7 @@ import math
 import re
 import sys
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 sys.path.insert(0, "/root/repo")
 
@@ -185,6 +185,7 @@ samples = st.lists(
 
 
 @settings(max_examples=300, deadline=None)
+@example([620.0, 620.0, 619.0, 619.0])  # s4/n ~ 1.5e19 > 2**53: cancellation
 @given(samples)
 def test_jb_power_sums_equal_central_moments(xs):
     # the kernel quantizes to cents first — do the same, then require a
@@ -202,10 +203,24 @@ def test_jb_power_sums_equal_central_moments(xs):
     c2 = sum((v - mu) ** 2 for v in q) / n
     c3 = sum((v - mu) ** 3 for v in q) / n
     c4 = sum((v - mu) ** 4 for v in q) / n
+    # The power-sum form cancels terms of magnitude ~s_p/n against each
+    # other, so its float64 error is bounded by eps times the magnitude of
+    # the cancelled terms, NOT by the (possibly tiny) true moment — the
+    # identity only holds up to that conditioning.  Both engines evaluate
+    # the SAME formulation, so cross-engine determinism is unaffected.
+    eps = sys.float_info.epsilon
     scale = max(1.0, abs(c2), abs(c3), abs(c4))
-    assert math.isclose(m2, c2, rel_tol=1e-6, abs_tol=1e-6 * scale)
-    assert math.isclose(m3, c3, rel_tol=1e-5, abs_tol=1e-5 * scale)
-    assert math.isclose(m4, c4, rel_tol=1e-5, abs_tol=1e-5 * scale)
+    cond2 = abs(s2) / n + mu * mu
+    cond3 = abs(s3) / n + 3 * abs(mu) * abs(s2) / n + 2 * abs(mu) ** 3
+    cond4 = (
+        abs(s4) / n
+        + 4 * abs(mu) * abs(s3) / n
+        + 6 * mu * mu * abs(s2) / n
+        + 3 * mu ** 4
+    )
+    assert math.isclose(m2, c2, rel_tol=1e-6, abs_tol=1e-6 * scale + 64 * eps * cond2)
+    assert math.isclose(m3, c3, rel_tol=1e-5, abs_tol=1e-5 * scale + 64 * eps * cond3)
+    assert math.isclose(m4, c4, rel_tol=1e-5, abs_tol=1e-5 * scale + 64 * eps * cond4)
     if m2 > 1e-9:
         skew = m3 / (m2 * math.sqrt(m2))
         exk = m4 / (m2 * m2) - 3

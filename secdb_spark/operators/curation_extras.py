@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table, table_rows
+from ..catalog import table, table_rows, table_split_units
 from ..registry import register
 from ._global_order import GLOBAL_WINDOW_GATE, grouped_bucketed_topk
 from ._helpers import pin, r4
@@ -898,54 +898,72 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is the post-pruning ADC scan — in production it runs per
     IVF bucket (ann_ivf's cogroup provides the pruning; compute/IO ~
-    probe/N_CENTROIDS of all-pairs).  The distance-table build is
-    queries x {PQ_M * PQ_K} rows (codebook broadcast); candidates carry
-    {PQ_M} smallints instead of the raw vector — the 16-32x memory
+    probe/N_CENTROIDS of all-pairs).  Each query materializes its
+    {PQ_M}x{PQ_K} distance table ONCE as map-side arrays (seed slices are
+    literals — the codebook never exists as a joinable frame), and every
+    (query, candidate) evaluation is {PQ_M} element_at lookups + adds on
+    the broadcast code join — the r13 restructure that replaced the
+    (m, j)-keyed join (queries x candidates x {PQ_M} rows shuffled into a
+    pair-keyed aggregate) with the textbook table-scan form; candidates
+    carry {PQ_M} smallints instead of the raw vector — the 16-32x memory
     compression that lets the corpus live in RAM."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    # Scan-spread gate (guide §2.5): the benched embeddings table is one
+    # parquet row group, which would run the whole distance-table build
+    # AND the nested-loop pair evaluation in ONE task; at warehouse scale
+    # (many row groups) the gate never fires and no shuffle is added.
+    ncores = spark.sparkContext.defaultParallelism
+    if (
+        table_split_units(sf_dir, "embeddings") < ncores
+        and table_rows(sf_dir, "embeddings") <= 1_000_000
+    ):
+        emb = emb.repartition(ncores, "vec_id")
     codes = embed_pq_codes(spark, sf_dir)
-    codes_long = codes.selectExpr(
-        "vec_id AS cand_id",
-        f"stack({PQ_M}, "
-        + ", ".join(f"{m}, code{m}" for m in range(PQ_M))
-        + ") AS (m, j)",
-    )
     seeds = _pq_seeds(spark, sf_dir, emb)
-    lookup = spark.createDataFrame(
-        [
-            (m, i, list(r.e)[m * PQ_SUB_D : (m + 1) * PQ_SUB_D])
-            for i, r in enumerate(seeds)
-            for m in range(PQ_M)
-        ],
-        "m int, j int, sub_c array<double>",
+
+    # Per-subspace distance table dt{m}[j+1] = d²(e[m-slice], seed_j[m-
+    # slice]): the IDENTICAL strict fold the (m, j)-join form evaluated
+    # (same zip_with/aggregate tree over the same literal doubles), so
+    # every table entry — and therefore every ADC sum and the certified
+    # rounded output — is bit-identical to the pre-r13 form.  Authored
+    # as ONE SQL text per subspace (literal seed arrays embedded): the
+    # per-element F.lit DSL form costs seconds of driver time per plan
+    # construction (the dedup_near literal-dictionary finding).
+    def dt_m(m: int) -> str:
+        lo = m * PQ_SUB_D + 1
+        parts = []
+        for j in range(PQ_K):
+            vals = list(seeds[j].e)[m * PQ_SUB_D : (m + 1) * PQ_SUB_D]
+            lits = ", ".join(f"{float(v)!r}D" for v in vals)
+            parts.append(
+                f"aggregate(zip_with(slice(e, {lo}, {PQ_SUB_D}), "
+                f"array({lits}), (x, y) -> (x - y) * (x - y)), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+        return "array(" + ", ".join(parts) + ")"
+
+    q = emb.selectExpr(
+        "vec_id AS query_id",
+        *[f"{dt_m(m)} AS dt{m}" for m in range(PQ_M)],
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.slice(F.col("e"), F.col("m") * PQ_SUB_D + 1, PQ_SUB_D),
-            F.col("sub_c"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cand = codes.select(
+        F.col("vec_id").alias("cand_id"),
+        *[F.col(f"code{m}") for m in range(PQ_M)],
     )
-    qd = emb.crossJoin(F.broadcast(lookup)).select(
-        F.col("vec_id").alias("query_id"), "m", "j", d2.alias("d2")
-    )
-    partials = (
-        qd.join(codes_long, ["m", "j"])
-        .groupBy("query_id", "cand_id")
-        .agg(
-            *[
-                F.min(F.when(F.col("m") == m, F.col("d2"))).alias(f"p{m}")
-                for m in range(PQ_M)
-            ]
-        )
+    # ADC = dt0[c0] + dt1[c1] + ... in the FIXED p0+p1+p2+p3 order the
+    # certified oracle uses (left-assoc Column addition).
+    lookups = [
+        F.element_at(F.col(f"dt{m}"), F.col(f"code{m}") + 1)
+        for m in range(PQ_M)
+    ]
+    adc = sum(lookups[1:], lookups[0])
+    pairs = (
+        q.crossJoin(F.broadcast(cand))
         .filter(F.col("query_id") != F.col("cand_id"))
     )
-    adc = sum((F.col(f"p{m}") for m in range(1, PQ_M)), F.col("p0"))
-    ranked = partials.select(
+    ranked = pairs.select(
         "query_id", "cand_id", adc.alias("d2")
     ).withColumn(
         "rank",

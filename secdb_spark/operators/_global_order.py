@@ -143,6 +143,7 @@ def grouped_range_prefix_sum(
     value_col: str,
     n_buckets: int = 64,
     out: str = "_cum",
+    small: bool = False,
 ) -> DataFrame:
     """Exact per-group RANGE-frame running sum (frame peers included) of
     `value_col` under ORDER BY `key`, for LOW-CARDINALITY group keys —
@@ -175,7 +176,30 @@ def grouped_range_prefix_sum(
     so the input pipeline runs ONCE; the RESULT is pinned too because
     nearly every caller fans out over it (group totals + threshold
     probe), which would otherwise re-run the window+offset join per
-    consumer."""
+    consumer.
+
+    `small=True` (r13): the caller asserts — from a parquet-footer row
+    count, never a Spark job — that the INPUT is below the global-window
+    gate, so the distinct-key spine is trivially model-sized and the
+    whole bucketize/offsets machinery (one approxQuantile action + two
+    pins per call) costs more driver jobs than it saves.  The small path
+    is the textbook per-group RANGE window over the aggregated spine:
+    same decimal `_v` peer sums, same exact running sum (decimal adds
+    are order-independent), ONE pinned job total.  Above the gate the
+    caller must leave small=False — partitionBy(group) funnels the spine
+    through |groups| tasks, which is the exact failure this kernel
+    exists to avoid."""
+    if small:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return pin(
+            df.groupBy(*group_cols, key)
+            .agg(F.sum(F.col(value_col).cast(DEC)).alias("_v"))
+            .withColumn(out, F.sum("_v").over(w))
+        )
     agg = pin(
         df.groupBy(*group_cols, key).agg(
             F.sum(F.col(value_col).cast(DEC)).alias("_v")

@@ -15,9 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
-from ._global_order import grouped_range_prefix_sum
+from ._global_order import GLOBAL_WINDOW_GATE, grouped_range_prefix_sum
 from ._helpers import pin, r4
 from .pipeline_extras import _hash_bucket, _sql_hash_bucket
 
@@ -286,7 +286,12 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("o_totalprice")).alias("cents"),
     )
     cum = grouped_range_prefix_sum(
-        o.withColumn("one", F.lit(1)), ["grp"], "cents", "one", out="_cum"
+        o.withColumn("one", F.lit(1)),
+        ["grp"],
+        "cents",
+        "one",
+        out="_cum",
+        small=table_rows(sf_dir, "orders") <= GLOBAL_WINDOW_GATE,
     )
     ng = cum.groupBy("grp").agg(F.sum("_v").cast("long").alias("n"))
     med = (

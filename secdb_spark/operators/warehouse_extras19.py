@@ -15,9 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
-from ._global_order import grouped_range_prefix_sum
+from ._global_order import GLOBAL_WINDOW_GATE, grouped_range_prefix_sum
 from ._helpers import pin, r4
 
 DEC12 = "decimal(38,12)"
@@ -91,7 +91,14 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = li.groupBy("l_returnflag", col).agg(
             F.count(F.lit(1)).cast("long").alias("c")
         )
-        cum = grouped_range_prefix_sum(d, ["l_returnflag"], col, "c", out="_cw")
+        cum = grouped_range_prefix_sum(
+            d,
+            ["l_returnflag"],
+            col,
+            "c",
+            out="_cw",
+            small=table_rows(sf_dir, "lineitem") <= GLOBAL_WINDOW_GATE,
+        )
         return cum.select(
             "l_returnflag", col,
             (

@@ -12,9 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
-from ._global_order import grouped_range_prefix_sum
+from ._global_order import GLOBAL_WINDOW_GATE, grouped_range_prefix_sum
 from ._helpers import pin, r4
 
 # ---------------------------------------------------------------------------
@@ -931,6 +931,7 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         "one",
         out="_cum",
+        small=table_rows(sf_dir, "lineitem") <= GLOBAL_WINDOW_GATE,
     )
     tot = cum.groupBy("l_returnflag").agg(
         F.sum("_v").cast("long").alias("n")

@@ -1735,7 +1735,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed labels (one small action per round), not a collect.
     Property-tested against union-find."""
     pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    pairs = pairs.localCheckpoint()  # computed once; reused every round
     # r13 GROUP-GRAPH COLLAPSE (guide §1.2): docs with IDENTICAL token
     # sets form a clique in the near-dup graph (equal sets share every
     # signature, so dedup_near always emits their pairs at J = 1), so
@@ -1754,12 +1753,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gid"),
     )
     dmap = dmap.localCheckpoint(eager=True)
+    # ONE pair-sized checkpoint carries the pair list WITH both group
+    # ids (the old shape checkpointed the raw pairs, then re-derived a
+    # doc-node distinct + a second group join from them — two more
+    # pair-sized jobs for frames this join already contains).
     ga = dmap.select(F.col("doc_id").alias("doc_a"), F.col("gid").alias("ga"))
     gb = dmap.select(F.col("doc_id").alias("doc_b"), F.col("gid").alias("gb"))
-    gpairs = (
+    j = (
         pairs.join(ga, "doc_a")
         .join(gb, "doc_b")
-        .filter(F.col("ga") != F.col("gb"))
+        .localCheckpoint()
+    )
+    gpairs = (
+        j.filter(F.col("ga") != F.col("gb"))
         .select(
             F.least("ga", "gb").alias("doc_a"),
             F.greatest("ga", "gb").alias("doc_b"),
@@ -1767,20 +1773,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    doc_nodes = (
-        pairs.select(F.col("doc_a").alias("id"))
-        .union(pairs.select(F.col("doc_b").alias("id")))
+    # docs in pairs with their group id (the final-expansion frame);
+    # nodes seed from the inter-group edge endpoints — a group with only
+    # intra-group pairs has no edges and keeps label == gid via the
+    # left-join coalesce at expansion (identical to seeding it).
+    doc_gid = (
+        j.select(F.col("doc_a").alias("id"), F.col("ga").alias("gid"))
+        .union(j.select(F.col("doc_b").alias("id"), F.col("gb").alias("gid")))
         .distinct()
+    )
+    labels = (
+        gpairs.select(F.col("doc_a").alias("id"))
+        .union(gpairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    nodes = (
-        doc_nodes.join(
-            dmap.select(F.col("doc_id").alias("id"), "gid"), "id"
-        )
-        .select(F.col("gid").alias("id"))
-        .distinct()
-    )
-    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
     edges_bidir = gpairs.union(
         gpairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -1792,29 +1800,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # pointer-jumping (label[label]) halves the rounds: the new
+        # label is min(label, min neighbor label, label's own label) —
+        # all three are ids inside the same component, so the fixpoint
+        # (the component min) is unchanged while long chains compress
+        # in O(log diameter) rounds instead of O(diameter).
+        jump = labels.select(
+            F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
+        )
         new_labels = (
             labels.join(neighbor_min, "id", "left")
+            .join(F.broadcast(jump), F.col("label") == F.col("_jid"), "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                    F.coalesce("_jlabel", F.col("label")),
                 ).alias("label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
-                    "changed"
-                ),
+                (
+                    F.least(
+                        F.coalesce("nbr_label", F.col("label")),
+                        F.coalesce("_jlabel", F.col("label")),
+                    )
+                    < F.col("label")
+                ).alias("changed"),
             )
         )
         new_labels = new_labels.localCheckpoint()
-        n_changed = new_labels.filter(F.col("changed")).count()
+        converged = new_labels.filter(F.col("changed")).isEmpty()
         labels = new_labels.drop("changed")
-        if n_changed == 0:
+        if converged:
             break
-    # expand group labels back to the documents that appear in pairs
-    doc_labels = doc_nodes.join(
-        dmap.select(F.col("doc_id").alias("id"), "gid"), "id"
-    ).join(
-        labels.select(F.col("id").alias("gid"), "label"), "gid"
-    )
+    # expand group labels back to the documents that appear in pairs;
+    # left join: an edge-less group keeps its own gid as the label
+    doc_labels = doc_gid.join(
+        labels.select(F.col("id").alias("gid"), "label"), "gid", "left"
+    ).withColumn("label", F.coalesce("label", "gid"))
     return (
         doc_labels.groupBy(F.col("label").alias("cluster_rep"))
         .agg(

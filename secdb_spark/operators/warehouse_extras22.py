@@ -152,11 +152,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring promises."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r13 (guide §2.3 narrower types): node ids are LONGS through the
+    # peel — 2*custkey / 2*suppkey+1 is an exact bijection of the
+    # 'c…'/'s…' strings, and the output is COUNTS only, so every degree,
+    # live-set and edge count is unchanged while each round's shuffle
+    # ships 8-byte keys instead of strings (the graph_pagerank fix).
     e = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            (F.col("o_custkey").cast("long") * 2).alias("a"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("b"),
         )
         .distinct()
     )

@@ -603,15 +603,17 @@ def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix=f"secdb_jsonl_{_uuid.uuid4().hex[:8]}_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
     in_dir = os.path.join(stage, "in")
+    # the corrupt lines go through Spark's OWN writer (unioned into the
+    # same single write), so the staging works on any Hadoop-FS target,
+    # not just a driver-local disk (r11 review).  r13: the former
+    # two-row `mode("append")` second write cost ~5 s of commit/list
+    # overhead per invocation — one committed write replaces two.
+    corrupt = spark.createDataFrame(
+        [(line,) for line in JSONL_CORRUPT_LINES], "j string"
+    )
     ev.select(
         F.to_json(F.struct("event_id", "user_id", "value")).alias("j")
-    ).write.mode("overwrite").text(in_dir)
-    # the corrupt lines go through Spark's OWN writer (append), so the
-    # staging works on any Hadoop-FS target, not just a driver-local
-    # disk (r11 review)
-    spark.createDataFrame(
-        [(line,) for line in JSONL_CORRUPT_LINES], "value string"
-    ).coalesce(1).write.mode("append").text(in_dir)
+    ).unionAll(corrupt).write.mode("overwrite").text(in_dir)
     back = (
         spark.read.schema(
             "event_id long, user_id long, value double, "

@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from ..catalog import SCHEMAS, table
 from ..registry import register
-from ._helpers import dsum, sql_dsum
+from ._helpers import dsum, pin, sql_dsum
 
 FIXTURES_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
 
@@ -955,7 +955,10 @@ def build_secdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQLite export sharded per partition; each fingerprint is a 1-row
     map-side-combinable aggregate over its read-back scan."""
     out = _tmpdir("secdb_db")
-    facts = _xbrl_supersede_facts(spark, sf_dir)
+    # pinned (r13): the parse -> supersede pipeline feeds BOTH the facts
+    # write and the entities rollup write — unpinned it re-parsed the
+    # fixture corpus once per consumer (SCALE.md §50).
+    facts = pin(_xbrl_supersede_facts(spark, sf_dir))
     tables = {
         "facts": facts.withColumn("dims_json", F.to_json("dims")).drop("dims"),
         "filings": xbrl_filings(spark, sf_dir),
@@ -970,22 +973,25 @@ def build_secdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     from .pipeline_extras import _hash_bucket
 
-    def manifest_row(name: str, back: DataFrame, parts: list[str]) -> tuple:
-        r = back.agg(
-            F.count(F.lit(1)).alias("n"),
+    # r13 (guide §5 — no collect in the query path): each manifest line
+    # is a ONE-ROW aggregate over its read-back scan, unioned into the
+    # returned plan; the old per-table collect() paid a driver job per
+    # table at build time for numbers the sink job computes anyway.
+    def manifest_df(name: str, back: DataFrame, parts: list[str]) -> DataFrame:
+        return back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.coalesce(
                 F.sum(_hash_bucket(_canon_expr(parts), BUILD_FP_SPACE)),
                 F.lit(0),
-            ).alias("c"),
-        ).collect()[0]
-        return (name, int(r.n), int(r.c))
+            ).cast("long").alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
 
-    rows = []
+    manifests = []
     for name, df in tables.items():
         path = os.path.join(out, name)
         df.write.mode("overwrite").parquet(path)
         back = spark.read.parquet(path)
-        rows.append(manifest_row(name, back, _BUILD_CANON[name]))
+        manifests.append(manifest_df(name, back, _BUILD_CANON[name]))
     # SQLite export of the facts table (the reference's target store).
     # value_num exports as its canonical BIGINT string (every fixture
     # value is an exact integer) so the read-back fingerprint is portable.
@@ -1011,12 +1017,13 @@ def build_secdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             frames.append(pd.read_sql_query("SELECT * FROM facts", con))
             con.close()
     merged = spark.createDataFrame(pd.concat(frames, ignore_index=True))
-    rows.append(
-        manifest_row("facts_sqlite", merged, _BUILD_CANON["facts_sqlite"])
+    manifests.append(
+        manifest_df("facts_sqlite", merged, _BUILD_CANON["facts_sqlite"])
     )
-    return spark.createDataFrame(
-        rows, "table_name string, n_rows long, checksum long"
-    ).orderBy("table_name")
+    manifest = manifests[0]
+    for m in manifests[1:]:
+        manifest = manifest.unionByName(m)
+    return manifest.orderBy("table_name")
 
 
 @register(

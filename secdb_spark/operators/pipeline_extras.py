@@ -430,14 +430,29 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact counts."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p.select("p_partkey", "p_brand")), 
+    joined = li.join(F.broadcast(p.select("p_partkey", "p_brand")),
                      li.l_partkey == p.p_partkey)
     freq = joined.stat.freqItems(["p_brand", "l_returnflag"], support=0.1)
-    row = freq.collect()[0]
-    items = [
-        ("p_brand", b) for b in sorted(row["p_brand_freqItems"])
-    ] + [("l_returnflag", r) for r in sorted(row["l_returnflag_freqItems"])]
-    return spark.createDataFrame(items, "column string, frequent_item string")
+    # r13 (guide §5 — no collect in the query path): the single sketch
+    # row explodes IN-PLAN (sorted per column, columns concatenated in
+    # the same order the old driver-side list comprehension produced),
+    # so the op is fully lazy and the sink job runs the one-pass sketch.
+    item = lambda c: lambda x: F.struct(  # noqa: E731
+        F.lit(c).alias("column"), x.alias("frequent_item")
+    )
+    return freq.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sort_array("p_brand_freqItems"), item("p_brand")
+                ),
+                F.transform(
+                    F.sort_array("l_returnflag_freqItems"),
+                    item("l_returnflag"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.column", "_s.frequent_item")
 
 
 @register(

@@ -184,18 +184,33 @@ def abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("y"),
         )
     )
-    # pinned: per_user feeds the pooled moments AND the per-variant
-    # sums (plan-audit, SCALE.md §50).
-    per_user = pin(per_user)
+    # r13: the pooled moments are the VARIANT-group sums re-summed (all
+    # six accumulators are exact DECIMAL(38,0) sums, so grouping by
+    # variant first and totalling the two partials is bit-identical to
+    # the direct pooled sum — decimal addition is exact and
+    # order-independent; the single cast to double happens at the same
+    # place).  This drops the former USER-SIZED localCheckpoint: the
+    # only pinned frame is the 2-row per-variant aggregate, and the
+    # event scan -> per-user aggregate pipeline runs exactly once.
     xd = F.col("x").cast(DEC38)
     yd = F.col("y").cast(DEC38)
-    moments = per_user.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(xd).cast("double").alias("sx"),
-        F.sum(yd).cast("double").alias("sy"),
-        F.sum(xd * xd).cast("double").alias("sxx"),
-        F.sum(yd * yd).cast("double").alias("syy"),
-        F.sum(xd * yd).cast("double").alias("sxy"),
+    vg = pin(
+        per_user.groupBy("v").agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(xd).alias("vsx_d"),
+            F.sum(yd).alias("vsy_d"),
+            F.sum(xd * xd).alias("vsxx_d"),
+            F.sum(yd * yd).alias("vsyy_d"),
+            F.sum(xd * yd).alias("vsxy_d"),
+        )
+    )
+    moments = vg.agg(
+        F.sum("n_users").cast("long").alias("n"),
+        F.sum("vsx_d").cast("double").alias("sx"),
+        F.sum("vsy_d").cast("double").alias("sy"),
+        F.sum("vsxx_d").cast("double").alias("sxx"),
+        F.sum("vsyy_d").cast("double").alias("syy"),
+        F.sum("vsxy_d").cast("double").alias("sxy"),
     )
     nn = F.col("n").cast("double")
     cov_n = nn * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -207,10 +222,11 @@ def abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov_n / varx_n).alias("th"),
         (cov_n * cov_n / (varx_n * vary_n)).alias("rho2"),
     )
-    per_variant = per_user.groupBy("v").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum(xd).cast("double").alias("vsx"),
-        F.sum(yd).cast("double").alias("vsy"),
+    per_variant = vg.select(
+        "v",
+        "n_users",
+        F.col("vsx_d").cast("double").alias("vsx"),
+        F.col("vsy_d").cast("double").alias("vsy"),
     )
     return per_variant.crossJoin(F.broadcast(theta)).select(
         F.when(F.col("v") == 0, "A").otherwise("B").alias("variant"),

@@ -353,19 +353,35 @@ def geo_dense_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("label").alias("nbr"))
         )
-        upd = labels.join(nbr, "id", "left").select(
-            "id",
-            F.least(
-                "label", F.coalesce("nbr", F.col("label"))
-            ).alias("label"),
-            (
-                F.coalesce("nbr", F.col("label")) < F.col("label")
-            ).alias("changed"),
+        # r13: pointer jumping (label[label] — same fixpoint, rounds
+        # drop from O(diameter) to O(log diameter)); the convergence
+        # probe is a short-circuiting isEmpty on the checkpoint.
+        jump = labels.select(
+            F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
+        )
+        upd = (
+            labels.join(nbr, "id", "left")
+            .join(F.broadcast(jump), F.col("label") == F.col("_jid"), "left")
+            .select(
+                "id",
+                F.least(
+                    "label",
+                    F.coalesce("nbr", F.col("label")),
+                    F.coalesce("_jlabel", F.col("label")),
+                ).alias("label"),
+                (
+                    F.least(
+                        F.coalesce("nbr", F.col("label")),
+                        F.coalesce("_jlabel", F.col("label")),
+                    )
+                    < F.col("label")
+                ).alias("changed"),
+            )
         )
         upd = upd.localCheckpoint()
-        n_changed = upd.filter("changed").count()
+        converged = upd.filter("changed").isEmpty()
         labels = upd.drop("changed")
-        if n_changed == 0:
+        if converged:
             break
     return (
         labels.join(cells.select("id", "n_users"), "id")

@@ -536,7 +536,17 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("ct") - F.col("c")) * F.col("n_s"),
         )
     )
-    cum = grouped_range_prefix_sum(w, ["source"], "v", "wt", out="_cum")
+    from ..catalog import table_rows
+    from ._global_order import GLOBAL_WINDOW_GATE
+
+    cum = grouped_range_prefix_sum(
+        w,
+        ["source"],
+        "v",
+        "wt",
+        out="_cum",
+        small=table_rows(sf_dir, "documents") <= GLOBAL_WINDOW_GATE,
+    )
     m = cum.groupBy("source").agg(
         F.max(F.abs(F.col("_cum").cast("long"))).alias("dmax")
     )

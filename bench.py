@@ -134,6 +134,16 @@ def main() -> None:
                 "queries": results,
                 "sf": sf,
                 "settle": settle,
+                # Scaling-contract evidence (r13 judge directive #2): the
+                # driver re-runs this bench at a lower $SPARK_GRAFT_CPUS to
+                # measure scaling, and an ~1 ratio on overhead-bound sf0.1
+                # queries is indistinguishable from "env var ignored" unless
+                # the EFFECTIVE parallelism is printed.  defaultParallelism
+                # reflects the live master (local[N]); sf_dir is the resolved
+                # input directory.  Additive keys only — the one-line JSON
+                # contract and every existing key are unchanged.
+                "cpus": spark.sparkContext.defaultParallelism,
+                "sf_dir": sf_dir,
             }
         )
     )

@@ -117,32 +117,92 @@ _DRIVER_CERTIFIED, _DRIVER_EXACT_CERTIFIED = _load_driver_certified()
 _ORACLE_CHANGED: dict[str, int] = {"join_inner": 6, "dedup_url_canonical": 13}
 
 
-def _recert_pending(name: str) -> bool:
-    """True while an _ORACLE_CHANGED op lacks a green record taken in or
-    after the round its oracle changed."""
-    rnd = _ORACLE_CHANGED.get(name)
-    if rnd is None:
-        return False
+# Ops whose SPARK IMPLEMENTATION was restructured AFTER their last green
+# driver record, with the oracle text unchanged (optimization rounds
+# produce exactly this class).  The old record certified the OLD plan;
+# the builder's selfcheck re-proved equivalence locally, but the driver's
+# oracle is the ground truth, so these re-enter the 50-slot window until
+# a post-change green lands (r13 judge directive #1).  Keyed to the round
+# the implementation changed; entries whose post-change green already
+# exists are stale no-ops kept for the audit trail.
+#   round 13 — the optimization-round-1 restructures (OPTIMIZATION_r13.md
+#   sections; dedup_near / sim_jaccard / dedup_clusters / ann_ivf_assign
+#   landed in the driver's r13 window and self-cleared), PLUS the
+#   r12-ADVICE correctness fixes committed in fd2a6b6 after
+#   CORRECTNESS_r12 was captured (baseline_includes_partial_round).
+#   round 14 — this round's restructures, appended as they land.
+# Remove an entry once a CORRECTNESS_r*.json from AFTER the change holds
+# a green row (tests/test_registry.py pins the bookkeeping).
+_IMPL_CHANGED: dict[str, int] = {
+    # r13 optimization restructures
+    "dedup_near": 13, "sim_jaccard": 13, "dedup_clusters": 13,
+    "ann_ivf_assign": 13,  # self-cleared: r13 window, exact green
+    "sql_tpch_q18": 13, "dedup_shingle": 13, "sim_containment": 13,
+    "lsh_band_sweep": 13, "dedup_minhash_b_bit": 13,
+    "minhash_jaccard_calibration": 13, "lsh_candidates": 13,
+    "dedup_clusters_exact": 13, "dedup_simhash": 13, "simhash_pairs": 13,
+    "corpus_dup_ngram_share": 13, "lsh_eval": 13, "ivf_eval": 13,
+    "graph_pagerank": 13, "ann_pq_adc_topk": 13,
+    "agg_percentile_disc": 13, "spearman_corr": 13, "stat_levene": 13,
+    "source_length_ks": 13, "src_jsonl": 13, "graph_kcore": 13,
+    "build_secdb": 13, "abtest_cuped": 13, "agg_freq_items": 13,
+    "geo_dense_clusters": 13,
+    # r12-ADVICE fixes (fd2a6b6) committed after CORRECTNESS_r12
+    "text_chunk_sliding": 13, "scd2_apply_changes": 13,
+    "graph_closeness_seeds": 13, "graph_cosupply_edges": 13,
+    "graph_triangle_count": 13, "graph_bfs_layers": 13,
+    "graph_connected_components": 13,
+}
+
+
+def _load_correctness_rows() -> list[tuple[int, dict]]:
+    """All CORRECTNESS_r*.json payloads as (round, rows) pairs, parsed
+    once per process (the files are immutable during a run)."""
+    global _CORRECTNESS_ROWS
+    if _CORRECTNESS_ROWS is not None:
+        return _CORRECTNESS_ROWS
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
+    out: list[tuple[int, dict]] = []
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             file_rnd = int(f.stem.split("_r")[1])
-        except (IndexError, ValueError):
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError, IndexError):
             continue
+        if isinstance(rows, dict):
+            out.append((file_rnd, rows))
+    _CORRECTNESS_ROWS = out
+    return out
+
+
+_CORRECTNESS_ROWS: list[tuple[int, dict]] | None = None
+
+
+def _recert_pending(name: str) -> bool:
+    """True while an _ORACLE_CHANGED or _IMPL_CHANGED op lacks a green
+    record taken in or after the round it changed.  A green record is the
+    exact triple for oracle-backed ops; for rows-only (R/D class) ops the
+    driver emits err == "no_oracle" on a clean run, which is that class's
+    green (the driver never emits no_oracle for an oracle-backed op)."""
+    rnd = max(
+        _ORACLE_CHANGED.get(name, 0), _IMPL_CHANGED.get(name, 0)
+    )
+    if not rnd:
+        return False
+    for file_rnd, rows in _load_correctness_rows():
         if file_rnd < rnd:
             continue
-        try:
-            rows = json.loads(f.read_text())
-        except (OSError, ValueError):
-            continue
-        row = rows.get(name) if isinstance(rows, dict) else None
+        row = rows.get(name)
         if isinstance(row, dict) and (
-            row.get("rows_match")
-            and row.get("schema_match")
-            and row.get("hash_match")
+            (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            or row.get("err") == "no_oracle"
         ):
             return False
     return True

@@ -241,7 +241,14 @@ def test_every_pending_op_is_slate_addressed():
     )
     unslated = [
         n for n in registry.all_queries()
-        if not registry.certified_at_current_class(n) and n not in slated
+        if not registry.certified_at_current_class(n)
+        and n not in slated
+        # recert candidates (_ORACLE_CHANGED / _IMPL_CHANGED) are
+        # queue-addressed by their changed-round bookkeeping, not by
+        # slates: they already HOLD a green record and re-enter the
+        # window via the recert bucket, whose fit is pinned by
+        # test_impl_changed_ops_requeue_until_post_change_green.
+        and not registry._recert_pending(n)
     ]
     assert not unslated, (
         f"pending ops without a slate slot (append to the CURRENT round's "
@@ -363,3 +370,47 @@ def test_no_uninterpolated_placeholders_in_oracles():
         "oracle strings with uninterpolated placeholders (missing f "
         f"prefix?): {offenders}"
     )
+
+
+def test_impl_changed_ops_requeue_until_post_change_green():
+    """Round-14 invariant (r13 judge directive #1): an op whose SPARK
+    implementation was restructured after its last green driver record
+    (_IMPL_CHANGED) is unsettled until a CORRECTNESS record from the
+    change round or later is green — the exact triple for oracle-backed
+    ops, err == "no_oracle" (a clean rows-only run) for R/D-class ops.
+    While the registry has no never-certified backlog, every pending
+    recert must land inside the driver's 50-slot window."""
+    import json
+    from pathlib import Path
+
+    registry.all_queries()  # ensure operators (and _ORACLES) are loaded
+    root = Path(registry.__file__).resolve().parent.parent
+    records = []
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        records.append((int(f.stem.split("_r")[1]), json.loads(f.read_text())))
+    for name, rnd in registry._IMPL_CHANGED.items():
+        assert name in registry._QUERIES, f"_IMPL_CHANGED entry {name} not registered"
+        post = False
+        for file_rnd, rows in records:
+            row = rows.get(name) if isinstance(rows, dict) else None
+            green = isinstance(row, dict) and bool(
+                (row.get("rows_match") and row.get("schema_match") and row.get("hash_match"))
+                or row.get("err") == "no_oracle"
+            )
+            if green and file_rnd >= rnd:
+                post = True
+        assert registry._recert_pending(name) == (not post), name
+        assert registry.certified_at_current_class(name) == post, name
+
+    order = list(registry.all_queries())
+    never = [
+        n for n in order
+        if n not in registry._DRIVER_CERTIFIED
+        and not registry.certified_at_current_class(n)
+    ]
+    if not never:
+        pending = [n for n in order if registry._recert_pending(n)]
+        outside = [n for n in pending if n not in order[:50]]
+        assert not outside, (
+            f"pending recerts outside the driver's 50-slot window: {outside}"
+        )

@@ -45,6 +45,18 @@ SCENARIOS = [
 ]
 
 
+def _pmap(fn, items):
+    """Run the per-scenario Spark invocations concurrently (guide §2.6):
+    each kernel call is independent and dominated by waiting on its
+    approxQuantile/pin jobs, not CPU — sequential, this file was ~57 s
+    of suite wall (driver-timeout risk, r13 judge directive #3).
+    Assertions stay sequential on the collected results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        return list(ex.map(fn, items))
+
+
 def _df(spark, rows):
     return spark.createDataFrame(
         rows, "rid long, key double, grp int, val long"
@@ -52,13 +64,14 @@ def _df(spark, rows):
 
 
 def test_bucketed_global_rank_matches_bruteforce(spark):
-    for rows in SCENARIOS:
-        got = {
-            r.rid: r.rk
-            for r in bucketed_global_rank(
-                _df(spark, rows), "key", ["rid"], n_buckets=7, out="rk"
-            ).collect()
-        }
+    outs = _pmap(
+        lambda rows: bucketed_global_rank(
+            _df(spark, rows), "key", ["rid"], n_buckets=7, out="rk"
+        ).collect(),
+        SCENARIOS,
+    )
+    for rows, out in zip(SCENARIOS, outs):
+        got = {r.rid: r.rk for r in out}
         expected = {
             rid: i + 1
             for i, (rid, _k, _g, _v) in enumerate(
@@ -69,13 +82,14 @@ def test_bucketed_global_rank_matches_bruteforce(spark):
 
 
 def test_bucketed_prefix_sum_matches_bruteforce(spark):
-    for rows in SCENARIOS:
-        got = {
-            r.rid: Decimal(r.cs)
-            for r in bucketed_prefix_sum(
-                _df(spark, rows), "key", ["rid"], "val", n_buckets=5, out="cs"
-            ).collect()
-        }
+    outs = _pmap(
+        lambda rows: bucketed_prefix_sum(
+            _df(spark, rows), "key", ["rid"], "val", n_buckets=5, out="cs"
+        ).collect(),
+        SCENARIOS,
+    )
+    for rows, out in zip(SCENARIOS, outs):
+        got = {r.rid: Decimal(r.cs) for r in out}
         run = Decimal(0)
         for rid, _k, _g, v in sorted(rows, key=lambda t: (t[1], t[0])):
             run += v
@@ -83,13 +97,14 @@ def test_bucketed_prefix_sum_matches_bruteforce(spark):
 
 
 def test_bucketed_prefix_min_matches_bruteforce(spark):
-    for rows in SCENARIOS:
-        got = {
-            r.rid: r.pm
-            for r in bucketed_prefix_min(
-                _df(spark, rows), "key", ["rid"], "val", n_buckets=5, out="pm"
-            ).collect()
-        }
+    outs = _pmap(
+        lambda rows: bucketed_prefix_min(
+            _df(spark, rows), "key", ["rid"], "val", n_buckets=5, out="pm"
+        ).collect(),
+        SCENARIOS,
+    )
+    for rows, out in zip(SCENARIOS, outs):
+        got = {r.rid: r.pm for r in out}
         best = None
         for rid, _k, _g, v in sorted(rows, key=lambda t: (t[1], t[0])):
             assert got[rid] == best
@@ -97,10 +112,13 @@ def test_bucketed_prefix_min_matches_bruteforce(spark):
 
 
 def test_grouped_range_prefix_sum_matches_bruteforce(spark):
-    for rows in SCENARIOS:
-        out = grouped_range_prefix_sum(
+    outs = _pmap(
+        lambda rows: grouped_range_prefix_sum(
             _df(spark, rows), ["grp"], "key", "val", n_buckets=5, out="cum"
-        ).collect()
+        ).collect(),
+        SCENARIOS,
+    )
+    for rows, out in zip(SCENARIOS, outs):
         # brute force: per group, cum at key k = sum of val over key' <= k
         per = {}
         for _rid, k, g, v in rows:
@@ -118,20 +136,23 @@ def test_grouped_range_prefix_sum_matches_bruteforce(spark):
 
 
 def test_grouped_bucketed_topk_matches_bruteforce(spark):
-    for rows in SCENARIOS:
-        for k in (1, 3, 10):
-            out = grouped_bucketed_topk(
-                _df(spark, rows), ["grp"], "key", ["rid"], k,
-                n_buckets=6, out="rk",
-            ).collect()
-            per = {}
-            for rid, key, g, _v in rows:
-                per.setdefault(g, []).append((key, rid))
-            expected = {
-                g: [rid for _key, rid in sorted(v)[:k]]
-                for g, v in per.items()
-            }
-            got = {}
-            for r in sorted(out, key=lambda r: (r.grp, r.rk)):
-                got.setdefault(r.grp, []).append(r.rid)
-            assert got == expected
+    params = [(rows, k) for rows in SCENARIOS for k in (1, 3, 10)]
+    outs = _pmap(
+        lambda p: grouped_bucketed_topk(
+            _df(spark, p[0]), ["grp"], "key", ["rid"], p[1],
+            n_buckets=6, out="rk",
+        ).collect(),
+        params,
+    )
+    for (rows, k), out in zip(params, outs):
+        per = {}
+        for rid, key, g, _v in rows:
+            per.setdefault(g, []).append((key, rid))
+        expected = {
+            g: [rid for _key, rid in sorted(v)[:k]]
+            for g, v in per.items()
+        }
+        got = {}
+        for r in sorted(out, key=lambda r: (r.grp, r.rk)):
+            got.setdefault(r.grp, []).append(r.rid)
+        assert got == expected

@@ -15,9 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
-from ._global_order import grouped_range_prefix_sum
+from ._global_order import GLOBAL_WINDOW_GATE, grouped_range_prefix_sum
 from ._helpers import pin, r4
 from .llm_pipeline import sim_cosine_topk
 
@@ -109,7 +109,14 @@ def length_pareto_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("alpha"),
     )
-    cum = grouped_range_prefix_sum(dv, ["source"], "v", "c", out="_cw")
+    cum = grouped_range_prefix_sum(
+        dv, ["source"], "v", "c", out="_cw",
+        # r14 small-path opt-in (guide §1.2, the r13 stat_levene
+        # pattern): the kernel input is <= one row per document, so the
+        # documents footer row count bounds it — below the gate the
+        # textbook window replaces the quantile action + two pins.
+        small=table_rows(sf_dir, "documents") <= GLOBAL_WINDOW_GATE,
+    )
     j = (
         dv.join(cum.select("source", "v", F.col("_cw").alias("cw")),
                 ["source", "v"])

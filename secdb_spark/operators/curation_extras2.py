@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
 from ._helpers import pin, DEC, he4, r4, sql_he4
 from .curation_extras import (
@@ -490,7 +490,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and integer addends make accumulation order irrelevant); ln values
     quantize to 1e6 fixed-point so the closing regression moments are
     exact decimal integers (corpus_zipf_slope's discipline)."""
-    from ._global_order import grouped_range_prefix_sum
+    from ._global_order import GLOBAL_WINDOW_GATE, grouped_range_prefix_sum
 
     d = table(spark, sf_dir, "documents")
     toks = d.select(
@@ -513,11 +513,16 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
     ))
+    # r14 small-path opt-in (guide §1.2): j is one row per (source,
+    # doc) <= the documents footer row count; below the gate each call
+    # drops its quantile action + two pins (this op pays the kernel
+    # TWICE, so the saving doubles).
+    small = table_rows(sf_dir, "documents") <= GLOBAL_WINDOW_GATE
     ct = grouped_range_prefix_sum(
-        j, ["source"], "doc_id", "n_tokens", out="cum_tokens"
+        j, ["source"], "doc_id", "n_tokens", out="cum_tokens", small=small
     ).select("source", "doc_id", "cum_tokens")
     cv = grouped_range_prefix_sum(
-        j, ["source"], "doc_id", "new_terms", out="cum_vocab"
+        j, ["source"], "doc_id", "new_terms", out="cum_vocab", small=small
     ).select("source", "doc_id", "cum_vocab")
     curve = ct.join(cv, ["source", "doc_id"])
     x = F.floor(

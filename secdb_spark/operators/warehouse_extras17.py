@@ -12,9 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
-from ._global_order import bucketed_prefix_sum, grouped_range_prefix_sum
+from ._global_order import (
+    GLOBAL_WINDOW_GATE,
+    bucketed_prefix_sum,
+    grouped_range_prefix_sum,
+)
 from ._helpers import pin, r4
 
 # ---------------------------------------------------------------------------
@@ -98,7 +102,10 @@ def gap_expfit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("gap_s")).cast("long").alias("s"),
     )
     cum = grouped_range_prefix_sum(
-        d, ["event_type"], "gap_s", "c", out="_cum"
+        d, ["event_type"], "gap_s", "c", out="_cum",
+        # r14 small-path opt-in (guide §1.2): d is <= one row per event
+        # (distinct (type, gap) spine), events footer bounds it.
+        small=table_rows(sf_dir, "events") <= GLOBAL_WINDOW_GATE,
     ).withColumn("cw", F.col("_cum").cast("long"))
     j = (
         d.join(cum.select("event_type", "gap_s", "cw"), ["event_type", "gap_s"])

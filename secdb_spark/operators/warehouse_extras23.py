@@ -15,9 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
-from ._global_order import grouped_range_prefix_sum
+from ._global_order import GLOBAL_WINDOW_GATE, grouped_range_prefix_sum
 from ._helpers import r4
 
 DEC6 = "decimal(38,6)"
@@ -147,7 +147,12 @@ def heavy_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
     cv = uc.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("users"))
-    cum = grouped_range_prefix_sum(cv, [], "c", "users", out="_cw")
+    cum = grouped_range_prefix_sum(
+        cv, [], "c", "users", out="_cw",
+        # r14 small-path opt-in (guide §1.2): cv is one row per distinct
+        # activity level <= users <= events footer rows.
+        small=table_rows(sf_dir, "events") <= GLOBAL_WINDOW_GATE,
+    )
     nu = cv.agg(F.sum("users").cast("long").alias("nu"))
     thr = (
         cum.crossJoin(F.broadcast(nu))

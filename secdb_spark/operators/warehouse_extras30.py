@@ -13,9 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
-from ._global_order import grouped_range_prefix_sum
+from ._global_order import GLOBAL_WINDOW_GATE, grouped_range_prefix_sum
 from ._helpers import pin, r4
 
 #: a customer is churned / a gap is a churn episode past this many days.
@@ -260,6 +260,9 @@ def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = grouped_range_prefix_sum(
         lags.withColumn("one", F.lit(1)), ["flag"], "lag_days", "one",
         out="_cum",
+        # r14 small-path opt-in (guide §1.2): one lag row per lineitem
+        # (1:1 fact-key join), lineitem footer rows bound the input.
+        small=table_rows(sf_dir, "lineitem") <= GLOBAL_WINDOW_GATE,
     )
     tot = cum.groupBy("flag").agg(F.sum("_v").cast("long").alias("n"))
     j = cum.join(F.broadcast(tot), "flag")

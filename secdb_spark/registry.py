@@ -152,6 +152,11 @@ _IMPL_CHANGED: dict[str, int] = {
     "graph_closeness_seeds": 13, "graph_cosupply_edges": 13,
     "graph_triangle_count": 13, "graph_bfs_layers": 13,
     "graph_connected_components": 13,
+    # r14 optimization restructures (small-path opt-ins etc.)
+    "length_pareto_ks": 14, "heaps_law_fit": 14, "stat_mannwhitney": 14,
+    "stat_ks_2samp": 14, "reorder_interval_percentiles": 14,
+    "gap_expfit_ks": 14, "heavy_user_concentration": 14,
+    "ship_lag_percentiles": 14, "decile_lift_table": 14,
 }
 
 

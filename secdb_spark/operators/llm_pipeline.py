@@ -106,7 +106,7 @@ def sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     are then verified with EXACT Jaccard on the FULL token sets, so the
     filter affects recall only — and the theorem makes recall 1."""
     d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
-    return _jaccard_pairs(d)
+    return _jaccard_pairs(d, n_docs=table_rows(sf_dir, "documents"))
 
 
 def _spread_docs(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
@@ -131,13 +131,21 @@ def _spread_docs(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
 
 
 def _jaccard_pairs(
-    d: DataFrame, tokens=None, threshold: float | None = None
+    d: DataFrame,
+    tokens=None,
+    threshold: float | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Prefix-filtered exact-Jaccard pair pipeline over any (doc_id, text)
     DataFrame — see sim_jaccard for the losslessness argument.  `tokens`
     overrides the element expression (default: distinct word set), e.g.
     word-bigram shingles for dedup_shingle; the prefix-filter theorem is
-    independent of what the set elements are."""
+    independent of what the set elements are.  `n_docs` is an optional
+    corpus-size HINT (registered callers pass the parquet-footer row
+    count — never a Spark job): with a closed dictionary AND a corpus
+    under JACCARD_ALLPAIRS_DOCS it dispatches to the all-pairs bitmask
+    kernel (r14, the sim_containment precedent); without a hint the
+    prefix-filtered path runs unconditionally."""
     if threshold is None:
         threshold = JACCARD_THRESHOLD
     # r13 kernel rewrite (guide §2.3 "shuffle fewer bytes"): every stage
@@ -169,43 +177,35 @@ def _jaccard_pairs(
             ).alias("hset"),
         ).withColumn("n", F.size("hset"))
     )
-    toks = sets.select("doc_id", "n", F.explode("hset").alias("th"))
-    dfreq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "th")
-    prefix = (
-        toks.join(dfreq, "th")
-        .withColumn("rnk", F.row_number().over(wdoc))
-        .filter(
-            F.col("rnk")
-            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-        )
-        .select("doc_id", "th")
-    )
-    prefix = pin(prefix)
-    cand_raw = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "th")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "th"), "th")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
 
     def out_cols(j):
         return ["doc_a", "doc_b", j.alias("jaccard")]
 
     # Bounded dictionary probe over the HASHED element domain, run on the
-    # pinned sets (no re-tokenize): sample pre-probe first so an open
-    # corpus never pays a full distinct, then the exact limit-capped
-    # dictionary — the _mask_vocab playbook generalized to any element
-    # expression (unigrams, shingles, api callers) because hashes, not
-    # strings, are the dictionary.
+    # pinned sets (no re-tokenize): an approx_count_distinct pre-probe
+    # first so an open corpus never pays a full distinct, then the exact
+    # limit-capped dictionary — the _mask_vocab playbook generalized to
+    # any element expression (unigrams, shingles, api callers) because
+    # hashes, not strings, are the dictionary.
+    #
+    # r14: the pre-probe was a 256-doc sample distinct, which is
+    # INCONCLUSIVE for shingle corpora (dedup_shingle's sample read 905
+    # distinct bigrams <= the 1024 cap, so every invocation paid the
+    # sample job AND the full-corpus exact distinct that then proved the
+    # vocabulary open).  One HLL pass over the pinned sets (map-side
+    # partial aggregation, no shuffle of the exploded stream) is the
+    # same job cost but DEFINITIVE for open corpora: estimated
+    # cardinality beyond 2x the cap cannot be a <=cap dictionary (HLL
+    # relative error ~2%), so the exact fetch is skipped.  Dispatch is
+    # perf-only — both verify kernels are exact — so an estimator miss
+    # can only cost speed, never rows.
     vocabh = None
-    sampled = (
-        sets.limit(VOCAB_PROBE_DOCS)
-        .select(F.explode("hset").alias("th"))
-        .distinct()
-        .count()
+    approx = (
+        sets.select(F.explode("hset").alias("th"))
+        .agg(F.approx_count_distinct("th").alias("c"))
+        .collect()[0].c
     )
-    if 0 < sampled <= MASK_MAX_VOCAB:
+    if 0 < approx <= 2 * MASK_MAX_VOCAB:
         rows = (
             sets.select(F.explode("hset").alias("th"))
             .distinct()
@@ -214,21 +214,8 @@ def _jaccard_pairs(
         )
         if 0 < len(rows) <= MASK_MAX_VOCAB:
             vocabh = sorted(r.th for r in rows)
+    ma = mb = inter_sz = None
     if vocabh is not None:
-        # VERIFY-FIRST bitmask kernel (r13): with a closed element
-        # dictionary the per-pair verify is bit_count(a AND b) over
-        # n_words longs — so cheap that deduplicating candidates FIRST
-        # is the wrong order.  The raw first-shared-prefix-token stream
-        # (a pair appears once per shared prefix token, small
-        # multiplicity) flows straight through the broadcast mask joins
-        # and the Jaccard filter; the distinct shuffle runs LAST, over
-        # verified pairs only.  Measured at sf0.1 (22.4M raw / 11.3M
-        # distinct candidates, 965k true pairs): candidates+verify
-        # dropped from ~20 s (distinct-first + array_intersect) to
-        # 3.6 s.  Masks derive map-side from the pinned sets via a
-        # literal hash->index map (SQL-text authored, one parse) and a
-        # power-of-two lookup table (shiftleft needs a literal bit
-        # count); no extra scan, no checkpoint.
         n_vocab = len(vocabh)
         n_words = (n_vocab + 63) // 64
         idx_map = F.expr(
@@ -275,6 +262,134 @@ def _jaccard_pairs(
             ],
             F.lit(0),
         )
+        if (
+            n_docs is not None
+            and n_docs <= JACCARD_ALLPAIRS_DOCS
+            and threshold > 0
+        ):
+            # ALL-PAIRS bitmask kernel (r14; the sim_containment r13
+            # precedent, guide §1.2 first-principles): on a closed
+            # dictionary the exact Jaccard of ANY pair is a popcount
+            # over n_words mask longs, so below the quadratic gate the
+            # N^2/2 broadcast nested-loop pass with the verify fused
+            # into the join condition beats the whole prefix machinery
+            # — the dfreq shuffle, the per-doc rank window, the prefix
+            # pin, the posting self-join AND the output distinct (each
+            # pair is evaluated exactly once) all disappear.  The fused
+            # condition is the IDENTICAL float comparison chain the
+            # prefix path applies (size gate, then jaccard >= theta on
+            # the same double expression), and every J >= theta > 0
+            # pair shares a token so the prefix path finds it too —
+            # selection sets are equal, proven by the gate-off
+            # agreement test.  Masks pin once (doc_id + n_words longs
+            # + n per doc); the stream side keeps the spread-gate
+            # partitioning, the build side broadcasts.  Above the gate
+            # (or with no corpus-size hint) nothing changes.
+            masksp = pin(masks)
+            pa = masksp.select(
+                F.col("doc_id").alias("doc_a"),
+                *[F.col(f"m{w}").alias(f"a{w}") for w in range(n_words)],
+                F.col("n").alias("na"),
+            )
+            pb = masksp.select(
+                F.col("doc_id").alias("doc_b"),
+                *[F.col(f"m{w}").alias(f"b{w}") for w in range(n_words)],
+                F.col("n").alias("nb"),
+            )
+            jac = inter_sz.cast("double") / (
+                F.col("na") + F.col("nb") - inter_sz
+            )
+            return pa.join(
+                F.broadcast(pb),
+                (F.col("doc_a") < F.col("doc_b"))
+                & (
+                    F.least("na", "nb")
+                    >= F.lit(threshold) * F.greatest("na", "nb")
+                )
+                & (jac >= F.lit(threshold)),
+            ).select(*out_cols(jac))
+    toks = sets.select("doc_id", "n", F.explode("hset").alias("th"))
+    dfreq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "th")
+    prefix = (
+        toks.join(dfreq, "th")
+        .withColumn("rnk", F.row_number().over(wdoc))
+        .filter(
+            F.col("rnk")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        # rnk + n ride along (2 ints over the prefix-sized frame) for
+        # the positional filter below
+        .select("doc_id", "th", "rnk", "n")
+    )
+    prefix = pin(prefix)
+    cand_raw = (
+        prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            "th",
+            F.col("rnk").alias("ia"),
+            F.col("n").alias("na"),
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                "th",
+                F.col("rnk").alias("jb"),
+                F.col("n").alias("nb"),
+            ),
+            "th",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    # POSITIONAL filter (r14; PPJoin, Xiao et al. WWW'08 — guide §2.3
+    # "shuffle fewer bytes"): a candidate occurrence joins on shared
+    # prefix token t at global-order ranks (ia, jb), so the overlap is
+    # bounded by ub = min(ia-1, jb-1) + 1 + min(na-ia, nb-jb) — common
+    # tokens strictly before t under the total (df, th) order, t itself,
+    # and common tokens after t.  J >= theta <=> (p+q)*c >= p*(na+nb)
+    # for theta = p/q, so dropping occurrences with (p+q)*ub < p*(na+nb)
+    # is LOSSLESS: a true pair's EVERY occurrence satisfies the bound
+    # (ub >= c for each of them), so it always survives the later
+    # distinct; a dropped occurrence can only be a pair the exact verify
+    # would reject (property-tested adversarially).  Exact integer
+    # arithmetic (no float threshold in the filter): p/q comes from the
+    # decimal literal of the threshold; thresholds whose decimal form is
+    # not a small rational skip the filter rather than risk int64
+    # overflow in (p+q)*ub.  At sf0.1 this cuts dedup_shingle's
+    # occurrence stream 6.0M -> 2.1M and the distinct pair shuffle
+    # 4.4M -> 1.4M (census in OPTIMIZATION_r14.md); it subsumes the
+    # na/nb size-compatibility filter (ia = jb = 1 degenerates to it),
+    # which stays in verify() only as a cheap post-join guard.
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    if frac.denominator <= 1_000_000:
+        p, q = frac.numerator, frac.denominator
+        ub = (
+            F.least(F.col("ia") - 1, F.col("jb") - 1)
+            + 1
+            + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
+        )
+        cand_raw = cand_raw.filter(
+            F.lit(p + q) * ub >= F.lit(p) * (F.col("na") + F.col("nb"))
+        )
+    cand_raw = cand_raw.select("doc_a", "doc_b")
+
+    if vocabh is not None:
+        # VERIFY-FIRST bitmask kernel (r13): with a closed element
+        # dictionary the per-pair verify is bit_count(a AND b) over
+        # n_words longs — so cheap that deduplicating candidates FIRST
+        # is the wrong order.  The raw first-shared-prefix-token stream
+        # (a pair appears once per shared prefix token, small
+        # multiplicity) flows straight through the broadcast mask joins
+        # and the Jaccard filter; the distinct shuffle runs LAST, over
+        # verified pairs only.  Measured at sf0.1 (22.4M raw / 11.3M
+        # distinct candidates, 965k true pairs): candidates+verify
+        # dropped from ~20 s (distinct-first + array_intersect) to
+        # 3.6 s.  Masks derive map-side from the pinned sets via a
+        # literal hash->index map (SQL-text authored, one parse) and a
+        # power-of-two lookup table (shiftleft needs a literal bit
+        # count); no extra scan, no checkpoint.
         return (
             cand_raw.join(F.broadcast(ma), "doc_a")
             .join(F.broadcast(mb), "doc_b")
@@ -325,6 +440,15 @@ def _jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
 
+
+#: _jaccard_pairs all-pairs gate (r14, the sim_containment precedent):
+#: below this doc count, with a closed dictionary and theta > 0, the
+#: N^2/2 fused-popcount broadcast nested-loop pass beats the prefix
+#: machinery (2e8 pair evaluations at the bound — seconds on one
+#: executor wave; the prefix path's dfreq shuffle + rank window +
+#: prefix pin + posting join + output distinct all disappear).  Above
+#: it the prefix-filtered path is unchanged.
+JACCARD_ALLPAIRS_DOCS = 20_000
 
 # Verify fast path: when the corpus dictionary fits in MASK_MAX_VOCAB bits,
 # token sets become fixed-width long[] bitmasks and exact Jaccard is

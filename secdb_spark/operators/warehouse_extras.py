@@ -527,7 +527,12 @@ def dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = d.filter(F.size(w) >= 2)
     return _jaccard_pairs(
-        docs, tokens=F.sort_array(shingles), threshold=SHINGLE_THRESHOLD
+        docs,
+        tokens=F.sort_array(shingles),
+        threshold=SHINGLE_THRESHOLD,
+        # corpus-size hint from the parquet footer (upper bound: the
+        # >=2-words filter only shrinks it) for the all-pairs dispatch
+        n_docs=table_rows(sf_dir, "documents"),
     )
 
 

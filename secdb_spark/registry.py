@@ -135,9 +135,9 @@ _ORACLE_CHANGED: dict[str, int] = {"join_inner": 6, "dedup_url_canonical": 13}
 # a green row (tests/test_registry.py pins the bookkeeping).
 _IMPL_CHANGED: dict[str, int] = {
     # r13 optimization restructures
-    "dedup_near": 13, "sim_jaccard": 13, "dedup_clusters": 13,
+    "dedup_near": 13, "dedup_clusters": 13,
     "ann_ivf_assign": 13,  # self-cleared: r13 window, exact green
-    "sql_tpch_q18": 13, "dedup_shingle": 13, "sim_containment": 13,
+    "sql_tpch_q18": 13, "sim_containment": 13,
     "lsh_band_sweep": 13, "dedup_minhash_b_bit": 13,
     "minhash_jaccard_calibration": 13, "lsh_candidates": 13,
     "dedup_clusters_exact": 13, "dedup_simhash": 13, "simhash_pairs": 13,
@@ -157,6 +157,8 @@ _IMPL_CHANGED: dict[str, int] = {
     "stat_ks_2samp": 14, "reorder_interval_percentiles": 14,
     "gap_expfit_ks": 14, "heavy_user_concentration": 14,
     "ship_lag_percentiles": 14, "decile_lift_table": 14,
+    # r14: jaccard kernel — positional filter, HLL probe, all-pairs path
+    "sim_jaccard": 14, "dedup_shingle": 14,
 }
 
 

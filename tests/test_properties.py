@@ -553,3 +553,68 @@ def test_coverage_sweep_matches_bruteforce_union(spark):
     for user in range(8):
         want = union_len([r for r in rows if r[0] == user])
         assert got.get(user, 0) == want, f"user {user}: {got.get(user)} != {want}"
+
+
+def test_jaccard_allpairs_kernel_agrees_with_prefix_path(spark):
+    """r14 all-pairs bitmask kernel (closed dictionary + n_docs hint):
+    its fused-condition BNLJ must select EXACTLY the pairs the
+    prefix-filtered path emits, including pairs exactly AT the
+    threshold (J == 0.8 via strict-subset sets sized 4 and 5 — the
+    integer/float boundary the fused condition must not move)."""
+    from secdb_spark.operators.llm_pipeline import _jaccard_pairs
+
+    base = [f"t{i}" for i in range(5)]
+    docs = []
+    # J(a,b) = 4/5 exactly: b is a strict 4-subset of a's 5 tokens
+    for g in range(4):
+        docs.append((2 * g, " ".join(base)))
+        docs.append((2 * g + 1, " ".join(base[:-1])))
+    # sub-threshold distractors (J = 3/5)
+    docs.append((100, " ".join(base[:3])))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    prefix = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _jaccard_pairs(sdf, threshold=0.8).collect()
+    }
+    allpairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _jaccard_pairs(sdf, threshold=0.8, n_docs=len(docs)).collect()
+    }
+    assert prefix == allpairs
+    assert prefix, "boundary corpus must contain J == 0.8 pairs"
+
+
+def test_jaccard_positional_filter_lossless_at_extreme_ranks(spark):
+    """r14 PPJoin positional filter: pairs whose ONLY shared prefix
+    token sits at maximally asymmetric ranks (rarest token of one doc,
+    last prefix slot of the other) must survive — the ub bound can
+    never drop a qualifying pair.  Open-vocab corpus (unique filler
+    tokens per doc) so the hashed-array path with the filter runs."""
+    from itertools import combinations
+
+    from secdb_spark.operators.llm_pipeline import _jaccard_pairs
+
+    shared = [f"s{i}" for i in range(18)]
+    docs = []
+    for g in range(6):
+        # two docs sharing 18 of 19 tokens (J = 18/20 = 0.9 exactly),
+        # plus one unique token each to keep the dictionary open and the
+        # shared tokens at different df-order ranks across docs
+        docs.append((2 * g, " ".join(shared + [f"u{g}a"])))
+        docs.append((2 * g + 1, " ".join(shared + [f"u{g}b"])))
+    # corpus-wide unique-token docs to blow the dictionary past the cap
+    for i in range(30):
+        docs.append((200 + i, " ".join(f"z{i}_{j}" for j in range(40))))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_pairs(sdf, threshold=0.9).collect()
+    }
+    tsets = {i: set(t.split()) for i, t in docs}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(tsets), 2)
+        if len(tsets[a] & tsets[b]) / len(tsets[a] | tsets[b]) >= 0.9
+    }
+    assert want and got == want

@@ -662,6 +662,19 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warehouse scale the corpus has many row groups / files and no
     # shuffle is added.
     d = _spread_docs(spark, sf_dir, d)
+    return _dedup_near_pairs(spark, sf_dir, d)
+
+
+def _dedup_near_pairs(
+    spark: SparkSession, sf_dir: str, d: DataFrame
+) -> DataFrame:
+    """dedup_near's pipeline over an arbitrary (doc_id, text) SUBSET of
+    the sf_dir corpus (r14): dedup_clusters runs it on one REPRESENTATIVE
+    per identical-token-set group — identical sets share every signature,
+    band key and verify outcome, so the representative pair list IS the
+    contracted group-edge list (see dedup_clusters).  The dictionary and
+    broadcast gates key on the FULL corpus via sf_dir (upper bounds for
+    any subset)."""
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
     vocab = _mask_vocab(spark, sf_dir)
     rows_per_band = N_MINHASH // N_BANDS
@@ -1858,16 +1871,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic iterative-Spark failure mode), and convergence is a count of
     changed labels (one small action per round), not a collect.
     Property-tested against union-find."""
-    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    # r13 GROUP-GRAPH COLLAPSE (guide §1.2): docs with IDENTICAL token
-    # sets form a clique in the near-dup graph (equal sets share every
+    # r13 GROUP-GRAPH COLLAPSE, r14 REPRESENTATIVE-LEVEL PAIRS (guide
+    # §1.2 "the distributed algorithm"): docs with IDENTICAL token sets
+    # form a clique in the near-dup graph (equal sets share every
     # signature, so dedup_near always emits their pairs at J = 1), so
     # contracting each identical-set group to one node — its min doc_id,
     # which is also the label the component converges to — preserves
-    # connected components EXACTLY while shrinking the propagated edge
-    # list quadratically on templated corpora (sf0.1: 948k doc pairs ->
-    # group pairs over ~3935 nodes).  Labels propagate on the group
-    # graph; docs inherit their group's label at the end.
+    # connected components EXACTLY.  r13 still MATERIALIZED the full doc
+    # pair list (948k rows at sf0.1: one pair-sized checkpoint + a
+    # distinct) only to contract it to 28k group edges.  r14 removes the
+    # doc-pair list entirely: identical sets share every band key AND
+    # every verify outcome, so running dedup_near's pipeline on ONE
+    # REPRESENTATIVE per group (doc_id == gid) emits exactly the
+    # distinct inter-group edges — J(a in A, b in B) = J(rep_A, rep_B)
+    # and candidate(a, b) <=> candidate(rep_A, rep_B), proven by the
+    # representative-equivalence property test.  Member docs re-enter
+    # only at expansion: a doc appears in the old pair list iff its
+    # group has >= 2 members (intra-group J = 1 pairs) or its group has
+    # an inter-group edge — both derivable from dmap + the edge list
+    # without touching doc pairs.
     dmap = _spread_docs(
         spark, sf_dir, table(spark, sf_dir, "documents")
     ).select(
@@ -1877,34 +1899,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gid"),
     )
     dmap = dmap.localCheckpoint(eager=True)
-    # ONE pair-sized checkpoint carries the pair list WITH both group
-    # ids (the old shape checkpointed the raw pairs, then re-derived a
-    # doc-node distinct + a second group join from them — two more
-    # pair-sized jobs for frames this join already contains).
-    ga = dmap.select(F.col("doc_id").alias("doc_a"), F.col("gid").alias("ga"))
-    gb = dmap.select(F.col("doc_id").alias("doc_b"), F.col("gid").alias("gb"))
-    j = (
-        pairs.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .localCheckpoint()
-    )
+    rep_ids = dmap.filter(F.col("doc_id") == F.col("gid")).select("doc_id")
+    reps = table(spark, sf_dir, "documents").join(rep_ids, "doc_id", "semi")
     gpairs = (
-        j.filter(F.col("ga") != F.col("gb"))
-        .select(
-            F.least("ga", "gb").alias("doc_a"),
-            F.greatest("ga", "gb").alias("doc_b"),
-        )
-        .distinct()
+        _dedup_near_pairs(spark, sf_dir, _spread_docs(spark, sf_dir, reps))
+        .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    # docs in pairs with their group id (the final-expansion frame);
-    # nodes seed from the inter-group edge endpoints — a group with only
+    # Scale-adaptive loop width (r14, guide §2.2 "fewer, larger
+    # partitions"): the band-join union leaves 4 x ncores near-empty
+    # partitions on the contracted edge list, and every label round
+    # below re-scans it — at sf0.1 the 7-round loop spent half its wall
+    # scheduling empty tasks (measured: loop 6.1 s at 128 partitions,
+    # 3.2 s at 8).  The edge count is already materialized (checkpoint),
+    # so one cheap count sizes the loop input at ~50k edges/partition,
+    # capped at defaultParallelism — at corpus scale the cap keeps full
+    # parallelism, locally the loop runs on 1-2 fat partitions.
+    n_edges = gpairs.count()
+    loop_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_edges // 50_000),
+        ),
+    )
+    gpairs = gpairs.coalesce(loop_parts)
+    # member docs: groups with >= 2 docs, plus edge endpoints (covers
+    # singleton groups that pair with another group); a group with only
     # intra-group pairs has no edges and keeps label == gid via the
     # left-join coalesce at expansion (identical to seeding it).
-    doc_gid = (
-        j.select(F.col("doc_a").alias("id"), F.col("ga").alias("gid"))
-        .union(j.select(F.col("doc_b").alias("id"), F.col("gb").alias("gid")))
+    gsize = dmap.groupBy("gid").agg(F.count(F.lit(1)).alias("gn"))
+    active = (
+        gsize.filter(F.col("gn") >= 2).select("gid")
+        .union(gpairs.select(F.col("doc_a").alias("gid")))
+        .union(gpairs.select(F.col("doc_b").alias("gid")))
         .distinct()
+    )
+    doc_gid = dmap.join(active, "gid").select(
+        F.col("doc_id").alias("id"), "gid"
     )
     labels = (
         gpairs.select(F.col("doc_a").alias("id"))
@@ -1924,30 +1956,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # pointer-jumping (label[label]) halves the rounds: the new
-        # label is min(label, min neighbor label, label's own label) —
-        # all three are ids inside the same component, so the fixpoint
-        # (the component min) is unchanged while long chains compress
-        # in O(log diameter) rounds instead of O(diameter).
+        # pointer-jumping (label[label]) compresses chains in
+        # O(log diameter) rounds: the new label is min(label, min
+        # neighbor label, label's own label) — all three are ids inside
+        # the same component, so the fixpoint (the component min) is
+        # unchanged.  r14 applies the jump TWICE per round (the second
+        # jump reads the in-round labels), squaring the per-round
+        # compression: measured 7 -> 5 rounds on the sf0.1 group graph
+        # (diameter 10), each jump a broadcast of the model-sized label
+        # frame.  `changed` compares the FINAL label against the round
+        # input, so convergence sees both stages.
         jump = labels.select(
             F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
         )
-        new_labels = (
+        stage1 = (
             labels.join(neighbor_min, "id", "left")
             .join(F.broadcast(jump), F.col("label") == F.col("_jid"), "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"),
                     F.coalesce("nbr_label", F.col("label")),
                     F.coalesce("_jlabel", F.col("label")),
                 ).alias("label"),
+            )
+        )
+        jump2 = stage1.select(
+            F.col("id").alias("_j2id"), F.col("label").alias("_j2label")
+        )
+        new_labels = (
+            stage1.join(
+                F.broadcast(jump2), F.col("label") == F.col("_j2id"), "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("_j2label", F.col("label")),
+                ).alias("label"),
                 (
                     F.least(
-                        F.coalesce("nbr_label", F.col("label")),
-                        F.coalesce("_jlabel", F.col("label")),
+                        F.col("label"),
+                        F.coalesce("_j2label", F.col("label")),
                     )
-                    < F.col("label")
+                    < F.col("_old")
                 ).alias("changed"),
             )
         )

@@ -135,7 +135,7 @@ _ORACLE_CHANGED: dict[str, int] = {"join_inner": 6, "dedup_url_canonical": 13}
 # a green row (tests/test_registry.py pins the bookkeeping).
 _IMPL_CHANGED: dict[str, int] = {
     # r13 optimization restructures
-    "dedup_near": 13, "dedup_clusters": 13,
+    "dedup_near": 14, "dedup_clusters": 14,  # re-restructured r14
     "ann_ivf_assign": 13,  # self-cleared: r13 window, exact green
     "sql_tpch_q18": 13, "sim_containment": 13,
     "lsh_band_sweep": 13, "dedup_minhash_b_bit": 13,

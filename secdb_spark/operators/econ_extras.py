@@ -60,30 +60,55 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-hot grams dominate the join's build side exactly as in
     sim_containment — the same hot-gram cap applies when corpora grow;
     output is one row per document."""
-    docs = table(spark, sf_dir, "documents")
+    # r14 restructure (guide §2.3 "aggregate before you shuffle", §2.4):
+    # the old shape ran `tri.distinct()` (a full-stream shuffle) TWICE —
+    # the distinct frame fed both the df aggregate and the join, and
+    # Catalyst has no cross-DAG CSE — then re-shuffled the whole
+    # (doc, gram) stream a third time through the gram-keyed join.  Per-
+    # doc dedup is map-side (array_distinct before the explode), so the
+    # distinct shuffle disappears; and a gram with document frequency 1
+    # belongs to exactly one doc — its min doc_id — so per-doc unique
+    # counts come from the gram aggregate alone and the big join
+    # disappears.  What remains: two map-side-combinable aggregates over
+    # the exploded stream and one left join of two doc-keyed aggregates.
+    # Scan-spread gate: the trigram build is the compute-heavy per-row
+    # stage this corpus runs on one row group.
+    from .llm_pipeline import _spread_docs
+
+    docs = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     tri = toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 2), "
-                "p -> concat_ws(' ', toks[p-1], toks[p], toks[p+1]))"
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), "
+                    "p -> concat_ws(' ', toks[p-1], toks[p], toks[p+1]))"
+                )
             )
         ).alias("g"),
     )
-    dtri = tri.distinct()
-    df = dtri.groupBy("g").agg(F.count(F.lit(1)).alias("ndocs"))
-    return (
-        dtri.join(df, "g")
-        .groupBy("doc_id")
+    per_doc = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams")
+    )
+    singles = (
+        tri.groupBy("g")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.count_if(F.col("ndocs") == 1).alias("n_unique"),
-            r4(
-                F.count_if(F.col("ndocs") == 1).cast("double")
-                / F.count(F.lit(1))
-            ).alias("novelty"),
+            F.count(F.lit(1)).alias("ndocs"),
+            F.min("doc_id").alias("d0"),
         )
+        .filter(F.col("ndocs") == 1)
+        .groupBy(F.col("d0").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return per_doc.join(singles, "doc_id", "left").select(
+        "doc_id",
+        "n_trigrams",
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        r4(
+            F.coalesce("n_unique", F.lit(0)).cast("double")
+            / F.col("n_trigrams")
+        ).alias("novelty"),
     )
 
 

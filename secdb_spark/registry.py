@@ -159,6 +159,8 @@ _IMPL_CHANGED: dict[str, int] = {
     "ship_lag_percentiles": 14, "decile_lift_table": 14,
     # r14: jaccard kernel — positional filter, HLL probe, all-pairs path
     "sim_jaccard": 14, "dedup_shingle": 14,
+    # r14: single-pass gram restructure / scan-spread gate
+    "text_novelty": 14, "text_sentiment": 14,
 }
 
 

@@ -421,16 +421,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
     )
 
-    def vote(b: int):
+    # r14 (guide §1.2 per-task work): the vote used to be
+    # sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) per bit — 63 CASE
+    # branches evaluated per token row.  vote_b > 0 <=> 2*ones_b > n
+    # with ones_b = sum(bit_b) and n the token count, so the aggregate
+    # is now 63 bare sums of an AND-shift (no CASE) plus one count —
+    # identical majority outcome (equality 2*ones = n was vote = 0,
+    # excluded both ways), a ~third smaller codegen'd aggregate.
+    def ones(b: int):
         src, sh = ("lo", b) if b < 32 else ("hi", b - 32)
-        bit = F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
-        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}")
+        return F.sum(
+            F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+        ).alias(f"b{b}")
 
-    bit_sums = hashed.groupBy("doc_id").agg(*[vote(b) for b in range(63)])
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[ones(b) for b in range(63)],
+        F.count(F.lit(1)).alias("_n"),
+    )
     sim = F.lit(0).cast("long")
     for b in range(63):  # bit 63 (sign bit) left 0 to stay in int64 range
         sim = sim + F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            F.col(f"b{b}") * 2 > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
     return bit_sums.select("doc_id", sim.alias("simhash"))
 

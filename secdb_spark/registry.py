@@ -140,7 +140,7 @@ _IMPL_CHANGED: dict[str, int] = {
     "sql_tpch_q18": 13, "sim_containment": 13,
     "lsh_band_sweep": 13, "dedup_minhash_b_bit": 13,
     "minhash_jaccard_calibration": 13, "lsh_candidates": 13,
-    "dedup_clusters_exact": 13, "dedup_simhash": 13, "simhash_pairs": 13,
+    "dedup_clusters_exact": 13, "dedup_simhash": 14, "simhash_pairs": 14,
     "corpus_dup_ngram_share": 13, "lsh_eval": 13, "ivf_eval": 13,
     "graph_pagerank": 13, "ann_pq_adc_topk": 13,
     "agg_percentile_disc": 13, "spearman_corr": 13, "stat_levene": 13,

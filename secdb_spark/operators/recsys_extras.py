@@ -241,9 +241,9 @@ def _lsh_eval_grouped(
     spark: SparkSession, sf_dir: str, vocab: list[str]
 ) -> DataFrame:
     """Group-contracted closed-vocab kernel — see lsh_eval docstring."""
-    from .warehouse_extras3 import _lsh_group_pairs
+    from .warehouse_extras3 import LSH_BANDS, _lsh_group_sigs
 
-    groups, gp = _lsh_group_pairs(spark, sf_dir)
+    groups, gk = _lsh_group_sigs(spark, sf_dir)
     n_words = (len(vocab) + 63) // 64
 
     def _sqlstr(t: str) -> str:
@@ -310,14 +310,29 @@ def _lsh_eval_grouped(
             ),
         ).select("ga", "gb", (F.col("ma") * F.col("mb")).alias("w"))
     )
-    # candidate group pairs, weighted by member counts
-    sz_a = g.select(F.col("gid").alias("ga"), F.col("m").alias("ma"))
-    sz_b = g.select(F.col("gid").alias("gb"), F.col("m").alias("mb"))
-    cg = pin(
-        gp.join(F.broadcast(sz_a), "ga")
-        .join(F.broadcast(sz_b), "gb")
-        .select("ga", "gb", (F.col("ma") * F.col("mb")).alias("w"))
+    # candidate group pairs (r14): the banded bucket join emitted 5.0M
+    # colliding group pairs through a groupBy AND a pair-sized pin (the
+    # single heaviest job in the registry after r13) only to be SUMMED.
+    # Under this kernel's gate the collision test is "some band key
+    # equal", so the weighted candidate count closes as ONE aggregate
+    # over the all-pairs band-compare BNLJ on the pinned key frame (no
+    # pair-keyed groupBy, no pair materialization), and the hit count
+    # re-derives each truth pair's band keys from the same broadcast
+    # frame instead of joining the 5M-row candidate list.
+    ka = gk.select(
+        F.col("gid").alias("ga"),
+        F.col("m").alias("kma"),
+        *[F.col(f"bk{i}").alias(f"abk{i}") for i in range(LSH_BANDS)],
     )
+    kb = gk.select(
+        F.col("gid").alias("gb"),
+        F.col("m").alias("kmb"),
+        *[F.col(f"bk{i}").alias(f"bbk{i}") for i in range(LSH_BANDS)],
+    )
+    any_band = None
+    for i in range(LSH_BANDS):
+        eq = F.col(f"abk{i}") == F.col(f"bbk{i}")
+        any_band = eq if any_band is None else (any_band | eq)
     # within-group pairs C(m,2): truth AND candidate AND hit by identity
     wn = g.agg(
         F.coalesce(
@@ -329,11 +344,18 @@ def _lsh_eval_grouped(
     tc = tg.agg(
         F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("tc")
     )
-    cc = cg.agg(
-        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("cc")
+    cc = (
+        ka.join(F.broadcast(kb), (F.col("ga") < F.col("gb")) & any_band)
+        .agg(
+            F.coalesce(F.sum(F.col("kma") * F.col("kmb")), F.lit(0))
+            .cast("long")
+            .alias("cc")
+        )
     )
     hc = (
-        tg.join(cg.select("ga", "gb"), ["ga", "gb"])
+        tg.join(F.broadcast(ka), "ga")
+        .join(F.broadcast(kb), "gb")
+        .filter(any_band)
         .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("hc"))
     )
     wide = (

@@ -30,15 +30,19 @@ def _sig_sql(i: int, s: str) -> str:
 
 
 
-def _lsh_group_bands(spark: SparkSession, sf_dir: str):
-    """Group contraction + banded signature stack (r13, guide §2.3
-    "aggregate before you shuffle"): minhash signatures are functions of
-    the distinct TERM SET, so docs sharing a set are interchangeable in
-    every band — collapse each set to one group node (the sf0.1 corpus:
-    5000 docs -> ~3935 groups).  Signatures build MAP-SIDE per group
-    (array_min over an md5 transform — no explode, no per-doc
-    aggregate).  Returns (groups = one row per set with its sorted
-    member ids, bands = (gid, band, sig) stack)."""
+def _lsh_group_sigs(spark: SparkSession, sf_dir: str):
+    """Group contraction + per-group banded signature keys (r13 group
+    collapse, r14 single-pin sigs; guide §2.3 "aggregate before you
+    shuffle"): minhash signatures are functions of the distinct TERM
+    SET, so docs sharing a set are interchangeable in every band —
+    collapse each set to one group node (the sf0.1 corpus: 5000 docs ->
+    ~3935 groups).  Signatures build MAP-SIDE per group (array_min over
+    an md5 transform — no explode, no per-doc aggregate) and the 2 band
+    keys pin ONCE (gid, bk0, bk1, m, nt — one row per group), so the
+    md5 transforms run one time for EVERY consumer (band stack, banded
+    join sides, all-pairs sides, eval weights) instead of once per
+    consumer.  Returns (groups = one row per set with its sorted member
+    ids + terms, gk = the pinned key frame)."""
     from .llm_pipeline import _spread_docs
 
     d = _spread_docs(spark, sf_dir, table(spark, sf_dir, "documents"))
@@ -52,33 +56,96 @@ def _lsh_group_bands(spark: SparkSession, sf_dir: str):
             F.min("doc_id").alias("gid"),
         )
     )
+    sigs = [
+        F.array_min(
+            F.transform("terms", lambda t: F.md5(F.concat(F.lit(s), t)))
+        ).alias(f"sig{i}")
+        for i, s in enumerate(MINHASH_SEEDS)
+    ]
     gsigs = groups.select(
         "gid",
-        *[
-            F.array_min(
-                F.transform(
-                    "terms", lambda t: F.md5(F.concat(F.lit(s), t))
-                )
-            ).alias(f"sig{i}")
-            for i, s in enumerate(MINHASH_SEEDS)
-        ],
+        F.size("members").cast("long").alias("m"),
+        F.size("terms").cast("long").alias("nt"),
+        *sigs,
     )
-    stack_args = ", ".join(
-        f"{b}, concat({', '.join(f'sig{b * LSH_ROWS_PER_BAND + r}' for r in range(LSH_ROWS_PER_BAND))})"
-        for b in range(LSH_BANDS)
+    gk = pin(
+        gsigs.select(
+            "gid",
+            "m",
+            "nt",
+            *[
+                F.concat(
+                    *[
+                        F.col(f"sig{b * LSH_ROWS_PER_BAND + r}")
+                        for r in range(LSH_ROWS_PER_BAND)
+                    ]
+                ).alias(f"bk{b}")
+                for b in range(LSH_BANDS)
+            ],
+        )
     )
-    bands = gsigs.select(
+    return groups, gk
+
+
+def _lsh_group_bands(spark: SparkSession, sf_dir: str):
+    """(gid, band, sig) stack over the pinned band keys — the banded
+    bucket view dedup_clusters_exact's star edges consume."""
+    groups, gk = _lsh_group_sigs(spark, sf_dir)
+    stack_args = ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
+    bands = gk.select(
         "gid", F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (band, sig)")
     )
     return groups, bands
 
 
+#: all-pairs gate for the banded GROUP join (r14, the sim_containment /
+#: _jaccard_pairs precedent): on the templated corpus the band-bucket
+#: self-join emits 5.0M colliding group pairs (65% of ALL group pairs)
+#: through a pair-keyed groupBy — more rows than the N^2/2 all-pairs
+#: evaluation it was meant to avoid.  Below this doc count the band
+#: count comes from one broadcast nested-loop pass (n_bands = sum of
+#: band-key equalities, join condition "at least one band equal" — no
+#: 5M-row shuffle, no pair-keyed aggregate).  Above it the bucket join
+#: is unchanged (the sparse-collision open-web shape).
+LSH_ALLPAIRS_DOCS = 20_000
+
+
 def _lsh_group_pairs(spark: SparkSession, sf_dir: str):
-    """Banded group candidate pairs over the _lsh_group_bands
-    contraction: band-join GROUPS and let consumers expand members back
-    out (lsh_candidates) or weight by group sizes (lsh_eval).  Returns
-    (groups, gp = (ga, gb, n_bands) group candidate pairs)."""
-    groups, bands = _lsh_group_bands(spark, sf_dir)
+    """Banded group candidate pairs: (groups, gp = (ga, gb, n_bands)).
+    Dispatches between the bucket self-join and the gated all-pairs
+    band-compare pass (LSH_ALLPAIRS_DOCS above) — identical output:
+    a pair appears iff some band key matches, n_bands is the number of
+    matching bands either way."""
+    groups, gk = _lsh_group_sigs(spark, sf_dir)
+    if table_rows(sf_dir, "documents") <= LSH_ALLPAIRS_DOCS:
+        a = gk.select(
+            F.col("gid").alias("ga"),
+            *[F.col(f"bk{b}").alias(f"abk{b}") for b in range(LSH_BANDS)],
+        )
+        b = gk.select(
+            F.col("gid").alias("gb"),
+            *[F.col(f"bk{b}").alias(f"bbk{b}") for b in range(LSH_BANDS)],
+        )
+        n_bands = sum(
+            [
+                (F.col(f"abk{i}") == F.col(f"bbk{i}")).cast("long")
+                for i in range(LSH_BANDS)
+            ],
+            F.lit(0).cast("long"),
+        )
+        any_band = None
+        for i in range(LSH_BANDS):
+            eq = F.col(f"abk{i}") == F.col(f"bbk{i}")
+            any_band = eq if any_band is None else (any_band | eq)
+        gp = (
+            a.join(F.broadcast(b), (F.col("ga") < F.col("gb")) & any_band)
+            .select("ga", "gb", n_bands.alias("n_bands"))
+        )
+        return groups, gp
+    stack_args = ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
+    bands = gk.select(
+        "gid", F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (band, sig)")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     gp = (
         a.join(

@@ -139,9 +139,9 @@ _IMPL_CHANGED: dict[str, int] = {
     "ann_ivf_assign": 13,  # self-cleared: r13 window, exact green
     "sql_tpch_q18": 13, "sim_containment": 13,
     "lsh_band_sweep": 13, "dedup_minhash_b_bit": 13,
-    "minhash_jaccard_calibration": 13, "lsh_candidates": 13,
-    "dedup_clusters_exact": 13, "dedup_simhash": 14, "simhash_pairs": 14,
-    "corpus_dup_ngram_share": 13, "lsh_eval": 13, "ivf_eval": 13,
+    "minhash_jaccard_calibration": 13, "lsh_candidates": 14,
+    "dedup_clusters_exact": 14, "dedup_simhash": 14, "simhash_pairs": 14,
+    "corpus_dup_ngram_share": 13, "lsh_eval": 14, "ivf_eval": 13,
     "graph_pagerank": 13, "ann_pq_adc_topk": 13,
     "agg_percentile_disc": 13, "spearman_corr": 13, "stat_levene": 13,
     "source_length_ks": 13, "src_jsonl": 13, "graph_kcore": 13,

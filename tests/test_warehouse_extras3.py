@@ -147,3 +147,25 @@ def test_pmi_bigrams_ranked_and_supported(q):
     pmi = s["pmi6"].tolist()
     assert pmi == sorted(pmi, reverse=True)
     assert len(s) <= 50
+
+
+def test_lsh_group_pairs_allpairs_equals_bucket_join(spark):
+    """r14 all-pairs band-compare path: below LSH_ALLPAIRS_DOCS the
+    banded bucket self-join is replaced by a BNLJ whose condition is
+    "some band key equal" and whose n_bands is the sum of band-key
+    equalities.  Force the gate OFF and assert the two paths emit the
+    identical (ga, gb, n_bands) set on the same corpus."""
+    from secdb_spark.operators import warehouse_extras3 as W3
+
+    sf = "/root/testdata/sf0.001"
+    _, gp_allpairs = W3._lsh_group_pairs(spark, sf)
+    rows_ap = {(r.ga, r.gb, r.n_bands) for r in gp_allpairs.collect()}
+    orig = W3.LSH_ALLPAIRS_DOCS
+    W3.LSH_ALLPAIRS_DOCS = -1  # force the bucket-join path
+    try:
+        _, gp_bucket = W3._lsh_group_pairs(spark, sf)
+        rows_bk = {(r.ga, r.gb, r.n_bands) for r in gp_bucket.collect()}
+    finally:
+        W3.LSH_ALLPAIRS_DOCS = orig
+    assert rows_ap == rows_bk
+    assert rows_ap, "sf0.001 corpus must produce band collisions"

@@ -591,11 +591,19 @@ def _certification_order(names) -> list[str]:
     "Settled" = certified_at_current_class: a rows-only→exact upgrade
     re-queues even though an old rows-only record exists."""
     names = list(names)
+    # Slate pins exist for FIRST-TIME coverage ordering; an op whose
+    # historical slate slot is long settled but that is now
+    # recert-pending (_IMPL_CHANGED / _ORACLE_CHANGED) must re-enter via
+    # the recert bucket below, not resurrect its slate position — the
+    # r14 optimization round made several old-slate ops recert-pending
+    # and their slate re-entry scrambled the pinned slate order
+    # (caught by test_round7_slate_holds_its_window).
     slate = [
         n for n in (_CERT_SLATE + _CERT_SLATE_R6 + _CERT_SLATE_R7 + _CERT_SLATE_R8
            + _CERT_SLATE_R9 + _CERT_SLATE_R10 + _CERT_SLATE_R11
            + _CERT_SLATE_R12 + _CERT_SLATE_R12B)
         if n in names and not certified_at_current_class(n)
+        and not _recert_pending(n)
     ]
     # Oracle-changed recerts queue BEHIND never-certified ops (including
     # the rows-only priority set): re-checking a changed-but-green op is

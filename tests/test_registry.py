@@ -90,6 +90,7 @@ def test_slate_ops_hold_their_slots():
     slate_pending = [
         n for n in registry._CERT_SLATE
         if not registry.certified_at_current_class(n)
+        and not registry._recert_pending(n)  # recert bucket, not slate (r14)
     ]
     assert order[: len(slate_pending)] == slate_pending
 
@@ -198,13 +199,17 @@ def test_round7_slate_holds_its_window():
     round 8 and can never displace the recert out of round 7's
     window."""
     order = list(registry.all_queries())
+    # recert-pending ops re-enter via the recert bucket, never their
+    # historical slate slot (r14) — exclude them from the expectation
     r6_pending = [
         n for n in registry._CERT_SLATE_R6
         if not registry.certified_at_current_class(n)
+        and not registry._recert_pending(n)
     ]
     r7_pending = [
         n for n in registry._CERT_SLATE_R7
         if not registry.certified_at_current_class(n)
+        and not registry._recert_pending(n)
     ]
     start = len(r6_pending)
     assert order[start : start + len(r7_pending)] == r7_pending
@@ -226,10 +231,12 @@ def test_round8_slate_holds_its_window():
             + registry._CERT_SLATE_R7
         )
         if not registry.certified_at_current_class(n)
+        and not registry._recert_pending(n)
     ]
     r8_pending = [
         n for n in registry._CERT_SLATE_R8
         if not registry.certified_at_current_class(n)
+        and not registry._recert_pending(n)  # recert bucket, not slate (r14)
     ]
     start = len(earlier_pending)
     assert order[start : start + len(r8_pending)] == r8_pending

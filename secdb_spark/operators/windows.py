@@ -228,18 +228,118 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame by VALUE (all orders within $10k below current price).
     RANGE frames are tie-safe by definition (peers share a frame), so the
     value ordering alone is deterministic."""
-    o = table(spark, sf_dir, "orders")
-    w = (
+    # r14 PREFIX-SUM RESTRUCTURE (guide §1.2 "the distributed
+    # algorithm"): Spark's sliding RANGE frame re-accumulates the whole
+    # frame every time its bounds move — O(rows x frame_size) inside 3
+    # status partitions (~1k-row average band at sf0.1 => ~150M decimal
+    # adds on 3 tasks; measured 7.7 s of exec, the slowest warm op in
+    # the registry).  The band aggregate is a difference of two PREFIX
+    # aggregates, and prefix frames (UNBOUNDED PRECEDING .. CURRENT ROW)
+    # are O(rows) incremental.  So:
+    #   1. contract to the distinct (status, price) spine with per-value
+    #      count + exact DECIMAL(38,6) sum;
+    #   2. one ROWS cumulative window over the spine => cum_c / cum_s
+    #      (decimal addition is associative-exact, so the cumulative of
+    #      per-value sums equals the direct cumulative);
+    #   3. band lower bound via the union-probe as-of trick: each spine
+    #      value p emits a probe row at v = p - 10000 (the identical
+    #      IEEE double the RANGE frame boundary evaluates in both
+    #      engines); probes sort BEFORE data rows at equal v (tag 0 < 1)
+    #      so last(ignorenulls) at a probe reads the cumulative over
+    #      values STRICTLY below p - 10000 — rows AT the boundary stay
+    #      in the band, matching RANGE 10000 PRECEDING inclusivity;
+    #   4. band = cum(p) - cum(<p-10000) in bigint / DECIMAL(38,6) —
+    #      exact arithmetic, so values (and the final double cast) are
+    #      bit-identical to the sliding frame's;
+    #   5. join the per-value bands back to the rows on
+    #      (status, price) — RANGE peers share a frame, so per-value IS
+    #      per-row.
+    # Scale: every stage is a model-sized hash shuffle or an O(rows)
+    # window; nothing is quadratic in the band width.
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    g = o.groupBy("o_orderstatus", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
+    )
+    wcum = (
         Window.partitionBy("o_orderstatus")
         .orderBy("o_totalprice")
-        .rangeBetween(-10000, 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return o.select(
+    g2 = g.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum("s").over(wcum).alias("cum_s"),
+    )
+    null_c = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast(DEC)
+    # one explode emits each spine value's data row AND its probe row
+    # from a single pass (a union of two g2 consumers would recompute
+    # the spine subtree twice — Catalyst has no cross-DAG CSE — and
+    # re-scan orders a third time; caught by the plan audit's multiscan
+    # gate).
+    spine = g2.select(
+        "o_orderstatus",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("o_totalprice").alias("v"),
+                    F.lit(1).alias("tag"),
+                    F.col("cum_c").alias("mark_c"),
+                    F.col("cum_s").alias("mark_s"),
+                    F.lit(None).cast("double").alias("p"),
+                    null_c.alias("own_c"),
+                    null_s.alias("own_s"),
+                ),
+                F.struct(
+                    (F.col("o_totalprice") - F.lit(10000.0)).alias("v"),
+                    F.lit(0).alias("tag"),
+                    null_c.alias("mark_c"),
+                    null_s.alias("mark_s"),
+                    F.col("o_totalprice").alias("p"),
+                    F.col("cum_c").alias("own_c"),
+                    F.col("cum_s").alias("own_s"),
+                ),
+            )
+        ).alias("x"),
+    ).select("o_orderstatus", "x.*")
+    wlow = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("v", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    band = (
+        spine
+        .select(
+            "o_orderstatus",
+            "p",
+            "own_c",
+            "own_s",
+            "tag",
+            F.last("mark_c", ignorenulls=True).over(wlow).alias("low_c"),
+            F.last("mark_s", ignorenulls=True).over(wlow).alias("low_s"),
+        )
+        .filter(F.col("tag") == 0)
+        .select(
+            "o_orderstatus",
+            F.col("p").alias("o_totalprice"),
+            (F.col("own_c") - F.coalesce("low_c", F.lit(0))).alias(
+                "n_in_band"
+            ),
+            (F.col("own_s") - F.coalesce("low_s", F.lit(0).cast(DEC)))
+            .cast("double")
+            .alias("band_total"),
+        )
+    )
+    return o.join(band, ["o_orderstatus", "o_totalprice"]).select(
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_in_band"),
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("band_total"),
+        "n_in_band",
+        "band_total",
     )
 
 

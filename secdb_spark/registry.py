@@ -161,6 +161,8 @@ _IMPL_CHANGED: dict[str, int] = {
     "sim_jaccard": 14, "dedup_shingle": 14,
     # r14: single-pass gram restructure / scan-spread gate
     "text_novelty": 14, "text_sentiment": 14,
+    # r14: prefix-sum kernels replace sliding RANGE frames
+    "win_range_frame": 14,
 }
 
 

@@ -618,3 +618,58 @@ def test_jaccard_positional_filter_lossless_at_extreme_ranks(spark):
         if len(tsets[a] & tsets[b]) / len(tsets[a] | tsets[b]) >= 0.9
     }
     assert want and got == want
+
+
+def test_win_range_frame_prefix_kernel_matches_native_frame(
+    spark, tmp_path_factory
+):
+    """r14 prefix-sum restructure of win_range_frame: the cumulative-
+    difference kernel must reproduce Spark's native sliding RANGE frame
+    bit-for-bit on an adversarial price ladder — values exactly 10000
+    apart (the boundary row stays IN the band), heavy ties (RANGE peers
+    share a frame), sub-cent doubles, and a status with a single row."""
+    import pandas as pd
+    from pyspark.sql import Window, functions as F
+
+    from secdb_spark.operators._helpers import DEC
+    from secdb_spark.registry import all_queries
+
+    prices = (
+        [1000.0, 11000.0, 21000.0, 21000.0, 31000.0]  # exact 10k ladder+tie
+        + [5000.37, 15000.37, 15000.370000001]  # boundary vs just-above
+        + [99999.99] * 4  # heavy tie block
+        + [250000.01]
+    )
+    rows = []
+    for i, p in enumerate(prices):
+        rows.append((i + 1, 1, "O" if i % 3 else "F", p))
+    rows.append((900, 1, "P", 77777.77))  # single-row partition
+    pdf = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    pdf["o_orderdate"] = pd.Timestamp("2024-01-01")
+    pdf["o_orderpriority"] = "1-URGENT"
+    d = str(tmp_path_factory.mktemp("wrf"))
+    pdf.to_parquet(f"{d}/orders.parquet", index=False)
+
+    got = {
+        (r.o_orderkey, r.n_in_band, r.band_total)
+        for r in all_queries()["win_range_frame"](spark, d).collect()
+    }
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    native = spark.createDataFrame(
+        pdf[["o_orderkey", "o_orderstatus", "o_totalprice"]]
+    ).select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("band_total"),
+    )
+    want = {(r.o_orderkey, r.n_in_band, r.band_total) for r in native.collect()}
+    assert got == want

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows, table_split_units
 from ..registry import register
 from ._global_order import bucketed_global_rank, ntile_from_rank
 from ._helpers import pin, dsum_scaled, r4
@@ -215,9 +215,35 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sim = dot / (F.sqrt(sq(F.col("qe"))) * F.sqrt(sq(F.col("e"))))
+    # r14 (guide §1.2 per-task work; the ivf_eval r13 precedent): both
+    # norms are per-VECTOR quantities — hoisted out of the |Q|xN
+    # per-pair expression that evaluated 3 interpreted HOF folds per
+    # pair (dot + both norms: ~77M fold steps at sf0.1); now each
+    # vector's norm computes once in its own projection and the pair
+    # expression is the dot fold plus one divide.  Bit-identical:
+    # identical IEEE ops on identical operands in the identical tree
+    # dot / (qnorm * cnorm), so every sim, the top-k pick, the vote and
+    # the rounded accuracy are unchanged.
+    q_n = q.select(
+        "qid", "qlabel", "qe", F.sqrt(sq(F.col("qe"))).alias("qnorm")
+    )
+    emb_n = emb.select(
+        "vec_id", "label", "e", F.sqrt(sq(F.col("e"))).alias("cnorm")
+    )
+    # scan-spread gate (r13/r14, guide §2.5): embeddings is one parquet
+    # row group at the benched SFs, so the |Q|xN fold stream runs as ONE
+    # task regardless of core count; when scan parallelism is
+    # row-group-bound and the table is gate-small, one cheap hash
+    # repartition spreads the fold.  Never fires at warehouse scale.
+    ncores = spark.sparkContext.defaultParallelism
+    if (
+        table_split_units(sf_dir, "embeddings") < ncores
+        and table_rows(sf_dir, "embeddings") <= 200_000
+    ):
+        emb_n = emb_n.repartition(ncores, "vec_id")
+    sim = dot / (F.col("qnorm") * F.col("cnorm"))
     cp = (
-        emb.crossJoin(F.broadcast(q))
+        emb_n.crossJoin(F.broadcast(q_n))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",

@@ -163,6 +163,8 @@ _IMPL_CHANGED: dict[str, int] = {
     "text_novelty": 14, "text_sentiment": 14,
     # r14: prefix-sum kernels replace sliding RANGE frames
     "win_range_frame": 14,
+    # r14: hoisted norms + scan-spread on the |Q|xN fold
+    "knn_label_eval": 14,
 }
 
 

@@ -39,7 +39,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows, table_split_units
 from ..registry import register
 from ._helpers import pin, DEC, dsum, r4, sql_dsum
 
@@ -395,6 +395,20 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     certify values; the 100-TB swap is approx_count_distinct (one pass,
     no Expand) — the HLL path is the agg_hll_sketch op."""
     o = table(spark, sf_dir, "orders")
+    # scan-spread gate (r14, guide §2.5): the multi-distinct plans as an
+    # Expand (rows x 7 branches) inside the SCAN stage, and orders is one
+    # parquet row group at the benched SFs — the whole Expand+partial-agg
+    # ran as ONE task.  When scan parallelism is row-group-bound and the
+    # table is gate-small, one hash repartition on the unique key spreads
+    # it (hash, not round-robin: keyless repartition pays the
+    # sort-before-repartition pass).  Never fires at warehouse scale.
+    # Aggregates are order-insensitive, so results are unchanged.
+    ncores = spark.sparkContext.defaultParallelism
+    if (
+        table_split_units(sf_dir, "orders") < ncores
+        and table_rows(sf_dir, "orders") <= 1_000_000
+    ):
+        o = o.repartition(ncores, "o_orderkey")
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [

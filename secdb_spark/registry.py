@@ -165,6 +165,8 @@ _IMPL_CHANGED: dict[str, int] = {
     "win_range_frame": 14,
     # r14: hoisted norms + scan-spread on the |Q|xN fold
     "knn_label_eval": 14,
+    # r14: scan-spread gate on the row-group-bound Expand
+    "data_profile": 14,
 }
 
 

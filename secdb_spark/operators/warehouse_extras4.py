@@ -171,6 +171,11 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_ITERS = 3
 PR_DAMP = 0.85
 PR_TOPK = 20
+#: Node-count bound for broadcasting the degree frame and the per-round
+#: rank vector (model-sized: 5M nodes x (long, double) ~ 80 MB framed —
+#: comfortably under the broadcast cap).  Above it the joins keep the
+#: distributed shuffle shape and per-round driver traffic stays zero.
+PR_BROADCAST_NODES = 5_000_000
 _DEC18 = "DECIMAL(38,18)"
 
 
@@ -234,6 +239,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned — un-pinned, the `n = deg.count()` action re-ran the whole
     # orders⋈lineitem distinct subtree the ed checkpoint had just
     # computed (~2.6 s at sf0.1).
+    # r14 (guide §2.4/§3.1): the r13 shape checkpointed ed =
+    # edges⋈deg, which RECOMPUTED the orders⋈lineitem distinct the deg
+    # pin had just materialized (~2 s at sf0.1), and each iteration
+    # sort-merge-joined the 1.17M-row edge list against the model-sized
+    # rank vector (a full edge shuffle + sort per round).  Now the
+    # distinct edge set checkpoints ONCE and everything derives from it,
+    # and when the node count is model-sized the degree frame and the
+    # per-round rank vector broadcast — the edge list never shuffles
+    # after its checkpoint.  Above the gate (web-scale graphs where the
+    # rank vector must stay distributed) the joins keep the r13
+    # shuffle-join shape and per-round driver traffic stays zero.
+    # Values are unchanged either way: contributions are DECIMAL(38,18)
+    # (order-exact sums), and join strategy never changes results.
     e0 = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -241,16 +259,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey").cast("long") * 2 + 1).alias("b"),
         )
         .distinct()
+        .localCheckpoint()
     )
     edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     deg = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
-    ed = edges.join(deg, "src").localCheckpoint()
     n = deg.count()
+    small = n <= PR_BROADCAST_NODES
+    ed = edges.join(F.broadcast(deg) if small else deg, "src").localCheckpoint()
     r = deg.select(F.col("src").alias("node"), (F.lit(1.0) / F.lit(n)).alias("pr"))
     for _ in range(PR_ITERS):
-        contrib = ed.join(r, ed.src == r.node).select(
+        contrib = ed.join(
+            F.broadcast(r) if small else r, ed.src == r.node
+        ).select(
             F.col("dst"), (F.col("pr") / F.col("d")).cast(_DEC18).alias("c")
         )
         r = contrib.groupBy(F.col("dst").alias("node")).agg(

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows
 from ..registry import register
 from ._helpers import pin, r4
 
@@ -178,6 +178,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = u.agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_edges")
     )
+    # r14 (guide §3.1): the live set is model-sized (<= node count), so
+    # under graph_pagerank's PR_BROADCAST_NODES gate both per-round
+    # semi-join filters broadcast it — the edge set never shuffles after
+    # its pin (the un-hinted plan sort-merge-joined the edge list by a
+    # then by b every round).  Join strategy never changes results;
+    # above the gate the distributed shape is unchanged.
+    # Gate proxy: the live set is bounded by the node count, itself
+    # bounded by |customers| + |suppliers| < the orders footer row
+    # count — a driver-side footer read, never a Spark job.
+    from .warehouse_extras4 import PR_BROADCAST_NODES
+
     lives = []
     for i in range(1, KCORE_ROUNDS + 1):
         live = pin(
@@ -186,9 +197,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_d") >= KCORE_K)
             .select(F.col("a").alias("node"))
         )
+        bl = (
+            F.broadcast(live)
+            if table_rows(sf_dir, "orders") <= PR_BROADCAST_NODES
+            else live
+        )
         u = pin(
-            u.join(live.select(F.col("node").alias("a")), "a")
-            .join(live.select(F.col("node").alias("b")), "b")
+            u.join(bl.select(F.col("node").alias("a")), "a")
+            .join(bl.select(F.col("node").alias("b")), "b")
             .select("a", "b")
         )
         lives.append(

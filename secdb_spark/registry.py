@@ -145,7 +145,8 @@ _IMPL_CHANGED: dict[str, int] = {
     "graph_pagerank": 14,  # re-restructured r14
     "ann_pq_adc_topk": 13,
     "agg_percentile_disc": 13, "spearman_corr": 13, "stat_levene": 13,
-    "source_length_ks": 13, "src_jsonl": 13, "graph_kcore": 13,
+    "source_length_ks": 13, "src_jsonl": 13,
+    "graph_kcore": 14,  # re-restructured r14
     "build_secdb": 13, "abtest_cuped": 13, "agg_freq_items": 13,
     "geo_dense_clusters": 13,
     # r12-ADVICE fixes (fd2a6b6) committed after CORRECTNESS_r12

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..catalog import table
+from ..catalog import table, table_rows, table_split_units
 from ..registry import register
 from ._helpers import pin, r4
 from .llm_pipeline import _IVF_SEED_SQL, N_CENTROIDS, _emb, ann_ivf_assign
@@ -137,6 +137,17 @@ def ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_n = emb.select(
         "vec_id", "e", F.sqrt(sq(F.col("e"))).alias("cnorm")
     )
+    # scan-spread gate (r14, guide §2.5; the knn_label_eval fix):
+    # embeddings is one parquet row group at the benched SFs, so the
+    # |Q|xN fold stream ran as ONE task regardless of core count; the
+    # footer-gated hash repartition fans it out.  Never fires at
+    # warehouse scale.
+    ncores = spark.sparkContext.defaultParallelism
+    if (
+        table_split_units(sf_dir, "embeddings") < ncores
+        and table_rows(sf_dir, "embeddings") <= 200_000
+    ):
+        emb_n = emb_n.repartition(ncores, "vec_id")
     sim = dot / (F.col("qnorm") * F.col("cnorm"))
     cp = (
         emb_n.crossJoin(F.broadcast(q_n))

@@ -141,7 +141,8 @@ _IMPL_CHANGED: dict[str, int] = {
     "lsh_band_sweep": 13, "dedup_minhash_b_bit": 13,
     "minhash_jaccard_calibration": 13, "lsh_candidates": 14,
     "dedup_clusters_exact": 14, "dedup_simhash": 14, "simhash_pairs": 14,
-    "corpus_dup_ngram_share": 13, "lsh_eval": 14, "ivf_eval": 13,
+    "corpus_dup_ngram_share": 13, "lsh_eval": 14,
+    "ivf_eval": 14,  # re-restructured r14
     "graph_pagerank": 14,  # re-restructured r14
     "ann_pq_adc_topk": 13,
     "agg_percentile_disc": 13, "spearman_corr": 13, "stat_levene": 13,

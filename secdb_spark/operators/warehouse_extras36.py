@@ -1086,6 +1086,15 @@ def text_char_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (model build + scoring) and shuffled only on doc_id for the final
     combinable aggregate."""
     d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    # scan-spread gate (r14, guide §2.5): both tokenize passes (model
+    # build + scoring) explode ~4M substr trigrams inside the scan
+    # stage, and documents is one parquet row group at the benched SFs —
+    # each pass ran as ONE task.  The footer-gated repartition spreads
+    # both (2.03 -> 0.48 s warm at sf0.1); never fires at warehouse
+    # scale.
+    from .llm_pipeline import _spread_docs
+
+    d = _spread_docs(spark, sf_dir, d)
     tris = d.select(
         "doc_id",
         F.explode(

@@ -170,6 +170,8 @@ _IMPL_CHANGED: dict[str, int] = {
     "knn_label_eval": 14,
     # r14: scan-spread gate on the row-group-bound Expand
     "data_profile": 14,
+    # r14: scan-spread gate on the two row-group-bound tokenize passes
+    "text_char_trigram_lm": 14,
 }
 
 
